@@ -1,0 +1,14 @@
+"""Aggregated query catalog.
+
+Importing the section modules populates the shared QUERIES/ORACLES
+registries (each module registers via the ``@query`` decorator in
+``queries.py``). ``__spark_entry__`` re-exports these dicts to the
+driver.
+"""
+
+from __future__ import annotations
+
+from env_event_stream_spark.queries import ORACLES, QUERIES  # noqa: F401
+
+# Section modules — importing registers their queries.
+import env_event_stream_spark.llm_queries  # noqa: F401,E402

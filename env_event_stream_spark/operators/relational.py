@@ -1,0 +1,163 @@
+"""Relational core: joins / aggregations / windows / set ops / top-k.
+
+The reference has NO relational operators (SURVEY.md §2.3-2.7) — its
+only lookups are map-gets. These are the contract-mandated GAP
+operators, exposed as thin declarative builders so Catalyst keeps
+full freedom (join strategy selection, partial aggregation, pushdown).
+
+Scale notes baked into each builder:
+- ``join`` takes a ``broadcast_right`` flag — dimensions (region,
+  nation, supplier, ...) stay in memory on every executor; the big
+  fact table never shuffles for them.
+- as-of join is the union+window trick: O(n log n) per key via a
+  single sort-within-partition instead of a per-row subquery; no
+  driver-side loop, no cross join.
+- top-k is ``orderBy().limit()`` which Catalyst executes as
+  TakeOrderedAndProject (per-partition heap + driver merge, no global
+  sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "join",
+    "range_join",
+    "asof_join",
+    "top_k",
+    "top_k_per_group",
+    "running_agg",
+]
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    *,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi/semi/anti/outer join. ``broadcast_right=True`` hints the
+    dimension side below the broadcast threshold regardless of stats —
+    at 100 TB the fact side must never shuffle for a small dim."""
+    if broadcast_right:
+        right = F.broadcast(right)
+    return left.join(right, on, how)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    extra: Column | None = None,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval join: left.value BETWEEN right.lo AND right.hi.
+
+    With a small bucket/dimension table the broadcast nested-loop join
+    is the right physical plan (each row tests a handful of intervals
+    in memory). For two LARGE sides, pre-bucketize the range key and
+    equi-join on bucket id instead — see ``bucketized_range_join``."""
+    cond = (F.col(left_col) >= F.col(lo_col)) & (F.col(left_col) <= F.col(hi_col))
+    if extra is not None:
+        cond = cond & extra
+    if broadcast_right:
+        right = F.broadcast(right)
+    return left.join(right, cond)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    *,
+    direction: str = "backward",
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (backward) within the same ``on`` keys.
+
+    Spark lacks a native as-of join; the scalable composition is
+    union + last(ignorenulls) window:
+      1. tag both sides, union by a common schema
+      2. sort within (keys, ts) — one shuffle on the join keys
+      3. carry right-side values forward with last(..., ignorenulls)
+      4. keep left rows
+    This is O(n log n) per key, shuffle-partitioned by the join keys,
+    and never materializes a cross product — it would survive a 100×
+    scale-up where a per-row correlated subquery would not.
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip the sort order")
+    on = list(on)
+    lcols = list(left.columns)
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_vals],
+    )
+    r = right.select(
+        *[
+            (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+    )
+    u = l.unionByName(r)
+    # strict (<) : right rows at equal ts must not match -> sort right first
+    # non-strict (<=): right rows at equal ts do match -> right sorts first too;
+    # for strict we order left rows BEFORE right rows at the same ts.
+    order = [F.col("_asof_ts").asc(), F.col("_is_left").asc() if not strict else F.col("_is_left").desc()]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    for v in right_vals:
+        u = u.withColumn(f"_r_{v}", F.last(f"_r_{v}", ignorenulls=True).over(w))
+    out = u.where(F.col("_is_left") == 1).drop("_is_left", "_asof_ts")
+    for v in right_vals:
+        out = out.withColumnRenamed(f"_r_{v}", v)
+    return out
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k -> TakeOrderedAndProject (no full sort)."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k within each group via row_number — one shuffle on keys."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def running_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    agg_col: Column,
+    out_col: str,
+) -> DataFrame:
+    """Cumulative aggregate per key (the SQL shape of the reference's
+    event-sourcing fold, src/sourcing.ts:41-62, when the transition is
+    associative)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, agg_col.over(w))

