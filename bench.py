@@ -1,0 +1,82 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to full materialization (count of the result —
+cheaper than collect for wide results, still executes the whole plan).
+A short warm-up query first so JVM/codegen startup isn't billed to the
+first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from env_event_stream_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan/filter/limit, grouped agg,
+# star join, window, as-of, sessionize, fold, top-k, dedup/similarity
+# once they land). Keep names stable across rounds for judge deltas.
+HEADLINE = [
+    "evt_replay",
+    "evt_type_counts",
+    "evt_fold_running",
+    "evt_sessionize",
+    "evt_rehydrate_latest",
+    "tpch_q1_pricing",
+    "join_revenue_by_region",
+    "asof_purchase_prior_view",
+    "window_top3_orders_per_cust",
+    "topk_orders_global",
+    "doc_dedup_exact",
+    "doc_minhash_pairs",
+    "doc_token_stats",
+    "emb_knn_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench")
+
+    # warm-up: JVM + parquet footer reads off the clock
+    qs["evt_type_counts"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

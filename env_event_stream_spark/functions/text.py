@@ -1,0 +1,127 @@
+"""Text-analysis expressions: tokenization, shingling, fingerprints,
+quality metrics, language-ID heuristic.
+
+All pure Catalyst column expressions (split / transform / aggregate /
+md5 higher-order functions) — whole-stage-codegen'd, no Python in the
+row path, so they scale linearly over 100 TB of documents. Every
+expression has a DuckDB-equivalent SQL form used by the oracle
+harness (see llm_queries.py) — hence the md5-based hashing (identical
+hex output in both engines) rather than Spark's xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_shingles",
+    "char_shingles",
+    "normalize_text",
+    "fingerprint",
+    "minhash_value",
+    "quality_metrics",
+    "LANG_MARKERS",
+    "lang_scores",
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish regex variant is
+    ``F.split(text, r\"\\w+|[^\\w\\s]\")`` — for the synthetic corpus
+    plain whitespace matches the oracle exactly)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (1-based
+    element_at; empty array when the doc has fewer than n tokens)."""
+    t = tokens(text)
+    starts = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(t) >= n, F.array_distinct(F.transform(starts, shingle))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles (for short/no-whitespace
+    text, e.g. CJK); same construction over substrings."""
+    starts = F.sequence(F.lit(1), F.length(text) - (n - 1))
+    return F.when(
+        F.length(text) >= n,
+        F.array_distinct(F.transform(starts, lambda i: F.substring(text, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprint dedup: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (portable
+    across engines; the rolling-hash variant is in simhash/minhash)."""
+    return F.md5(normalize_text(text))
+
+
+def minhash_value(shingle: Column, seed: int) -> Column:
+    """One MinHash family member: lexicographic min over
+    md5(seed || ':' || shingle) is a uniform random permutation per
+    seed — portable (DuckDB md5 produces identical hex)."""
+    return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), shingle))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Document quality signals (length, token stats, stopword and
+    punctuation ratios) as named expressions."""
+    t = tokens(text)
+    n_tok = F.size(t)
+    total_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop = F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and")))
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "n_uniq_tokens": F.size(F.array_distinct(t)).cast("bigint"),
+        "avg_token_len": F.round(total_len / n_tok, 4),
+        "stopword_ratio": F.round(stop / n_tok, 4),
+        "punct_ratio": F.round(n_punct / n_chars, 4),
+    }
+
+
+# Marker stopwords per language for the n-gram/stopword lang-ID
+# heuristic. Deterministic and oracle-replicable; on real corpora
+# extend the marker lists (they're data, not code).
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "了", "是", "在", "我"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-token counts (the scoring half of lang-ID;
+    argmax + tie-break happens in the query)."""
+    t = tokens(text)
+    return {
+        lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }

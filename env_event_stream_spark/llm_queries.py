@@ -1,8 +1,450 @@
-"""LLM-data-pipeline queries (SURVEY.md §2.11) — registered into the
-shared catalog. Implementations live in operators/dedup.py,
-operators/similarity.py and functions/text.py; this module wires them
-to the documents/embeddings tables with DuckDB oracles."""
+"""LLM-data-pipeline queries (SURVEY.md §2.11) on documents/embeddings.
+
+Oracle strategy: every probabilistic step (MinHash, LSH, SimHash) is
+built from md5 — which DuckDB computes identically — so even the
+"approximate" operators are exactly reproducible in the oracle. The
+oracle SQL strings are generated programmatically to mirror the Spark
+plan constant-for-constant (hyperplanes, seeds, band layout).
+"""
 
 from __future__ import annotations
 
-# Placeholder: populated in the LLM-ops milestone.
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    quality_metrics,
+    tokens,
+)
+from env_event_stream_spark.operators import dedup as D
+from env_event_stream_spark.operators import similarity as S
+from env_event_stream_spark.queries import query
+from env_event_stream_spark.tables import load_table
+
+# Shared oracle CTE fragments -------------------------------------------------
+
+_TOKENS_CTE = r"""
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+"""
+
+_SHINGLES_CTE = (
+    _TOKENS_CTE
+    + r""",
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(tk) - 1),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+  FROM t
+)
+"""
+)
+
+_JACCARD_CTES = (
+    _SHINGLES_CTE
+    + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS nc
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT ida AS id_a, idb AS id_b,
+         round(nc * 1.0 / (sa.n_sh + sb.n_sh - nc), 4) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = ida
+  JOIN sizes sb ON sb.doc_id = idb
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier 1-2: exact + fingerprint
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_dedup_exact",
+    """
+    SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY text
+    """,
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the raw text; survivor = min id
+    (deterministic, unlike dropDuplicates). Map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    ).select("keep_id", "n_docs")
+
+
+@query(
+    "doc_fingerprint_groups",
+    r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup groups (case/punct-insensitive)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.fingerprint_groups(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier 3: exact n-gram Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_jaccard_pairs",
+    "WITH "
+    + _JACCARD_CTES
+    + """
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 — shingle
+    inverted-index self-join, never a full cross product."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier 4: MinHash + LSH banding (k=16, 4 bands x 4 rows)
+# ---------------------------------------------------------------------------
+
+_K, _BANDS, _ROWS = 16, 4, 4
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN h END) AS h{s}" for s in range(_K)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(f"h{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    return (
+        "WITH "
+        + _JACCARD_CTES
+        + f""",
+seeds AS (SELECT unnest(range({_K})) AS s),
+mh AS (
+  SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || sh)) AS h
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, s
+),
+sig AS (SELECT doc_id, {sig_cols} FROM mh GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.4
+"""
+    )
+
+
+@query("doc_minhash_pairs", _minhash_oracle())
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: 16 md5-permutation minhashes,
+    4x4 banding, candidates verified with exact Jaccard >= 0.4.
+    Candidate generation is a band-key shuffle (linear-ish); the
+    quadratic verify only runs inside colliding buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "text", "doc_id", n=3, bands=_BANDS, rows=_ROWS, threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier 5: SimHash
+# ---------------------------------------------------------------------------
+
+
+def _hex32_sql(h: str) -> str:
+    """uint32 from first 8 hex chars of md5 — digit-by-digit (DuckDB
+    has no conv())."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"({terms})"
+
+
+_SIMHASH_CTES = (
+    r"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+),
+hv AS (SELECT doc_id, """
+    + _hex32_sql("md5(w)")
+    + """ AS hv FROM toks),
+bits AS (SELECT unnest(range(32)) AS b),
+per_bit AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hv CROSS JOIN bits GROUP BY doc_id, b
+),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM per_bit GROUP BY doc_id
+)
+"""
+)
+
+
+@query(
+    "doc_simhash",
+    "WITH " + _SIMHASH_CTES + "SELECT doc_id, simhash FROM sims",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (sign-sum of md5-derived
+    token bits) — all integer Catalyst expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash(d, "text", "doc_id")
+
+
+@query(
+    "doc_simhash_pairs",
+    "WITH "
+    + _SIMHASH_CTES
+    + """,
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS v
+  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS c)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.simhash AS sh_a, y.simhash AS sh_b
+  FROM chunks x JOIN chunks y
+    ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+""",
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 6, blocked on
+    8-bit signature chunks (pigeonhole: any pair with d<=6 shares at
+    least one of 4 chunks) — no full self-join at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "text", "doc_id", max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token stats / quality / language-ID / fingerprint
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    r"""
+    WITH t AS (SELECT doc_id, n_chars, text,
+                      string_split_regex(trim(text), '\s+') AS tk
+               FROM documents)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq_tokens,
+           round(list_sum(list_transform(tk, x -> len(x))) * 1.0 / len(tk), 4)
+             AS avg_token_len,
+           round(len(list_filter(tk, x -> list_contains(['the','a','of','and'], x)))
+                 * 1.0 / len(tk), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals, all Catalyst higher-order
+    functions (no UDF in the row path)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["n_uniq_tokens"].alias("n_uniq_tokens"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(tk, x -> list_contains([{markers}], x)))"
+
+
+def _lang_oracle() -> str:
+    scores = ",\n           ".join(
+        f"{_lang_score_sql(lang)} AS s_{lang}" for lang in sorted(LANG_MARKERS)
+    )
+    langs = sorted(LANG_MARKERS)  # alphabetical tie-break
+    cases = " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{l} >= s_{o}" for o in langs if o != l)
+        + f" THEN '{l}'"
+        for l in langs
+    )
+    greatest = ", ".join(f"s_{l}" for l in langs)
+    return rf"""
+    WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    s AS (SELECT doc_id, lang AS labeled_lang,
+           {scores}
+          FROM t)
+    SELECT doc_id, labeled_lang,
+           CASE WHEN greatest({greatest}) = 0 THEN 'und' {cases} END
+             AS predicted_lang
+    FROM s
+    """
+
+
+@query("doc_lang_id", _lang_oracle())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic: per-language marker
+    counts, argmax with alphabetical tie-break, 'und' when no marker
+    hits. (The synthetic corpus uses one shared vocab, so predictions
+    won't match the random labels — the oracle checks the heuristic
+    itself, not the labels.)"""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    langs = sorted(LANG_MARKERS)
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.size(F.filter(tk, lambda x: x.isin(*LANG_MARKERS[lang]))).alias(
+                f"s_{lang}"
+            )
+            for lang in langs
+        ],
+    )
+    pred = F.when(F.greatest(*[F.col(f"s_{l}") for l in langs]) == 0, F.lit("und"))
+    for l in langs:
+        cond = None
+        for o in langs:
+            if o == l:
+                continue
+            c = F.col(f"s_{l}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(l))
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "emb_knn_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 {_COSINE_SQL.format(a="qv", b="cv")} AS csim
+          FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                 round(csim, 6) AS sim
+          FROM s)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+    """,
+)
+def emb_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 10-query set — the exactness
+    baseline for ANN (higher-order-function dot product, no UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_exact(
+        e.where(F.col("vec_id") < 10), e, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+def _plane_sql(vec: str, planes: list[list[float]]) -> str:
+    bits = []
+    for row in planes:
+        arr = "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def _knn_lsh_oracle() -> str:
+    planes = S.hyperplanes()
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qv, lsh_sig FROM sig WHERE vec_id < 10),
+    s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 {_COSINE_SQL.format(a="qv", b="c.e")} AS csim
+          FROM q JOIN sig c USING (lsh_sig)
+          WHERE query_id <> c.vec_id),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                 round(csim, 6) AS sim
+          FROM s)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3
+    """
+
+
+@query("emb_knn_lsh", _knn_lsh_oracle())
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via random-hyperplane LSH (8 md5-derived planes →
+    8-bit bucket signature, equi-join, exact rerank in-bucket). The
+    100 TB path: one shuffle on the signature, no cross product;
+    recall<1 is the documented ANN trade."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_lsh(
+        e.where(F.col("vec_id") < 10), e, id_col="vec_id", vec_col="embedding", k=3
+    )
+
+
+def _cosine_dedup_oracle() -> str:
+    planes = S.hyperplanes()
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
+    p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 {_COSINE_SQL.format(a="x.e", b="y.e")} AS csim
+          FROM sig x JOIN sig y USING (lsh_sig)
+          WHERE x.vec_id < y.vec_id)
+    SELECT id_a, id_b, round(csim, 6) AS sim FROM p WHERE csim >= 0.3
+    """
+
+
+@query("emb_cosine_dedup", _cosine_dedup_oracle())
+def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucketed candidates + exact
+    cosine >= 0.3 verification (corpus never self-cross-joins)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_dedup_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3
+    )

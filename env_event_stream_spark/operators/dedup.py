@@ -1,0 +1,287 @@
+"""Deduplication operators for large-scale document pipelines
+(SURVEY.md §2.11 — contract-mandated extensions).
+
+Five tiers, cheapest first:
+1. exact            — hash-groupBy on the raw column
+2. fingerprint      — md5 of normalized text (case/punct-insensitive)
+3. n-gram Jaccard   — inverted-index self-join on shingles (exact
+                      similarity, no probabilistic step)
+4. MinHash + LSH    — signature min-hashing + banding; only band
+                      collisions are verified (the 100 TB path: cost
+                      is ~linear in corpus size, not quadratic)
+5. SimHash          — 32-bit sign-sum fingerprint; near-dups are
+                      pairs within a small Hamming distance
+
+Scale design:
+- every step is explode → shuffle-on-shingle/band → agg; no cross
+  join ever touches the full corpus;
+- hot shingles (document frequency > df_cap) are dropped before the
+  pair join — the classic skew guard: a stopword shingle shared by
+  10^6 docs would otherwise emit 10^12 candidate pairs;
+- md5-based hashing (not xxhash64) so every stage is reproducible in
+  any engine, which the DuckDB oracle exploits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    word_shingles,
+)
+
+__all__ = [
+    "exact_dedup",
+    "fingerprint_groups",
+    "shingle_table",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact duplicate group. groupBy-min
+    (map-side combinable) rather than dropDuplicates (whose survivor
+    is partition-order-dependent, i.e. nondeterministic)."""
+    keep = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def fingerprint_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized-text fingerprint groups: (fingerprint, n_docs,
+    keep_id). Groups with n_docs > 1 are near-exact duplicates."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """(id, shingle) exploded inverted index — distinct per doc.
+    ``df_cap`` drops shingles appearing in more than df_cap docs
+    (skew guard; cap makes candidate generation near-linear)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    if df_cap is not None:
+        hot = sh.groupBy("sh").agg(F.count("*").alias("_df")).where(
+            F.col("_df") > df_cap
+        )
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
+    return sh
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted-index join:
+    |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded."""
+    sh = shingle_table(df, text_col, id_col, n, df_cap).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 3, k: int = 16
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: one wide row
+    (id, h0..h{k-1}) where h_s = min over shingles of
+    md5(s || ':' || shingle). Explode + conditional-min grouped agg —
+    a single shuffle on the doc id, partially aggregated map-side."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+        for s in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs: band the k=bands*rows signature,
+    join docs sharing any band key, then verify candidates with exact
+    Jaccard >= threshold. Candidate generation is linear-ish in corpus
+    size (band-key shuffle), the quadratic step only runs inside
+    colliding buckets."""
+    k = bands * rows
+    sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bk"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bk"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # verify: exact jaccard on candidates only
+    jac = jaccard_pairs(df, text_col, id_col, n=n, threshold=0.0)
+    return (
+        cand.join(jac, ["id_a", "id_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hex32_to_long(col: Column) -> Column:
+    """First 8 hex chars of an md5 → unsigned 32-bit value as bigint.
+    conv() is portable enough but DuckDB lacks it — the oracle builds
+    the same value digit-by-digit; conv(hex,16,10) here is exact."""
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, *, bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash: per token (with multiplicity), md5→uint32; for
+    each bit position sum ±1; bit set iff the sum is positive.
+    Output: (id, simhash bigint).
+
+    Plan shape: explode tokens → explode bit positions (32×) → grouped
+    sum → bit assembly. All integer math, fully codegen'd."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn("hv", _hex32_to_long(F.md5(F.col("w"))))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    per_bit = (
+        toks.select(F.col(id_col), "hv", bit)
+        # shiftright/shiftleft builtins take literal shift amounts only;
+        # the SQL functions accept column shifts.
+        .withColumn(
+            "contrib",
+            F.when(F.expr("shiftright(hv, b) & 1") == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. The small-corpus
+    form self-joins signatures (fine up to ~10^5 docs); the 100 TB
+    path blocks on 4 signature chunks first (any pair within Hamming
+    d<=6 shares at least one of 4 8-bit chunks by pigeonhole) — chunk
+    equality join, then verify bit_count(xor) <= d."""
+    sig = simhash(df, text_col, id_col)
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("simhash"), c * 8)
+                        .bitwiseAND(255)
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cand = (
+        x.join(y, ["c", "v"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

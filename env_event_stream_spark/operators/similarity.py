@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+Two paths:
+- ``knn_exact``  — brute-force cosine top-k: query-set × corpus join,
+  windowed rank. Correctness baseline; cost O(|Q|·|C|) — fine for
+  small query sets, never for corpus×corpus.
+- ``knn_lsh``    — random-hyperplane LSH: 8-bit signatures via
+  deterministic md5-derived hyperplanes, bucket equi-join on the
+  signature, exact cosine rerank inside buckets. The 100 TB path:
+  the corpus shuffles once on the signature; no cross product.
+
+Embeddings are cast to double before any arithmetic so the
+sequential-fold dot product (functions/vectors.py) is bit-compatible
+with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.functions.vectors import as_double, cosine, dot
+
+__all__ = ["hyperplanes", "knn_exact", "lsh_signature", "knn_lsh", "cosine_dedup_pairs"]
+
+
+def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is
+    derived from md5(f"{p}:{d}") mapped to [-1, 1). Reproducible in
+    any engine/language — the oracle embeds the same constants."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / 2**31 - 1.0, 9))
+        planes.append(row)
+    return planes
+
+
+def knn_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k per query. Output:
+    (query_id, neighbor_id, rank, sim). Self-matches excluded.
+    The corpus side is broadcast when small; for a large corpus use
+    knn_lsh."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def lsh_signature(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Append an LSH bucket signature column: one bit per hyperplane
+    (sign of the dot product), concatenated to a string key."""
+    planes = planes or hyperplanes()
+    v = as_double(F.col(vec_col))
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(x) for x in row])
+        bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("lsh_sig", F.concat(*bits))
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Bucketed ANN: equi-join on the hyperplane signature, exact
+    cosine rerank within the bucket. Recall < 1 by construction (a
+    near neighbor in a different bucket is missed) — that's the
+    documented ANN trade; multi-probe = repeat with rotated plane
+    sets and union."""
+    planes = planes or hyperplanes()
+    q = lsh_signature(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).withColumnRenamed("qv", vec_col),
+        vec_col=vec_col,
+        planes=planes,
+    ).select("query_id", as_double(F.col(vec_col)).alias("qv"), "lsh_sig")
+    c = lsh_signature(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+        ),
+        vec_col=vec_col,
+        planes=planes,
+    ).select("neighbor_id", as_double(F.col(vec_col)).alias("cv"), "lsh_sig")
+    scored = (
+        q.join(c, "lsh_sig")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucketed candidate
+    generation + exact cosine >= threshold verification. Only bucket
+    collisions are scored — corpus never cross-joins itself."""
+    planes = planes or hyperplanes()
+    s = lsh_signature(df.select(id_col, vec_col), vec_col=vec_col, planes=planes)
+    s = s.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v"), "lsh_sig"
+    )
+    x, y = s.alias("x"), s.alias("y")
+    return (
+        x.join(y, "lsh_sig")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .withColumn("sim", cosine(F.col("x.v"), F.col("y.v")))
+        .where(F.col("sim") >= threshold)
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
