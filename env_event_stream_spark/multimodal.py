@@ -1,0 +1,165 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (SURVEY.md §2.11).
+
+Design (real and tested):
+- media rows = ``(media_id, kind, content BINARY, meta STRUCT)`` —
+  the schema, partitioning and Arrow batch plumbing are production
+  code;
+- transforms run as ``mapInPandas`` iterator UDFs: Arrow batches in,
+  Arrow batches out, constant memory per batch — at 100 TB the decode
+  stage is embarrassingly parallel and never collects;
+- actual codec work is STUBBED (this container has no PIL/ffmpeg):
+  ``decode_stub`` produces a deterministic fake (sha-derived
+  dimensions); ``decode_real`` raises NotImplementedError behind an
+  import-try so dropping in Pillow lights it up without touching the
+  plumbing.
+
+Loading real files at scale: ``spark.read.format("binaryFile")``
+yields (path, modificationTime, length, content) — feed that straight
+into ``with_media_schema``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_DDL = (
+    "media_id bigint, kind string, format string, n_bytes bigint, "
+    "width int, height int, duration_s double, sha256 string"
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "DECODED_DDL",
+    "with_media_schema",
+    "decode",
+    "frame_sample",
+]
+
+try:  # real decoders are optional deps, absent in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def with_media_schema(binary_files: DataFrame, kind: str) -> DataFrame:
+    """Adapt a ``binaryFile`` scan to the media schema."""
+    return binary_files.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.regexp_extract("path", r"\.(\w+)$", 1).alias("format"),
+            F.col("length").alias("n_bytes"),
+            F.col("path").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decode: dimensions derived from sha256 of
+    the bytes. Replace with a real codec (see decode_real) — the
+    surrounding plumbing (batching, schema, partitioning) is final."""
+    out = []
+    for rec in pdf.to_dict("records"):
+        content = rec["content"] or b""
+        digest = hashlib.sha256(content).hexdigest()
+        h = int(digest[:8], 16)
+        out.append(
+            {
+                "media_id": rec["media_id"],
+                "kind": rec["kind"],
+                "format": (rec["meta"] or {}).get("format"),
+                "n_bytes": len(content),
+                "width": 16 + h % 4096,
+                "height": 16 + (h >> 12) % 4096,
+                "duration_s": round((h % 360000) / 1000.0, 3)
+                if rec["kind"] in ("audio", "video")
+                else None,
+                "sha256": digest,
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def decode_real(content: bytes, kind: str) -> dict:
+    """The real-codec hook. Wire PIL/ffmpeg here when available."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "real media decode needs Pillow/ffmpeg; this environment "
+            "ships neither — use the deterministic stub (decode())"
+        )
+    raise NotImplementedError("real decode intentionally left to deployment")
+
+
+def decode(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract stage as mapInPandas: Arrow-batched,
+    constant memory, no driver involvement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return media.mapInPandas(run, schema=DECODED_DDL)
+
+
+def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled
+    frame timestamp (stub emits sha-derived frame ids; a real
+    implementation decodes the container). Demonstrates the 1→N
+    mapInPandas row-explosion shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                content = rec["content"] or b""
+                digest = hashlib.sha256(content).hexdigest()
+                duration = (int(digest[:8], 16) % 360000) / 1000.0
+                t = 0.0
+                while t < min(duration, 10 * every_s):  # stub caps at 10 frames
+                    rows.append(
+                        {
+                            "media_id": rec["media_id"],
+                            "frame_ts": round(t, 3),
+                            "frame_sha": hashlib.sha256(
+                                content + str(t).encode()
+                            ).hexdigest(),
+                        }
+                    )
+                    t += every_s
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_ts", "frame_sha"]
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        run, schema="media_id bigint, frame_ts double, frame_sha string"
+    )

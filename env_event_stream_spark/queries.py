@@ -693,3 +693,50 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
         F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A4 / §2.10 U2 — the event-sourcing fold as a true imperative
+# applyInPandas transition (non-associative: balance resets on signup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_fold_applyinpandas",
+    """
+    WITH ls AS (
+      SELECT user_id, max(ts) AS sts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS version,
+           round(coalesce(sum(CASE WHEN (ls.sts IS NULL OR e.ts > ls.sts)
+                                   THEN e.value END), 0), 4) AS balance
+    FROM events e LEFT JOIN ls ON e.user_id = ls.user_id
+    GROUP BY e.user_id
+    """,
+)
+def evt_fold_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate fold (reference src/sourcing.ts:41-67):
+    per-key ordered event fold via applyInPandas, with a
+    NON-associative transition (signup resets the balance) that a
+    plain windowed SUM can't express. The oracle uses the
+    sum-since-last-signup identity. One shuffle on the aggregate key;
+    Arrow-batched; the reference folds one aggregate at a time."""
+    from env_event_stream_spark.sourcing import (
+        fold_balance_with_reset,
+        init_balance,
+        rehydrate_all,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    out = rehydrate_all(
+        ev,
+        "user_id",
+        "ts",
+        fold_balance_with_reset,
+        init_balance,
+        "user_id bigint, version bigint, balance double",
+        tiebreak_col="event_id",
+    )
+    return out.select("user_id", "version", F.round("balance", 4).alias("balance"))

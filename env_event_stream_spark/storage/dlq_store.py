@@ -48,6 +48,13 @@ def _now() -> _dt.datetime:
     return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
 
+def _event_tuple(event: Row) -> tuple:
+    """Normalize an event Row to EVENT_SCHEMA field order by NAME —
+    rows collected from partitioned reads can carry a different
+    positional order (partition column last)."""
+    return tuple(event[f] for f in EVENT_SCHEMA.fieldNames())
+
+
 def _filter_sort_limit(
     df: DataFrame,
     topic: str | None,
@@ -83,7 +90,16 @@ class InMemoryDeadLetterQueue:
         )
 
     def to_df(self) -> DataFrame:
-        rows = [Row(**r) for r in self._rows]
+        rows = [
+            (
+                _event_tuple(r["event"]),
+                r["error"],
+                r["subscription"],
+                r["timestamp"],
+                r["attempts"],
+            )
+            for r in self._rows
+        ]
         return self.spark.createDataFrame(rows or [], schema=DLQ_SCHEMA)
 
     def get_events(
@@ -137,7 +153,7 @@ class ParquetDeadLetterQueue:
                 return True
         return False
 
-    def _append(self, rows: list[Row]) -> None:
+    def _append(self, rows: list[tuple]) -> None:
         df = self.spark.createDataFrame(rows, schema=DLQ_SCHEMA)
         df.write.mode("append").parquet(self.path)
 
@@ -147,7 +163,7 @@ class ParquetDeadLetterQueue:
     def add_events(self, triples: list[tuple[Row, str, str]]) -> None:
         self._append(
             [
-                Row(event=e, error=err, subscription=sub, timestamp=_now(), attempts=1)
+                (_event_tuple(e), err, sub, _now(), 1)
                 for (e, err, sub) in triples
             ]
         )
@@ -190,12 +206,12 @@ class ParquetDeadLetterQueue:
         except Exception as exc:
             self._append(
                 [
-                    Row(
-                        event=entry.event,
-                        error=str(exc),
-                        subscription=entry.subscription,
-                        timestamp=_now(),
-                        attempts=entry.attempts + 1,
+                    (
+                        _event_tuple(entry.event),
+                        str(exc),
+                        entry.subscription,
+                        _now(),
+                        entry.attempts + 1,
                     )
                 ]
             )

@@ -179,10 +179,14 @@ class ParquetEventStore:
     def to_df(self) -> DataFrame:
         if not self._exists():
             return self.spark.createDataFrame([], schema=EVENT_SCHEMA)
+        # partitioned reads append the partition column last; re-select
+        # to the canonical field order so collected Rows align with
+        # EVENT_SCHEMA everywhere downstream (DLQ nesting relies on it)
         return (
             self.spark.read.schema(EVENT_SCHEMA)
             .option("basePath", self.path)
             .parquet(self.path)
+            .select(*EVENT_SCHEMA.fieldNames())
         )
 
     def get_events(self, topic: str, **kwargs) -> DataFrame:

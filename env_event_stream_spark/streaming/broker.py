@@ -1,0 +1,440 @@
+"""EventBroker: topics, publish, subscribe, replay, DLQ redrive,
+retention — the reference's public API (src/broker.ts) on Spark.
+
+Semantics ported 1:1 (and documented divergences):
+- publish constructs the Event (generated id, now() ts, schemaVersion
+  "1.0" — src/broker.ts:100-108), validates against the topic's
+  schema registry (failure → {success: False, error},
+  src/broker.ts:117-124), persists BEFORE fan-out (store is the
+  source of truth, src/topic.ts:113-143), then delivers to matching
+  subscriptions; per-subscription failures are isolated.
+- subscription delivery: active gate → type filter → handler with
+  retry (max_retries, retry_delay) → dead-letter on final failure
+  (src/subscription.ts:78-107).
+- paused subscriptions DROP events (src/subscription.ts:79-81) in
+  direct mode; streaming mode upgrades to stop/restart-from-
+  checkpoint (no loss) — both offered, per SURVEY.md T8.
+- retention: delete events older than retention_period; maxEvents is
+  declared-but-dead in the reference (SURVEY.md T7) — here
+  ``max_events`` is ENFORCED as count-based retention (upgrade).
+
+Scale: publish batches (``publish_many``) append columnar; per-event
+python handlers exist for parity but the scale path is
+``subscribe_streaming`` + a vectorized batch handler (DataFrame in,
+no row loop).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import time
+import uuid
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.schema_registry import SchemaRegistry
+from env_event_stream_spark.storage.dlq_store import InMemoryDeadLetterQueue
+from env_event_stream_spark.storage.event_store import (
+    InMemoryEventStore,
+    ParquetEventStore,
+    make_event,
+)
+
+EventHandler = Callable[[Row], None]
+
+__all__ = ["PublishResult", "SubscriptionOptions", "EventBroker"]
+
+
+@dataclass
+class PublishResult:
+    """src/types.ts:126-146."""
+
+    success: bool
+    event_id: str | None = None
+    receiver_count: int = 0
+    error: str | None = None
+
+
+@dataclass
+class SubscriptionOptions:
+    """src/types.ts:51-70 + subscription defaults src/subscription.ts:26-30."""
+
+    name: str | None = None
+    event_types: Sequence[str] | None = None
+    max_retries: int = 3
+    retry_delay: float = 1.0
+    receive_historical: bool = False
+
+
+@dataclass
+class _Subscription:
+    id: str
+    topic: str
+    handler: EventHandler
+    options: SubscriptionOptions
+    active: bool = True
+    query: Any = None  # StreamingQuery when in streaming mode
+
+    def matches(self, event_type: str) -> bool:
+        types = self.options.event_types
+        return not types or event_type in types
+
+
+@dataclass
+class _TopicMeta:
+    """src/topic.ts:30-35 defaults."""
+
+    name: str
+    persistent: bool = True
+    retention_period: float | None = None  # seconds; None = keep forever
+    max_events: int | None = None
+    registry: SchemaRegistry | None = None
+
+
+class EventBroker:
+    """Topic hub (src/broker.ts:19-27). ``path=None`` uses the
+    in-memory store (unit tests); a path makes parquet the system of
+    record and enables streaming subscriptions."""
+
+    def __init__(self, spark: SparkSession, path: str | None = None):
+        self.spark = spark
+        self.path = path
+        if path is None:
+            self.store = InMemoryEventStore(spark)
+            self.dlq = InMemoryDeadLetterQueue(spark)
+        else:
+            self.store = ParquetEventStore(spark, f"{path}/events")
+            self.store.initialize()
+            from env_event_stream_spark.storage.dlq_store import (
+                ParquetDeadLetterQueue,
+            )
+
+            self.dlq = ParquetDeadLetterQueue(spark, f"{path}/dlq")
+        self.topics: dict[str, _TopicMeta] = {}
+        self.subscriptions: dict[str, _Subscription] = {}
+
+    # -- topics ------------------------------------------------------------
+
+    def create_topic(
+        self,
+        name: str,
+        *,
+        persistent: bool = True,
+        retention_period: float | None = None,
+        max_events: int | None = None,
+        registry: SchemaRegistry | None = None,
+    ) -> _TopicMeta:
+        """Explicit create (auto-create on publish/subscribe mirrors
+        src/broker.ts:94-98)."""
+        meta = _TopicMeta(name, persistent, retention_period, max_events, registry)
+        self.topics[name] = meta
+        return meta
+
+    def _topic(self, name: str) -> _TopicMeta:
+        if name not in self.topics:
+            self.create_topic(name)
+        return self.topics[name]
+
+    def list_topics(self) -> list[str]:
+        return sorted(self.topics)
+
+    # -- publish -----------------------------------------------------------
+
+    def publish(
+        self,
+        topic: str,
+        event_type: str,
+        payload: Any = None,
+        metadata: dict[str, str] | None = None,
+    ) -> PublishResult:
+        """src/broker.ts:88-125. Payload may be any JSON-serializable
+        value; stored as a JSON string (schema-on-read, SURVEY §1.4)."""
+        meta = self._topic(topic)
+        payload_json = None if payload is None else json.dumps(payload)
+        event = make_event(topic, event_type, payload_json, metadata)
+
+        if meta.registry is not None:
+            err = self._validate(meta.registry, event_type, payload_json)
+            if err:
+                return PublishResult(success=False, error=err)
+
+        if meta.persistent:
+            self.store.save_event(event)  # persist BEFORE fan-out
+
+        receivers = 0
+        for sub in list(self.subscriptions.values()):
+            if sub.topic != topic or sub.query is not None:
+                continue  # streaming subs consume from the table
+            if not sub.matches(event_type):
+                continue
+            receivers += 1
+            self._deliver(sub, event)  # failures isolated (topic.ts:133-139)
+        return PublishResult(True, event.id, receivers)
+
+    def publish_many(
+        self, topic: str, events: Sequence[tuple[str, Any, dict | None]]
+    ) -> int:
+        """Batch publish — ONE columnar append for the whole batch
+        (the reference loops saveEvent per event; this is the scale
+        path). Direct-mode fan-out still per event."""
+        meta = self._topic(topic)
+        rows = [
+            make_event(topic, t, None if p is None else json.dumps(p), m)
+            for (t, p, m) in events
+        ]
+        if meta.persistent:
+            self.store.save_events(rows)
+        for r in rows:
+            for sub in list(self.subscriptions.values()):
+                if (
+                    sub.topic == topic
+                    and sub.query is None
+                    and sub.matches(r.type)
+                ):
+                    self._deliver(sub, r)
+        return len(rows)
+
+    def _validate(
+        self, registry: SchemaRegistry, event_type: str, payload_json: str | None
+    ) -> str | None:
+        """Publish-time validation. Driver-side single-row check using
+        the same StructType the ingest path uses; returns an error
+        string on failure (broker returns success:false,
+        src/broker.ts:117-124)."""
+        entry = registry.get(event_type)
+        if entry is None:
+            return None
+        if payload_json is None:
+            return f"payload required for schema-validated type '{event_type}'"
+        try:
+            obj = json.loads(payload_json)
+        except (TypeError, ValueError) as exc:
+            return f"invalid JSON payload: {exc}"
+        return self._check(obj, entry.schema, path="$")
+
+    def _check(self, obj: Any, schema: dict, path: str) -> str | None:
+        jtype = schema.get("type")
+        checkers = {
+            "string": lambda o: isinstance(o, str),
+            "number": lambda o: isinstance(o, (int, float)) and not isinstance(o, bool),
+            "integer": lambda o: isinstance(o, int) and not isinstance(o, bool),
+            "boolean": lambda o: isinstance(o, bool),
+            "array": lambda o: isinstance(o, list),
+            "object": lambda o: isinstance(o, dict),
+            "null": lambda o: o is None,
+        }
+        if jtype in checkers and not checkers[jtype](obj):
+            return f"{path}: expected {jtype}"
+        if jtype == "object" or "properties" in schema:
+            for req in schema.get("required", []):
+                if not isinstance(obj, dict) or req not in obj:
+                    return f"{path}.{req}: required property missing"
+            for name, sub in schema.get("properties", {}).items():
+                if isinstance(obj, dict) and name in obj:
+                    err = self._check(obj[name], sub, f"{path}.{name}")
+                    if err:
+                        return err
+        if jtype == "array" and "items" in schema:
+            for i, item in enumerate(obj):
+                err = self._check(item, schema["items"], f"{path}[{i}]")
+                if err:
+                    return err
+        return None
+
+    # -- delivery (direct mode) --------------------------------------------
+
+    def _deliver(self, sub: _Subscription, event: Row) -> None:
+        """src/subscription.ts:78-107: active gate → type filter →
+        handler → retry with fixed delay → DLQ on final failure."""
+        if not sub.active:
+            return  # paused = dropped (T8 faithful mode)
+        if not sub.matches(event.type):
+            return
+        attempts = 0
+        while True:
+            try:
+                sub.handler(event)
+                return
+            except Exception as exc:
+                attempts += 1
+                if attempts > sub.options.max_retries:
+                    self.dlq.add_event(event, str(exc), sub.id)
+                    return
+                if sub.options.retry_delay > 0:
+                    time.sleep(sub.options.retry_delay)
+
+    # -- subscribe ---------------------------------------------------------
+
+    def subscribe(
+        self,
+        topic: str,
+        handler: EventHandler,
+        options: SubscriptionOptions | None = None,
+    ) -> str:
+        """Direct-mode subscription (reference semantics). Named
+        subscriptions are the durable identity DLQ redrive keys on
+        (src/broker.ts:173-177)."""
+        options = options or SubscriptionOptions()
+        self._topic(topic)
+        sub_id = options.name or f"sub-{uuid.uuid4().hex[:8]}"
+        sub = _Subscription(sub_id, topic, handler, options)
+        self.subscriptions[sub_id] = sub
+        if options.receive_historical:
+            # backlog delivery (src/topic.ts:71-86): type-filtered, not
+            # time-filtered. Table-backed: no backlog/live race.
+            for row in self.store.get_events(
+                topic, event_types=options.event_types
+            ).collect():
+                self._deliver(sub, row)
+        return sub_id
+
+    def subscribe_streaming(
+        self,
+        topic: str,
+        batch_handler: Callable[[DataFrame, int], None] | None = None,
+        options: SubscriptionOptions | None = None,
+        *,
+        checkpoint: str,
+        handler: EventHandler | None = None,
+        trigger_once: bool = True,
+    ) -> str:
+        """Streaming subscription: a checkpointed StreamingQuery over
+        the events table (backlog + live unified — upgrade over the
+        reference's racy catch-up, SURVEY §3.2).
+
+        ``batch_handler(df, epoch)`` is the scale path (vectorized).
+        ``handler`` wraps per-row parity semantics (retry→DLQ) around
+        each micro-batch. Pause/resume = stop()/restart from the same
+        checkpoint (no loss; T8 upgrade mode)."""
+        if self.path is None:
+            raise ValueError("streaming subscriptions need a parquet-backed broker")
+        options = options or SubscriptionOptions()
+        sub_id = options.name or f"sub-{uuid.uuid4().hex[:8]}"
+        sub = _Subscription(sub_id, topic, handler or (lambda r: None), options)
+
+        from env_event_stream_spark.storage.event_store import EVENT_SCHEMA
+
+        stream = (
+            self.spark.readStream.schema(EVENT_SCHEMA)
+            .option("basePath", f"{self.path}/events")
+            .parquet(f"{self.path}/events")
+            .where(F.col("topic") == topic)
+        )
+        if options.event_types:
+            stream = stream.where(F.col("type").isin(list(options.event_types)))
+
+        def process(df: DataFrame, epoch_id: int) -> None:
+            if batch_handler is not None:
+                batch_handler(df, epoch_id)
+            if handler is not None:
+                for row in df.collect():
+                    self._deliver(sub, row)
+
+        writer = (
+            stream.writeStream.foreachBatch(process)
+            .queryName(sub_id)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        sub.query = writer.start()
+        self.subscriptions[sub_id] = sub
+        return sub_id
+
+    def unsubscribe(self, sub_id: str) -> bool:
+        sub = self.subscriptions.pop(sub_id, None)
+        if sub is None:
+            return False
+        if sub.query is not None:
+            sub.query.stop()
+        return True
+
+    def pause(self, sub_id: str) -> None:
+        """Direct mode: events during pause are DROPPED (faithful,
+        src/subscription.ts:79-81). Streaming mode: query stopped;
+        restart resumes from checkpoint (documented upgrade)."""
+        sub = self.subscriptions[sub_id]
+        sub.active = False
+        if sub.query is not None:
+            sub.query.stop()
+
+    def resume(self, sub_id: str) -> None:
+        sub = self.subscriptions[sub_id]
+        sub.active = True
+
+    # -- replay / DLQ / retention ------------------------------------------
+
+    def replay_events(
+        self,
+        topic: str,
+        handler: EventHandler,
+        *,
+        from_ts=None,
+        to_ts=None,
+        event_types: Sequence[str] | None = None,
+        limit: int | None = None,
+    ) -> int:
+        """Bounded batch re-drive (src/broker.ts:144-161). Iterates
+        with toLocalIterator — bounded driver memory even for large
+        replays."""
+        df = self.store.get_events(
+            topic,
+            from_ts=from_ts,
+            to_ts=to_ts,
+            event_types=event_types,
+            limit=limit,
+        )
+        n = 0
+        for row in df.toLocalIterator():
+            handler(row)
+            n += 1
+        return n
+
+    def retry_dlq_event(self, event_id: str) -> bool:
+        """Manual redrive (src/broker.ts:166-183): find the stored
+        entry, re-deliver through its subscription's handler; success
+        removes the entry, failure increments attempts."""
+        entries = self.dlq.get_events().where(
+            F.col("event.id") == event_id
+        ).collect()
+        if not entries:
+            return False
+        sub = self.subscriptions.get(entries[0].subscription)
+        if sub is None:
+            return False
+        return self.dlq.retry_event(event_id, sub.handler)
+
+    def apply_retention(self, topic: str, *, now: _dt.datetime | None = None) -> int:
+        """Time + count retention sweep (reference runs a 60 s timer,
+        src/topic.ts:39-42; here it's an explicit job — schedule it
+        externally). Returns rows deleted."""
+        meta = self._topic(topic)
+        deleted = 0
+        if meta.retention_period is not None:
+            now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            cutoff = now - _dt.timedelta(seconds=meta.retention_period)
+            deleted += self.store.delete_events(topic, cutoff)
+        if meta.max_events is not None:
+            deleted += self._enforce_max_events(meta)
+        return deleted
+
+    def _enforce_max_events(self, meta: _TopicMeta) -> int:
+        """Count-based retention: keep the newest max_events rows.
+        (maxEvents is declared but never enforced in the reference —
+        SURVEY.md T7; enforcing it is a documented upgrade.)"""
+        df = self.store.get_events(meta.name)
+        total = df.count()
+        overflow = total - meta.max_events
+        if overflow <= 0:
+            return 0
+        cutoff_row = (
+            df.orderBy(F.col("timestamp").asc(), F.col("id").asc())
+            .limit(overflow + 1)
+            .collect()[-1]
+        )
+        return self.store.delete_events(meta.name, cutoff_row.timestamp)

@@ -1,0 +1,223 @@
+"""Port of the reference's end-to-end behavioral tests
+(tests/broker_test.ts, FIXTURES.md §A3) against the Spark broker."""
+
+from __future__ import annotations
+
+import pytest
+
+from env_event_stream_spark.streaming import (
+    EventBroker,
+    SubscriptionOptions,
+)
+
+
+@pytest.fixture()
+def broker(spark):
+    return EventBroker(spark)  # in-memory store/DLQ
+
+
+def test_topic_creation(broker):
+    broker.create_topic("test-topic")
+    assert "test-topic" in broker.list_topics()
+
+
+def test_pub_sub_roundtrip(broker):
+    """broker_test.ts:13-30: payload equality + receiver count."""
+    received = []
+    broker.subscribe("test-topic", lambda e: received.append(e))
+    res = broker.publish("test-topic", "test-event", {"message": "Hello, World!"})
+    assert res.success
+    assert res.receiver_count == 1
+    assert res.event_id
+    assert len(received) == 1
+    assert received[0].payload == '{"message": "Hello, World!"}'
+    assert received[0].type == "test-event"
+    assert received[0].topic == "test-topic"
+
+
+def test_event_type_filtering(broker):
+    """broker_test.ts:32-48: publish [wanted, unwanted, wanted] →
+    subscriber with filter sees exactly the 2 wanted, in order."""
+    seen = []
+    broker.subscribe(
+        "t",
+        lambda e: seen.append(e.type),
+        SubscriptionOptions(event_types=["wanted-event"]),
+    )
+    broker.publish("t", "wanted-event", {"n": 1})
+    broker.publish("t", "unwanted-event", {"n": 2})
+    broker.publish("t", "wanted-event", {"n": 3})
+    assert seen == ["wanted-event", "wanted-event"]
+
+
+def test_failure_goes_to_dlq(broker):
+    """broker_test.ts:50-75: always-throwing handler, maxRetries=1 →
+    one DLQ entry carrying error + subscription name."""
+
+    def failing(_e):
+        raise RuntimeError("Intentional failure")
+
+    broker.subscribe(
+        "t",
+        failing,
+        SubscriptionOptions(name="failing-handler", max_retries=1, retry_delay=0),
+    )
+    res = broker.publish("t", "boom", {"x": 1})
+    assert res.success  # publish succeeds even when delivery fails
+    entries = broker.dlq.get_events().collect()
+    assert len(entries) == 1
+    assert entries[0].error == "Intentional failure"
+    assert entries[0].subscription == "failing-handler"
+    assert entries[0].attempts == 1
+    assert entries[0].event.type == "boom"
+
+
+def test_retry_count(broker):
+    """Retry semantics: handler fails (max_retries+1) times total."""
+    calls = []
+
+    def flaky(e):
+        calls.append(1)
+        raise RuntimeError("nope")
+
+    broker.subscribe(
+        "t", flaky, SubscriptionOptions(max_retries=2, retry_delay=0)
+    )
+    broker.publish("t", "x", {})
+    assert len(calls) == 3  # initial + 2 retries
+
+
+def test_recovers_on_retry(broker):
+    calls = []
+
+    def flaky_then_ok(e):
+        calls.append(1)
+        if len(calls) < 2:
+            raise RuntimeError("transient")
+
+    broker.subscribe(
+        "t", flaky_then_ok, SubscriptionOptions(max_retries=3, retry_delay=0)
+    )
+    broker.publish("t", "x", {})
+    assert len(calls) == 2
+    assert broker.dlq.size() == 0
+
+
+def test_pause_drops_resume_delivers(broker):
+    """T8 faithful mode: paused events are dropped, not buffered
+    (src/subscription.ts:79-81)."""
+    seen = []
+    sid = broker.subscribe("t", lambda e: seen.append(e.type))
+    broker.publish("t", "before", {})
+    broker.pause(sid)
+    broker.publish("t", "during", {})
+    broker.resume(sid)
+    broker.publish("t", "after", {})
+    assert seen == ["before", "after"]
+
+
+def test_historical_catchup(broker):
+    """receiveHistoricalEvents (src/topic.ts:71-86): backlog is
+    type-filtered, not time-filtered."""
+    broker.publish("t", "a", {"n": 1})
+    broker.publish("t", "b", {"n": 2})
+    broker.publish("t", "a", {"n": 3})
+    seen = []
+    broker.subscribe(
+        "t",
+        lambda e: seen.append(e.type),
+        SubscriptionOptions(event_types=["a"], receive_historical=True),
+    )
+    assert seen == ["a", "a"]
+
+
+def test_replay_events(broker):
+    """replayEvents (src/broker.ts:144-161): bounded batch redrive."""
+    for i in range(5):
+        broker.publish("t", "e", {"i": i})
+    seen = []
+    n = broker.replay_events("t", lambda e: seen.append(e.id), limit=3)
+    assert n == 3
+    assert len(seen) == 3
+
+
+def test_dlq_manual_redrive(broker):
+    """DLQ retry (src/deadletter.ts:78-103 + broker.ts:166-183):
+    success removes, failure increments attempts."""
+    state = {"fail": True}
+
+    def handler(e):
+        if state["fail"]:
+            raise RuntimeError("down")
+
+    broker.subscribe(
+        "t", handler, SubscriptionOptions(name="h1", max_retries=0, retry_delay=0)
+    )
+    broker.publish("t", "x", {})
+    entry = broker.dlq.get_events().collect()[0]
+    # still failing: attempts increments
+    assert broker.retry_dlq_event(entry.event.id) is False
+    assert broker.dlq.get_events().collect()[0].attempts == 2
+    # fixed: redrive succeeds and removes
+    state["fail"] = False
+    assert broker.retry_dlq_event(entry.event.id) is True
+    assert broker.dlq.size() == 0
+    assert broker.retry_dlq_event("missing-id") is False
+
+
+def test_schema_validation_gate(broker):
+    """T9 (src/topic.ts:103-110): invalid payload → success:false;
+    events with no registered schema pass."""
+    from env_event_stream_spark.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register(
+        "user.created",
+        {
+            "type": "object",
+            "required": ["userId", "username", "email"],
+            "properties": {
+                "userId": {"type": "string"},
+                "username": {"type": "string"},
+                "email": {"type": "string"},
+            },
+        },
+    )
+    broker.create_topic("users", registry=reg)
+    ok = broker.publish(
+        "users", "user.created",
+        {"userId": "1", "username": "u", "email": "e@x"},
+    )
+    assert ok.success
+    bad = broker.publish("users", "user.created", {"userId": "1"})
+    assert not bad.success
+    assert "required" in bad.error
+    wrong_type = broker.publish("users", "user.created", {"userId": 5, "username": "u", "email": "e"})
+    assert not wrong_type.success
+    other = broker.publish("users", "unregistered.type", {"whatever": True})
+    assert other.success
+
+
+def test_retention_time_and_count(spark):
+    """T7: time retention (reference) + max_events (enforced upgrade;
+    declared-but-dead in the reference)."""
+    import datetime as dt
+
+    from env_event_stream_spark.storage.event_store import make_event
+
+    broker = EventBroker(spark)
+    broker.create_topic("t", retention_period=3600, max_events=3)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(6):
+        broker.store.save_event(
+            make_event("t", "e", timestamp=base + dt.timedelta(minutes=10 * i),
+                       event_id=f"ev-{i}")
+        )
+    # sweep at base+75min, retention 1h → cutoff base+15min: ev-0 (0m)
+    # and ev-1 (10m) deleted by time; count cap 3 then drops ev-2.
+    deleted = broker.apply_retention("t", now=base + dt.timedelta(minutes=75))
+    remaining = broker.store.get_events("t").collect()
+    assert len(remaining) == 3
+    assert deleted == 3
+    ids = [r.id for r in remaining]
+    assert ids == ["ev-3", "ev-4", "ev-5"]

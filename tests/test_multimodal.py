@@ -1,0 +1,58 @@
+"""Multimodal plumbing: schema, mapInPandas batching, stub decode."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import Row
+
+from env_event_stream_spark.multimodal import (
+    DECODED_DDL,
+    MEDIA_SCHEMA,
+    decode,
+    decode_real,
+    frame_sample,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        Row(media_id=1, kind="image", content=b"\x89PNGfakebytes",
+            meta=Row(format="png", n_bytes=13, source="a.png")),
+        Row(media_id=2, kind="video", content=b"\x00\x00ftypmp4fake",
+            meta=Row(format="mp4", n_bytes=14, source="b.mp4")),
+        Row(media_id=3, kind="audio", content=b"RIFFfakewav",
+            meta=Row(format="wav", n_bytes=11, source="c.wav")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_deterministic(media):
+    out1 = {r.media_id: r for r in decode(media).collect()}
+    out2 = {r.media_id: r for r in decode(media).collect()}
+    assert out1.keys() == {1, 2, 3}
+    for k in out1:
+        assert out1[k] == out2[k]  # deterministic stub
+    img = out1[1]
+    assert img.sha256 == hashlib.sha256(b"\x89PNGfakebytes").hexdigest()
+    assert img.width >= 16 and img.height >= 16
+    assert img.duration_s is None  # images have no duration
+    assert out1[2].duration_s is not None
+
+
+def test_frame_sample_only_video(media):
+    frames = frame_sample(media, every_s=1.0).collect()
+    assert len(frames) > 0
+    assert {f.media_id for f in frames} == {2}
+    # frames are ordered, deterministic, unique per timestamp
+    ts = [f.frame_ts for f in frames]
+    assert ts == sorted(ts)
+    assert len({f.frame_sha for f in frames}) == len(frames)
+
+
+def test_real_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"bytes", "image")
