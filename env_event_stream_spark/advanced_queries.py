@@ -1,0 +1,380 @@
+"""Catalog batch 2: scalar/JSON functions, richer TPC-H shapes,
+window frames, grouping sets, stream-static join shape, sliding and
+built-in session windows, approximate aggregates.
+
+Registered into the shared catalog via the same @query decorator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.operators import relational as R
+from env_event_stream_spark.queries import query
+from env_event_stream_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar surface: JSON payload extraction (F2/F3 — the reference
+# JSON-serializes payloads and pulls JSONB paths in Postgres)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_json_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the payload column (reference
+    F2/F3: JSON serialize/parse + JSONB `->>'...'` paths,
+    src/deadletter.ts:300-301,368). get_json_object is a codegen'd
+    expression — schema-on-read, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3/2.6 — TPC-H Q3 shape: 3-way join + agg + ordered top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter broadcast into the fact join,
+    agg, global top-10 (TakeOrderedAndProject)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cut = "1996-03-15 00:00:00"
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    j = (
+        li.where(F.col("l_shipdate") > cut)
+        .join(o.where(F.col("o_orderdate") < cut), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    return R.top_k(
+        agg.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.col("revenue").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — window frames, dense_rank, ntile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_frames_moving",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderpriority) AS BIGINT) AS prio_rank,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    """,
+)
+def window_frames_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average frame + dense_rank + ntile (§2.5 GAP)."""
+    o = _t(spark, sf_dir, "orders")
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.avg("o_totalprice").over(w_ord.rowsBetween(-3, 0)), 4
+        ).alias("moving_avg4"),
+        F.dense_rank()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderpriority"))
+        .cast("bigint")
+        .alias("prio_rank"),
+        F.ntile(4)
+        .over(Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey"))
+        .cast("bigint")
+        .alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — GROUPING SETS (SQL API — Catalyst same plan as DataFrame)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 4) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (registered temp view) —
+    demonstrates the SQL entry point produces the same Catalyst plan
+    as the DataFrame builders."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 4) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 T-shape — stream-static enrichment join (the DLQ-retry lookup:
+# find the subscription for each stored event, src/broker.ts:167-180)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_subscription_routing",
+    """
+    WITH subs(subscription, event_type) AS (
+      VALUES ('alerts', 'error'), ('billing', 'purchase'), ('growth', 'signup')
+    )
+    SELECT s.subscription,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(e.ts) AS first_ts, max(e.ts) AS last_ts,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN subs s ON e.event_type = s.event_type
+    GROUP BY s.subscription
+    """,
+)
+def join_subscription_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static equi-join: the events stream enriched against a
+    small static subscriptions dimension (broadcast — zero shuffle on
+    the fact side). Batch form here; the streaming twin is
+    subscribe_streaming's filtered query."""
+    ev = _t(spark, sf_dir, "events")
+    subs = spark.createDataFrame(
+        [("alerts", "error"), ("billing", "purchase"), ("growth", "signup")],
+        "subscription string, event_type string",
+    )
+    return (
+        ev.join(F.broadcast(subs), "event_type")
+        .groupBy("subscription")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — sliding window (batch analog of F.window(ts, 2d, 1d)) and
+# built-in session_window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_sliding_2d",
+    """
+    WITH w AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             event_type, value FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP),
+             event_type, value FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def evt_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (2-day windows, 1-day slide) via the
+    F.window built-in — each row lands in 2 windows; the oracle
+    expands the same assignment as a UNION ALL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "evt_session_window_builtin",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def evt_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (30-min gap) in batch mode — proves the
+    native operator agrees with the lag+cumsum sessionization the
+    oracle derives (session_end = last event + gap)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — statistics + approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_value_stats",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS variance,
+           round(min(value), 4) AS mn,
+           round(max(value), 4) AS mx,
+           round(quantile_cont(value, 0.5), 4) AS median
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact interpolated median
+    (percentile ≡ DuckDB quantile_cont)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("variance"),
+        F.round(F.min("value"), 4).alias("mn"),
+        F.round(F.max("value"), 4).alias("mx"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median"),
+    )
+
+
+@query("agg_approx_sketches")  # no oracle: HLL/quantile sketches are
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB path where exact distinct
+    counts would shuffle the world: HyperLogLog++ distinct, GK-sketch
+    quantiles. Rows-only check (approximation is engine-specific by
+    design; the exact twins agg_distinct_parts / agg_value_stats are
+    the oracle-checked operators)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("price_iqr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — unpivot / melt
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric,
+           round(l_extendedprice, 4) AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'quantity', round(l_quantity, 4)
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 4)
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide→long) via the native unpivot operator; the
+    oracle expresses the same reshape as UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    out = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extendedprice", "quantity", "discount"],
+        "metric",
+        "val",
+    )
+    return out.withColumn("val", F.round("val", 4))
