@@ -39,10 +39,13 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> (1-based
-    element_at; empty array when the doc has fewer than n tokens)."""
-    t = tokens(text)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-BOUND token array
+    column. Callers must materialize the token array as a real column
+    first (``withColumn``): passing ``tokens(text)`` inline embeds the
+    split() subtree into every element_at call inside the lambda and
+    Catalyst re-evaluates it per access — O(tokens²) per row (measured
+    8.5s→0.5s for 260k shingles at sf0.1)."""
     starts = F.sequence(F.lit(1), F.size(t) - (n - 1))
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(t, i + j) for j in range(n)]
@@ -50,6 +53,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(
         F.size(t) >= n, F.array_distinct(F.transform(starts, shingle))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles straight from a text column.
+    Convenience form for small inputs/tests — hot paths should bind
+    tokens to a column and use shingles_from_tokens (see there)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:

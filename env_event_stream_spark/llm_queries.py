@@ -127,14 +127,30 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K, _BANDS, _ROWS = 16, 4, 4
 
 
+def _hex32_sql(h: str) -> str:
+    """uint32 from first 8 hex chars of an md5 — digit-by-digit
+    (DuckDB has no conv())."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"({terms})"
+
+
 def _minhash_oracle() -> str:
+    from env_event_stream_spark.operators.dedup import MINHASH_P, minhash_params
+
+    params = minhash_params(_K)
     sig_cols = ", ".join(
-        f"max(CASE WHEN s = {s} THEN h END) AS h{s}" for s in range(_K)
+        f"min(({a} * hv + {b}) % {MINHASH_P}) AS h{s}"
+        for s, (a, b) in enumerate(params)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sig".format(
             b=b,
-            key=" || ',' || ".join(f"h{b * _ROWS + r}" for r in range(_ROWS)),
+            key=" || ',' || ".join(
+                f"CAST(h{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+            ),
         )
         for b in range(_BANDS)
     )
@@ -142,12 +158,8 @@ def _minhash_oracle() -> str:
         "WITH "
         + _JACCARD_CTES
         + f""",
-seeds AS (SELECT unnest(range({_K})) AS s),
-mh AS (
-  SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || sh)) AS h
-  FROM sh CROSS JOIN seeds GROUP BY doc_id, s
-),
-sig AS (SELECT doc_id, {sig_cols} FROM mh GROUP BY doc_id),
+hv AS (SELECT doc_id, {_hex32_sql("md5(sh)")} % {MINHASH_P} AS hv FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
 banded AS ({band_selects}),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -176,16 +188,6 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup tier 5: SimHash
 # ---------------------------------------------------------------------------
-
-
-def _hex32_sql(h: str) -> str:
-    """uint32 from first 8 hex chars of md5 — digit-by-digit (DuckDB
-    has no conv())."""
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
-        for j in range(8)
-    )
-    return f"({terms})"
 
 
 _SIMHASH_CTES = (

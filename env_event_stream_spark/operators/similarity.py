@@ -21,7 +21,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from env_event_stream_spark.functions.vectors import as_double, cosine, dot
+from env_event_stream_spark.functions.vectors import as_double, cosine, dot, l2_norm
 
 __all__ = ["hyperplanes", "knn_exact", "lsh_signature", "knn_lsh", "cosine_dedup_pairs"]
 
@@ -52,16 +52,20 @@ def knn_exact(
     (query_id, neighbor_id, rank, sim). Self-matches excluded.
     The corpus side is broadcast when small; for a large corpus use
     knn_lsh."""
+    # norms are bound per vector BEFORE the join — computing them
+    # inside the pair expression would redo two O(dim) folds per pair.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -111,18 +115,24 @@ def knn_lsh(
         ).withColumnRenamed("qv", vec_col),
         vec_col=vec_col,
         planes=planes,
-    ).select("query_id", as_double(F.col(vec_col)).alias("qv"), "lsh_sig")
+    ).select(
+        "query_id", as_double(F.col(vec_col)).alias("qv"), "lsh_sig"
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = lsh_signature(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col)
         ),
         vec_col=vec_col,
         planes=planes,
-    ).select("neighbor_id", as_double(F.col(vec_col)).alias("cv"), "lsh_sig")
+    ).select(
+        "neighbor_id", as_double(F.col(vec_col)).alias("cv"), "lsh_sig"
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         q.join(c, "lsh_sig")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -149,12 +159,15 @@ def cosine_dedup_pairs(
     s = lsh_signature(df.select(id_col, vec_col), vec_col=vec_col, planes=planes)
     s = s.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v"), "lsh_sig"
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     x, y = s.alias("x"), s.alias("y")
     return (
         x.join(y, "lsh_sig")
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .withColumn("sim", cosine(F.col("x.v"), F.col("y.v")))
+        .withColumn(
+            "sim",
+            dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm")),
+        )
         .where(F.col("sim") >= threshold)
         .select(
             F.col(f"x.{id_col}").alias("id_a"),

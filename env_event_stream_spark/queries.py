@@ -374,6 +374,13 @@ def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # pre-aggregate the fact table to one row per order BEFORE the
+    # joins: shrinks the join input ~4x and turns count(DISTINCT
+    # o_orderkey) into a plain count (orderkey is unique post-agg) —
+    # no expand, no distinct shuffle. Same result, verified by oracle.
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
     dim = R.join(
         R.join(c, n, c.c_nationkey == n.n_nationkey, broadcast_right=True),
         r,
@@ -381,16 +388,14 @@ def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_right=True,
     ).select("c_custkey", "r_name")
     enriched = R.join(
-        li.join(o, li.l_orderkey == o.o_orderkey),
+        li_per_order.join(o, li_per_order.l_orderkey == o.o_orderkey),
         dim,
         F.col("o_custkey") == F.col("c_custkey"),
         broadcast_right=True,
     )
     return enriched.groupBy(F.col("r_name").alias("region")).agg(
-        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "revenue"
-        ),
+        F.count("o_orderkey").cast("bigint").alias("n_orders"),
+        F.round(F.sum("_rev"), 4).alias("revenue"),
     )
 
 
