@@ -1,0 +1,94 @@
+"""JDBC event store — the PostgresEventStore shape (reference
+src/persistence.ts:240-425) over spark-jdbc.
+
+Import-safe without a driver jar; every method builds the plan with
+``format("jdbc")`` and predicate pushdown does what the reference's
+hand-built WHERE clauses do (src/persistence.ts:341-368): topic/ts/
+type predicates reach the database, ORDER BY + LIMIT fold into the
+scan. The DDL mirrors the reference's table + indexes
+(src/persistence.ts:260-294).
+
+Untestable in this container (no JDBC driver, no database) — kept
+thin and behind explicit options; the parquet store is the system of
+record.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["JdbcEventStore", "DDL"]
+
+# reference src/persistence.ts:262-288
+DDL = """
+CREATE TABLE IF NOT EXISTS events (
+  id TEXT PRIMARY KEY,
+  type TEXT NOT NULL,
+  topic TEXT NOT NULL,
+  timestamp BIGINT NOT NULL,
+  schema_version TEXT NOT NULL,
+  payload JSONB,
+  metadata JSONB
+);
+CREATE INDEX IF NOT EXISTS idx_events_topic ON events(topic);
+CREATE INDEX IF NOT EXISTS idx_events_timestamp ON events(timestamp);
+CREATE INDEX IF NOT EXISTS idx_events_type ON events(type);
+CREATE INDEX IF NOT EXISTS idx_events_topic_timestamp ON events(topic, timestamp);
+"""
+
+
+class JdbcEventStore:
+    def __init__(self, spark: SparkSession, url: str, table: str = "events",
+                 **options: str):
+        self.spark = spark
+        self.url = url
+        self.table = table
+        self.options = options
+
+    def _reader(self):
+        r = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table)
+        )
+        for k, v in self.options.items():
+            r = r.option(k, v)
+        return r
+
+    def get_events(
+        self,
+        topic: str,
+        *,
+        from_ts: int | None = None,
+        to_ts: int | None = None,
+        event_types: Sequence[str] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Predicates are Catalyst filters — spark-jdbc pushes them
+        into the database WHERE clause, reproducing the reference's
+        parameterized SQL (src/persistence.ts:327-402)."""
+        df = self._reader().load().where(F.col("topic") == topic)
+        if from_ts is not None:
+            df = df.where(F.col("timestamp") >= from_ts)
+        if to_ts is not None:
+            df = df.where(F.col("timestamp") <= to_ts)
+        if event_types:
+            df = df.where(F.col("type").isin(list(event_types)))
+        df = df.orderBy("timestamp")
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def save_events(self, df: DataFrame) -> None:
+        w = (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table)
+            .mode("append")
+        )
+        for k, v in self.options.items():
+            w = w.option(k, v)
+        w.save()
