@@ -13,3 +13,5 @@ from env_event_stream_spark.queries import ORACLES, QUERIES  # noqa: F401
 # Section modules — importing registers their queries.
 import env_event_stream_spark.llm_queries  # noqa: F401,E402
 import env_event_stream_spark.advanced_queries  # noqa: F401,E402
+import env_event_stream_spark.tpch_queries  # noqa: F401,E402
+import env_event_stream_spark.multimodal_queries  # noqa: F401,E402

@@ -429,6 +429,119 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_quality_score",
+    r"""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(tk) AS n_tokens,
+                 len(list_filter(tk, x -> list_contains(['the','a','of','and'], x)))
+                   * 1.0 / len(tk) AS stop_r,
+                 (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                   * 1.0 / length(text) AS punct_r,
+                 len(list_distinct(tk)) * 1.0 / len(tk) AS uniq_r
+          FROM t),
+    s AS (SELECT doc_id,
+                 round(least(n_tokens, 200) / 200.0 * 0.4
+                       + stop_r * 0.2 + (1 - punct_r) * 0.2 + uniq_r * 0.2, 4)
+                   AS quality
+          FROM m)
+    SELECT doc_id, quality,
+           CASE WHEN quality >= 0.75 THEN 'high'
+                WHEN quality >= 0.55 THEN 'medium'
+                ELSE 'low' END AS tier
+    FROM s
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score (length, stopword density,
+    punctuation noise, vocabulary diversity) + tier bucketing — the
+    filter stage of a training-data pipeline. Pure codegen'd
+    expressions; at 100 TB this is a single scan-project, no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    d = d.withColumn("tk", t)
+    n_tok = F.size(F.col("tk"))
+    stop_r = (
+        F.size(F.filter(F.col("tk"), lambda x: x.isin("the", "a", "of", "and")))
+        / n_tok
+    )
+    punct_r = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    ) / F.length("text")
+    uniq_r = F.size(F.array_distinct(F.col("tk"))) / n_tok
+    quality = F.round(
+        F.least(n_tok, F.lit(200)) / 200.0 * 0.4
+        + stop_r * 0.2
+        + (1 - punct_r) * 0.2
+        + uniq_r * 0.2,
+        4,
+    )
+    return d.select(
+        "doc_id",
+        quality.alias("quality"),
+        F.when(quality >= 0.75, "high")
+        .when(quality >= 0.55, "medium")
+        .otherwise("low")
+        .alias("tier"),
+    )
+
+
+def _knn_ivf_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 3) -> str:
+    cos = _COSINE_SQL
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < {n_cells}),
+    scored AS (
+      SELECT v.vec_id, v.e, c.cell_id,
+             {cos.format(a="v.e", b="c.cv")} AS csim
+      FROM v CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, e, cell_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cell_id ASC) AS rn
+      FROM scored
+    ),
+    inv AS (SELECT vec_id AS neighbor_id, e AS ce, cell_id
+            FROM assign WHERE rn = 1),
+    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
+            FROM assign WHERE rn <= {n_probe}
+              AND vec_id >= 10 AND vec_id < 20),
+    s AS (SELECT query_id, neighbor_id,
+                 {cos.format(a="qe", b="ce")} AS csim
+          FROM qry JOIN inv USING (cell_id)
+          WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                 round(csim, 6) AS sim
+          FROM s)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
+    """
+
+
+@query("emb_knn_ivf", _knn_ivf_oracle())
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-3: coarse-quantizer cells (deterministic
+    stand-in centroids), nprobe=2 probing, exact in-cell rerank —
+    the scale path when LSH recall is too blunt. Candidates shrink to
+    ~nprobe/n_cells of the corpus; one equi-join shuffle on cell_id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ivf(
+        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+        n_cells=8,
+        n_probe=2,
+    )
+
+
 def _cosine_dedup_oracle() -> str:
     planes = S.hyperplanes()
     return f"""

@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 from env_event_stream_spark.functions.vectors import as_double, cosine, dot, l2_norm
 
-__all__ = ["hyperplanes", "knn_exact", "lsh_signature", "knn_lsh", "cosine_dedup_pairs"]
+__all__ = [
+    "hyperplanes",
+    "knn_exact",
+    "lsh_signature",
+    "knn_lsh",
+    "knn_ivf",
+    "cosine_dedup_pairs",
+]
 
 
 def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
@@ -132,6 +139,89 @@ def knn_lsh(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _nearest_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_out: str,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid cells
+    (cosine argmax, centroid-id tie-break). The centroid table is tiny
+    and broadcast; the 'cross join' is really |df| × n_cells broadcast
+    lookups — no shuffle of df itself."""
+    v = df.select(
+        F.col(id_col).alias(id_out), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy(id_out).orderBy(
+        F.col("csim").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select(id_out, "v", "nrm", "cell_id")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer partitions the corpus into
+    ``n_cells`` inverted lists (here the centroids are the first
+    ``n_cells`` corpus vectors — deterministic stand-in for k-means;
+    swap in trained centroids without touching the plan). Each query
+    probes its ``n_probe`` nearest cells and reranks exactly inside
+    them: candidates shrink ~n_probe/n_cells, and the only shuffle is
+    the equi-join on cell_id. At 100 TB: n_cells ≈ sqrt(N), inverted
+    lists pre-bucketed by cell_id so the probe join is co-located."""
+    cent = (
+        corpus.where(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+    inv = _nearest_cells(
+        corpus, cent, id_out="neighbor_id", id_col=id_col, vec_col=vec_col,
+        n_probe=1,
+    ).select("neighbor_id", F.col("v").alias("ce"), F.col("nrm").alias("cenrm"),
+             "cell_id")
+    probes = _nearest_cells(
+        queries, cent, id_out="query_id", id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe,
+    ).select("query_id", F.col("v").alias("qe"), F.col("nrm").alias("qnrm"),
+             "cell_id")
+    scored = (
+        probes.join(inv, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cenrm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

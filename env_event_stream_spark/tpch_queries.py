@@ -1,0 +1,386 @@
+"""TPC-H-shaped relational coverage (SURVEY.md §2.3-2.6 GAP core) plus
+the scalar-function library surface (§2.8 GAP — the reference has
+almost no scalar functions, src/utils.ts:13-40 is its whole library;
+here the engine exposes Spark's built-ins directly and the oracle
+proves cross-engine semantics).
+
+Plan notes live on each query: which joins broadcast, where the one
+unavoidable shuffle is, and why the shape survives 100× scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.operators import relational as R
+from env_event_stream_spark.queries import query
+from env_event_stream_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue where customer and supplier share an ASIA
+    nation. Physical shape: region⋈nation pre-filtered on the driver
+    side of a broadcast, supplier and customer both shrink via
+    broadcast joins BEFORE touching the fact table, so the only
+    shuffle is lineitem⋈orders on orderkey. Survives 100× because the
+    fact table is filtered by broadcast-hash lookups, never shuffled
+    twice."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+
+    asia_nations = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+               n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    # suppliers in ASIA, carrying nation name
+    s_asia = s.join(F.broadcast(asia_nations),
+                    s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("s_nationkey").alias("sup_nk"), "n_name"
+    )
+    o_win = o.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    # the single big shuffle join: lineitem ⋈ orders on orderkey
+    lo = li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount").join(
+        o_win, li.l_orderkey == o_win.o_orderkey
+    )
+    # broadcast the (small) supplier and customer dims onto the fact
+    j = lo.join(F.broadcast(s_asia), lo.l_suppkey == s_asia.s_suppkey).join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).where(F.col("c_nationkey") == F.col("sup_nk"))
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue")
+    )
+
+
+@query(
+    "tpch_q6_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-agg. All four predicates push to the
+    parquet scan (row-group stats skip) and the aggregate is a
+    map-side partial + single-row final — the minimal-shuffle shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(c.c_acctbal, 4) AS acctbal,
+           n.n_name AS nation
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue. One
+    shuffle (lineitem⋈orders); customer+nation broadcast; the final
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject (no full
+    sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    o_win = o.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    lr = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        lr.join(o_win, lr.l_orderkey == o_win.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue")
+    )
+    return (
+        agg.select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 4) AS totalprice,
+           round(t.qty, 4) AS qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300) t
+    JOIN orders o   ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders. The HAVING pre-aggregation runs
+    BEFORE any join (map-side combine on orderkey), so the join input
+    is already tiny; orders joins on its natural key and customer
+    broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 300)
+    )
+    j = big.join(o, o.o_orderkey == big.l_orderkey).join(
+        F.broadcast(c), c.c_custkey == o.o_custkey
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round("qty", 4).alias("qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "window_cheapest_supplier_per_part",
+    """
+    WITH ranked AS (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS unit_price,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice / l_quantity ASC, l_suppkey ASC,
+                        l_orderkey ASC, l_linenumber ASC) AS rn
+      FROM lineitem
+    )
+    SELECT l_partkey, l_suppkey, unit_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def window_cheapest_supplier_per_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2's correlated-min shape, vectorized: cheapest observed
+    unit price per part via one window pass (the correlated subquery
+    re-scans per row; this is one shuffle on partkey total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    w = Window.partitionBy("l_partkey").orderBy(
+        unit.asc(), F.col("l_suppkey").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc()
+    )
+    return (
+        li.select(
+            "l_partkey", "l_suppkey", unit.alias("unit_price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "unit_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — scalar-function library surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "func_string_library",
+    r"""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substring(c_name, 1, 8) AS name_prefix,
+           regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+           CAST(CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS BIGINT)
+             AS cust_num_int,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           replace(c_name, 'Customer', 'C') AS name_short,
+           reverse(c_mktsegment) AS seg_rev,
+           concat_ws('|', c_mktsegment, c_name) AS joined
+    FROM customer
+    WHERE contains(c_name, '9')
+    """,
+)
+def func_string_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String library (§2.8 GAP): upper/lower/length/substring/
+    regexp_extract/lpad/replace/reverse/concat_ws/contains — all
+    codegen'd JVM expressions, no Python in the row path."""
+    c = _t(spark, sf_dir, "customer")
+    num = F.regexp_extract("c_name", r"([0-9]+)", 1)
+    return c.where(F.contains(F.col("c_name"), F.lit("9"))).select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        num.alias("cust_num"),
+        num.cast("bigint").alias("cust_num_int"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias(
+            "name_short"
+        ),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+    )
+
+
+@query(
+    "func_datetime_math_library",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 7 DAY AS TIMESTAMP) AS plus_week,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS BIGINT) AS days_since_epoch_start,
+           round(ln(o_totalprice), 4) AS ln_price,
+           round(log10(o_totalprice), 4) AS log10_price,
+           round(sqrt(o_totalprice), 4) AS sqrt_price,
+           round(abs(o_totalprice - 100000), 4) AS abs_dev,
+           round(power(o_totalprice / 100000, 2), 4) AS sq_ratio,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kilo,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_kilo_up,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def func_datetime_math_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime + math library (§2.8 GAP). Note dayofweek: Spark is
+    1=Sunday, DuckDB 0=Sunday — the oracle adds 1 to line them up."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.round(F.log(F.col("o_totalprice")), 4).alias("ln_price"),
+        F.round(F.log10("o_totalprice"), 4).alias("log10_price"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.round(F.abs(F.col("o_totalprice") - 100000), 4).alias("abs_dev"),
+        F.round(F.pow(F.col("o_totalprice") / 100000, 2), 4).alias("sq_ratio"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_kilo"),
+        F.ceil(F.col("o_totalprice") / 1000).cast("bigint").alias("price_kilo_up"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+@query(
+    "func_explode_token_freq",
+    r"""
+    WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    e AS (SELECT unnest(tk) AS token FROM t)
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 25
+    """,
+)
+def func_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating surface (§2.10 GAP — UDTF shape): explode the
+    token array, global frequency top-25. generate→partial-agg→final
+    is the classic word-count; the explode happens map-side with no
+    extra shuffle beyond the aggregation's."""
+    from env_event_stream_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(25)
+    )
