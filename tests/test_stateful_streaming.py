@@ -1,0 +1,173 @@
+"""Live keyed state (applyInPandasWithState) + stream-stream joins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.sourcing import (
+    fold_balance_with_reset,
+    init_balance,
+    rehydrate_all,
+)
+from env_event_stream_spark.streaming.joins import enrich_static, interval_join
+from env_event_stream_spark.streaming.stateful import live_rehydrate
+
+_SCHEMA = "user_id bigint, ts timestamp, event_id bigint, event_type string, value double"
+
+
+def _rows(spec):
+    return [
+        (uid, dt.datetime(2024, 1, 1, h, 0, 0), eid, et, v)
+        for (uid, h, eid, et, v) in spec
+    ]
+
+
+def _write_batch(spark, path, spec):
+    spark.createDataFrame(_rows(spec), _SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_fold(spark, src, ckpt):
+    """One availableNow pass; returns {user_id: Row} of emitted state.
+    foreachBatch (not memory sink) because it supports checkpoint
+    recovery — the restart test depends on it."""
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    out = live_rehydrate(
+        stream,
+        "user_id",
+        "ts",
+        fold_balance_with_reset,
+        init_balance,
+        state_fields=["balance"],
+        state_ddl="balance double",
+        output_ddl="user_id bigint, version bigint, balance double",
+        tiebreak_col="event_id",
+    )
+    got: dict = {}
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            got[r.user_id] = r
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return got
+
+
+def test_live_rehydrate_accumulates_across_restarts(spark, tmp_path):
+    """State persists in the checkpointed store: batch 2 folds ONLY
+    its own events onto the recovered state (O(new), not O(history))."""
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(
+        spark,
+        src,
+        [(1, 9, 1, "credit", 10.0), (1, 10, 2, "credit", 5.0),
+         (2, 9, 3, "credit", 7.0)],
+    )
+    r1 = _run_fold(spark, src, ckpt)
+    assert r1[1].version == 2 and r1[1].balance == 15.0
+    assert r1[2].version == 1 and r1[2].balance == 7.0
+
+    # batch 2: a signup RESET for user 1 (non-associative transition),
+    # plus new credit for user 2
+    _write_batch(
+        spark, src, [(1, 11, 4, "signup", None), (2, 11, 5, "credit", 3.0)]
+    )
+    r2 = _run_fold(spark, src, ckpt)
+    assert r2[1].version == 3 and r2[1].balance == 0.0
+    assert r2[2].version == 2 and r2[2].balance == 10.0
+
+
+def test_live_rehydrate_matches_batch_rehydrate(spark, tmp_path):
+    """Stream (one availableNow pass) and batch fold agree — same
+    fold function drives both paths."""
+    src = str(tmp_path / "events")
+    spec = [
+        (1, 9, 1, "credit", 4.0), (1, 10, 2, "signup", None),
+        (1, 11, 3, "credit", 2.5), (2, 9, 4, "credit", 1.0),
+    ]
+    _write_batch(spark, src, spec)
+    live = _run_fold(spark, src, str(tmp_path / "ck"))
+
+    batch = {
+        r.user_id: r
+        for r in rehydrate_all(
+            spark.createDataFrame(_rows(spec), _SCHEMA),
+            "user_id",
+            "ts",
+            fold_balance_with_reset,
+            init_balance,
+            "user_id bigint, version bigint, balance double",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    for uid in (1, 2):
+        assert live[uid].version == batch[uid].version
+        assert live[uid].balance == batch[uid].balance
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchase pairs with
+    views of the same user within the preceding 2 hours."""
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    vs = "user_id bigint, view_ts timestamp, page string"
+    ps = "user_id bigint, buy_ts timestamp, amount double"
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    spark.createDataFrame(
+        [(1, t(9), "a"), (1, t(10, 30), "b"), (2, t(9), "c")], vs
+    ).write.mode("append").parquet(vdir)
+    spark.createDataFrame(
+        [(1, t(11), 99.0), (2, t(15), 5.0)], ps
+    ).write.mode("append").parquet(pdir)
+
+    views = spark.readStream.schema(vs).parquet(vdir)
+    purchases = spark.readStream.schema(ps).parquet(pdir)
+    joined = interval_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="buy_ts",
+        right_ts="view_ts",
+        upper="INTERVAL 2 HOURS",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+    ).select("l.user_id", "buy_ts", "view_ts", "page", "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.page) for r in spark.table("ij").collect()
+    )
+    # user 1: both views within 2h of the 11:00 purchase;
+    # user 2: the 9:00 view is 6h before the 15:00 purchase — excluded
+    assert got == [(1, "a"), (1, "b")]
+
+
+def test_enrich_static_broadcast(spark):
+    """Stream-static enrichment shape on batch frames: broadcast hash
+    join, no shuffle of the big side."""
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+    )
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "k bigint, tier string")
+    out = enrich_static(facts, dim, on="k")
+    got = {r.k: r.tier for r in out.collect()}
+    assert got == {1: "gold", 2: "silver", 3: None}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
