@@ -1,0 +1,91 @@
+"""Streaming catalog entries — real Structured Streaming executions
+surfaced through the driver's batch-comparable contract.
+
+``evt_live_fold_stream`` runs the event-sourcing fold as an actual
+streaming query (readStream → applyInPandasWithState → foreachBatch,
+availableNow trigger) and returns the final per-key states as a batch
+DataFrame, so the DuckDB oracle can hash-check a genuinely streaming
+execution path — not just its batch twin."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.queries import query
+from env_event_stream_spark.sourcing import fold_balance_with_reset, init_balance
+from env_event_stream_spark.streaming.stateful import live_rehydrate
+
+_FOLD_ORACLE = """
+    WITH ls AS (
+      SELECT user_id, max(ts) AS sts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS version,
+           round(coalesce(sum(CASE WHEN (ls.sts IS NULL OR e.ts > ls.sts)
+                                   THEN e.value END), 0), 4) AS balance
+    FROM events e LEFT JOIN ls ON e.user_id = ls.user_id
+    GROUP BY e.user_id
+"""
+
+
+@query("evt_live_fold_stream", _FOLD_ORACLE)
+def evt_live_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A4 fold on the LIVE path: readStream over the events
+    parquet, per-key state in the checkpointed store
+    (applyInPandasWithState), one availableNow pass, final states
+    emitted through foreachBatch. Identical fold function and oracle
+    as the batch evt_fold_applyinpandas — semantic parity of the two
+    paths is the test. State is O(keys), input is streamed through;
+    at 100 TB the same query just keeps running on the live table."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # nanosAsLong applies
+    # the file-stream source needs a directory: stream the sf_dir with
+    # a glob pinned to the events file
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = ev.select("user_id", "ts", "event_id", "event_type", "value")
+
+    out = live_rehydrate(
+        ev,
+        "user_id",
+        "ts",
+        fold_balance_with_reset,
+        init_balance,
+        state_fields=["balance"],
+        state_ddl="balance double",
+        output_ddl="user_id bigint, version bigint, balance double",
+        tiebreak_col="event_id",
+    )
+
+    final: dict = {}
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        for r in df.collect():
+            final[r.user_id] = (r.version, r.balance)
+
+    ckpt = tempfile.mkdtemp(prefix="fold_ckpt_")
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = [(uid, v, b) for uid, (v, b) in final.items()]
+    res = spark.createDataFrame(
+        rows, "user_id bigint, version bigint, balance double"
+    )
+    return res.select(
+        "user_id", "version", F.round("balance", 4).alias("balance")
+    )
