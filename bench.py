@@ -40,6 +40,13 @@ HEADLINE = [
     "doc_minhash_pairs",
     "doc_token_stats",
     "emb_knn_topk",
+    # round-1 additions (keep list append-only for judge deltas)
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q18_large_orders",
+    "emb_knn_ivf",
+    "doc_quality_score",
+    "mm_decode_features",
 ]
 
 

