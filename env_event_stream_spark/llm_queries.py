@@ -388,6 +388,35 @@ def emb_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 {_COSINE_SQL.format(a="qv", b="cv")} AS csim
+          FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                 round(csim, 6) AS sim
+          FROM s)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+    """
+
+
+@query("emb_knn_pandas", _KNN_ORACLE)
+def emb_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 on the VECTORIZED PANDAS path: numpy
+    matmul per Arrow batch inside mapInPandas, partition-local top-k,
+    global window merge. Same oracle as emb_knn_topk — the two
+    execution engines (Catalyst higher-order fns vs BLAS) must agree
+    to 6 decimals."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_pandas(
+        e.where(F.col("vec_id") < 10), e, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
 def _plane_sql(vec: str, planes: list[list[float]]) -> str:
     bits = []
     for row in planes:

@@ -26,6 +26,7 @@ from env_event_stream_spark.functions.vectors import as_double, cosine, dot, l2_
 __all__ = [
     "hyperplanes",
     "knn_exact",
+    "knn_pandas",
     "lsh_signature",
     "knn_lsh",
     "knn_ivf",
@@ -146,6 +147,70 @@ def knn_lsh(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def knn_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k with the Python-vectorized engine:
+    the query matrix is collected once (query sets are small by
+    contract), broadcast into a mapInPandas over corpus partitions,
+    and each Arrow batch is scored with one numpy matmul —
+    ~dim×batch×|Q| FLOPs per batch, no per-row Python. Each partition
+    emits only its local top-k per query; the global top-k window
+    then runs over |partitions|·|Q|·k rows, not the corpus.
+
+    This is the rerank-path alternative to the pure-Catalyst
+    knn_exact: same result, better constant factor at high dim /
+    large batch (BLAS), at the cost of leaving codegen."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1)
+            sims = (qm @ cm.T) / (qn[:, None] * cn[None, :])  # |Q| × batch
+            cids = pdf[id_col].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "sim": []}
+            for qi in range(len(q_ids)):
+                s = sims[qi]
+                mask = cids != q_ids[qi]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                # lexsort: sim desc, neighbor_id asc — the SAME
+                # tie-break as the global window, so a boundary tie
+                # can't cut the globally-ranked candidate locally
+                top = idx[np.lexsort((cids[idx], -s[idx]))[:k]]
+                out["query_id"].extend([q_ids[qi]] * len(top))
+                out["neighbor_id"].extend(cids[top])
+                out["sim"].extend(s[top])
+            yield pd.DataFrame(out)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )

@@ -358,6 +358,222 @@ def func_datetime_math_library(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_priority_late_ship",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated non-equi condition →
+    LEFT SEMI join on (orderkey, shipdate > orderdate+60d). The semi
+    join stops probing on first match — no row explosion for orders
+    with many lines."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o_win = o.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    late = o_win.join(
+        li,
+        (o_win.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+@query(
+    "tpch_q12_priority_by_flag",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_returnflag").join(
+        o, F.col("l_orderkey") == o.o_orderkey
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share. part broadcasts onto the
+    filtered fact scan; single partial+final aggregate, one row out."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    ).join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "tpch_q17_small_qty_avg",
+    """
+    WITH pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def tpch_q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into a pre-aggregate + equi-join. The pre-agg output
+    is one row per part — small enough to broadcast back onto the
+    fact, so the correlation costs one extra scan, never a per-row
+    subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    j = li.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(pa), "l_partkey"
+    )
+    return j.where(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive multi-clause predicate across a join.
+    Catalyst extracts the common join key (partkey) so the OR never
+    degrades to a nested-loop; part broadcasts."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#2") & s.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 40))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q22_dormant_rich",
+    """
+    WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def tpch_q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global average,
+    broadcast as a 1-row frame) + NOT EXISTS (LEFT ANTI join) —
+    above-average-balance customers with no order since 2001."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2001-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("a")
+    )
+    dormant = rich.join(o, "c_custkey", "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+    )
+
+
+@query(
+    "func_levenshtein_brands",
+    """
+    SELECT p.p_partkey, p.p_name,
+           CAST(levenshtein(p.p_name, 'small ring') AS BIGINT) AS dist
+    FROM part p
+    WHERE levenshtein(p.p_name, 'small ring') <= 4 AND p.p_partkey % 5 = 0
+    """,
+)
+def func_levenshtein_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance text matching (fuzzy dedup primitive): built-in
+    levenshtein, identical semantics in DuckDB."""
+    p = _t(spark, sf_dir, "part")
+    d = F.levenshtein(F.col("p_name"), F.lit("small ring"))
+    return (
+        p.where((d <= 4) & (F.col("p_partkey") % 5 == 0))
+        .select("p_partkey", "p_name", d.cast("bigint").alias("dist"))
+    )
+
+
+@query(
     "func_explode_token_freq",
     r"""
     WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
