@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from env_event_stream_spark.operators import event_queries as EQ
 from env_event_stream_spark.operators import relational as R
-from env_event_stream_spark.tables import load_table, prepare_session
+from env_event_stream_spark.tables import load_events, load_table, prepare_session
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -73,8 +73,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def evt_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EventStore.getEvents: ts-range + type-IN + ORDER ts ASC + LIMIT
-    (reference src/persistence.ts:28-69). Predicates push to parquet."""
-    ev = _t(spark, sf_dir, "events")
+    (reference src/persistence.ts:28-69). The ts-range is applied in
+    the raw nanos domain (tables.load_events) so it pushes to the scan
+    — row-group skipping, not a full-table read."""
+    ev = load_events(
+        spark, sf_dir,
+        from_ts="2024-01-05 00:00:00",
+        to_ts="2024-01-20 00:00:00",
+    )
     return EQ.get_events(
         ev.select("event_id", "ts", "user_id", "event_type", "value"),
         from_ts="2024-01-05 00:00:00",
@@ -117,8 +123,9 @@ def evt_dlq_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def evt_retention_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention sweep candidates + delete-count metric
-    (reference src/persistence.ts:74-93, src/topic.ts:156-163)."""
-    ev = _t(spark, sf_dir, "events")
+    (reference src/persistence.ts:74-93, src/topic.ts:156-163).
+    Raw-domain upper bound pushes to the scan (load_events)."""
+    ev = load_events(spark, sf_dir)
     return EQ.retention_candidates(ev, "2024-01-15 00:00:00").agg(
         F.count("*").alias("n_delete"),
         F.min("ts").alias("oldest"),

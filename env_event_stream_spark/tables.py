@@ -25,7 +25,13 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-__all__ = ["TABLE_NAMES", "load_table", "register_views", "prepare_session"]
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "load_events",
+    "register_views",
+    "prepare_session",
+]
 
 
 def prepare_session(spark: SparkSession) -> SparkSession:
@@ -51,6 +57,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def _utc_ns(ts: str) -> int:
+    """Naive-UTC 'YYYY-MM-DD HH:MM:SS' → epoch nanoseconds."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(ts).replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp()) * 1_000_000_000
+
+
+def load_events(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+) -> DataFrame:
+    """Events scan with the ts-range applied in the RAW nanos domain
+    so it reaches the parquet reader as a pushable column comparison.
+
+    The generic path (filter after `timestamp_micros(ts DIV 1000)`)
+    wraps the column in an expression, which blocks predicate pushdown
+    — at 100 TB that is the difference between skipping row groups on
+    min/max stats and scanning the full table. The raw-domain bounds
+    are exact under µs truncation: conv(ts) >= B ⇔ ns >= B·1000ns and
+    conv(ts) <= B ⇔ ns <= B·1000ns + 999 (verified by
+    tests/test_plans.py + the evt_replay oracle)."""
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        if from_ts is not None:
+            df = df.where(F.col("ts") >= _utc_ns(from_ts) // 1000 * 1000)
+        if to_ts is not None:
+            df = df.where(F.col("ts") <= _utc_ns(to_ts) // 1000 * 1000 + 999)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        if from_ts is not None:
+            df = df.where(F.col("ts") >= F.lit(from_ts))
+        if to_ts is not None:
+            df = df.where(F.col("ts") <= F.lit(to_ts))
     return df
 
 

@@ -1,0 +1,114 @@
+"""Physical-plan regression tests: the *shape* of the plan is part of
+the contract (SURVEY.md §4 — everything the reference hand-built,
+Catalyst must actually be doing for us). These catch silent
+regressions like a broadcast hint lost in a refactor or a filter that
+stopped reaching the parquet scan."""
+
+from __future__ import annotations
+
+import pytest
+
+from env_event_stream_spark.catalog import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    # untruncated scan metadata (PushedFilters cuts at 100 chars by
+    # default) + execute first so AQE finalizes subplans and codegen
+    # markers (*) appear
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()  # count() would execute a DIFFERENT QueryExecution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_replay_filters_pushed_to_scan(spark, sf_dir):
+    """P1-P4 predicates must reach the parquet reader (the reference
+    hand-builds WHERE clauses, src/persistence.ts:341-368; for us this
+    is PushedFilters + row-group skipping)."""
+    plan = _plan(spark, sf_dir, "evt_replay")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    # ts-range (raw nanos domain via load_events) and type-IN all pushed
+    assert "GreaterThanOrEqual(ts" in pushed
+    assert "LessThanOrEqual(ts" in pushed
+    assert "In(event_type" in pushed
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    """P9: a 3-column projection must not read the whole events
+    schema (ReadSchema shows what actually hits the scan)."""
+    plan = _plan(spark, sf_dir, "evt_project")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read and "event_type" in read and "ts" in read
+    assert "props" not in read and "value" not in read
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """Dims broadcast; the fact table shuffles at most once."""
+    plan = _plan(spark, sf_dir, "join_revenue_by_region")
+    assert plan.count("BroadcastHashJoin") >= 2
+    plan5 = _plan(spark, sf_dir, "tpch_q5_local_supplier")
+    assert "BroadcastHashJoin" in plan5
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    """O3: sort+limit must compile to TakeOrderedAndProject, never a
+    full sort."""
+    plan = _plan(spark, sf_dir, "topk_orders_global")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_semi_anti_join_types(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_semi_anti")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine: HashAggregate appears in partial AND final
+    mode so the shuffle carries group rows, not raw rows."""
+    plan = _plan(spark, sf_dir, "tpch_q1_pricing")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # executedPlan().toString() marks codegen'd spans with "*(n)"
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast")
+    assert "*(1)" in plan
+
+
+def test_exists_probe_is_semi_join_not_per_key(spark, sf_dir):
+    """P8 upgrade: one pass, not a LIMIT-1 probe per key."""
+    opt = _optimized(spark, sf_dir, "evt_exists_probe")
+    assert "LeftSemi" in opt
+
+
+def test_range_band_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_range_price_band")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_no_cartesian(spark, sf_dir):
+    """The as-of join must stay union+window — any Cartesian/loop join
+    in the plan means the implementation regressed to cross-product."""
+    plan = _plan(spark, sf_dir, "asof_purchase_prior_view")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_never_crosses_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_minhash_pairs")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["tpch_q17_small_qty_avg", "tpch_q22_dormant_rich"])
+def test_decorrelated_subqueries_stay_joins(spark, sf_dir, name):
+    """Correlated subqueries must decorrelate to joins (no per-row
+    re-execution shape survives in the optimized plan)."""
+    opt = _optimized(spark, sf_dir, name)
+    assert "Join" in opt
