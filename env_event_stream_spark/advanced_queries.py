@@ -378,3 +378,55 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val",
     )
     return out.withColumn("val", F.round("val", 4))
+
+
+@query(
+    "evt_gap_fill_daily",
+    """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+      FROM events),
+    days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT day, event_type FROM days CROSS JOIN types),
+    agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1, 2)
+    SELECT g.day, g.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+           round(coalesce(a.sv, 0), 4) AS total_value
+    FROM grid g LEFT JOIN agg a ON g.day = a.day AND g.event_type = a.event_type
+    """,
+)
+def evt_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (hypertable-style rollup): a dense
+    day × event_type grid (sequence + explode over the observed
+    bounds, cross-joined with the type dim) LEFT-joined onto the
+    aggregated facts; missing cells surface as zeros. The grid is
+    generated, never materialized from the fact table — at 100 TB the
+    dense calendar is days × types rows (tiny) and the fact table
+    still shuffles exactly once for its aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    out = grid.join(agg, ["day", "event_type"], "left")
+    return out.select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.round(F.coalesce(F.col("sv"), F.lit(0.0)), 4).alias("total_value"),
+    )

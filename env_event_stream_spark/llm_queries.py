@@ -592,3 +592,37 @@ def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_dedup_pairs(
         e, id_col="vec_id", vec_col="embedding", threshold=0.3
     )
+
+
+@query(
+    "emb_label_centroids",
+    """
+    WITH u AS (
+      SELECT label,
+             unnest(range(1, 65)) AS ix,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(ix AS BIGINT) AS ix,
+           round(avg(v), 6) AS c,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM u GROUP BY label, ix
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean of the embedding
+    vectors) in long form (label, dim-index, component) — the IVF
+    'training' step and the classic class-prototype pooling op.
+    posexplode turns each vector into (pos, value) rows map-side; the
+    single shuffle is the grouped average on (label, ix). At 100 TB
+    prefer this long-form agg over array-valued aggregation buffers:
+    partial aggregation stays fixed-width."""
+    e = load_table(spark, sf_dir, "embeddings")
+    u = e.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    return u.groupBy("label", (F.col("pos") + 1).alias("ix")).agg(
+        F.round(F.avg("v"), 6).alias("c"),
+        F.count("*").cast("bigint").alias("n_vecs"),
+    ).select("label", F.col("ix").cast("bigint").alias("ix"), "c", "n_vecs")
