@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independent reference implementations (pandas / pure python).
+
+Example counts are kept small — each example is a Spark round-trip —
+but the strategies cover the edge geometry that fixed fixtures miss:
+empty sides, all-ties timestamps, single-key, duplicate rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.functions.text import shingles_from_tokens, tokens
+from env_event_stream_spark.operators import event_queries as EQ
+from env_event_stream_spark.operators.relational import asof_join
+
+_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=int(h))
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # key
+        st.integers(0, 20),           # hour
+        st.sampled_from(["a", "b"]),  # type
+        st.integers(0, 100),          # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=events_strategy, right=events_strategy)
+@_SET
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    lrows = [(k, _ts(h), i) for i, (k, h, _t, _v) in enumerate(left)]
+    rrows = [(k, _ts(h), float(v)) for (k, h, _t, v) in right]
+    ldf = spark.createDataFrame(
+        lrows, "k bigint, ts timestamp, lid bigint"
+    ) if lrows else spark.createDataFrame([], "k bigint, ts timestamp, lid bigint")
+    rdf = spark.createDataFrame(
+        rrows, "k bigint, rts timestamp, rv double"
+    ) if rrows else spark.createDataFrame([], "k bigint, rts timestamp, rv double")
+
+    got = {
+        r.lid: r.rv
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            right_vals=["rts", "rv"],
+        ).collect()
+    }
+
+    # pandas reference: merge_asof per key (backward, inclusive).
+    # Tie-break: our implementation takes the LAST right row carried
+    # forward at equal rts — emulate by sorting and keeping the last
+    # value per (k, rts).
+    lp = pd.DataFrame([(k, t, i) for (k, t, i) in lrows], columns=["k", "ts", "lid"])
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "rv"])
+    if len(lp) == 0:
+        assert got == {}
+        return
+    if len(rp) == 0:
+        assert all(v is None for v in got.values())
+        return
+    rp = rp.sort_values(["k", "rts"]).groupby(["k", "rts"], as_index=False).last()
+    merged = pd.merge_asof(
+        lp.sort_values("ts", kind="mergesort"),
+        rp.sort_values("rts"),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    for _, row in merged.iterrows():
+        exp = None if pd.isna(row.rv) else row.rv
+        assert got[row.lid] == exp, (row.lid, got[row.lid], exp)
+
+
+@given(rows=events_strategy, lo=st.integers(0, 20), span=st.integers(0, 10))
+@_SET
+def test_get_events_filter_semantics(spark, rows, lo, span):
+    """Inclusive ts bounds + type-IN + asc order + deterministic
+    tie-break — vs a five-line python reference."""
+    data = [(i, _ts(h), t, float(v)) for i, (_k, h, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, event_type string, value double"
+    ) if data else spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    f, t_hi = _ts(lo), _ts(lo + span)
+    out = EQ.get_events(
+        df, from_ts=f, to_ts=t_hi, event_types=["a"], limit=5,
+        tiebreak_col="event_id",
+    ).collect()
+    expected = sorted(
+        [r for r in data if f <= r[1] <= t_hi and r[2] == "a"],
+        key=lambda r: (r[1], r[0]),
+    )[:5]
+    assert [(r.event_id, r.ts) for r in out] == [(r[0], r[1]) for r in expected]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcx", min_size=1, max_size=3), min_size=0, max_size=12
+    ),
+    n=st.integers(2, 4),
+)
+@_SET
+def test_shingles_match_python_ngrams(spark, words, n):
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        shingles_from_tokens(tokens(F.col("text")), n).alias("sh")
+    ).collect()[0].sh
+    toks = text.strip().split() if text.strip() else [""]
+    # split on empty string yields [''] — mirror Spark's split behavior
+    expected = []
+    seen = set()
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            expected.append(s)
+    assert list(got) == expected
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_shingles_short_input_empty(spark, n):
+    df = spark.createDataFrame([("one",), ("",)], "text string")
+    rows = df.select(
+        shingles_from_tokens(tokens(F.col("text")), n).alias("sh")
+    ).collect()
+    assert all(r.sh == [] for r in rows)
