@@ -430,3 +430,77 @@ def evt_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         F.round(F.coalesce(F.col("sv"), F.lit(0.0)), 4).alias("total_value"),
     )
+
+
+@query(
+    "agg_median_modal",
+    """
+    WITH pc AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                FROM orders GROUP BY 1, 2),
+    modal AS (
+      SELECT o_orderstatus, o_orderpriority AS modal_priority
+      FROM (SELECT pc.*, row_number() OVER (PARTITION BY o_orderstatus
+                      ORDER BY n DESC, o_orderpriority ASC) AS rn FROM pc)
+      WHERE rn = 1)
+    SELECT o.o_orderstatus,
+           round(median(o.o_totalprice), 4) AS med_price,
+           m.modal_priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN modal m ON o.o_orderstatus = m.o_orderstatus
+    GROUP BY o.o_orderstatus, m.modal_priority
+    """,
+)
+def agg_median_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (exact percentile_cont interpolation, identical in both
+    engines) + a DETERMINISTIC mode: the built-in mode() breaks
+    frequency ties arbitrarily, so the modal value is computed as
+    count-per-value + row_number with an explicit tie-break — same
+    answer on any engine, any partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    pc = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    modal = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("modal_priority"))
+    )
+    return (
+        o.join(F.broadcast(modal), "o_orderstatus")
+        .groupBy("o_orderstatus", "modal_priority")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("med_price"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .select("o_orderstatus", "med_price", "modal_priority", "n_orders")
+    )
+
+
+@query(
+    "doc_char_shingle_counts",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, length(text) - 3),
+               i -> substr(text, i, 5)))) AS g
+      FROM documents WHERE length(text) >= 5)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+    FROM s GROUP BY doc_id
+    """,
+)
+def doc_char_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram shingle cardinality per document — the
+    no-whitespace-language fallback of the shingling pipeline
+    (functions/text.py:char_shingles), exercised end-to-end."""
+    from env_event_stream_spark.functions.text import char_shingles
+
+    d = _t(spark, sf_dir, "documents").where(F.length("text") >= 5)
+    return (
+        d.select("doc_id", F.explode(char_shingles(F.col("text"), 5)).alias("g"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_grams"))
+    )
