@@ -28,6 +28,7 @@ __all__ = [
     "join",
     "range_join",
     "asof_join",
+    "salted_join",
     "top_k",
     "top_k_per_group",
     "running_agg",
@@ -72,6 +73,36 @@ def range_join(
     if broadcast_right:
         right = F.broadcast(right)
     return left.join(right, cond)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join for a hot-keyed LEFT side.
+
+    The left (skewed) side gets a salt in [0, n_salts); the right side
+    is replicated n_salts× via explode; the join key becomes
+    (keys..., salt). A key holding 30% of the rows now lands on
+    n_salts partitions instead of one — the classic manual remedy
+    when AQE's skew splitting can't apply (e.g. the skewed side
+    feeds an aggregation that pins partitioning). Cost: right side
+    ×n_salts (use for large-left × modest-right).
+
+    Results are identical to a plain join (the salt is an internal
+    column, dropped on output) — pinned by tests/test_skew.py."""
+    keys = list(on)
+    sl = left.withColumn(
+        "_salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    sr = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)]))
+    )
+    return sl.join(sr, [*keys, "_salt"], how).drop("_salt")
 
 
 def asof_join(

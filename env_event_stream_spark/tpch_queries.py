@@ -600,3 +600,186 @@ def func_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(25)
     )
+
+
+@query(
+    "tpch_q7_nation_trade",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = 'NATION_9' AND nc.n_name = 'NATION_10')
+        OR (ns.n_name = 'NATION_10' AND nc.n_name = 'NATION_9'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume. The nation table joins TWICE
+    under different roles (supplier side / customer side) — alias
+    hygiene + two broadcasts; one fact shuffle (lineitem⋈orders)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue")
+    )
+
+
+@query(
+    "tpch_q13_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution. LEFT join with an
+    extra join-side predicate (zero-order customers must survive),
+    then a double aggregation."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    ).select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — a reused
+    'view' (the rev aggregate feeds both the max subquery and the
+    join) and a scalar-subquery equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return (
+        F.broadcast(s)
+        .join(top, s.s_suppkey == top.supplier_no)
+        .select(
+            "s_suppkey", "s_name",
+            F.round("total_revenue", 4).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH last_ship AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS my_last
+      FROM lineitem GROUP BY l_orderkey, l_suppkey),
+    order_last AS (
+      SELECT l_orderkey, max(l_shipdate) AS order_last,
+             count(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM last_ship ls
+    JOIN order_last ol ON ol.l_orderkey = ls.l_orderkey
+    JOIN orders o      ON o.o_orderkey = ls.l_orderkey
+    JOIN supplier s    ON s.s_suppkey = ls.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND ls.my_last = ol.order_last
+      AND ol.n_supps > 1
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting): the EXISTS/NOT-EXISTS pair over other suppliers' ship
+    dates is decorrelated into two grouped aggregates joined back —
+    each fact pass is a map-side-combinable agg, no correlated
+    re-scan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    last_ship = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("my_last")
+    )
+    order_last = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("order_last"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+    j = (
+        last_ship.join(order_last, "l_orderkey")
+        .where((F.col("my_last") == F.col("order_last")) & (F.col("n_supps") > 1))
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    )
+    return j.groupBy("s_name").agg(F.count("*").cast("bigint").alias("numwait"))
