@@ -171,3 +171,52 @@ def test_enrich_static_broadcast(spark):
     got = {r.k: r.tier for r in out.collect()}
     assert got == {1: "gold", 2: "silver", 3: None}
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    """Streaming exact-dedup semantics across micro-batches:
+    an in-watermark duplicate arriving in a later batch is dropped
+    (state remembered), and a record older than the watermark horizon
+    is discarded as late — bounded state, the only 100 TB-safe mode."""
+    import datetime as dt
+
+    from env_event_stream_spark.streaming.windows import dedup_within_watermark
+
+    src = str(tmp_path / "ded_src")
+    ckpt = str(tmp_path / "ded_ck")
+    schema = "id string, ts timestamp"
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    got: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = dedup_within_watermark(
+            stream, ["id"], ts_col="ts", watermark="30 minutes"
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _e: got.extend(r.id for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("A", t(10)), ("B", t(12))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert sorted(got) == ["A", "B"]
+
+    # batch 2: duplicate of B (within watermark → dropped), stale A
+    # (event-time far behind the 11:30 watermark → dropped as late),
+    # and a fresh C (emitted)
+    spark.createDataFrame(
+        [("B", t(12)), ("A", t(10)), ("C", t(12, 30))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    got.clear()
+    run_once()
+    assert got == ["C"]
