@@ -504,3 +504,95 @@ def doc_char_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_grams"))
     )
+
+
+@query(
+    "window_rank_family",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(first_value(o_totalprice) OVER w2, 4) AS lo,
+           round(last_value(o_totalprice) OVER w2, 4) AS hi,
+           round(nth_value(o_totalprice, 2) OVER w2, 4) AS second_lowest
+    FROM orders WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey),
+           w2 AS (PARTITION BY o_orderstatus
+                  ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining §2.5 ranking/analytic family: ntile, percent_rank,
+    cume_dist, first/last/nth_value with explicit full-frame bounds
+    (last_value under the default frame is a classic silent bug — the
+    frame ends at CURRENT ROW)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("price"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.first("o_totalprice").over(w2), 4).alias("lo"),
+        F.round(F.last("o_totalprice").over(w2), 4).alias("hi"),
+        F.round(F.nth_value("o_totalprice", 2).over(w2), 4).alias("second_lowest"),
+    )
+
+
+@query(
+    "agg_grouping_indicator",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(grouping(r.r_name) AS BIGINT) AS g_region,
+           CAST(grouping(n.n_name) AS BIGINT) AS g_nation,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_grouping_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() indicator columns distinguish 'NULL because
+    subtotal' from 'NULL in the data' — required for any consumer of
+    rollup/cube output."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("bigint").alias("g_region"),
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+        F.count("*").cast("bigint").alias("n_customers"),
+    )
+
+
+@query(
+    "evt_props_key_freq",
+    """
+    WITH k AS (SELECT unnest(list_sort(json_keys(props))) AS key
+               FROM events WHERE props IS NOT NULL)
+    SELECT key, CAST(count(*) AS BIGINT) AS n
+    FROM k GROUP BY key
+    """,
+)
+def evt_props_key_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface (§2.8 GAP): parse the JSON props column to
+    a map, explode sorted keys, count — schema-on-read discovery of
+    payload shapes (the reference stores payloads as opaque JSONB,
+    src/persistence.ts:276)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(F.explode(F.array_sort(F.map_keys(m))).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
