@@ -195,6 +195,30 @@ class ParquetEventStore:
             tiebreak_col="id", **kwargs,
         )
 
+    def compact(self, topic: str, target_files: int = 1) -> int:
+        """Rewrite a topic partition into ``target_files`` files.
+
+        High-frequency single-event publishes accumulate one file per
+        append — the same small-files pathology as the reference's
+        one-JSON-per-event store (src/persistence.ts:141-145), which
+        at 100 TB destroys scan throughput (footer reads dominate).
+        Run periodically alongside retention. Returns files removed."""
+        part_dir = os.path.join(self.path, f"topic={topic}")
+        if not os.path.isdir(part_dir):
+            return 0
+        before = sum(
+            1 for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        if before <= target_files:
+            return 0
+        full = self.to_df().where(F.col("topic") == topic)
+        tmp = part_dir + ".tmp"
+        full.drop("topic").coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        after = sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        return before - after
+
     def delete_events(self, topic: str, before_ts) -> int:
         """Retention: rewrite only the affected topic partition."""
         part_dir = os.path.join(self.path, f"topic={topic}")

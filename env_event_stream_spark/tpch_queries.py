@@ -783,3 +783,197 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
     )
     return j.groupBy("s_name").agg(F.count("*").cast("bigint").alias("numwait"))
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH base AS (
+      SELECT year(o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT CAST(yr AS BIGINT) AS yr,
+           round(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM base GROUP BY yr
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of revenue into a region, per
+    year — conditional-sum ratio over a 6-way join where every dim
+    broadcasts and lineitem⋈orders is the one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    asia_nk = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        n.n_regionkey == r.r_regionkey,
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    o_win = o.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(o_win, li.l_orderkey == o_win.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(asia_nk), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return j.groupBy(F.col("yr").cast("bigint").alias("yr")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(0.0))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_profit_proxy",
+    """
+    SELECT ns.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%ring%'
+    GROUP BY ns.n_name, year(o.o_orderdate)
+    """,
+)
+def tpch_q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and year). The
+    synthetic schema lacks partsupp.ps_supplycost; cost is proxied as
+    10% of part retail price per unit — same plan shape (LIKE filter
+    on the part dim, 5-way join, two-key aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%ring%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    ).agg(F.round(F.sum(profit), 4).alias("profit"))
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    """
+    WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    excl AS (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0')
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT sp.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM sp
+    JOIN part p ON p.p_partkey = sp.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND sp.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier-part pairs (the observed
+    stand-in for partsupp), NOT IN exclusion → LEFT ANTI join, count
+    distinct per part attribute group."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_size").isin(1, 5, 9, 13)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = _t(spark, sf_dir, "supplier").where(
+        F.col("s_name").like("%0")
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    j = (
+        sp.join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), sp.l_partkey == p.p_partkey)
+    )
+    return j.groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size")).agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey),
+    bolt AS (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'),
+    qual AS (SELECT DISTINCT l_suppkey FROM pq
+             JOIN bolt ON bolt.p_partkey = pq.l_partkey
+             WHERE pq.q > 30)
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)
+      AND n.n_name IN ('NATION_9', 'NATION_10')
+    """,
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers (in two
+    nations) who shipped > 30 units of any 'bolt' part in 1996. Each
+    level is a grouped aggregate or semi-join; nothing correlates
+    per row."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%")).select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_9", "NATION_10")
+    )
+    pq = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    qual = (
+        pq.join(F.broadcast(p), pq.l_partkey == p.p_partkey, "left_semi")
+        .where(F.col("q") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )

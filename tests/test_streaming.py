@@ -148,3 +148,37 @@ def test_streaming_windowed_agg(spark, tmp_path):
     q.awaitTermination(60)
     out = spark.sql("SELECT * FROM win_out ORDER BY window.start").collect()
     assert [r.n for r in out] == [10, 10, 10]
+
+
+def test_compaction_reduces_files_keeps_data(pbroker):
+    """Small-files mitigation: N single-event appends → N files;
+    compact() rewrites the topic partition without changing content."""
+    import os
+
+    for i in range(12):
+        pbroker.publish("ct", "e", {"i": i})
+    store = pbroker.store
+    part = os.path.join(store.path, "topic=ct")
+    files_before = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files_before) >= 12
+    before_rows = sorted(r.id for r in store.get_events("ct").collect())
+
+    removed = store.compact("ct")
+    assert removed > 0
+    files_after = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files_after) == 1
+    after_rows = sorted(r.id for r in store.get_events("ct").collect())
+    assert after_rows == before_rows
+
+
+def test_topic_scan_prunes_partitions(pbroker):
+    """Topic equality must prune at the partition level (the
+    reference's per-topic dirs/indexes as layout, SURVEY §4)."""
+    pbroker.publish("pa", "e", {"n": 1})
+    pbroker.publish("pb", "e", {"n": 2})
+    df = pbroker.store.get_events("pa")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(topic" in plan or "topic#" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
