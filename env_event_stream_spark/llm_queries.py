@@ -626,3 +626,56 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 6).alias("c"),
         F.count("*").cast("bigint").alias("n_vecs"),
     ).select("label", F.col("ix").cast("bigint").alias("ix"), "c", "n_vecs")
+
+
+@query(
+    "doc_tfidf_top_terms",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    tf AS (SELECT doc_id, unnest(tk) AS term FROM t),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+    nd AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln(n * 1.0 / df), 6) AS tfidf
+      FROM tfc JOIN df USING (term) CROSS JOIN nd),
+    r AS (SELECT scored.*, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+           CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document.
+
+    Plan: explode → (doc,term) counts (map-side combine) → document
+    frequency (second small agg) → broadcast df + corpus size back
+    onto the term counts → per-doc top-k window. The fact-sized
+    frames shuffle once each; df is vocabulary-sized (broadcastable
+    at any corpus scale when df_cap-trimmed)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tfc = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tfc.groupBy("term").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n"))
+    scored = (
+        tfc.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 6),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+                "tfidf", "rank")
+    )
