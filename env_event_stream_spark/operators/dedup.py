@@ -24,12 +24,11 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from env_event_stream_spark.functions.text import (
     fingerprint,
-    normalize_text,
     shingles_from_tokens,
     tokens,
 )

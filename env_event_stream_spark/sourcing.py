@@ -19,7 +19,6 @@ applyInPandasWithState in streaming/subscription.py.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Callable
 from typing import Any
 

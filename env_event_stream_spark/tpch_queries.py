@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from env_event_stream_spark.operators import relational as R
 from env_event_stream_spark.queries import query
 from env_event_stream_spark.tables import load_table
 
