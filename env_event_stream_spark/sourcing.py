@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 FoldFn = Callable[[dict[str, Any], dict[str, Any]], dict[str, Any]]
 
-__all__ = ["rehydrate_all", "rehydrate_one", "fold_balance_with_reset"]
+__all__ = [
+    "rehydrate_all",
+    "rehydrate_one",
+    "snapshot_states",
+    "rehydrate_incremental",
+    "fold_balance_with_reset",
+]
 
 
 def rehydrate_all(
@@ -83,6 +89,90 @@ def rehydrate_one(
         events.where(F.col(key_col) == F.lit(key)),
         key_col, ts_col, fold, init, state_ddl, **kw,
     )
+
+
+def snapshot_states(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    fold: FoldFn,
+    init: Callable[[], dict[str, Any]],
+    state_ddl: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """A rehydrate_all snapshot plus ``last_ts`` (the max event time
+    folded in) — the write-back artifact that makes the next load
+    incremental instead of full-history."""
+    states = rehydrate_all(
+        events, key_col, ts_col, fold, init, state_ddl,
+        tiebreak_col=tiebreak_col,
+    )
+    horizon = events.groupBy(key_col).agg(F.max(ts_col).alias("last_ts"))
+    return states.join(horizon, key_col)
+
+
+def rehydrate_incremental(
+    events: DataFrame,
+    snapshot: DataFrame,
+    key_col: str,
+    ts_col: str,
+    fold: FoldFn,
+    init: Callable[[], dict[str, Any]],
+    state_fields: list[str],
+    state_ddl: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Fold ONLY events newer than the snapshot horizon onto the
+    snapshot state — O(new events), not O(history).
+
+    The reference re-reads an aggregate's ENTIRE event history on
+    every ``getById`` (src/sourcing.ts:197-219). With a snapshot
+    table (``snapshot_states`` output: key, version, state columns,
+    last_ts), each load touches the tail alone; keys with no new
+    events pass through untouched; brand-new keys start from
+    ``init()``. Equality with the full fold is pinned by
+    tests/test_sourcing.py and the evt_fold_incremental oracle."""
+    order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    snap_cols = [key_col, "version", *state_fields, "last_ts"]
+    snap = snapshot.select(*snap_cols)
+
+    # events strictly after each key's horizon (all events for new keys)
+    ev = events.join(
+        F.broadcast(snap.select(key_col, "last_ts")), key_col, "left"
+    ).where(F.col("last_ts").isNull() | (F.col(ts_col) > F.col("last_ts")))
+
+    # carry the snapshot state onto each new event row so the fold can
+    # start from it (one value per key, repeated — tiny vs the events)
+    renames = {f: f"_snap_{f}" for f in ["version", *state_fields]}
+    snap_r = snap.select(
+        key_col,
+        *[F.col(f).alias(a) for f, a in renames.items()],
+    )
+    ev = ev.drop("last_ts").join(F.broadcast(snap_r), key_col, "left")
+
+    def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        first = pdf.iloc[0]
+        if pd.notna(first["_snap_version"]):
+            state = {f: first[f"_snap_{f}"] for f in state_fields}
+            version = int(first["_snap_version"])
+        else:
+            state = init()
+            version = 0
+        for rec in pdf.to_dict("records"):
+            state = fold(state, rec)
+            version += 1
+        state[key_col] = first[key_col]
+        state["version"] = version
+        return pd.DataFrame([state])
+
+    changed = ev.groupBy(key_col).applyInPandas(fold_group, schema=state_ddl)
+    untouched = snap.join(changed.select(key_col), key_col, "left_anti").select(
+        key_col, "version", *state_fields
+    )
+    return changed.unionByName(untouched)
 
 
 # A canonical non-associative fold used by the catalog query + tests:

@@ -89,3 +89,38 @@ def evt_live_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "user_id", "version", F.round("balance", 4).alias("balance")
     )
+
+
+@query("evt_fold_incremental", _FOLD_ORACLE)
+def evt_fold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + incremental rehydrate, verified against the SAME
+    full-history oracle as the batch and live folds: fold the first
+    half of the history into a snapshot table, then fold only the
+    newer events onto it (sourcing.rehydrate_incremental). The
+    reference re-reads full history per load (src/sourcing.ts:197-219)
+    — this is the O(new) upgrade, and the oracle equality IS the
+    proof that snapshot resume loses nothing."""
+    from env_event_stream_spark.sourcing import (
+        fold_balance_with_reset,
+        init_balance,
+        rehydrate_incremental,
+        snapshot_states,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    ddl = "user_id bigint, version bigint, balance double"
+    snap = snapshot_states(
+        ev.where(F.col("ts") <= cut), "user_id", "ts",
+        fold_balance_with_reset, init_balance, ddl, tiebreak_col="event_id",
+    )
+    out = rehydrate_incremental(
+        ev, snap, "user_id", "ts", fold_balance_with_reset, init_balance,
+        ["balance"], ddl, tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "version", F.round("balance", 4).alias("balance")
+    )

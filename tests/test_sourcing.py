@@ -95,3 +95,40 @@ def test_fold_matches_sql_identity(spark, sf_dir):
         F.abs(F.col("b") - F.col("balance_sql")) > 1e-6
     ).count()
     assert mismatch == 0
+
+
+def test_incremental_rehydrate_matches_full(spark, sf_dir):
+    """Snapshot first half, fold only the tail — must equal the full
+    fold (including keys with no new events and brand-new keys)."""
+    from env_event_stream_spark.sourcing import (
+        fold_balance_with_reset,
+        init_balance,
+        rehydrate_all,
+        rehydrate_incremental,
+        snapshot_states,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    ddl = "user_id bigint, version bigint, balance double"
+
+    snap = snapshot_states(
+        ev.where(F.col("ts") <= cut), "user_id", "ts",
+        fold_balance_with_reset, init_balance, ddl, tiebreak_col="event_id",
+    )
+    inc = rehydrate_incremental(
+        ev, snap, "user_id", "ts", fold_balance_with_reset, init_balance,
+        ["balance"], ddl, tiebreak_col="event_id",
+    )
+    full = rehydrate_all(
+        ev, "user_id", "ts", fold_balance_with_reset, init_balance, ddl,
+        tiebreak_col="event_id",
+    )
+    got = {r.user_id: (r.version, round(r.balance, 6)) for r in inc.collect()}
+    want = {r.user_id: (r.version, round(r.balance, 6)) for r in full.collect()}
+    assert got == want

@@ -220,3 +220,54 @@ def test_dedup_within_watermark_across_batches(spark, tmp_path):
     got.clear()
     run_once()
     assert got == ["C"]
+
+
+def test_idempotent_sink_skips_replayed_epoch(spark, tmp_path):
+    """Effectively-once output: a replayed epoch (same epoch id after
+    a simulated failure) must not double-write."""
+    from env_event_stream_spark.streaming.sinks import IdempotentBatchSink
+
+    out: list = []
+    sink = IdempotentBatchSink(
+        str(tmp_path / "commits"), lambda df, e: out.extend(df.collect())
+    )
+    df = spark.createDataFrame([(1,), (2,)], "x bigint")
+    sink(df, 0)
+    assert len(out) == 2 and sink.committed(0)
+    sink(df, 0)  # replay after "failure"
+    assert len(out) == 2  # unchanged
+    sink(df, 1)  # next epoch writes normally
+    assert len(out) == 4
+
+
+def test_idempotent_sink_end_to_end(spark, tmp_path):
+    """Wired into a real streaming query: rows arrive exactly once in
+    the sink across two availableNow runs over a growing source."""
+    from env_event_stream_spark.streaming.sinks import IdempotentBatchSink
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    seen: list = []
+    sink = IdempotentBatchSink(
+        str(tmp_path / "commits2"), lambda df, e: seen.extend(r.x for r in df.collect())
+    )
+
+    def run():
+        q = (
+            spark.readStream.schema("x bigint").parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1,), (2,)], "x bigint").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    spark.createDataFrame([(3,)], "x bigint").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert sorted(seen) == [1, 2, 3]
