@@ -596,3 +596,65 @@ def evt_props_key_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "evt_props_kv_udtf",
+    """
+    WITH k AS (SELECT event_id, unnest(json_keys(props)) AS key, props
+               FROM events WHERE props IS NOT NULL)
+    SELECT event_id, key,
+           json_extract_string(props, '$.' || key) AS value
+    FROM k
+    """,
+)
+def evt_props_kv_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF under the oracle gate: LATERAL json_kv(props)
+    flattens each JSON payload into (key, value) rows via the
+    registered table function (functions/udtfs.py) — the reference's
+    JSONB-path access generalized to arbitrary keys, executed as an
+    arrow-batched Python UDTF and hash-checked against DuckDB's
+    json_keys/json_extract."""
+    from env_event_stream_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    ev.createOrReplaceTempView("_ev_props")
+    return spark.sql(
+        "SELECT event_id, t.key, t.value "
+        "FROM _ev_props, LATERAL json_kv(props) t"
+    )
+
+
+@query(
+    "doc_stopword_stem_freq",
+    r"""
+    WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    w AS (SELECT unnest(tk) AS w FROM t),
+    f AS (SELECT w FROM w
+          WHERE NOT list_contains(['the', 'a', 'of', 'and', 'is'], w)),
+    s AS (SELECT regexp_replace(w, '(ing|ed|es|s)$', '') AS stem FROM f)
+    SELECT stem, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE stem <> ''
+    GROUP BY stem ORDER BY n DESC, stem ASC LIMIT 30
+    """,
+)
+def doc_stopword_stem_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal + suffix-strip stemming + stem frequency —
+    the lightweight normalize stage of a text pipeline, all codegen'd
+    (explode → filter → regexp_replace → grouped count)."""
+    from env_event_stream_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(F.explode(tokens(F.col("text"))).alias("w")).where(
+        ~F.col("w").isin("the", "a", "of", "and", "is")
+    )
+    s = w.select(F.regexp_replace("w", r"(ing|ed|es|s)$", "").alias("stem"))
+    return (
+        s.where(F.col("stem") != "")
+        .groupBy("stem")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("stem").asc())
+        .limit(30)
+    )
