@@ -658,3 +658,82 @@ def doc_stopword_stem_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("stem").asc())
         .limit(30)
     )
+
+
+@query(
+    "dq_validation_checks",
+    """
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'events_ts_bounds',
+           CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2020-01-01 00:00:00'
+                                    OR ts > TIMESTAMP '2030-01-01 00:00:00')
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    """,
+)
+def dq_validation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality suite in ONE pass per table:
+    null checks, range checks, referential-integrity orphans (anti
+    join), timestamp sanity — each as conditional aggregates, so a
+    table is scanned once regardless of how many checks it carries
+    (the 100 TB discipline: checks are columns, not separate jobs)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    ev = _t(spark, sf_dir, "events")
+
+    def check(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("violations"),
+            F.count("*").cast("bigint").alias("n_checked"),
+        ).select("check_name", "violations", "n_checked")
+
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .crossJoin(o.agg(F.count("*").cast("bigint").alias("n_checked")))
+        .select(
+            F.lit("orders_orphan_custkey").alias("check_name"),
+            "violations",
+            "n_checked",
+        )
+    )
+    return (
+        check(o, "orders_null_custkey", F.col("o_custkey").isNull())
+        .unionByName(check(o, "orders_nonpositive_price", F.col("o_totalprice") <= 0))
+        .unionByName(
+            check(li, "lineitem_discount_range",
+                  (F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        )
+        .unionByName(orphans)
+        .unionByName(
+            check(ev, "events_ts_bounds",
+                  (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                  | (F.col("ts") > F.lit("2030-01-01").cast("timestamp")))
+        )
+    )

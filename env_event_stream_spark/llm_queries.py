@@ -679,3 +679,50 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
                 "tfidf", "rank")
     )
+
+
+@query(
+    "doc_hash_split_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test,
+           CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sample10
+    FROM h GROUP BY lang
+    """,
+)
+def doc_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket sampling and train/valid/test
+    splitting (80/10/10) + a 10% subsample — the reproducible
+    alternative to rand()-based sample() that a 100 TB pipeline
+    needs: assignment is a pure function of the id, stable across
+    runs, engines, and re-partitioning; no shuffled sampling state.
+    Counts per language double as the stratification report."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    h = d.select("lang", bucket.alias("bucket"))
+    return h.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("bucket") < 80, 1).otherwise(0))
+        .cast("bigint").alias("n_train"),
+        F.sum(F.when((F.col("bucket") >= 80) & (F.col("bucket") < 90), 1)
+              .otherwise(0)).cast("bigint").alias("n_valid"),
+        F.sum(F.when(F.col("bucket") >= 90, 1).otherwise(0))
+        .cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("bucket") < 10, 1).otherwise(0))
+        .cast("bigint").alias("n_sample10"),
+    )
