@@ -737,3 +737,107 @@ def dq_validation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                   | (F.col("ts") > F.lit("2030-01-01").cast("timestamp")))
         )
     )
+
+
+@query(
+    "evt_funnel_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id),
+    flags AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                  THEN 1 ELSE 0 END AS s2,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                  THEN 1 ELSE 0 END AS s3
+      FROM firsts)
+    SELECT CAST(sum(s1) AS BIGINT) AS n_view,
+           CAST(sum(s2) AS BIGINT) AS n_view_click,
+           CAST(sum(s3) AS BIGINT) AS n_view_click_purchase,
+           round(sum(s3) * 1.0 / nullif(sum(s1), 0), 6) AS conversion
+    FROM flags
+    """,
+)
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-user first
+    occurrence of each stage via conditional MIN (one grouped pass —
+    no joins, no pattern-match state machine needed for
+    first-touch funnels), then ordering constraints as flags."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+    ).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    flags = firsts.select(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+    return flags.agg(
+        F.sum("s1").cast("bigint").alias("n_view"),
+        F.sum("s2").cast("bigint").alias("n_view_click"),
+        F.sum("s3").cast("bigint").alias("n_view_click_purchase"),
+        F.round(
+            F.sum("s3") * 1.0 / F.nullif(F.sum("s1"), F.lit(0)), 6
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "evt_cohort_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+      FROM events)
+    SELECT c.cohort_week,
+           CAST(date_diff('week', c.cohort_week, a.act_week) AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM cohort c JOIN activity a ON a.user_id = c.user_id
+    WHERE date_diff('week', c.cohort_week, a.act_week) <= 4
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: first-seen week per user
+    (cohort) × distinct active weeks, offsets 0..4. Two grouped
+    passes + one equi-join on user_id; cohort table is user-sized
+    (broadcastable against the activity fact at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    j = activity.join(F.broadcast(cohort), "user_id")
+    # weeks are exact 7-day buckets: integer-divide the day gap
+    offset = (
+        F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+    ).cast("bigint")
+    return (
+        j.select("user_id", "cohort_week", offset.alias("week_offset"))
+        .where(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
