@@ -841,3 +841,75 @@ def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
     )
+
+
+@query(
+    "evt_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type),
+                 6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs each event with its successor (one
+    shuffle on user_id), then transition counts normalize to row
+    probabilities with a window-over-aggregate. The behavioral-model
+    building block for session analytics."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+@query(
+    "evt_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def evt_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection: grouped moments broadcast
+    back onto the stream of events; |z| > 3 flags outliers. Two
+    passes over the fact (one aggregate, one scan+join) — at 100 TB
+    the stats side is type-cardinality rows, always broadcastable."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    j = ev.join(F.broadcast(stats), "event_type").where(F.col("sigma") > 0)
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return j.where(F.abs(z) > 3).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(z, 4).alias("zscore"),
+    )
