@@ -821,8 +821,8 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle: first-seen week per user
     (cohort) × distinct active weeks, offsets 0..4. Two grouped
-    passes + one equi-join on user_id; cohort table is user-sized
-    (broadcastable against the activity fact at scale)."""
+    passes + one equi-join on user_id (both sides hash on the same
+    key — one shuffle each, co-partitioned join)."""
     ev = _t(spark, sf_dir, "events")
     cohort = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
@@ -830,7 +830,8 @@ def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("act_week")
     ).distinct()
-    j = activity.join(F.broadcast(cohort), "user_id")
+    j = activity.join(cohort, "user_id")  # cohort is user-sized —
+    # no broadcast hint; AQE broadcasts only when stats permit
     # weeks are exact 7-day buckets: integer-divide the day gap
     offset = (
         F.datediff(F.col("act_week"), F.col("cohort_week")) / 7

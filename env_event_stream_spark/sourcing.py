@@ -138,19 +138,22 @@ def rehydrate_incremental(
     snap_cols = [key_col, "version", *state_fields, "last_ts"]
     snap = snapshot.select(*snap_cols)
 
-    # events strictly after each key's horizon (all events for new keys)
+    # events strictly after each key's horizon (all events for new
+    # keys). NO broadcast hint: the snapshot is KEYSPACE-sized (one
+    # row per aggregate — possibly billions), not a dimension; let
+    # AQE pick broadcast only when stats show it's actually small.
     ev = events.join(
-        F.broadcast(snap.select(key_col, "last_ts")), key_col, "left"
+        snap.select(key_col, "last_ts"), key_col, "left"
     ).where(F.col("last_ts").isNull() | (F.col(ts_col) > F.col("last_ts")))
 
     # carry the snapshot state onto each new event row so the fold can
-    # start from it (one value per key, repeated — tiny vs the events)
+    # start from it (one value per key, repeated)
     renames = {f: f"_snap_{f}" for f in ["version", *state_fields]}
     snap_r = snap.select(
         key_col,
         *[F.col(f).alias(a) for f, a in renames.items()],
     )
-    ev = ev.drop("last_ts").join(F.broadcast(snap_r), key_col, "left")
+    ev = ev.drop("last_ts").join(snap_r, key_col, "left")
 
     def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")

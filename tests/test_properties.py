@@ -145,3 +145,47 @@ def test_shingles_short_input_empty(spark, n):
         shingles_from_tokens(tokens(F.col("text")), n).alias("sh")
     ).collect()
     assert all(r.sh == [] for r in rows)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=10).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.1, 0.3, 0.5]),
+)
+@_SET
+def test_jaccard_pairs_match_python(spark, docs, threshold):
+    """Inverted-index Jaccard vs brute-force python over random tiny
+    corpora (duplicates, single-token docs, identical docs)."""
+    from env_event_stream_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=threshold
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles(docs[i]), shingles(docs[j])
+            if not a or not b:
+                continue
+            jac = round(len(a & b) / len(a | b), 4)
+            if jac >= threshold:
+                expected[(i, j)] = jac
+    assert got == expected
