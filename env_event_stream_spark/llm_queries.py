@@ -726,3 +726,40 @@ def doc_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("bucket") < 10, 1).otherwise(0))
         .cast("bigint").alias("n_sample10"),
     )
+
+
+@query(
+    "doc_dup_clusters",
+    "WITH RECURSIVE "
+    + _JACCARD_CTES.lstrip()
+    + """,
+    edges AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.5
+              UNION
+              SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+    comp(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+    )
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+    FROM comp GROUP BY node
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME: transitive duplicate clusters. Near-dup
+    pairs (word-3-gram Jaccard >= 0.5) form a graph; connected
+    components (iterative min-label propagation,
+    operators/graph.py) assign each document its cluster id = the
+    smallest doc_id reachable — keep one doc per component, drop the
+    rest. The oracle replays the closure with a recursive CTE. Each
+    propagation round is one equi-join + grouped min; dup clusters
+    are near-cliques so rounds ≈ 3 even on billion-doc corpora."""
+    from env_event_stream_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )

@@ -189,3 +189,40 @@ def test_jaccard_pairs_match_python(spark, docs, threshold):
             if jac >= threshold:
                 expected[(i, j)] = jac
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_SET
+def test_connected_components_match_python(spark, edges):
+    from env_event_stream_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=20).collect()
+    }
+
+    # python union-find reference
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
