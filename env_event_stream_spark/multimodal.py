@@ -87,27 +87,33 @@ def with_media_schema(binary_files: DataFrame, kind: str) -> DataFrame:
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic fake decode: dimensions derived from sha256 of
     the bytes. Replace with a real codec (see decode_real) — the
-    surrounding plumbing (batching, schema, partitioning) is final."""
-    out = []
-    for rec in pdf.to_dict("records"):
-        content = rec["content"] or b""
-        digest = hashlib.sha256(content).hexdigest()
-        h = int(digest[:8], 16)
-        out.append(
-            {
-                "media_id": rec["media_id"],
-                "kind": rec["kind"],
-                "format": (rec["meta"] or {}).get("format"),
-                "n_bytes": len(content),
-                "width": 16 + h % 4096,
-                "height": 16 + (h >> 12) % 4096,
-                "duration_s": round((h % 360000) / 1000.0, 3)
-                if rec["kind"] in ("audio", "video")
-                else None,
-                "sha256": digest,
-            }
-        )
-    return pd.DataFrame(out)
+    surrounding plumbing (batching, schema, partitioning) is final.
+    Column-wise pandas ops (no per-record dict building): the hash is
+    per-row by nature but everything around it vectorizes."""
+    import numpy as np
+
+    content = pdf["content"].map(lambda b: b or b"")
+    digest = content.map(lambda b: hashlib.sha256(b).hexdigest())
+    h = digest.str[:8].map(lambda x: int(x, 16)).astype("int64")
+    timed = pdf["kind"].isin(["audio", "video"])
+    duration = pd.Series(
+        np.where(timed, ((h % 360000) / 1000.0).round(3), np.nan),
+        index=pdf.index,
+    )
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "kind": pdf["kind"],
+            "format": pdf["meta"].map(
+                lambda m: (m or {}).get("format") if m is not None else None
+            ),
+            "n_bytes": content.map(len).astype("int64"),
+            "width": (16 + h % 4096).astype("int32"),
+            "height": (16 + (h // 4096) % 4096).astype("int32"),
+            "duration_s": duration,
+            "sha256": digest,
+        }
+    )
 
 
 def decode_real(content: bytes, kind: str) -> dict:
