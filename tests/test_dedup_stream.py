@@ -1,0 +1,74 @@
+"""Incremental near-dup index across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.streaming.dedup_stream import IncrementalNearDupIndex
+
+_DOC_A = "the quick brown fox jumps over the lazy dog again and again"
+_DOC_B = "completely different content about spark and parquet tables here"
+_DOC_A2 = "the quick brown fox jumps over the lazy dog again and again"  # dup of A
+_DOC_C = "yet another unrelated piece of text with its own words entirely"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_cross_batch_duplicate_detected(spark, tmp_path):
+    ix = IncrementalNearDupIndex(
+        spark, str(tmp_path / "index"), str(tmp_path / "pairs")
+    )
+    ix.apply_batch(_batch(spark, [(1, _DOC_A), (2, _DOC_B)]))
+    assert ix.pairs_df().count() == 0  # batch 1: no dups
+
+    ix.apply_batch(_batch(spark, [(3, _DOC_A2), (4, _DOC_C)]))
+    pairs = {(r.new_id, r.old_id) for r in ix.pairs_df().collect()}
+    assert (3, 1) in pairs  # the cross-batch duplicate
+    assert not any(p for p in pairs if 4 in p or 2 in p)  # uniques stay clean
+
+
+def test_intra_batch_duplicate_detected(spark, tmp_path):
+    ix = IncrementalNearDupIndex(
+        spark, str(tmp_path / "ix2"), str(tmp_path / "p2")
+    )
+    ix.apply_batch(_batch(spark, [(10, _DOC_A), (11, _DOC_A2), (12, _DOC_B)]))
+    pairs = {(r.new_id, r.old_id) for r in ix.pairs_df().collect()}
+    assert pairs == {(11, 10)}
+
+
+def test_index_grows_and_streams(spark, tmp_path):
+    """Driven by a real streaming query through the idempotent sink."""
+    from env_event_stream_spark.streaming.sinks import IdempotentBatchSink
+
+    src = str(tmp_path / "src")
+    ix = IncrementalNearDupIndex(
+        spark, str(tmp_path / "ix3"), str(tmp_path / "p3")
+    )
+    sink = IdempotentBatchSink(str(tmp_path / "commits"), ix.apply_batch)
+
+    _batch(spark, [(1, _DOC_A), (2, _DOC_B)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = (
+        spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert ix.index_df().select("doc_id").distinct().count() == 2
+
+    _batch(spark, [(3, _DOC_A2)]).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r.new_id, r.old_id) for r in ix.pairs_df().collect()}
+    assert (3, 1) in pairs
