@@ -40,13 +40,14 @@ def interval_join(
         left = left.withWatermark(left_ts, left_watermark)
     if right_watermark and right.isStreaming:
         right = right.withWatermark(right_ts, right_watermark)
-    cond = (
-        (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - {upper}"))
-        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} - {lower}"))
-    )
+    # DataFrame-object column refs (not "l.x" string parsing): unambiguous
+    # even when a column name itself starts with "l." / "r."
+    left, right = left.alias("l"), right.alias("r")
+    lts, rts = left[left_ts], right[right_ts]
+    cond = (rts >= lts - F.expr(upper)) & (rts <= lts - F.expr(lower))
     for k in keys:
-        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
-    return left.alias("l").join(right.alias("r"), cond, how)
+        cond = (left[k] == right[k]) & cond
+    return left.join(right, cond, how)
 
 
 def enrich_static(

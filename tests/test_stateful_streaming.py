@@ -271,3 +271,24 @@ def test_idempotent_sink_end_to_end(spark, tmp_path):
     ).parquet(src)
     run()
     assert sorted(seen) == [1, 2, 3]
+
+
+def test_interval_join_alias_collision_columns(spark):
+    """Column names that collide with the internal l/r aliases resolve
+    correctly (DataFrame-object refs, not string alias parsing)."""
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(11), "L")], "l bigint, buy_ts timestamp, r string"
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), "x"), (1, t(5), "old")],
+        "l bigint, view_ts timestamp, page string",
+    )
+    out = interval_join(
+        left, right, keys=["l"], left_ts="buy_ts", right_ts="view_ts",
+        upper="INTERVAL 2 HOURS",
+    )
+    rows = out.select("page").collect()
+    assert [r.page for r in rows] == ["x"]
