@@ -8,9 +8,13 @@ type predicates reach the database, ORDER BY + LIMIT fold into the
 scan. The DDL mirrors the reference's table + indexes
 (src/persistence.ts:260-294).
 
-Untestable in this container (no JDBC driver, no database) — kept
-thin and behind explicit options; the parquet store is the system of
-record.
+Exercised in-container against embedded Derby (Spark bundles the
+driver): tests/test_sources.py verifies the round-trip and that the
+topic/ts/type predicates reach the database (PushedFilters with the
+``*``-confirmed marker). Derby maps StringType → CLOB, which its SQL
+cannot compare — pass ``createTableColumnTypes`` with VARCHARs when
+the backend needs it (Postgres does not). The parquet store remains
+the system of record.
 """
 
 from __future__ import annotations

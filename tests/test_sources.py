@@ -78,3 +78,52 @@ def test_python_datasource_roundtrip(spark, tmp_path):
     assert got["e3"].type == "user.created"
     # filters compose on top of the source
     assert df.where("topic = 'orders'").count() == 2
+
+
+def test_jdbc_store_roundtrip_derby(spark, tmp_path):
+    """S7/S8 (reference src/persistence.ts:299-402) against embedded
+    Derby: append, filtered ordered limited read-back, and predicate
+    pushdown into the database (the reference's hand-built WHERE)."""
+    from env_event_stream_spark.sources.jdbc_store import JdbcEventStore
+
+    store = JdbcEventStore(
+        spark,
+        f"jdbc:derby:{tmp_path}/db;create=true",
+        table="events",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        createTableColumnTypes=(
+            "id VARCHAR(64), type VARCHAR(64), topic VARCHAR(64), "
+            "schema_version VARCHAR(16), payload VARCHAR(4096)"
+        ),
+    )
+    store.save_events(
+        spark.createDataFrame(
+            [
+                ("e1", "click", "web", 1000, "1.0", '{"a":1}'),
+                ("e2", "view", "web", 2000, "1.0", '{"a":2}'),
+                ("e3", "click", "app", 1500, "1.0", "{}"),
+                ("e4", "click", "web", 50, "1.0", "{}"),  # below from_ts
+                ("e5", "other", "web", 1200, "1.0", "{}"),  # type excluded
+            ],
+            "id string, type string, topic string, timestamp bigint,"
+            " schema_version string, payload string",
+        )
+    )
+    # metadata (incl. PushedFilters) is truncated at plan-build time —
+    # widen before constructing the query
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        out = store.get_events(
+            "web", from_ts=500, event_types=["click", "view"], limit=5
+        )
+        assert [(r.id, r.timestamp) for r in out.collect()] == [
+            ("e1", 1000),
+            ("e2", 2000),
+        ]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    # '*' marks filters the database applied (not re-checked by Spark)
+    assert "*EqualTo(topic,web)" in plan
+    assert "*GreaterThanOrEqual(timestamp,500)" in plan
