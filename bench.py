@@ -47,6 +47,7 @@ HEADLINE = [
     "emb_knn_ivf",
     "doc_quality_score",
     "mm_decode_features",
+    "doc_decontaminate",
 ]
 
 

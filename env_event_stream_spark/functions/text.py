@@ -19,6 +19,7 @@ __all__ = [
     "token_count",
     "word_shingles",
     "char_shingles",
+    "ngram_repetition",
     "normalize_text",
     "fingerprint",
     "minhash_value",
@@ -39,22 +40,42 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def shingles_from_tokens(t: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from an ALREADY-BOUND token array
-    column, built as a zip_with over n shifted slices of the array —
-    pure vectorized array ops, no per-element lambda indexing.
+def _ngram_array(t: Column, n: int) -> Column:
+    """All (non-distinct) word n-grams from a bound token array,
+    built as a zip_with over n shifted slices of the array — pure
+    vectorized array ops, no per-element lambda indexing.
     (History: transform+element_at(i+j) re-evaluates the subscript
     lookup per lambda call and measured ~10× slower — 4.5s vs 0.46s
-    for 260k shingles at sf0.1. Callers should still bind the token
-    array as a real column first so the split() runs once.)"""
+    for 260k shingles at sf0.1.)"""
     m = F.size(t) - (n - 1)
     parts = [F.slice(t, i + 1, m) for i in range(n)]
     joined = parts[0]
     for p in parts[1:]:
         joined = F.zip_with(joined, p, lambda x, y: F.concat_ws(" ", x, y))
-    return F.when(F.size(t) >= n, F.array_distinct(joined)).otherwise(
-        F.array().cast("array<string>")
+    return joined
+
+
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-BOUND token array
+    column (see _ngram_array for the construction). Callers should
+    bind the token array as a real column first so split() runs
+    once."""
+    return F.when(
+        F.size(t) >= n, F.array_distinct(_ngram_array(t, n))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(t: Column, n: int = 3) -> tuple[Column, Column]:
+    """(total, unique) n-gram counts from a bound token array — the
+    duplicate-n-gram repetition signal used by Gopher-style quality
+    filters (rep_ratio = 1 - unique/total). Zero/zero when the doc is
+    shorter than n tokens."""
+    grams = _ngram_array(t, n)
+    total = F.when(F.size(t) >= n, F.size(grams)).otherwise(F.lit(0))
+    uniq = F.when(F.size(t) >= n, F.size(F.array_distinct(grams))).otherwise(
+        F.lit(0)
     )
+    return total, uniq
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from env_event_stream_spark.functions.text import (
     LANG_MARKERS,
     fingerprint,
+    ngram_repetition,
     quality_metrics,
     tokens,
 )
@@ -287,6 +288,73 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["n_uniq_tokens"].alias("n_uniq_tokens"),
         m["avg_token_len"].alias("avg_token_len"),
         m["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@query(
+    "doc_decontaminate",
+    "WITH "
+    + _SHINGLES_CTE
+    + """
+    SELECT tr.doc_id,
+           CAST(count(DISTINCT tr.sh) AS BIGINT) AS n_shared,
+           CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+    FROM (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0) tr
+    JOIN (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0) ev
+      USING (sh)
+    GROUP BY tr.doc_id
+    HAVING count(DISTINCT tr.sh) >= 1
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing word 3-grams
+    with the held-out eval split (doc_id % 97 = 0 stands in for the
+    benchmark set). Eval shingles are broadcast — the corpus side is
+    never shuffled, which is the shape that holds at 100 TB train /
+    KB-scale benchmarks."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return D.contamination_hits(
+        d.where(~is_eval), d.where(is_eval), "text", "doc_id"
+    )
+
+
+@query(
+    "doc_repetition_ratio",
+    "WITH "
+    + _TOKENS_CTE
+    + """
+    SELECT doc_id,
+           CAST(len(tk) - 2 AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS BIGINT)
+             AS n_unique,
+           round(1.0 - len(list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+             * 1.0 / (len(tk) - 2), 4) AS rep_ratio
+    FROM t WHERE len(tk) >= 3
+    """,
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram repetition signal per document:
+    1 - unique_3grams/total_3grams. Pure array expressions per row —
+    embarrassingly parallel, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_tk", tokens(F.col("text"))
+    )
+    total, uniq = ngram_repetition(F.col("_tk"), 3)
+    return (
+        d.where(F.size("_tk") >= 3)
+        .select(
+            "doc_id",
+            total.cast("bigint").alias("n_ngrams"),
+            uniq.cast("bigint").alias("n_unique"),
+            F.round(
+                F.lit(1.0) - uniq.cast("double") / total.cast("double"), 4
+            ).alias("rep_ratio"),
+        )
     )
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "fingerprint_groups",
     "shingle_table",
     "jaccard_pairs",
+    "contamination_hits",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
@@ -83,6 +84,41 @@ def shingle_table(
         )
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
     return sh
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_shared: int = 1,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    word n-grams with a held-out eval/benchmark set.
+
+    Output: (id, n_shared distinct overlapping n-grams, n_eval_docs
+    distinct eval docs hit) for training docs with n_shared >=
+    ``min_shared``. Scale shape: the eval side is tiny relative to the
+    corpus (benchmarks are KBs, corpora are TBs), so its shingle table
+    is broadcast — the 100 TB train side is never shuffled, each task
+    probes the eval hash map locally. ``df_cap`` guards against
+    stopword-like shingles exploding the probe output."""
+    tr = shingle_table(train, text_col, id_col, n, df_cap=df_cap)
+    ev = shingle_table(eval_df, text_col, id_col, n).select(
+        F.col(id_col).alias("_eval_id"), "sh"
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("sh").cast("bigint").alias("n_shared"),
+            F.countDistinct("_eval_id").cast("bigint").alias("n_eval_docs"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
 
 
 def jaccard_pairs(
