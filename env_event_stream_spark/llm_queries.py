@@ -9,7 +9,7 @@ plan constant-for-constant (hyperplanes, seeds, band layout).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from env_event_stream_spark.functions.text import (
@@ -17,6 +17,7 @@ from env_event_stream_spark.functions.text import (
     fingerprint,
     ngram_repetition,
     quality_metrics,
+    token_count,
     tokens,
 )
 from env_event_stream_spark.operators import dedup as D
@@ -793,6 +794,57 @@ def doc_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_test"),
         F.sum(F.when(F.col("bucket") < 10, 1).otherwise(0))
         .cast("bigint").alias("n_sample10"),
+    )
+
+
+@query(
+    "doc_pack_sequences",
+    r"""
+    WITH n AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 2048 AS bin
+      FROM n)
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc
+    FROM packed GROUP BY source, bin
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (sequential strategy): assign docs, in stable
+    doc_id order WITHIN each source shard, to fixed 2048-token training
+    bins — a doc starts in the bin where its running token offset
+    falls. Per-shard windows keep the sort local to a shard (real
+    pipelines pack per input shard, so no global sort ever happens at
+    100 TB; the only shuffle is hash-by-source). Output is the bin
+    manifest: docs + tokens per bin."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = n.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(2048)
+        ),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
     )
 
 
