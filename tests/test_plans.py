@@ -112,3 +112,21 @@ def test_decorrelated_subqueries_stay_joins(spark, sf_dir, name):
     re-execution shape survives in the optimized plan)."""
     opt = _optimized(spark, sf_dir, name)
     assert "Join" in opt
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """Decontamination must probe broadcast eval shingles — the corpus
+    side never shuffles for the candidate join (benchmarks are KBs,
+    corpora are TBs)."""
+    plan = _plan(spark, sf_dir, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_no_global_sort(spark, sf_dir):
+    """Sequence packing windows per source shard: the plan must hash-
+    partition on source, never collapse to a single partition (a
+    global-ordered window would be Exchange SinglePartition — the
+    classic silent scale killer)."""
+    plan = _plan(spark, sf_dir, "doc_pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan

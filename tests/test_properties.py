@@ -226,3 +226,46 @@ def test_connected_components_match_python(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: find(n) for n in parent}
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=10).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    modulus=st.sampled_from([2, 3]),
+)
+@_SET
+def test_contamination_hits_match_python(spark, docs, modulus):
+    """Broadcast decontamination vs brute-force python over random
+    tiny corpora (short docs below n, identical docs, empty overlap)."""
+    from env_event_stream_spark.operators.dedup import contamination_hits
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, text string"
+    )
+    train = df.where(F.col("doc_id") % modulus != 0)
+    ev = df.where(F.col("doc_id") % modulus == 0)
+    got = {
+        r.doc_id: (r.n_shared, r.n_eval_docs)
+        for r in contamination_hits(train, ev, "text", "doc_id").collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    ev_sh = {i: shingles(docs[i]) for i in range(len(docs)) if i % modulus == 0}
+    expected = {}
+    for i in range(len(docs)):
+        if i % modulus == 0:
+            continue
+        mine = shingles(docs[i])
+        shared = mine & set().union(*ev_sh.values()) if ev_sh else set()
+        hit_docs = sum(1 for s in ev_sh.values() if s & mine)
+        if shared:
+            expected[i] = (len(shared), hit_docs)
+    assert got == expected
