@@ -26,7 +26,50 @@ from pyspark.sql import functions as F
 
 from env_event_stream_spark.operators.dedup import minhash_signatures
 
-__all__ = ["IncrementalNearDupIndex"]
+__all__ = ["IncrementalNearDupIndex", "contamination_gate"]
+
+
+def contamination_gate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Ingest-time decontamination gate — the streaming twin of
+    ``operators.dedup.contamination_hits``.
+
+    The eval/benchmark n-gram vocabulary is collapsed to ONE row
+    (collect_set) and broadcast; each arriving document computes
+    ``array_intersect`` against it per row. Fully stateless, so it is
+    append-mode safe on an unbounded stream — no watermark, no state
+    store, no aggregation. At 100 TB ingest the per-row cost is
+    O(doc n-grams) probing a constant in-memory set.
+
+    Output: input columns + n_shared + contaminated flag; route the
+    flagged rows to quarantine with a filter, mirroring the reference's
+    validate-or-DLQ publish gate (src/topic.ts:103-110)."""
+    from env_event_stream_spark.functions.text import word_shingles
+
+    ev = (
+        eval_df.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+        )
+        .distinct()
+        .agg(F.collect_set("sh").alias("_eval_sh"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(ev))
+        .withColumn("_sh", word_shingles(F.col(text_col), n))
+        .withColumn(
+            "n_shared",
+            F.size(F.array_intersect(F.col("_sh"), F.col("_eval_sh"))),
+        )
+        .withColumn("contaminated", F.col("n_shared") >= min_shared)
+        .drop("_sh", "_eval_sh")
+    )
 
 
 class IncrementalNearDupIndex:

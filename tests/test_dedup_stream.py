@@ -72,3 +72,52 @@ def test_index_grows_and_streams(spark, tmp_path):
     q.awaitTermination(120)
     pairs = {(r.new_id, r.old_id) for r in ix.pairs_df().collect()}
     assert (3, 1) in pairs
+
+
+def test_contamination_gate_stream_matches_batch(spark, tmp_path):
+    """Streaming gate (stateless broadcast intersect) agrees with the
+    batch contamination_hits counts, running append-mode with no
+    watermark or state."""
+    from env_event_stream_spark.operators.dedup import contamination_hits
+    from env_event_stream_spark.streaming.dedup_stream import contamination_gate
+
+    schema = "doc_id bigint, text string"
+    docs = [
+        (1, "a b c d e"),
+        (2, "c d e f g"),
+        (3, "x y z w v"),
+        (4, "a b"),  # shorter than n — never contaminated
+    ]
+    eval_rows = [(100, "b c d e f")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    eval_df = spark.createDataFrame(eval_rows, schema)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    gated = contamination_gate(stream, eval_df)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_shared, r.contaminated)
+        for r in spark.table("gate").collect()
+    }
+
+    batch = {
+        r.doc_id: r.n_shared
+        for r in contamination_hits(
+            spark.createDataFrame(docs, schema), eval_df, "text", "doc_id"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # gate annotates every row
+    for doc_id, (n_shared, flag) in got.items():
+        assert n_shared == batch.get(doc_id, 0)
+        assert flag == (doc_id in batch)
