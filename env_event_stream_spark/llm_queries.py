@@ -849,6 +849,55 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_mixture_sample",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             (regexp_extract(source, '(\d+)', 1)::INT % 4 + 1) * 25
+               AS w100,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents)
+    SELECT source,
+           round(max(w100) / 100.0, 4) AS target_weight,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN bucket < w100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN bucket < w100 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS kept_rate
+    FROM w GROUP BY source
+    """,
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: each source gets a target weight
+    (derived here from the source id; in production a broadcast config
+    table) and docs are kept iff their id-hash bucket falls under it —
+    the deterministic, shuffle-free way to hit pretraining mixture
+    ratios: assignment is a pure row-local function of (id, source),
+    stable across runs/engines/partitioning, so re-runs reproduce the
+    exact same subcorpus. One aggregation reports achieved vs target
+    rate per source."""
+    d = load_table(spark, sf_dir, "documents")
+    w100 = (
+        F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int") % 4 + 1
+    ) * 25
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    rows = d.select(
+        "source", w100.alias("w100"), bucket.alias("bucket")
+    )
+    kept = F.sum(F.when(F.col("bucket") < F.col("w100"), 1).otherwise(0))
+    return rows.groupBy("source").agg(
+        F.round(F.max("w100") / 100.0, 4).alias("target_weight"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        kept.cast("bigint").alias("n_kept"),
+        F.round(kept * 1.0 / F.count("*"), 4).alias("kept_rate"),
+    )
+
+
+@query(
     "doc_dup_clusters",
     "WITH RECURSIVE "
     + _JACCARD_CTES.lstrip()
