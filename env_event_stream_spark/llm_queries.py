@@ -653,6 +653,67 @@ def _cosine_dedup_oracle() -> str:
     """
 
 
+@query(
+    "emb_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT unnest(range(1, 65)) AS pos, unnest(v) AS val FROM e),
+    s AS (SELECT pos, max(abs(val)) AS scale FROM d GROUP BY pos),
+    sa AS (SELECT list(scale ORDER BY pos) AS scales FROM s),
+    q AS (SELECT vec_id, v, scales,
+            list_transform(range(1, 65),
+                           i -> round(v[i] / scales[i] * 127)) AS qv
+          FROM e, sa)
+    SELECT vec_id,
+           CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT)
+             AS n_saturated,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> (v[i] - qv[i] * scales[i] / 127)
+                    * (v[i] - qv[i] * scales[i] / 127))) / 64, 6) AS mse
+    FROM q
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column (the vector-
+    store compression step): per-dimension symmetric scale =
+    max(|x_d|) over the corpus, q = round(x/scale*127). Two passes —
+    a 64-row scale aggregate (broadcast back) then a row-local
+    quantize + reconstruction-error map; the corpus shuffles zero
+    times. Output per vector: saturation count and reconstruction
+    MSE, all double math folded sequentially so the oracle is
+    bit-exact."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    s = (
+        e.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("val"))).alias("scale"))
+    )
+    sa = s.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "scale"))),
+            lambda x: x["scale"],
+        ).alias("scales")
+    )
+    q = e.crossJoin(F.broadcast(sa)).withColumn(
+        "qv",
+        F.zip_with("v", "scales", lambda x, sc: F.round(x / sc * 127)),
+    )
+    recon = F.zip_with("qv", "scales", lambda qq, sc: qq * sc / 127)
+    se = F.zip_with("v", recon, lambda x, r: (x - r) * (x - r))
+    return q.select(
+        "vec_id",
+        F.size(F.filter("qv", lambda x: F.abs(x) >= 127))
+        .cast("bigint")
+        .alias("n_saturated"),
+        F.round(
+            F.aggregate(se, F.lit(0.0), lambda a, x: a + x) / F.size("v"), 6
+        ).alias("mse"),
+    )
+
+
 @query("emb_cosine_dedup", _cosine_dedup_oracle())
 def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucketed candidates + exact
