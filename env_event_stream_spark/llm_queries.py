@@ -653,6 +653,84 @@ def _cosine_dedup_oracle() -> str:
     """
 
 
+_MATRYOSHKA_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    rf AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_COSINE_SQL.format(a="qv", b="cv")} DESC,
+                        neighbor_id ASC) AS rank
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+    qt AS (SELECT query_id, qv[1:16] AS qv FROM q),
+    ct AS (SELECT neighbor_id, cv[1:16] AS cv FROM c),
+    rt AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_COSINE_SQL.format(a="qv", b="cv")} DESC,
+                        neighbor_id ASC) AS rank
+           FROM qt CROSS JOIN ct WHERE query_id <> neighbor_id),
+    ov AS (SELECT f.query_id AS query_id,
+                  CAST(count(*) AS BIGINT) AS n_overlap,
+                  CAST(max(CASE WHEN f.rank = 1 AND t.rank = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS top1_match
+           FROM (SELECT * FROM rf WHERE rank <= 3) f
+           JOIN (SELECT * FROM rt WHERE rank <= 3) t
+             ON f.query_id = t.query_id
+            AND f.neighbor_id = t.neighbor_id
+           GROUP BY f.query_id)
+    SELECT qq.query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.top1_match, 0) AS BIGINT) AS top1_match
+    FROM (SELECT DISTINCT query_id FROM q) qq
+    LEFT JOIN ov ON qq.query_id = ov.query_id
+    """
+
+
+@query("emb_knn_matryoshka", _MATRYOSHKA_ORACLE)
+def emb_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation: how well do the first 16 of
+    64 dims preserve the top-3 cosine neighborhood? Per query:
+    |top3_full ∩ top3_truncated| and whether rank-1 agrees. This is
+    the retrieval-quality check run before shipping truncated
+    embeddings to cut index cost 4× — same two-pass brute-force shape
+    as emb_knn_topk (query set broadcast over the corpus), so the
+    corpus scans twice and never self-joins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    full = S.knn_exact(
+        e.where(F.col("vec_id") < 10), e,
+        id_col="vec_id", vec_col="embedding", k=3,
+    ).select("query_id", "neighbor_id", "rank")
+    trunc = S.knn_exact(
+        t.where(F.col("vec_id") < 10), t,
+        id_col="vec_id", vec_col="embedding", k=3,
+    ).select(
+        F.col("query_id"), F.col("neighbor_id"),
+        F.col("rank").alias("t_rank"),
+    )
+    ov = (
+        full.join(trunc, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlap"),
+            F.max(
+                F.when((F.col("rank") == 1) & (F.col("t_rank") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("top1_match"),
+        )
+    )
+    return (
+        full.select("query_id").distinct()
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.coalesce("top1_match", F.lit(0)).cast("bigint").alias("top1_match"),
+        )
+    )
+
+
 @query(
     "emb_quantize_int8",
     """
