@@ -48,6 +48,8 @@ HEADLINE = [
     "doc_quality_score",
     "mm_decode_features",
     "doc_decontaminate",
+    "doc_pack_sequences",
+    "emb_quantize_int8",
 ]
 
 
