@@ -9,6 +9,11 @@ src/persistence.ts:141-145) as::
 
     spark.dataSource.register(JsonEventDataSource)
     spark.read.format("env_json_events").option("path", base).load()
+    spark.readStream.format("env_json_events").option("path", base).load()
+
+The streaming form (simpleStreamReader) is the live subscription:
+micro-batches deliver newly-arrived event files, offsets are
+{topic: last filename}, and recovery replays an exact offset range.
 
 Partitioning: one input partition per topic directory — mirroring the
 reference's per-topic layout and giving topic-level parallelism. (At
@@ -23,7 +28,12 @@ import datetime as dt
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = ["JsonEventDataSource"]
 
@@ -57,22 +67,82 @@ class _JsonEventReader(DataSourceReader):
         for name in sorted(os.listdir(partition.topic_dir)):
             if not name.endswith(".json"):
                 continue
-            with open(os.path.join(partition.topic_dir, name)) as f:
-                doc = json.load(f)
-            ts = dt.datetime.fromtimestamp(
-                doc["timestamp"] / 1000.0, tz=dt.timezone.utc
-            ).replace(tzinfo=None)
-            yield (
-                doc.get("id"),
-                doc.get("type"),
-                doc.get("topic"),
-                ts,
-                doc.get("schemaVersion"),
-                doc.get("payload")
-                if isinstance(doc.get("payload"), (str, type(None)))
-                else json.dumps(doc.get("payload")),
-                doc.get("metadata"),
-            )
+            yield _parse_file(os.path.join(partition.topic_dir, name))
+
+
+def _parse_file(path: str):
+    with open(path) as f:
+        doc = json.load(f)
+    ts = dt.datetime.fromtimestamp(
+        doc["timestamp"] / 1000.0, tz=dt.timezone.utc
+    ).replace(tzinfo=None)
+    return (
+        doc.get("id"),
+        doc.get("type"),
+        doc.get("topic"),
+        ts,
+        doc.get("schemaVersion"),
+        doc.get("payload")
+        if isinstance(doc.get("payload"), (str, type(None)))
+        else json.dumps(doc.get("payload")),
+        doc.get("metadata"),
+    )
+
+
+class _JsonEventStreamReader(SimpleDataSourceStreamReader):
+    """Live-subscription view of the FileEventStore layout: each
+    micro-batch delivers the files that appeared since the last
+    offset. The offset is {topic: last-consumed filename}; filenames
+    are ``<epoch_ms>_<id>.json`` so lexicographic order IS publish
+    order (src/persistence.ts:143,168) and an offset range replays
+    deterministically (readBetweenOffsets — required for recovery).
+    This is the reference's Topic.subscribe backlog+live semantics
+    (src/topic.ts:71-86) with Spark's no-loss offset tracking."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("env_json_events requires option('path', ...)")
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def _files(self, topic: str, after: str | None, upto: str | None = None):
+        tdir = os.path.join(self.path, topic)
+        names = sorted(
+            n for n in os.listdir(tdir) if n.endswith(".json")
+        )
+        for n in names:
+            if after is not None and n <= after:
+                continue
+            if upto is not None and n > upto:
+                continue
+            yield n
+
+    def _topics(self):
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if os.path.isdir(os.path.join(self.path, d))
+        )
+
+    def read(self, start: dict):
+        rows = []
+        end = dict(start)
+        for topic in self._topics():
+            last = start.get(topic)
+            for name in self._files(topic, last):
+                rows.append(_parse_file(os.path.join(self.path, topic, name)))
+                end[topic] = name
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for topic in self._topics():
+            for name in self._files(topic, start.get(topic), end.get(topic)):
+                yield _parse_file(os.path.join(self.path, topic, name))
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class JsonEventDataSource(DataSource):
@@ -85,3 +155,6 @@ class JsonEventDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _JsonEventReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _JsonEventStreamReader(self.options)

@@ -127,3 +127,58 @@ def test_jdbc_store_roundtrip_derby(spark, tmp_path):
     # '*' marks filters the database applied (not re-checked by Spark)
     assert "*EqualTo(topic,web)" in plan
     assert "*GreaterThanOrEqual(timestamp,500)" in plan
+
+
+def test_python_datasource_streaming_incremental(spark, tmp_path):
+    """The simpleStreamReader delivers only newly-arrived event files
+    per micro-batch ({topic: last-filename} offsets), giving the
+    reference's subscribe backlog+live semantics (src/topic.ts:71-86)
+    with no-loss offset tracking."""
+    from env_event_stream_spark.sources.json_datasource import (
+        JsonEventDataSource,
+    )
+
+    src = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    write_json_event_dir(
+        [
+            make_event("orders", "order.placed", '{"n": 1}', None,
+                       timestamp=dt.datetime(2024, 1, 1, 10), event_id="s1"),
+            make_event("users", "user.created", '{"n": 2}', None,
+                       timestamp=dt.datetime(2024, 1, 1, 11), event_id="s2"),
+        ],
+        src,
+    )
+    spark.dataSource.register(JsonEventDataSource)
+    seen: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.format("env_json_events")
+            .option("path", src)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _e: seen.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(seen) == ["s1", "s2"]
+
+    # batch 2: one new file per topic — ONLY the new ids arrive
+    write_json_event_dir(
+        [
+            make_event("orders", "order.paid", '{"n": 3}', None,
+                       timestamp=dt.datetime(2024, 1, 1, 12), event_id="s3"),
+        ],
+        src,
+    )
+    seen.clear()
+    run_once()
+    assert seen == ["s3"]
