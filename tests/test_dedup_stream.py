@@ -121,3 +121,52 @@ def test_contamination_gate_stream_matches_batch(spark, tmp_path):
     for doc_id, (n_shared, flag) in got.items():
         assert n_shared == batch.get(doc_id, 0)
         assert flag == (doc_id in batch)
+
+
+def test_document_ingest_pipeline_routes(spark, tmp_path):
+    """Composed ingest front door: quality + contamination + verdict
+    in one stateless pass; runs append-mode on a stream and routes
+    each class correctly."""
+    from env_event_stream_spark.streaming.ingest_pipeline import (
+        document_ingest_pipeline,
+    )
+
+    schema = "doc_id bigint, text string"
+    docs = [
+        (1, "quick brown foxes jump over lazy dogs daily"),  # pass
+        (2, "too short"),                                    # low_quality (tokens)
+        (3, "spam spam spam spam spam spam spam spam spam spam"),  # low_quality (rep)
+        (4, "held out benchmark sentence appears verbatim here today"),  # contaminated
+    ]
+    eval_df = spark.createDataFrame(
+        [(100, "held out benchmark sentence appears verbatim")], schema
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = document_ingest_pipeline(stream, eval_df)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ingest")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.verdict for r in spark.table("ingest").collect()}
+    assert got == {
+        1: "pass",
+        2: "low_quality",
+        3: "low_quality",
+        4: "contaminated",
+    }
+
+    # batch backfill takes the identical code path
+    batch = document_ingest_pipeline(
+        spark.createDataFrame(docs, schema), eval_df
+    )
+    assert {r.doc_id: r.verdict for r in batch.collect()} == got
