@@ -129,11 +129,12 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K, _BANDS, _ROWS = 16, 4, 4
 
 
-def _hex32_sql(h: str) -> str:
-    """uint32 from first 8 hex chars of an md5 — digit-by-digit
-    (DuckDB has no conv())."""
+def _hex32_sql(h: str, offset: int = 0) -> str:
+    """uint32 from 8 hex chars of an md5 starting at ``offset`` —
+    digit-by-digit (DuckDB has no conv())."""
     terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        f"(strpos('0123456789abcdef', substr({h}, {offset + j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
         for j in range(8)
     )
     return f"({terms})"
@@ -192,6 +193,10 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# 64-bit simhash oracle: two independent 32-bit md5 halves (no 64-bit
+# parse), per-bit ±1 sums, assembly with bit 63 as the signed min-long
+# literal (DuckDB's 1<<63 raises an overflow error; the literal is the
+# same two's-complement bit pattern Spark's shiftleft produces).
 _SIMHASH_CTES = (
     r"""
 toks AS (
@@ -200,16 +205,22 @@ toks AS (
 ),
 hv AS (SELECT doc_id, """
     + _hex32_sql("md5(w)")
-    + """ AS hv FROM toks),
-bits AS (SELECT unnest(range(32)) AS b),
+    + """ AS lo, """
+    + _hex32_sql("md5(w)", offset=8)
+    + """ AS hi FROM toks),
+bits AS (SELECT unnest(range(64)) AS b),
 per_bit AS (
   SELECT doc_id, b,
-         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         sum(CASE WHEN (CASE WHEN b < 32 THEN lo >> b
+                             ELSE hi >> (b - 32) END) & 1 = 1
+             THEN 1 ELSE -1 END) AS s
   FROM hv CROSS JOIN bits GROUP BY doc_id, b
 ),
 sims AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+         CAST(sum(CASE WHEN s <= 0 THEN 0
+                       WHEN b = 63 THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT)
            AS simhash
   FROM per_bit GROUP BY doc_id
 )
@@ -222,7 +233,7 @@ sims AS (
     "WITH " + _SIMHASH_CTES + "SELECT doc_id, simhash FROM sims",
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signature per document (sign-sum of md5-derived
+    """64-bit SimHash signature per document (sign-sum of md5-derived
     token bits) — all integer Catalyst expressions."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash(d, "text", "doc_id")
@@ -230,29 +241,26 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_simhash_pairs",
+    # the oracle is a BRUTE-FORCE hamming self-join — deliberately
+    # independent of the Spark side's pigeonhole blocking, so a
+    # blocking scheme that loses recall shows up as a row-count
+    # mismatch instead of being replicated on both sides.
     "WITH "
     + _SIMHASH_CTES
-    + """,
-chunks AS (
-  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS v
-  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS c)
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-         x.simhash AS sh_a, y.simhash AS sh_b
-  FROM chunks x JOIN chunks y
-    ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
-)
-SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    + """
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """,
 )
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 6, blocked on
-    8-bit signature chunks (pigeonhole: any pair with d<=6 shares at
-    least one of 4 chunks) — no full self-join at scale."""
+    """SimHash near-dup pairs within Hamming distance 3, blocked on
+    4 16-bit signature blocks (pigeonhole: any pair with d<=3 shares
+    at least one of the 4 blocks — guaranteed recall) — no full
+    self-join at scale."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, "text", "doc_id", max_hamming=6)
+    return D.simhash_pairs(d, "text", "doc_id", max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

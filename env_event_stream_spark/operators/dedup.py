@@ -9,8 +9,9 @@ Five tiers, cheapest first:
 4. MinHash + LSH    — signature min-hashing + banding; only band
                       collisions are verified (the 100 TB path: cost
                       is ~linear in corpus size, not quadratic)
-5. SimHash          — 32-bit sign-sum fingerprint; near-dups are
-                      pairs within a small Hamming distance
+5. SimHash          — 64-bit sign-sum fingerprint; near-dups are
+                      pairs within a small Hamming distance, found
+                      via pigeonhole block-equality joins
 
 Scale design:
 - every step is explode → shuffle-on-shingle/band → agg; no cross
@@ -42,6 +43,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_blocks",
     "simhash_pairs",
 ]
 
@@ -297,53 +299,105 @@ def minhash_lsh_pairs(
     )
 
 
-def _hex32_to_long(col: Column) -> Column:
-    """First 8 hex chars of an md5 → unsigned 32-bit value as bigint.
-    conv() is portable enough but DuckDB lacks it — the oracle builds
-    the same value digit-by-digit; conv(hex,16,10) here is exact."""
-    return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
+def _hex32_to_long(col: Column, offset: int = 0) -> Column:
+    """8 hex chars of an md5 starting at ``offset`` → unsigned 32-bit
+    value as bigint. conv() is portable enough but DuckDB lacks it —
+    the oracle builds the same value digit-by-digit; conv(hex,16,10)
+    here is exact."""
+    return F.conv(F.substring(col, offset + 1, 8), 16, 10).cast("bigint")
+
+
+def simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per block, widths as even as possible.
+    Shared by the Spark operator and the DuckDB oracle generator."""
+    base, rem = divmod(bits, n_blocks)
+    out, start = [], 0
+    for c in range(n_blocks):
+        w = base + (1 if c < rem else 0)
+        out.append((start, w))
+        start += w
+    return out
 
 
 def simhash(
-    df: DataFrame, text_col: str, id_col: str, *, bits: int = 32
+    df: DataFrame, text_col: str, id_col: str, *, bits: int = 64
 ) -> DataFrame:
-    """32-bit SimHash: per token (with multiplicity), md5→uint32; for
-    each bit position sum ±1; bit set iff the sum is positive.
-    Output: (id, simhash bigint).
+    """64-bit SimHash (Manku et al., WWW'07 shape): per token (with
+    multiplicity) take 64 md5-derived bits; for each bit position sum
+    ±1; bit set iff the sum is positive. Output: (id, simhash bigint,
+    bit 63 in the sign bit — pure bit pattern, compared only via
+    XOR/bit_count which are sign-agnostic).
 
-    Plan shape: explode tokens → explode bit positions (32×) → grouped
-    sum → bit assembly. All integer math, fully codegen'd."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    ).withColumn("hv", _hex32_to_long(F.md5(F.col("w"))))
-    # one grouped pass with `bits` conditional sums — NOT an explode of
-    # bit positions (which would multiply the token table 32×; measured
-    # 6.1s→2.4s at sf0.1). Literal shift amounts keep the builtins.
+    Plan shape: explode tokens → ONE grouped pass with ``bits``
+    conditional sums (not a bit-position explode, which would multiply
+    the token table 64×) → bit assembly. All integer math, fully
+    codegen'd. The 64-bit hash comes from two independent 32-bit md5
+    halves — no 64-bit parse that could overflow a signed long."""
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits")
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .withColumn("_h", F.md5(F.col("w")))
+        .select(
+            F.col(id_col),
+            _hex32_to_long(F.col("_h"), 0).alias("lo"),
+            _hex32_to_long(F.col("_h"), 8).alias("hi"),
+        )
+    )
+
+    def _bit(b: int) -> Column:
+        src, sh = ("lo", b) if b < 32 else ("hi", b - 32)
+        return F.shiftright(F.col(src), sh).bitwiseAND(1)
+
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
+        F.sum(F.when(_bit(b) == 1, 1).otherwise(-1)).alias(f"s{b}")
         for b in range(bits)
     ]
     per_doc = toks.groupBy(id_col).agg(*bit_sums)
+    # assemble with shiftleft (unchecked bit op): bit 63 lands in the
+    # sign bit without tripping ANSI overflow checks
     sim = F.lit(0).cast("bigint")
     for b in range(bits):
         sim = sim + F.when(
-            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
+            F.col(f"s{b}") > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), b),
         ).otherwise(F.lit(0).cast("bigint"))
     return per_doc.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 6
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. The small-corpus
-    form self-joins signatures (fine up to ~10^5 docs); the 100 TB
-    path blocks on 4 signature chunks first (any pair within Hamming
-    d<=6 shares at least one of 4 8-bit chunks by pigeonhole) — chunk
-    equality join, then verify bit_count(xor) <= d."""
-    sig = simhash(df, text_col, id_col)
+    """Near-dup pairs by SimHash Hamming distance, blocked for scale.
+
+    Recall guarantee (pigeonhole): the signature is split into
+    ``n_blocks = max_hamming + 1`` contiguous blocks, so any pair
+    within Hamming distance ``max_hamming`` has ≥1 block with zero
+    differing bits and is found by the block-equality join. (The old
+    4×8-bit/d≤6 variant violated this: a d=5 pair can differ 2+1+1+1
+    across 4 chunks and share none.) Defaults are the industry shape:
+    64-bit signature, d≤3, 4×16-bit blocks — 65k bucket values per
+    block position keeps candidate counts near-linear at billions of
+    docs. Candidates are verified with bit_count(xor) before the
+    distinct, so the shuffle only carries true pairs."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} cannot guarantee recall at "
+            f"max_hamming={max_hamming}; need >= max_hamming+1"
+        )
+    sig = simhash(df, text_col, id_col, bits=bits)
+    blocks = simhash_blocks(bits, n_blocks)
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -352,19 +406,21 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright(F.col("simhash"), c * 8)
-                        .bitwiseAND(255)
+                        # arithmetic shift + mask = the block's bits
+                        # regardless of sign extension
+                        F.shiftright(F.col("simhash"), start)
+                        .bitwiseAND((1 << width) - 1)
                         .alias("v"),
                     )
-                    for c in range(4)
+                    for c, (start, width) in enumerate(blocks)
                 ]
             )
         ).alias("ch"),
     ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
     x, y = chunks.alias("x"), chunks.alias("y")
-    # filter on hamming BEFORE deduplicating the (up to 4× repeated)
-    # chunk-collision pairs: bit_count is a per-row codegen'd op,
-    # the distinct is a shuffle — shrink the shuffle input first.
+    # filter on hamming BEFORE deduplicating the (up to n_blocks×
+    # repeated) block-collision pairs: bit_count is a per-row
+    # codegen'd op, the distinct is a shuffle — shrink it first.
     return (
         x.join(y, ["c", "v"])
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))

@@ -94,7 +94,18 @@ def salted_join(
     ×n_salts (use for large-left × modest-right).
 
     Results are identical to a plain join (the salt is an internal
-    column, dropped on output) — pinned by tests/test_skew.py."""
+    column, dropped on output) — pinned by tests/test_skew.py.
+
+    Only left-preserving joins are allowed: with the right side
+    exploded across all salts, an UNMATCHED right row would surface
+    n_salts times under right/full outer joins, so those are
+    rejected rather than silently wrong."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the exploded "
+            "right side would duplicate unmatched right rows; use a "
+            "left-preserving join (inner/left/semi/anti)"
+        )
     keys = list(on)
     sl = left.withColumn(
         "_salt", (F.monotonically_increasing_id() % n_salts).cast("int")
@@ -117,20 +128,26 @@ def asof_join(
     strict: bool = False,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (backward) within the same ``on`` keys.
+    ``right_ts <= left_ts`` (direction='backward') or the earliest
+    right row with ``right_ts >= left_ts`` (direction='forward'),
+    within the same ``on`` keys. Semantics match
+    ``pandas.merge_asof(direction=...)`` (property-tested in
+    tests/test_properties.py).
 
     Spark lacks a native as-of join; the scalable composition is
-    union + last(ignorenulls) window:
+    union + last/first(ignorenulls) window:
       1. tag both sides, union by a common schema
       2. sort within (keys, ts) — one shuffle on the join keys
-      3. carry right-side values forward with last(..., ignorenulls)
+      3. carry right-side values forward (backward as-of: last over
+         the preceding frame) or backward (forward as-of: first over
+         the following frame) with ignorenulls
       4. keep left rows
     This is O(n log n) per key, shuffle-partitioned by the join keys,
     and never materializes a cross product — it would survive a 100×
     scale-up where a per-row correlated subquery would not.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip the sort order")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     on = list(on)
     lcols = list(left.columns)
     l = left.select(
@@ -149,13 +166,39 @@ def asof_join(
         *[F.col(v).alias(f"_r_{v}") for v in right_vals],
     )
     u = l.unionByName(r)
-    # strict (<) : right rows at equal ts must not match -> sort right first
-    # non-strict (<=): right rows at equal ts do match -> right sorts first too;
-    # for strict we order left rows BEFORE right rows at the same ts.
-    order = [F.col("_asof_ts").asc(), F.col("_is_left").asc() if not strict else F.col("_is_left").desc()]
-    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    if direction == "backward":
+        # frame = everything at-or-before the current row. Tie rule:
+        # non-strict (<=) right rows at equal ts must land INSIDE the
+        # left row's preceding frame -> right sorts first; strict (<)
+        # -> left sorts first so equal-ts right rows fall outside.
+        order = [
+            F.col("_asof_ts").asc(),
+            F.col("_is_left").asc() if not strict else F.col("_is_left").desc(),
+        ]
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        # forward: frame = everything at-or-after the current row.
+        # Tie rule mirrors backward: non-strict (>=) right rows at
+        # equal ts must land INSIDE the left row's following frame ->
+        # left sorts first (_is_left desc puts 1 before 0); strict ->
+        # right sorts first so equal-ts right rows fall outside.
+        order = [
+            F.col("_asof_ts").asc(),
+            F.col("_is_left").desc() if not strict else F.col("_is_left").asc(),
+        ]
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     for v in right_vals:
-        u = u.withColumn(f"_r_{v}", F.last(f"_r_{v}", ignorenulls=True).over(w))
+        u = u.withColumn(f"_r_{v}", pick(f"_r_{v}").over(w))
     out = u.where(F.col("_is_left") == 1).drop("_is_left", "_asof_ts")
     for v in right_vals:
         out = out.withColumnRenamed(f"_r_{v}", v)

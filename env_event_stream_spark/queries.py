@@ -514,6 +514,50 @@ def asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_purchase_next_view",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           v.next_view_ts, round(v.next_view_value, 4) AS next_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT ts AS next_view_ts, value AS next_view_value
+      FROM events v
+      WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts >= p.ts
+      ORDER BY v.ts ASC, v.event_id ASC LIMIT 1
+    ) v ON true
+    """,
+)
+def asof_purchase_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (forward): for each purchase, the EARLIEST
+    subsequent 'view' of the same user. Same union + window
+    composition as the backward variant (operators/relational.py:
+    asof_join direction='forward' — first(ignorenulls) over the
+    following frame); one shuffle on user_id, no cross product."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("next_view_ts"),
+        F.col("value").alias("next_view_value"),
+    )
+    out = R.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="next_view_ts",
+        right_vals=["next_view_ts", "next_view_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "next_view_ts",
+        F.round("next_view_value", 4).alias("next_view_value"),
+    )
+
+
+@query(
     "window_top3_orders_per_cust",
     """
     SELECT * FROM (

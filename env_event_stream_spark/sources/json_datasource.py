@@ -137,8 +137,17 @@ class _JsonEventStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        # Replay is bounded EXACTLY by the recorded offset range: a
+        # topic directory absent from `end` was created after the end
+        # offset was captured, so none of its files belong to this
+        # batch — replaying them here would emit events beyond `end`
+        # that the next read() batch delivers again (duplicates on
+        # recovery).
         for topic in self._topics():
-            for name in self._files(topic, start.get(topic), end.get(topic)):
+            upto = end.get(topic)
+            if upto is None:
+                continue
+            for name in self._files(topic, start.get(topic), upto):
                 yield _parse_file(os.path.join(self.path, topic, name))
 
     def commit(self, end: dict) -> None:

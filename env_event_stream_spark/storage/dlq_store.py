@@ -133,6 +133,12 @@ class InMemoryDeadLetterQueue:
         self._rows = [r for r in self._rows if r["event"].id != event_id]
         return len(self._rows) < n0
 
+    def delete_topic(self, topic: str) -> int:
+        """Drop all dead letters for a topic (broker deleteTopic)."""
+        n0 = len(self._rows)
+        self._rows = [r for r in self._rows if r["event"].topic != topic]
+        return n0 - len(self._rows)
+
 
 class ParquetDeadLetterQueue:
     """Durable DLQ on parquet. At scale this is an append-only table
@@ -225,6 +231,17 @@ class ParquetDeadLetterQueue:
             return False
         self._rewrite(cur.where(F.col("event.id") != event_id))
         return True
+
+    def delete_topic(self, topic: str) -> int:
+        """Drop all dead letters for a topic (broker deleteTopic)."""
+        cur = self.to_df().cache()
+        try:
+            n = cur.where(F.col("event.topic") == topic).count()
+            if n:
+                self._rewrite(cur.where(F.col("event.topic") != topic))
+            return n
+        finally:
+            cur.unpersist()
 
     def compact(self) -> None:
         """Collapse the append log to current state (VACUUM analog)."""

@@ -134,6 +134,13 @@ class InMemoryEventStore:
         ]
         return n0 - len(self._rows)
 
+    def delete_topic(self, topic: str) -> int:
+        """Drop every event of a topic (broker deleteTopic,
+        reference src/broker.ts:55-57). Returns rows removed."""
+        n0 = len(self._rows)
+        self._rows = [r for r in self._rows if r.topic != topic]
+        return n0 - len(self._rows)
+
 
 class ParquetEventStore:
     """System-of-record backend: parquet partitioned by topic.
@@ -218,6 +225,18 @@ class ParquetEventStore:
         os.rename(tmp, part_dir)
         after = sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
         return before - after
+
+    def delete_topic(self, topic: str) -> int:
+        """Drop a topic's whole partition directory — O(1) metadata
+        delete, no scan of other topics (reference src/broker.ts:55-57
+        only forgets the Topic object; dropping its stored rows is the
+        documented upgrade)."""
+        part_dir = os.path.join(self.path, f"topic={topic}")
+        if not os.path.isdir(part_dir):
+            return 0
+        n = self.to_df().where(F.col("topic") == topic).count()
+        shutil.rmtree(part_dir)
+        return n
 
     def delete_events(self, topic: str, before_ts) -> int:
         """Retention: rewrite only the affected topic partition."""

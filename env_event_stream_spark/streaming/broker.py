@@ -79,6 +79,7 @@ class _Subscription:
     options: SubscriptionOptions
     active: bool = True
     query: Any = None  # StreamingQuery when in streaming mode
+    restart: Any = None  # zero-arg () -> StreamingQuery for streaming subs
 
     def matches(self, event_type: str) -> bool:
         types = self.options.event_types
@@ -142,6 +143,26 @@ class EventBroker:
 
     def list_topics(self) -> list[str]:
         return sorted(self.topics)
+
+    def get_topic(self, name: str) -> _TopicMeta | None:
+        """src/broker.ts:48-50 — metadata lookup, no auto-create."""
+        return self.topics.get(name)
+
+    def delete_topic(self, name: str) -> bool:
+        """src/broker.ts:55-57. The reference only forgets the Topic
+        object; here delete also drops the topic's stored events, its
+        DLQ entries, and its subscriptions (documented upgrade — a
+        deleted topic should not leave orphaned data)."""
+        if name not in self.topics:
+            return False
+        for sub_id in [
+            sid for sid, s in self.subscriptions.items() if s.topic == name
+        ]:
+            self.unsubscribe(sub_id)
+        self.store.delete_topic(name)
+        self.dlq.delete_topic(name)
+        del self.topics[name]
+        return True
 
     # -- publish -----------------------------------------------------------
 
@@ -250,7 +271,10 @@ class EventBroker:
 
     def _deliver(self, sub: _Subscription, event: Row) -> None:
         """src/subscription.ts:78-107: active gate → type filter →
-        handler → retry with fixed delay → DLQ on final failure."""
+        handler → retry with fixed delay → DLQ on final failure.
+        Exactly max_retries total attempts. Divergence: the reference's
+        ``maxRetries || 3`` treats 0 as 3 (JS falsy); here 0 means one
+        attempt then straight to DLQ."""
         if not sub.active:
             return  # paused = dropped (T8 faithful mode)
         if not sub.matches(event.type):
@@ -262,7 +286,10 @@ class EventBroker:
                 return
             except Exception as exc:
                 attempts += 1
-                if attempts > sub.options.max_retries:
+                # exactly max_retries TOTAL attempts, matching the
+                # reference (src/subscription.ts:95: retry while
+                # attempt < maxRetries, first call is attempt 1)
+                if attempts >= sub.options.max_retries:
                     self.dlq.add_event(event, str(exc), sub.id)
                     return
                 if sub.options.retry_delay > 0:
@@ -319,15 +346,6 @@ class EventBroker:
 
         from env_event_stream_spark.storage.event_store import EVENT_SCHEMA
 
-        stream = (
-            self.spark.readStream.schema(EVENT_SCHEMA)
-            .option("basePath", f"{self.path}/events")
-            .parquet(f"{self.path}/events")
-            .where(F.col("topic") == topic)
-        )
-        if options.event_types:
-            stream = stream.where(F.col("type").isin(list(options.event_types)))
-
         def process(df: DataFrame, epoch_id: int) -> None:
             if batch_handler is not None:
                 batch_handler(df, epoch_id)
@@ -335,14 +353,30 @@ class EventBroker:
                 for row in df.collect():
                     self._deliver(sub, row)
 
-        writer = (
-            stream.writeStream.foreachBatch(process)
-            .queryName(sub_id)
-            .option("checkpointLocation", checkpoint)
-        )
-        if trigger_once:
-            writer = writer.trigger(availableNow=True)
-        sub.query = writer.start()
+        def _start():
+            # build a FRESH plan per (re)start — reusing one streaming
+            # DataFrame across runs trips PLAN_VALIDATION_FAILED
+            stream = (
+                self.spark.readStream.schema(EVENT_SCHEMA)
+                .option("basePath", f"{self.path}/events")
+                .parquet(f"{self.path}/events")
+                .where(F.col("topic") == topic)
+            )
+            if options.event_types:
+                stream = stream.where(
+                    F.col("type").isin(list(options.event_types))
+                )
+            writer = (
+                stream.writeStream.foreachBatch(process)
+                .queryName(sub_id)
+                .option("checkpointLocation", checkpoint)
+            )
+            if trigger_once:
+                writer = writer.trigger(availableNow=True)
+            return writer.start()
+
+        sub.restart = _start
+        sub.query = _start()
         self.subscriptions[sub_id] = sub
         return sub_id
 
@@ -364,8 +398,16 @@ class EventBroker:
             sub.query.stop()
 
     def resume(self, sub_id: str) -> None:
+        """Direct mode: future events delivered again. Streaming mode:
+        RESTART the query from its checkpoint (pause() stopped it) —
+        without this the subscription would silently never consume
+        again despite the documented stop/restart semantics."""
         sub = self.subscriptions[sub_id]
         sub.active = True
+        if sub.restart is not None and (
+            sub.query is None or not sub.query.isActive
+        ):
+            sub.query = sub.restart()
 
     # -- replay / DLQ / retention ------------------------------------------
 
@@ -432,9 +474,16 @@ class EventBroker:
         overflow = total - meta.max_events
         if overflow <= 0:
             return 0
+        # cutoff = timestamp of the (overflow+1)-th oldest row, computed
+        # distributed: TakeOrdered(overflow+1) then re-sort the bounded
+        # set descending and take 1 — exactly ONE row reaches the
+        # driver, never O(overflow) (a 100M-row overflow would
+        # otherwise collect 100M rows).
         cutoff_row = (
             df.orderBy(F.col("timestamp").asc(), F.col("id").asc())
             .limit(overflow + 1)
-            .collect()[-1]
+            .orderBy(F.col("timestamp").desc(), F.col("id").desc())
+            .limit(1)
+            .collect()[0]
         )
         return self.store.delete_events(meta.name, cutoff_row.timestamp)

@@ -72,8 +72,76 @@ def test_failure_goes_to_dlq(broker):
     assert entries[0].event.type == "boom"
 
 
+def test_get_and_delete_topic(broker):
+    """Reference broker.ts:48-64: getTopic (metadata lookup, no
+    auto-create) + deleteTopic. Delete also drops the topic's stored
+    events, DLQ entries, and subscriptions (documented upgrade)."""
+    assert broker.get_topic("missing") is None
+
+    broker.create_topic("dt", max_events=10)
+    assert broker.get_topic("dt").max_events == 10
+
+    def failing(_):
+        raise RuntimeError("x")
+
+    broker.subscribe(
+        "dt", failing,
+        SubscriptionOptions(name="dsub", max_retries=1, retry_delay=0),
+    )
+    broker.publish("dt", "e", {"n": 1})
+    broker.publish("other", "e", {"n": 2})
+    assert broker.dlq.size() == 1
+
+    assert broker.delete_topic("dt") is True
+    assert broker.delete_topic("dt") is False  # already gone
+    assert "dt" not in broker.list_topics()
+    assert broker.get_topic("dt") is None
+    assert broker.store.get_events("dt").count() == 0
+    assert broker.dlq.size() == 0
+    assert "dsub" not in broker.subscriptions
+    assert broker.store.get_events("other").count() == 1  # untouched
+
+
+def test_max_events_cutoff_bounded_collect(spark, monkeypatch):
+    """_enforce_max_events must bring at most ONE row to the driver
+    regardless of overflow size (scale guard: a 100M-row overflow
+    must not become a 100M-row collect)."""
+    import datetime as dt
+
+    # patch the CONCRETE class (Spark 4 routes pyspark.sql.DataFrame
+    # calls through pyspark.sql.classic.dataframe.DataFrame.collect)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from env_event_stream_spark.storage.event_store import make_event
+
+    broker = EventBroker(spark)
+    broker.create_topic("big", max_events=5)
+    base = dt.datetime(2024, 1, 1)
+    broker.store.save_events([
+        make_event("big", "e", timestamp=base + dt.timedelta(seconds=i),
+                   event_id=f"e-{i:03d}")
+        for i in range(50)
+    ])
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spying(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spying)
+    deleted = broker.apply_retention("big")
+    assert deleted == 45
+    assert broker.store.get_events("big").count() == 5
+    assert sizes and max(sizes) <= 1  # never O(overflow) on the driver
+
+
 def test_retry_count(broker):
-    """Retry semantics: handler fails (max_retries+1) times total."""
+    """Retry semantics: exactly max_retries TOTAL handler attempts
+    (reference src/subscription.ts:95 retries while attempt <
+    maxRetries, counting the first call as attempt 1)."""
     calls = []
 
     def flaky(e):
@@ -84,7 +152,7 @@ def test_retry_count(broker):
         "t", flaky, SubscriptionOptions(max_retries=2, retry_delay=0)
     )
     broker.publish("t", "x", {})
-    assert len(calls) == 3  # initial + 2 retries
+    assert len(calls) == 2  # attempt 1 + one retry = maxRetries total
 
 
 def test_recovers_on_retry(broker):

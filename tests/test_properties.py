@@ -90,6 +90,52 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         assert got[row.lid] == exp, (row.lid, got[row.lid], exp)
 
 
+@given(left=events_strategy, right=events_strategy)
+@_SET
+def test_asof_join_forward_matches_pandas_merge_asof(spark, left, right):
+    """direction='forward': earliest right row with rts >= ts per key.
+    Right side deduped to one row per (k, rts) up front so the
+    equal-ts pick is well-defined on both engines."""
+    lrows = [(k, _ts(h), i) for i, (k, h, _t, _v) in enumerate(left)]
+    rdedup = {(k, _ts(h)): float(v) for (k, h, _t, v) in right}
+    rrows = [(k, t, v) for (k, t), v in sorted(rdedup.items())]
+    ldf = spark.createDataFrame(
+        lrows, "k bigint, ts timestamp, lid bigint"
+    ) if lrows else spark.createDataFrame([], "k bigint, ts timestamp, lid bigint")
+    rdf = spark.createDataFrame(
+        rrows, "k bigint, rts timestamp, rv double"
+    ) if rrows else spark.createDataFrame([], "k bigint, rts timestamp, rv double")
+
+    got = {
+        r.lid: r.rv
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            right_vals=["rts", "rv"], direction="forward",
+        ).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lid"])
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "rv"])
+    if len(lp) == 0:
+        assert got == {}
+        return
+    if len(rp) == 0:
+        assert all(v is None for v in got.values())
+        return
+    merged = pd.merge_asof(
+        lp.sort_values("ts", kind="mergesort"),
+        rp.sort_values("rts"),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="forward",
+        allow_exact_matches=True,
+    )
+    for _, row in merged.iterrows():
+        exp = None if pd.isna(row.rv) else row.rv
+        assert got[row.lid] == exp, (row.lid, got[row.lid], exp)
+
+
 @given(rows=events_strategy, lo=st.integers(0, 20), span=st.integers(0, 10))
 @_SET
 def test_get_events_filter_semantics(spark, rows, lo, span):
@@ -188,6 +234,43 @@ def test_jaccard_pairs_match_python(spark, docs, threshold):
             jac = round(len(a & b) / len(a | b), 4)
             if jac >= threshold:
                 expected[(i, j)] = jac
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1,
+                 max_size=12).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    ),
+    max_hamming=st.sampled_from([1, 3, 6]),
+)
+@_SET
+def test_simhash_pairs_blocking_has_full_recall(spark, docs, max_hamming):
+    """Pigeonhole blocking must find EXACTLY the brute-force Hamming
+    pairs — the old 4×8-bit/d≤6 scheme failed this (a d=5 pair can
+    differ 2+1+1+1 across four chunks and share none)."""
+    from env_event_stream_spark.operators.dedup import simhash, simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, text string"
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    expected = {}
+    ids = sorted(sigs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            d = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if d <= max_hamming:
+                expected[(a, b)] = d
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            df, "text", "doc_id", max_hamming=max_hamming
+        ).collect()
+    }
     assert got == expected
 
 

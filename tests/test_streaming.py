@@ -78,6 +78,49 @@ def test_streaming_retry_to_dlq(pbroker, tmp_path):
     assert entries[0].error == "handler down"
 
 
+def test_pause_resume_streaming_restarts(pbroker, tmp_path):
+    """T8 upgrade mode: pause() stops the streaming query; resume()
+    RESTARTS it from the same checkpoint, so events published while
+    paused are delivered on resume (not silently never consumed)."""
+    seen = []
+    sid = pbroker.subscribe_streaming(
+        "pr",
+        options=SubscriptionOptions(name="prsub", retry_delay=0),
+        checkpoint=str(tmp_path / "prc"),
+        handler=lambda e: seen.append(e.payload),
+    )
+    pbroker.subscriptions[sid].query.awaitTermination(60)
+    pbroker.pause(sid)
+    pbroker.publish("pr", "a", {"i": 1})  # arrives while paused
+    assert seen == []
+
+    pbroker.resume(sid)
+    q = pbroker.subscriptions[sid].query
+    assert q is not None
+    q.awaitTermination(60)
+    assert seen == ['{"i": 1}']
+
+
+def test_delete_topic_drops_partition_and_dlq(pbroker, tmp_path):
+    """deleteTopic on the parquet broker removes the topic's partition
+    directory and its DLQ entries, leaving other topics intact."""
+    def failing(_):
+        raise RuntimeError("down")
+
+    pbroker.subscribe(
+        "da", failing,
+        SubscriptionOptions(name="dasub", max_retries=1, retry_delay=0),
+    )
+    pbroker.publish("da", "e", {"n": 1})
+    pbroker.publish("db", "e", {"n": 2})
+    assert pbroker.dlq.get_events().count() == 1
+
+    assert pbroker.delete_topic("da") is True
+    assert pbroker.store.get_events("da").count() == 0
+    assert pbroker.dlq.get_events().count() == 0
+    assert pbroker.store.get_events("db").count() == 1
+
+
 def test_vectorized_batch_handler(pbroker, tmp_path):
     """The scale path: DataFrame-in batch handler, no row loop."""
     pbroker.publish_many("v", [("a", {"i": i}, None) for i in range(10)])
