@@ -50,6 +50,10 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_pack_sequences",
     "emb_quantize_int8",
+    # round-2 additions
+    "doc_simhash_pairs",
+    "asof_purchase_next_view",
+    "emb_knn_ivf_trained",
 ]
 
 
@@ -73,6 +77,11 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.count()
         timings[name] = round(time.time() - t0, 3)
+        # drop cached tables a query left behind (e.g. the shared
+        # shingle/band tables in the dedup suite) OFF the clock, so
+        # one query's cache pressure doesn't bill the next — this is
+        # what made doc_minhash_pairs ~2x slower in-suite than cold.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -648,6 +648,33 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_knn_ivf_trained")
+def emb_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with TRAINED centroids: deterministic spherical
+    k-means (seeded by the lowest-id vectors, 5 iterations) replaces
+    the first-n_cells stand-in, so cells follow the data distribution
+    and n_probe probing recovers more true neighbors (recall@k vs the
+    emb_knn_topk ground truth is asserted in tests/test_similarity.py
+    and reported in SCALING.md). Iterative k-means is not
+    SQL-expressible — registered rows-only by design; the plan after
+    training is identical to emb_knn_ivf (broadcast centroids,
+    cell_id equi-join, in-cell exact rerank)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(
+        e, id_col="vec_id", vec_col="embedding", n_cells=10, n_iter=10
+    )
+    return S.knn_ivf(
+        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+        n_cells=10,
+        n_probe=3,
+        centroids=cents,
+    )
+
+
 def _cosine_dedup_oracle() -> str:
     planes = S.hyperplanes()
     return f"""

@@ -30,6 +30,7 @@ __all__ = [
     "lsh_signature",
     "knn_lsh",
     "knn_ivf",
+    "train_ivf_centroids",
     "cosine_dedup_pairs",
 ]
 
@@ -245,6 +246,135 @@ def _nearest_cells(
     )
 
 
+def _spherical_step(U, C, _unit) -> list[list[float]]:
+    """One spherical k-means update from unit vectors U given
+    centroids C: cosine argmax assignment (first max = lowest cell id,
+    matching the probe-side window tie-break), per-cell vector sums,
+    renormalized means; empty cells keep their previous centroid."""
+    import numpy as np
+
+    a = np.argmax(U @ C.T, axis=1)
+    sums = np.zeros(C.shape, dtype=np.float64)
+    np.add.at(sums, a, U)
+    return [
+        _unit(sums[c]) if sums[c].any() else [float(x) for x in C[c]]
+        for c in range(len(C))
+    ]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_iter: int = 5,
+    sample_cap: int | None = 4096,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means coarse quantizer for IVF.
+
+    Seed = the ``n_cells`` lowest-id corpus vectors (reproducible —
+    no RNG); each iteration assigns vectors to their nearest centroid
+    by cosine and replaces each centroid with the renormalized mean
+    of its assigned UNIT vectors (spherical k-means; empty cells keep
+    their previous centroid). Components are rounded to 9dp each
+    iteration and the loop stops early once the rounded model is a
+    fixpoint, so re-runs are bit-identical.
+
+    Training-set shape (the faiss convention): a coarse quantizer
+    needs ~tens of points per cell, not the corpus — by default the
+    ``sample_cap`` lowest-id vectors (one bounded TakeOrdered; the
+    MODEL and sample are O(cap × dim) on the driver regardless of
+    corpus size) are trained in-process with numpy, and the 100 TB
+    corpus is only ever touched by the distributed ASSIGNMENT join in
+    knn_ivf. ``sample_cap=None`` trains on the full corpus instead:
+    per iteration, one Arrow-batched mapInPandas pass computes each
+    partition's per-cell vector sums with a numpy matmul +
+    scatter-add, and only n_partitions × n_cells partial rows reach
+    the driver, reduced in partition-id order so the float summation
+    order — hence the model — stays deterministic. The corpus is
+    never collected and never shuffled on either path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _unit(vec) -> list[float]:
+        n = float(sum(float(x) * float(x) for x in vec)) ** 0.5 or 1.0
+        return [round(float(x) / n, 9) for x in vec]
+
+    if sample_cap is not None:
+        rows = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(sample_cap)
+            .select(as_double(F.col(vec_col)).alias("v"))
+            .collect()
+        )
+        X = np.array([list(r.v) for r in rows], dtype=np.float64)
+        U = np.array([_unit(x) for x in X], dtype=np.float64)
+        cur = [list(u) for u in U[:n_cells]]
+        for _ in range(n_iter):
+            nxt = _spherical_step(U, np.array(cur, dtype=np.float64), _unit)
+            if nxt == cur:
+                break
+            cur = nxt
+        return list(enumerate(cur))
+
+    seed_rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    cents = [(c, _unit(list(r.v))) for c, r in enumerate(seed_rows)]
+    unit = corpus.select(
+        as_double(F.col(vec_col)).alias("v")
+    ).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v")))
+    ).select("u").cache()
+    try:
+        for _ in range(n_iter):
+            C = np.array([vec for _, vec in cents], dtype=np.float64)
+
+            def partials(batches, C=C):
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                sums = np.zeros(C.shape, dtype=np.float64)
+                seen = False
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    U = np.array(pdf["u"].tolist(), dtype=np.float64)
+                    a = np.argmax(U @ C.T, axis=1)
+                    np.add.at(sums, a, U)
+                    seen = True
+                if seen:
+                    yield pd.DataFrame(
+                        {
+                            "pid": np.full(len(C), pid, dtype=np.int64),
+                            "cell_id": np.arange(len(C), dtype=np.int64),
+                            "s": list(sums),
+                        }
+                    )
+
+            parts = unit.mapInPandas(
+                partials, schema="pid bigint, cell_id bigint, s array<double>"
+            ).collect()
+            sums = np.zeros(C.shape, dtype=np.float64)
+            for r in sorted(parts, key=lambda r: (r.cell_id, r.pid)):
+                sums[r.cell_id] += np.asarray(r.s, dtype=np.float64)
+            nxt = [
+                (cid, _unit(sums[cid]) if sums[cid].any() else old)
+                for cid, old in cents
+            ]
+            if nxt == cents:  # converged — rounded model is a fixpoint
+                break
+            cents = nxt
+    finally:
+        unit.unpersist()
+    return cents
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -254,23 +384,35 @@ def knn_ivf(
     k: int = 3,
     n_cells: int = 8,
     n_probe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: a coarse quantizer partitions the corpus into
-    ``n_cells`` inverted lists (here the centroids are the first
-    ``n_cells`` corpus vectors — deterministic stand-in for k-means;
-    swap in trained centroids without touching the plan). Each query
-    probes its ``n_probe`` nearest cells and reranks exactly inside
-    them: candidates shrink ~n_probe/n_cells, and the only shuffle is
-    the equi-join on cell_id. At 100 TB: n_cells ≈ sqrt(N), inverted
-    lists pre-bucketed by cell_id so the probe join is co-located."""
-    cent = (
-        corpus.where(F.col(id_col) < n_cells)
-        .select(
-            F.col(id_col).alias("cell_id"),
-            as_double(F.col(vec_col)).alias("cv"),
+    ``n_cells`` inverted lists. ``centroids`` takes a trained model
+    from ``train_ivf_centroids`` (the recall path); without it the
+    centroids are the first ``n_cells`` corpus vectors — a
+    deterministic, oracle-replayable stand-in with the SAME plan.
+    Each query probes its ``n_probe`` nearest cells and reranks
+    exactly inside them: candidates shrink ~n_probe/n_cells, and the
+    only shuffle is the equi-join on cell_id. At 100 TB: n_cells ≈
+    sqrt(N), inverted lists pre-bucketed by cell_id so the probe
+    join is co-located."""
+    if centroids is not None:
+        cent = (
+            corpus.sparkSession.createDataFrame(
+                centroids, "cell_id int, cv array<double>"
+            )
+            .withColumn("cell_id", F.col("cell_id").cast("bigint"))
+            .withColumn("cn", l2_norm(F.col("cv")))
         )
-        .withColumn("cn", l2_norm(F.col("cv")))
-    )
+    else:
+        cent = (
+            corpus.where(F.col(id_col) < n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"),
+                as_double(F.col(vec_col)).alias("cv"),
+            )
+            .withColumn("cn", l2_norm(F.col("cv")))
+        )
     inv = _nearest_cells(
         corpus, cent, id_out="neighbor_id", id_col=id_col, vec_col=vec_col,
         n_probe=1,

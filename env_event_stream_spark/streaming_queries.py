@@ -67,13 +67,21 @@ def evt_live_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
     )
 
-    final: dict = {}
-
-    def sink(df: DataFrame, _epoch: int) -> None:
-        for r in df.collect():
-            final[r.user_id] = (r.version, r.balance)
-
+    # Scale path: each micro-batch's state updates are APPENDED to a
+    # parquet table by the executors — nothing is collected to the
+    # driver (a driver-dict accumulator would cap the operator at
+    # driver memory; this sink is O(keys) on disk, O(1) on the
+    # driver). The final per-key state is the row from the latest
+    # epoch, recovered with one window over the (keys × epochs) sink
+    # table.
     ckpt = tempfile.mkdtemp(prefix="fold_ckpt_")
+    sink_dir = tempfile.mkdtemp(prefix="fold_sink_")
+
+    def sink(df: DataFrame, epoch: int) -> None:
+        df.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
+            sink_dir
+        )
+
     q = (
         out.writeStream.foreachBatch(sink)
         .outputMode("update")
@@ -82,9 +90,13 @@ def evt_live_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    rows = [(uid, v, b) for uid, (v, b) in final.items()]
-    res = spark.createDataFrame(
-        rows, "user_id bigint, version bigint, balance double"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("_epoch").desc())
+    res = (
+        spark.read.parquet(sink_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
     )
     return res.select(
         "user_id", "version", F.round("balance", 4).alias("balance")

@@ -101,9 +101,28 @@ def test_asof_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_forward_no_cartesian(spark, sf_dir):
+    """Forward as-of mirrors backward: union + first-over-following-
+    frame window, never a cross product or per-row loop join."""
+    plan = _plan(spark, sf_dir, "asof_purchase_next_view")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_never_crosses_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_minhash_pairs")
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_signature_is_shuffle_free_map(spark, sf_dir):
+    """The SimHash signature is a per-row map: it must run as
+    mapInPandas with NO exchange/aggregate before the pair join's
+    block-key equi-join — the token table never shuffles."""
+    plan = _plan(spark, sf_dir, "doc_simhash")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # signature alone: zero shuffles
+    pairs_plan = _plan(spark, sf_dir, "doc_simhash_pairs")
+    assert "CartesianProduct" not in pairs_plan
 
 
 @pytest.mark.parametrize("name", ["tpch_q17_small_qty_avg", "tpch_q22_dormant_rich"])

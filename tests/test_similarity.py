@@ -1,0 +1,82 @@
+"""IVF coarse-quantizer training: determinism, model shape, and
+recall@k of the trained quantizer against the brute-force ground
+truth (emb_knn_topk's knn_exact). The trained path is registered
+rows-only in the catalog (iterative k-means is not SQL-expressible),
+so THIS file is its correctness gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import env_event_stream_spark.operators.similarity as S
+from env_event_stream_spark.tables import load_table
+
+_CELLS, _ITER, _PROBE, _K = 10, 10, 3, 3
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_train_ivf_centroids_deterministic_unit_model(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    a = S.train_ivf_centroids(
+        e, id_col="vec_id", vec_col="embedding", n_cells=_CELLS, n_iter=3
+    )
+    b = S.train_ivf_centroids(
+        e, id_col="vec_id", vec_col="embedding", n_cells=_CELLS, n_iter=3
+    )
+    # 9dp rounding inside the trainer makes re-runs bit-identical
+    # despite distributed float-summation-order jitter
+    assert a == b
+    assert len(a) == _CELLS
+    dim = len(a[0][1])
+    for cid, vec in a:
+        assert len(vec) == dim
+        assert abs(sum(x * x for x in vec) - 1.0) < 1e-6  # unit sphere
+
+
+def test_ivf_training_paths_agree(spark, sf_dir):
+    """The driver-local sampled path (default, faiss-style bounded
+    training set) and the distributed full-corpus mapInPandas path
+    must produce the same model on a corpus that fits the cap — the
+    only difference is where the float sums run."""
+    e = load_table(spark, sf_dir, "embeddings")
+    kw = dict(id_col="vec_id", vec_col="embedding", n_cells=4, n_iter=3)
+    sampled = S.train_ivf_centroids(e, **kw)
+    full = S.train_ivf_centroids(e, sample_cap=None, **kw)
+    assert [c for c, _ in sampled] == [c for c, _ in full]
+    for (_, a), (_, b) in zip(sampled, full):
+        assert len(a) == len(b)
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-6
+
+
+def test_ivf_trained_recall_vs_ground_truth(spark, sf_dir):
+    """recall@3 of the trained quantizer >= the untrained
+    first-n_cells stand-in, and above an absolute floor — measured
+    against exact brute-force cosine top-k (the emb_knn_topk path)."""
+    e = load_table(spark, sf_dir, "embeddings").cache()
+    try:
+        q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+        kw = dict(id_col="vec_id", vec_col="embedding", k=_K)
+        truth = _pairs(S.knn_exact(q, e, **kw))
+        assert truth
+        cents = S.train_ivf_centroids(
+            e, id_col="vec_id", vec_col="embedding",
+            n_cells=_CELLS, n_iter=_ITER,
+        )
+        trained = _pairs(
+            S.knn_ivf(q, e, n_cells=_CELLS, n_probe=_PROBE,
+                      centroids=cents, **kw)
+        )
+        untrained = _pairs(
+            S.knn_ivf(q, e, n_cells=_CELLS, n_probe=_PROBE, **kw)
+        )
+        r_tr = len(trained & truth) / len(truth)
+        r_un = len(untrained & truth) / len(truth)
+        # sf0.001: trained 0.600 vs untrained 0.567;
+        # sf0.01:  trained 0.700 vs untrained 0.633
+        assert r_tr >= r_un, (r_tr, r_un)
+        assert r_tr >= 0.55, r_tr
+    finally:
+        e.unpersist()
