@@ -535,6 +535,62 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flip_sql(sig: str, positions: list[int], n: int) -> str:
+    """SQL string-expression flipping the given 1-based '0'/'1'
+    characters — the oracle twin of operators.similarity._flip_bits."""
+    if not positions:
+        return sig
+    parts, prev = [], 1
+    for p in positions:
+        if p > prev:
+            parts.append(f"substr({sig},{prev},{p - prev})")
+        parts.append(f"(CASE WHEN substr({sig},{p},1)='1' THEN '0' ELSE '1' END)")
+        prev = p + 1
+    if prev <= n:
+        parts.append(f"substr({sig},{prev},{n - prev + 1})")
+    return "(" + " || ".join(parts) + ")"
+
+
+def _knn_lsh_multiprobe_oracle(n_planes: int = 8, n_flips: int = 2) -> str:
+    planes = S.hyperplanes(n_planes)
+    flips = ", ".join(
+        _flip_sql("lsh_sig", pos, n_planes)
+        for pos in S.probe_signatures(n_planes, n_flips)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
+    probes AS (SELECT vec_id AS query_id, e AS qv,
+                      unnest([{flips}]) AS lsh_sig
+               FROM sig WHERE vec_id < 10),
+    s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 {_COSINE_SQL.format(a="qv", b="c.e")} AS csim
+          FROM probes JOIN sig c USING (lsh_sig)
+          WHERE query_id <> c.vec_id),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                 round(csim, 6) AS sim
+          FROM s)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3
+    """
+
+
+@query("emb_knn_lsh_multiprobe", _knn_lsh_multiprobe_oracle())
+def emb_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-3 (Lv et al., VLDB'07 shape): each
+    query probes every bucket within Hamming distance 2 of its own
+    8-bit signature (37 probes), then one exact rerank. Recovers the
+    near neighbors that straddle a hyperplane or two — the dominant
+    single-set LSH failure — while the corpus side keeps ONE
+    signature row per vector; only the small query set explodes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_lsh_multiprobe(
+        e.where(F.col("vec_id") < 10), e,
+        id_col="vec_id", vec_col="embedding", k=3, n_flips=2,
+    )
+
+
 @query(
     "doc_quality_score",
     r"""
@@ -834,6 +890,52 @@ def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.cosine_dedup_pairs(
         e, id_col="vec_id", vec_col="embedding", threshold=0.3
+    )
+
+
+def _emb_dup_clusters_oracle() -> str:
+    planes = S.hyperplanes()
+    return f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
+    p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM sig x JOIN sig y USING (lsh_sig)
+          WHERE x.vec_id < y.vec_id
+            AND {_COSINE_SQL.format(a="x.e", b="y.e")} >= 0.3),
+    edges AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p),
+    comp(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+    )
+    SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS component
+    FROM comp GROUP BY node
+    """
+
+
+@query("emb_dup_clusters", _emb_dup_clusters_oracle())
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup ENDGAME: cosine near-dup pairs (the
+    emb_cosine_dedup LSH-bucketed candidates, exact cosine >= 0.3)
+    become a graph; connected components (operators/graph.py
+    min-label propagation — one equi-join + grouped min per round,
+    localCheckpoint-truncated lineage) assign each vector its
+    cluster id = the smallest vec_id reachable. Keep one vector per
+    component. The oracle replays the transitive closure with a
+    recursive CTE, so the cross-check covers the semantic-dedup
+    composition end to end."""
+    from env_event_stream_spark.operators.graph import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_dedup_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").cast("bigint").alias("component"),
     )
 
 

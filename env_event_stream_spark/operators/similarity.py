@@ -29,21 +29,27 @@ __all__ = [
     "knn_pandas",
     "lsh_signature",
     "knn_lsh",
+    "knn_lsh_multiprobe",
     "knn_ivf",
     "train_ivf_centroids",
     "cosine_dedup_pairs",
 ]
 
 
-def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+def hyperplanes(
+    n_planes: int = 8, dim: int = 64, *, salt: str = ""
+) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) is
-    derived from md5(f"{p}:{d}") mapped to [-1, 1). Reproducible in
-    any engine/language — the oracle embeds the same constants."""
+    derived from md5(f"{salt}{p}:{d}") mapped to [-1, 1). Reproducible
+    in any engine/language — the oracle embeds the same constants.
+    ``salt`` yields independent plane sets for multi-probe LSH."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            h = int(
+                hashlib.md5(f"{salt}{p}:{d}".encode()).hexdigest()[:8], 16
+            )
             row.append(round(h / 2**31 - 1.0, 9))
         planes.append(row)
     return planes
@@ -138,6 +144,107 @@ def knn_lsh(
     ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         q.join(c, "lsh_sig")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def probe_signatures(n_planes: int, n_flips: int) -> list[list[int]]:
+    """All bit-position subsets of size <= n_flips (1-based positions)
+    — the probe sequence of multi-probe LSH. Shared by the Spark
+    operator and the DuckDB oracle generator."""
+    from itertools import combinations
+
+    out: list[list[int]] = []
+    for r in range(n_flips + 1):
+        out.extend(list(c) for c in combinations(range(1, n_planes + 1), r))
+    return out
+
+
+def _flip_bits(sig: Column, positions: list[int], n_planes: int) -> Column:
+    """Flip the given 1-based character positions of a '0'/'1'
+    signature string — pure literal-position substring ops."""
+    if not positions:
+        return sig
+    parts: list[Column] = []
+    prev = 1
+    for p in positions:
+        if p > prev:
+            parts.append(F.substring(sig, prev, p - prev))
+        parts.append(
+            F.when(F.substring(sig, p, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            )
+        )
+        prev = p + 1
+    if prev <= n_planes:
+        parts.append(F.substring(sig, prev, n_planes - prev + 1))
+    return F.concat(*parts)
+
+
+def knn_lsh_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_flips: int = 2,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB'07 shape): the QUERY side
+    probes every bucket within Hamming distance ``n_flips`` of its
+    own signature (all <=n_flips bit-flip variants, generated with
+    literal-position string ops), then candidates are deduped and
+    exactly reranked. Near neighbors that straddle a few hyperplanes
+    — the single-set LSH misses — are recovered without touching the
+    corpus side: the corpus keeps ONE signature row per vector and
+    the probe explosion multiplies only the (contractually small)
+    query set by sum(C(n_planes, 0..n_flips)) (= 37 probes at 8
+    planes / 2 flips). Still no cross product anywhere."""
+    planes = hyperplanes(n_planes, dim)
+    q = lsh_signature(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        vec_col=vec_col,
+        planes=planes,
+    ).select(
+        "query_id", as_double(F.col(vec_col)).alias("qv"), "lsh_sig"
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    probes = q.select(
+        "query_id",
+        "qv",
+        "qn",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        _flip_bits(F.col("lsh_sig"), pos, n_planes)
+                        for pos in probe_signatures(n_planes, n_flips)
+                    ]
+                )
+            )
+        ).alias("lsh_sig"),
+    )
+    c = lsh_signature(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        vec_col=vec_col,
+        planes=planes,
+    ).select(
+        "neighbor_id", as_double(F.col(vec_col)).alias("cv"), "lsh_sig"
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    scored = (
+        probes.join(c, "lsh_sig")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))

@@ -51,6 +51,25 @@ def test_ivf_training_paths_agree(spark, sf_dir):
         assert max(abs(x - y) for x, y in zip(a, b)) < 1e-6
 
 
+def test_multiprobe_lsh_recall_dominates_single_set(spark, sf_dir):
+    """Bit-flip probing must strictly contain the single-set LSH
+    candidate space (flips=0 IS the single set), so recall is
+    monotone in n_flips and >= the plain knn_lsh recall. Measured at
+    sf0.01: single 0.07 -> flips=1 0.17 -> flips=2 0.40 -> 0.77."""
+    e = load_table(spark, sf_dir, "embeddings").cache()
+    try:
+        q = e.where(F.col("vec_id") < 10)
+        kw = dict(id_col="vec_id", vec_col="embedding", k=_K)
+        truth = _pairs(S.knn_exact(q, e, **kw))
+        single = len(_pairs(S.knn_lsh(q, e, **kw)) & truth)
+        r0 = len(_pairs(S.knn_lsh_multiprobe(q, e, n_flips=0, **kw)) & truth)
+        r2 = len(_pairs(S.knn_lsh_multiprobe(q, e, n_flips=2, **kw)) & truth)
+        assert r0 == single  # zero flips degenerates to single-set LSH
+        assert r2 >= r0
+    finally:
+        e.unpersist()
+
+
 def test_ivf_trained_recall_vs_ground_truth(spark, sf_dir):
     """recall@3 of the trained quantizer >= the untrained
     first-n_cells stand-in, and above an absolute floor — measured
