@@ -1208,3 +1208,129 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("component").cast("bigint").alias("component"),
     )
+
+
+@query(
+    "doc_dedup_survivors",
+    "WITH RECURSIVE "
+    + _JACCARD_CTES.lstrip()
+    + """,
+    edges AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.5
+              UNION
+              SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+    comp(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+    ),
+    cm AS (SELECT node, min(label) AS component FROM comp GROUP BY node)
+    SELECT d.doc_id,
+           CAST(CASE WHEN cm.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS was_clustered
+    FROM documents d
+    LEFT JOIN cm ON cm.node = d.doc_id
+    WHERE cm.node IS NULL OR cm.component = d.doc_id
+    """,
+)
+def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup KEEP-LIST — what a pipeline actually writes out:
+    every document that either never appeared in a near-dup pair or
+    is its cluster's head (smallest doc_id in the component).
+    Composition: jaccard pairs → connected components → anti-join
+    the non-heads out of the corpus. The corpus-sized frame is
+    touched by one left join on doc_id; the component table is
+    near-dup-sized (tiny relative to the corpus)."""
+    from env_event_stream_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = d.select("doc_id").join(
+        comp, d["doc_id"] == comp["node"], "left"
+    )
+    return out.where(
+        F.col("node").isNull() | (F.col("component") == F.col("doc_id"))
+    ).select(
+        "doc_id",
+        F.when(F.col("node").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("was_clustered"),
+    )
+
+
+@query(
+    "doc_unigram_logprob",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+    vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(cnt * 1.0 / n)), 4) AS avg_logprob
+    FROM tok JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: train a unigram LM on the
+    corpus itself (token counts / total) and score each document by
+    its mean token log-probability — the cheap first-pass filter for
+    gibberish/boilerplate before an expensive model-based scorer.
+    Plan: one explode → token-count agg (map-side combined), counts
+    broadcast back onto the token stream, one grouped avg per doc.
+    The corpus-sized token frame shuffles once (the doc_id agg);
+    vocabulary and total are broadcast — at 100 TB trim the vocab
+    tail with a df_cap the same way the dedup shingle tables do."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = t.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = t.agg(F.count("*").alias("n"))
+    return (
+        t.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") * 1.0 / F.col("n"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+@query(
+    "doc_stratified_sample",
+    """
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rank
+      FROM documents)
+    SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 20
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: exactly 20 documents per
+    source stratum, chosen by md5(doc_id) order — reproducible in any
+    engine (no RNG state), unbiased w.r.t. document content, and
+    stable under corpus growth for the already-sampled ids. One
+    window per stratum key; at 100 TB prefer this over
+    df.sampleBy(), whose per-partition Bernoulli draws neither hit
+    exact quotas nor replay across engines."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 20)
+        .select("source", "doc_id", "rank")
+    )

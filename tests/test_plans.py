@@ -133,6 +133,15 @@ def test_decorrelated_subqueries_stay_joins(spark, sf_dir, name):
     assert "Join" in opt
 
 
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The unigram LM score joins the corpus-sized token stream to
+    the vocabulary — the vocab side must broadcast (it's model-sized,
+    the token stream is corpus-sized and must not shuffle for it)."""
+    plan = _plan(spark, sf_dir, "doc_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     """Decontamination must probe broadcast eval shingles — the corpus
     side never shuffles for the candidate join (benchmarks are KBs,
