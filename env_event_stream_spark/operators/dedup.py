@@ -386,7 +386,17 @@ def simhash(
                 sims.append(val)
             yield pd.DataFrame({id_col: ids, "simhash": sims})
 
-    return df.select(id_col, text_col).mapInPandas(sig, schema=out_schema)
+    src = df.select(id_col, text_col)
+    # a map-only pass is bounded by input parallelism: a small/
+    # single-file local table would pin the whole signature pass to
+    # one core. If the scan has fewer partitions than the cluster
+    # has slots, spread it first (measured 5.6s -> 2.3s at sf0.1);
+    # on a real multi-file 100 TB table the condition is false and
+    # no shuffle is added.
+    slots = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < slots:
+        src = src.repartition(slots)
+    return src.mapInPandas(sig, schema=out_schema)
 
 
 def simhash_pairs(

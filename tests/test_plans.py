@@ -116,11 +116,16 @@ def test_minhash_never_crosses_corpus(spark, sf_dir):
 
 def test_simhash_signature_is_shuffle_free_map(spark, sf_dir):
     """The SimHash signature is a per-row map: it must run as
-    mapInPandas with NO exchange/aggregate before the pair join's
-    block-key equi-join — the token table never shuffles."""
+    mapInPandas with no data-dependent shuffle — no hash/range
+    exchange, no aggregate — before the pair join's block-key
+    equi-join. (A RoundRobin exchange is permitted: that's the
+    deliberate small-input parallelism spread, a no-op on real
+    multi-file tables.)"""
     plan = _plan(spark, sf_dir, "doc_simhash")
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan  # signature alone: zero shuffles
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "HashAggregate" not in plan
     pairs_plan = _plan(spark, sf_dir, "doc_simhash_pairs")
     assert "CartesianProduct" not in pairs_plan
 
