@@ -1301,6 +1301,63 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle() -> str:
+    from env_event_stream_spark.functions.text import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return rf"""
+    WITH b AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(text, '{pat}'),
+                         t -> trim(t) <> '') AS bt,
+             string_split_regex(trim(text), '\s+') AS wt
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(wt) AS BIGINT) AS n_ws_tokens,
+           CAST(len(bt) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(bt)) AS BIGINT) AS n_uniq_bpe,
+           round(CASE WHEN len(bt) = 0 THEN 0.0
+                 ELSE list_sum(list_transform(bt, t -> len(t))) * 1.0 / len(bt)
+                 END, 4) AS avg_bpe_len
+    FROM b
+    """
+
+
+@query("doc_bpe_token_stats", _bpe_oracle())
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token accounting: whitespace count vs the GPT-2-ish
+    pre-tokenizer count (functions/text.py:bpe_pretokens — the
+    merge-free first stage of byte-level BPE; the right unit for
+    sequence-packing budgets and training-cost estimates when the
+    real tokenizer isn't available in-engine). Pure per-row regexp +
+    array expressions — embarrassingly parallel, zero shuffles; the
+    regex is restricted to syntax Java regex and RE2 interpret
+    identically, so the DuckDB oracle replays the exact token
+    stream."""
+    from env_event_stream_spark.functions.text import bpe_pretokens
+
+    d = load_table(spark, sf_dir, "documents")
+    bt = bpe_pretokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        F.size(bt).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bt)).cast("bigint").alias("n_uniq_bpe"),
+        F.round(
+            F.when(F.size(bt) == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    F.transform(bt, lambda t: F.length(t)),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                )
+                * 1.0
+                / F.size(bt)
+            ),
+            4,
+        ).alias("avg_bpe_len"),
+    )
+
+
 @query(
     "doc_stratified_sample",
     """
