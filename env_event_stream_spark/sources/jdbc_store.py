@@ -96,3 +96,52 @@ class JdbcEventStore:
         for k, v in self.options.items():
             w = w.option(k, v)
         w.save()
+
+    # -- deletes -----------------------------------------------------------
+    # Spark's JDBC source is read/append-only; deletes go through one
+    # driver-side JDBC statement (exactly the reference's
+    # parameterized DELETE, src/persistence.ts:404-425). The database
+    # does the work via its topic/timestamp indexes — nothing is
+    # scanned into Spark.
+
+    def _execute_update(self, sql: str, params: Sequence) -> int:
+        jvm = self.spark._jvm
+        driver = self.options.get("driver")
+        if driver:  # embedded drivers (Derby) need explicit registration
+            jvm.java.lang.Class.forName(driver)
+        user = self.options.get("user")
+        password = self.options.get("password")
+        if user is not None:
+            conn = jvm.java.sql.DriverManager.getConnection(
+                self.url, user, password or ""
+            )
+        else:
+            conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            ps = conn.prepareStatement(sql)
+            try:
+                for i, p in enumerate(params):
+                    ps.setObject(i + 1, p)
+                return ps.executeUpdate()
+            finally:
+                ps.close()
+        finally:
+            conn.close()
+
+    def delete_events(self, topic: str, before_ts: int) -> int:
+        """Retention: remove a topic's events strictly before the
+        cutoff (reference deleteEvents semantics). Returns rows
+        deleted. Column identifiers are quoted because Spark's JDBC
+        writer quotes them at CREATE time (case-sensitive lowercase
+        on Derby; a no-op on Postgres)."""
+        return self._execute_update(
+            f'DELETE FROM {self.table} WHERE "topic" = ?'
+            ' AND "timestamp" < ?',
+            [topic, before_ts],
+        )
+
+    def delete_topic(self, topic: str) -> int:
+        """Drop every event of a topic (broker deleteTopic)."""
+        return self._execute_update(
+            f'DELETE FROM {self.table} WHERE "topic" = ?', [topic]
+        )

@@ -126,6 +126,15 @@ def test_jdbc_store_roundtrip_derby(spark, tmp_path):
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     # '*' marks filters the database applied (not re-checked by Spark)
     assert "*EqualTo(topic,web)" in plan
+
+    # deletes run as ONE driver-side parameterized JDBC statement
+    # (reference src/persistence.ts:404-425) — nothing scanned into
+    # Spark. Strictly-before retention cutoff, then whole-topic drop.
+    assert store.delete_events("web", 1200) == 2  # e4 (50), e1 (1000)
+    assert store.delete_topic("app") == 1  # e3
+    left = {r.id for r in store.get_events("web").collect()}
+    assert left == {"e2", "e5"}
+    assert store.get_events("app").count() == 0
     assert "*GreaterThanOrEqual(timestamp,500)" in plan
 
 
