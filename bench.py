@@ -54,6 +54,8 @@ HEADLINE = [
     "doc_simhash_pairs",
     "asof_purchase_next_view",
     "emb_knn_ivf_trained",
+    "doc_unigram_logprob",
+    "doc_bpe_token_stats",
 ]
 
 
