@@ -883,6 +883,84 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bsig_sql(e: str, bits: int = 64) -> str:
+    """Sign-bit packing in SQL: bit d set iff {e}[d+1] > 0. Bit 63 is
+    the signed min-long literal (DuckDB's 1<<63 overflows; the
+    literal is the same two's-complement pattern Spark's shiftleft
+    produces)."""
+    terms = []
+    for d in range(bits):
+        val = "-9223372036854775808" if d == 63 else str(1 << d)
+        terms.append(
+            f"(CASE WHEN {e}[{d + 1}] > 0 THEN CAST({val} AS BIGINT)"
+            " ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "emb_quantize_binary",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id,
+           {_bsig_sql("e")} AS bsig,
+           CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM v
+    """,
+)
+def emb_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization: 64 sign bits packed into ONE bigint per
+    vector — 64x smaller than float64, the compression behind
+    Hamming-prefilter vector search (emb_knn_binary). Row-local, zero
+    shuffles; the oracle replays the exact packing including the
+    sign-bit-63 two's-complement pattern."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        S.binary_signature(v).alias("bsig"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+    )
+
+
+def _knn_binary_oracle(k: int = 3, shortlist: int = 32) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_bsig_sql("e")} AS bsig FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qv, bsig AS qsig FROM sig
+          WHERE vec_id < 10),
+    h AS (SELECT query_id, c.vec_id AS neighbor_id, qv, c.e AS cv,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY bit_count(xor(qsig, c.bsig)) ASC,
+                            c.vec_id ASC) AS hrn
+          FROM q JOIN sig c ON query_id <> c.vec_id),
+    s AS (SELECT query_id, neighbor_id,
+                 {_COSINE_SQL.format(a="qv", b="cv")} AS csim
+          FROM h WHERE hrn <= {shortlist}),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                 round(csim, 6) AS sim
+          FROM s)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
+    """
+
+
+@query("emb_knn_binary", _knn_binary_oracle())
+def emb_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized KNN with exact rescoring (the vector-DB
+    BQ+rescore pattern): XOR+popcount on packed sign bits shortlists
+    32 candidates per query, exact cosine reranks to top-3. The
+    Hamming scan streams the corpus once past broadcast query
+    signatures at ~1/64 the bytes of a float scan; only
+    |Q|x32 rows reach the float rerank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_binary(
+        e.where(F.col("vec_id") < 10), e,
+        id_col="vec_id", vec_col="embedding", k=3, shortlist=32,
+    )
+
+
 @query("emb_cosine_dedup", _cosine_dedup_oracle())
 def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucketed candidates + exact

@@ -32,6 +32,8 @@ __all__ = [
     "knn_lsh_multiprobe",
     "knn_ivf",
     "train_ivf_centroids",
+    "binary_signature",
+    "knn_binary",
     "cosine_dedup_pairs",
 ]
 
@@ -537,6 +539,89 @@ def knn_ivf(
             "sim",
             dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cenrm")),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def binary_signature(vec: "Column", *, bits: int = 64):
+    """Pack the sign bits of the first ``bits`` vector components
+    into ONE bigint (bit d set iff component d > 0) — binary
+    quantization, 64x smaller than float64 vectors. shiftleft is an
+    unchecked bit op, so bit 63 lands in the sign bit without ANSI
+    overflow; comparisons only ever use XOR/bit_count, which are
+    sign-agnostic."""
+    if bits > 64:
+        raise ValueError("binary_signature packs at most 64 bits")
+    sig = F.lit(0).cast("bigint")
+    for d in range(bits):
+        sig = sig + F.when(
+            F.element_at(vec, d + 1) > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), d),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def knn_binary(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    shortlist: int = 32,
+    bits: int = 64,
+) -> DataFrame:
+    """Binary-quantized KNN with exact rescoring (the vector-DB
+    BQ+rescore pattern): Hamming distance between packed sign bits
+    shortlists ``shortlist`` candidates per query, then exact cosine
+    reranks the shortlist to top-``k``.
+
+    Scale shape: the Hamming scan IS a query×corpus pass, but each
+    pair costs one XOR + popcount on a single int64 instead of a
+    ``dim``-element float dot — the corpus is streamed once past the
+    broadcast query signatures at ~1/64 the bytes and a fraction of
+    the FLOPs, and only |Q|×shortlist rows ever reach the float
+    rerank. The right tool when queries are few and IVF/LSH recall
+    is not acceptable."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qsig", binary_signature(F.col("qv"), bits=bits)).withColumn(
+        "qn", l2_norm(F.col("qv"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("csig", binary_signature(F.col("cv"), bits=bits)).withColumn(
+        "cn", l2_norm(F.col("cv"))
+    )
+    hammed = (
+        c.crossJoin(F.broadcast(q.select("query_id", "qsig")))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("csig").bitwiseXOR(F.col("qsig"))),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        hammed.withColumn("hrn", F.row_number().over(wl))
+        .where(F.col("hrn") <= shortlist)
+        .select("query_id", "neighbor_id", "cv", "cn")
+    )
+    scored = short.join(
+        F.broadcast(q.select("query_id", "qv", "qn")), "query_id"
+    ).withColumn(
+        "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

@@ -70,6 +70,24 @@ def test_multiprobe_lsh_recall_dominates_single_set(spark, sf_dir):
         e.unpersist()
 
 
+def test_binary_quantized_knn_recall(spark, sf_dir):
+    """BQ+rescore: 64 sign bits + Hamming shortlist-32 + exact rerank
+    must beat the bucketed ANN paths on recall (it scans everything,
+    just cheaper). Measured: 0.63 (sf0.001) / 0.80 (sf0.01)."""
+    e = load_table(spark, sf_dir, "embeddings").cache()
+    try:
+        q = e.where(F.col("vec_id") < 10)
+        kw = dict(id_col="vec_id", vec_col="embedding", k=_K)
+        truth = _pairs(S.knn_exact(q, e, **kw))
+        bq = _pairs(S.knn_binary(q, e, shortlist=32, **kw))
+        assert len(bq & truth) / len(truth) >= 0.6
+        # shortlist = corpus degenerates to exact: recall 1.0
+        full = _pairs(S.knn_binary(q, e, shortlist=10_000, **kw))
+        assert full == truth
+    finally:
+        e.unpersist()
+
+
 def test_ivf_trained_recall_vs_ground_truth(spark, sf_dir):
     """recall@3 of the trained quantizer >= the untrained
     first-n_cells stand-in, and above an absolute floor — measured
