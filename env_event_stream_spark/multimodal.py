@@ -59,6 +59,7 @@ __all__ = [
     "DECODED_DDL",
     "with_media_schema",
     "decode",
+    "resize",
     "frame_sample",
 ]
 
@@ -135,6 +136,49 @@ def decode(media: DataFrame) -> DataFrame:
             yield _decode_batch(pdf)
 
     return media.mapInPandas(run, schema=DECODED_DDL)
+
+
+def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize plumbing: aspect-preserving fit into a
+    ``max_side`` bounding box. Target dims use INTEGER math only
+    (dst = src * max_side // longest_side) so the plan is
+    bit-reproducible in any engine; the stub stamps a sha of
+    (bytes + target dims) where a real codec would emit resized
+    bytes. Same mapInPandas shape as decode() — embarrassingly
+    parallel, constant memory, zero shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = _decode_batch(pdf)
+            content = pdf["content"].map(lambda b: b or b"")
+            w = dec["width"].astype("int64")
+            h = dec["height"].astype("int64")
+            longest = w.where(w >= h, h)
+            over = longest > max_side
+            dst_w = w.where(~over, (w * max_side // longest)).clip(lower=1)
+            dst_h = h.where(~over, (h * max_side // longest)).clip(lower=1)
+            sha = [
+                hashlib.sha256(c + f"{dw}x{dh}".encode()).hexdigest()
+                for c, dw, dh in zip(content, dst_w, dst_h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": dec["media_id"],
+                    "src_w": w.astype("int32"),
+                    "src_h": h.astype("int32"),
+                    "dst_w": dst_w.astype("int32"),
+                    "dst_h": dst_h.astype("int32"),
+                    "resized_sha": sha,
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, src_w int, src_h int,"
+            " dst_w int, dst_h int, resized_sha string"
+        ),
+    )
 
 
 def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:

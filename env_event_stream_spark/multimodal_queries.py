@@ -116,6 +116,53 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_resize",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             {_KIND_SQL} AS kind, text
+      FROM documents),
+    d AS (
+      SELECT media_id, text,
+             ('0x' || substr(sha256(text), 1, 8))::BIGINT AS h
+      FROM m WHERE kind = 'image'),
+    dims AS (
+      SELECT media_id, text,
+             CAST(16 + h % 4096 AS BIGINT) AS w,
+             CAST(16 + (h // 4096) % 4096 AS BIGINT) AS hh
+      FROM d),
+    fit AS (
+      SELECT media_id, text, w, hh,
+             greatest(w, hh) AS longest
+      FROM dims)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS src_w,
+           CAST(hh AS INTEGER) AS src_h,
+           CAST(greatest(CASE WHEN longest > 256
+                         THEN w * 256 // longest ELSE w END, 1)
+                AS INTEGER) AS dst_w,
+           CAST(greatest(CASE WHEN longest > 256
+                         THEN hh * 256 // longest ELSE hh END, 1)
+                AS INTEGER) AS dst_h,
+           sha256(text || printf('%dx%d',
+             greatest(CASE WHEN longest > 256
+                      THEN w * 256 // longest ELSE w END, 1),
+             greatest(CASE WHEN longest > 256
+                      THEN hh * 256 // longest ELSE hh END, 1)))
+             AS resized_sha
+    FROM fit
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage: aspect-preserving fit into a 256px box
+    with INTEGER-only target math (src * 256 // longest) so the
+    oracle replays it exactly; the stub stamps sha256(bytes +
+    'WxH') where a real codec would emit resized bytes. Same
+    mapInPandas shape as decode — no shuffle, no driver."""
+    return MM.resize(_media_frame(spark, sf_dir), max_side=256)
+
+
+@query(
     "mm_kind_stats",
     f"""
     WITH m AS (

@@ -209,10 +209,7 @@ def minhash_signatures(
             F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("sh"),
         )
     )
-    hv = (
-        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
-        % MINHASH_P
-    )
+    hv = _hex32_to_long(F.md5(F.col("sh"))) % MINHASH_P
     sh = sh.select(F.col(id_col), hv.alias("hv"))
     aggs = [
         F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_P).alias(f"h{s}")

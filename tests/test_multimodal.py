@@ -14,6 +14,7 @@ from env_event_stream_spark.multimodal import (
     decode,
     decode_real,
     frame_sample,
+    resize,
 )
 
 
@@ -56,3 +57,21 @@ def test_frame_sample_only_video(media):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image")
+
+
+def test_resize_fits_box_preserves_aspect(media):
+    out = {r.media_id: r for r in resize(media, max_side=64).collect()}
+    assert set(out) == {1}  # images only
+    r = out[1]
+    assert max(r.dst_w, r.dst_h) <= 64
+    assert r.dst_w >= 1 and r.dst_h >= 1
+    # integer aspect-fit: dst = src * max_side // longest
+    longest = max(r.src_w, r.src_h)
+    if longest > 64:
+        assert r.dst_w == r.src_w * 64 // longest
+        assert r.dst_h == r.src_h * 64 // longest
+    else:
+        assert (r.dst_w, r.dst_h) == (r.src_w, r.src_h)
+    # deterministic across runs
+    again = {x.media_id: x for x in resize(media, max_side=64).collect()}
+    assert again[1].resized_sha == r.resized_sha
