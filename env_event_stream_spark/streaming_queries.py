@@ -103,6 +103,68 @@ def evt_live_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "evt_stream_tumbling_counts",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windowed aggregation on the REAL streaming path:
+    readStream → F.window(1 day) groupBy → complete-mode foreachBatch
+    that OVERWRITES a parquet table each epoch (the continuously-
+    maintained materialized view shape; the final epoch is the full
+    answer). Oracled against the plain batch GROUP BY — parity of
+    the streaming and batch window semantics IS the test, on the
+    executor path, not a pytest harness. Complete mode keeps
+    O(windows × types) state, bounded here by design; the
+    append+watermark variant for unbounded keyspaces is
+    streaming/windows.py."""
+    import tempfile as _tf
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    sink_dir = _tf.mkdtemp(prefix="tumble_sink_")
+    ckpt = _tf.mkdtemp(prefix="tumble_ckpt_")
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        df.write.mode("overwrite").parquet(sink_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink_dir)
+
+
 @query("evt_fold_incremental", _FOLD_ORACLE)
 def evt_fold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot + incremental rehydrate, verified against the SAME
