@@ -17,6 +17,7 @@ from env_event_stream_spark.functions.text import (
     fingerprint,
     ngram_repetition,
     quality_metrics,
+    shingles_from_tokens,
     token_count,
     tokens,
 )
@@ -325,6 +326,55 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 97 == 0
     return D.contamination_hits(
         d.where(~is_eval), d.where(is_eval), "text", "doc_id"
+    )
+
+
+@query(
+    "doc_contamination_spans",
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                FROM t WHERE len(tk) >= 3)
+          WHERE doc_id % 97 <> 0),
+    ev AS (SELECT DISTINCT sh AS shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, g.shingle
+    FROM g JOIN ev USING (shingle)
+    """,
+)
+def doc_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: WHERE each contaminated training
+    document overlaps the eval split — one row per (doc, token
+    position) whose 3-gram appears in any eval document. This is
+    what a surgical scrubber consumes (mask/remove the span) instead
+    of dropping whole documents (doc_decontaminate's verdict).
+    Same scale shape as the count variant: eval shingles broadcast,
+    the train side keeps its positions via posexplode and is never
+    shuffled."""
+    from env_event_stream_spark.functions.text import _ngram_array
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    train = d.where(~is_eval).select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    grams = train.where(F.size("tk") >= 3).select(
+        "doc_id",
+        F.posexplode(_ngram_array(F.col("tk"), 3)).alias("pos", "shingle"),
+    )
+    ev = (
+        d.where(is_eval)
+        .select(
+            F.explode(
+                shingles_from_tokens(tokens(F.col("text")), 3)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    return grams.join(F.broadcast(ev), "shingle").select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "shingle"
     )
 
 
