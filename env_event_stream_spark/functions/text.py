@@ -40,14 +40,17 @@ def tokens(text: Column) -> Column:
 # space-prefixed letter runs, space-prefixed digit runs,
 # space-prefixed punctuation runs, residual whitespace. The original
 # pattern's trailing-space lookahead is dropped (RE2 has no
-# lookahead); both engines use leftmost-first alternation, so the
-# token streams match exactly.
+# lookahead); both engines use leftmost-first alternation. The
+# whitespace class is spelled out because the engines' \s differ
+# (Java includes \x0b, RE2 does not — found by the cross-engine
+# fuzz in tests/test_properties.py).
+_WS_CLASS = r" \t\n\x0b\f\r"
 BPE_PRETOKEN_RE = (
     r"'(?:s|t|re|ve|m|ll|d)"
     r"| ?\p{L}+"
     r"| ?\p{N}+"
-    r"| ?[^\s\p{L}\p{N}]+"
-    r"|\s+"
+    rf"| ?[^{_WS_CLASS}\p{{L}}\p{{N}}]+"
+    rf"|[{_WS_CLASS}]+"
 )
 
 
@@ -57,10 +60,15 @@ def bpe_pretokens(text: Column) -> Column:
     whitespace runs removed. This is the unit 'token count' that
     sequence packing / cost estimation should use when the real
     tokenizer is out of reach — within a few percent of GPT-2 counts
-    on English text, and exactly reproducible in SQL."""
+    on English text, and exactly reproducible in SQL.
+
+    The whitespace-run filter names the SAME class the pattern's
+    ``\\s`` matches (engine trim()s disagree about which characters
+    are 'space' — e.g. U+2028 — so trim-based emptiness checks are
+    not portable; an explicit class is)."""
     return F.filter(
         F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0),
-        lambda t: F.trim(t) != "",
+        lambda t: ~t.rlike(r"^[ \t\n\x0b\f\r]+$"),
     )
 
 

@@ -1437,7 +1437,8 @@ def _bpe_oracle() -> str:
     WITH b AS (
       SELECT doc_id,
              list_filter(regexp_extract_all(text, '{pat}'),
-                         t -> trim(t) <> '') AS bt,
+                         t -> NOT regexp_full_match(t,
+                           '[ \t\n\x0b\f\r]+')) AS bt,
              string_split_regex(trim(text), '\s+') AS wt
       FROM documents)
     SELECT doc_id,

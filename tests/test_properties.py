@@ -352,3 +352,52 @@ def test_contamination_hits_match_python(spark, docs, modulus):
         if shared:
             expected[i] = (len(shared), hit_docs)
     assert got == expected
+
+
+# text drawn from a deliberately nasty alphabet: letters, digits,
+# punctuation, ascii + unicode whitespace (NBSP, NEL), combining
+# marks — the geometry where two regex engines would diverge if the
+# pattern used anything non-portable
+_bpe_text = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ012 .,:;!?-_'\"()\t\n\r\x0b\x0c") + ["\xa0", " ", "é", "ß", "中"]
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(texts=st.lists(_bpe_text, min_size=1, max_size=6))
+@_SET
+def test_bpe_pretokens_match_duckdb(spark, texts):
+    """The BPE pre-tokenizer must produce the IDENTICAL token stream
+    on Spark (Java regex) and DuckDB (RE2) — that parity is what
+    makes doc_bpe_token_stats oracle-checkable. Fuzzed over unicode
+    whitespace/letters/combining chars."""
+    import duckdb
+
+    from env_event_stream_spark.functions.text import (
+        BPE_PRETOKEN_RE,
+        bpe_pretokens,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {
+        r.id: list(r.t)
+        for r in df.select("id", bpe_pretokens(F.col("text")).alias("t")).collect()
+    }
+    import re as _re
+
+    _ws_run = _re.compile(r"^[ \t\n\x0b\f\r]+$")
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        oracle = [
+            x
+            for x in con.execute(
+                "SELECT regexp_extract_all(?, ?)", [t, BPE_PRETOKEN_RE]
+            ).fetchone()[0]
+            if not _ws_run.match(x)
+        ]
+        assert got[i] == oracle, (t, got[i], oracle)
