@@ -198,10 +198,21 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parse), per-bit ±1 sums, assembly with bit 63 as the signed min-long
 # literal (DuckDB's 1<<63 raises an overflow error; the literal is the
 # same two's-complement bit pattern Spark's shiftleft produces).
+# the tokenizer contract is an EXPLICIT whitespace class on both
+# sides (operators/dedup.py strips/splits the same six chars) —
+# engine trim() and \s definitions differ on exotic whitespace
+# (U+2028, \x0b), so portable parity needs the class spelled out.
+# chr() concatenation because standard SQL literals don't interpret
+# backslash escapes; the regex pattern itself is parsed by RE2,
+# which does.
 _SIMHASH_CTES = (
     r"""
 toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  SELECT doc_id,
+         unnest(string_split_regex(
+           trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12)
+                || chr(13)),
+           '[ \t\n\x0b\f\r]+')) AS w
   FROM documents
 ),
 hv AS (SELECT doc_id, """

@@ -318,11 +318,15 @@ def simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return out
 
 
-# Java String.trim strips chars <= U+0020; Java regex \s is exactly
-# [ \t\n\x0B\f\r]. The Python tokenizer below replicates BOTH so the
-# mapInPandas signature is bit-identical to split(trim(col), '\s+').
-_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
-_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+# The SimHash tokenizer contract: strip THEN split on the explicit
+# six-character whitespace class [ \t\n\x0b\f\r]. An explicit class —
+# not \s, not engine trim() — because whitespace definitions differ
+# across engines (Java \s includes \x0b, RE2's does not; Python
+# str.strip() and DuckDB trim() disagree about U+2028 etc.). The
+# DuckDB oracle (llm_queries._SIMHASH_CTES) spells out the same six
+# characters; parity is fuzzed in tests/test_properties.py.
+_WS_CHARS = " \t\n\x0b\f\r"
+_WS_RUN = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def simhash(
@@ -362,8 +366,8 @@ def simhash(
                 continue
             ids, sims = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                t = ("" if text is None else str(text)).strip(_JAVA_TRIM)
-                toks = _JAVA_WS.split(t) if t else [""]
+                t = ("" if text is None else str(text)).strip(_WS_CHARS)
+                toks = _WS_RUN.split(t) if t else [""]
                 hv = np.empty(len(toks), dtype=np.uint64)
                 for i, w in enumerate(toks):
                     d = hashlib.md5(w.encode("utf-8")).digest()

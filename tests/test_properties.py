@@ -401,3 +401,31 @@ def test_bpe_pretokens_match_duckdb(spark, texts):
             if not _ws_run.match(x)
         ]
         assert got[i] == oracle, (t, got[i], oracle)
+
+
+@given(texts=st.lists(_bpe_text, min_size=1, max_size=5))
+@_SET
+def test_simhash_matches_duckdb(spark, texts):
+    """The 64-bit SimHash signature must be bit-identical between the
+    Spark mapInPandas operator and the DuckDB oracle on arbitrary
+    text — the tokenizer contract (explicit six-char whitespace
+    class) plus the md5 bit derivation, fuzzed end to end."""
+    import duckdb
+
+    from env_event_stream_spark.llm_queries import _SIMHASH_CTES
+    from env_event_stream_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+
+    con = duckdb.connect()
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con.register("documents", docs)
+    oracle = dict(
+        con.execute(
+            "WITH " + _SIMHASH_CTES + "SELECT doc_id, simhash FROM sims"
+        ).fetchall()
+    )
+    assert got == oracle, (texts, got, oracle)
