@@ -659,18 +659,21 @@ def emb_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                       string_split_regex(trim(text), '\s+') AS tk
                FROM documents),
     m AS (SELECT doc_id,
-                 len(tk) AS n_tokens,
+                 len(tk) AS n,
                  len(list_filter(tk, x -> list_contains(['the','a','of','and'], x)))
-                   * 1.0 / len(tk) AS stop_r,
-                 (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-                   * 1.0 / length(text) AS punct_r,
-                 len(list_distinct(tk)) * 1.0 / len(tk) AS uniq_r
+                   AS s,
+                 length(text) AS c,
+                 length(regexp_replace(text, '[^\w\s]', '', 'g')) AS np,
+                 len(list_distinct(tk)) AS u
           FROM t),
+    i AS (SELECT doc_id,
+                 least(n, 200) * n * c
+                   + 100 * (c * s + n * np + c * u) AS num,
+                 500 * n * c AS den
+          FROM m),
     s AS (SELECT doc_id,
-                 round(least(n_tokens, 200) / 200.0 * 0.4
-                       + stop_r * 0.2 + (1 - punct_r) * 0.2 + uniq_r * 0.2, 4)
-                   AS quality
-          FROM m)
+                 ((num * 20000 + den) // (2 * den)) / 10000.0 AS quality
+          FROM i)
     SELECT doc_id, quality,
            CASE WHEN quality >= 0.75 THEN 'high'
                 WHEN quality >= 0.55 THEN 'medium'
@@ -683,26 +686,32 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation noise, vocabulary diversity) + tier bucketing — the
     filter stage of a training-data pipeline. Pure codegen'd
     expressions; at 100 TB this is a single scan-project, no
-    shuffle."""
+    shuffle.
+
+    The score is 0.4·min(n,200)/200 + 0.2·stop/n + 0.2·nonpunct/c
+    + 0.2·uniq/n, but COMPUTED over the common denominator
+    D = 500·n·c as integer numerator/denominator, with half-up
+    rounding to 4dp done by integer division ((NUM·20000 + D) DIV
+    2D). Pure-double evaluation hit an exact .00005 tie at sf0.1
+    (doc with score exactly 0.42175) where Spark rounds the shortest
+    decimal repr and DuckDB rounds the raw binary — integer math
+    removes the engine dependence entirely."""
     d = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     d = d.withColumn("tk", t)
-    n_tok = F.size(F.col("tk"))
-    stop_r = (
-        F.size(F.filter(F.col("tk"), lambda x: x.isin("the", "a", "of", "and")))
-        / n_tok
-    )
-    punct_r = (
-        F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
-    ) / F.length("text")
-    uniq_r = F.size(F.array_distinct(F.col("tk"))) / n_tok
-    quality = F.round(
-        F.least(n_tok, F.lit(200)) / 200.0 * 0.4
-        + stop_r * 0.2
-        + (1 - punct_r) * 0.2
-        + uniq_r * 0.2,
-        4,
-    )
+    n = F.size(F.col("tk")).cast("bigint")
+    s = F.size(
+        F.filter(F.col("tk"), lambda x: x.isin("the", "a", "of", "and"))
+    ).cast("bigint")
+    c = F.length("text").cast("bigint")
+    np_ = F.length(F.regexp_replace("text", r"[^\w\s]", "")).cast("bigint")
+    u = F.size(F.array_distinct(F.col("tk"))).cast("bigint")
+    d = d.withColumn(
+        "_num",
+        F.least(n, F.lit(200).cast("bigint")) * n * c
+        + 100 * (c * s + n * np_ + c * u),
+    ).withColumn("_den", 500 * n * c)
+    quality = F.expr("(_num * 20000 + _den) DIV (2 * _den)") / 10000.0
     return d.select(
         "doc_id",
         quality.alias("quality"),

@@ -363,7 +363,9 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name AS region,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE)
+             AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -385,8 +387,14 @@ def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins: shrinks the join input ~4x and turns count(DISTINCT
     # o_orderkey) into a plain count (orderkey is unique post-agg) —
     # no expand, no distinct shuffle. Same result, verified by oracle.
+    # Money math in DECIMAL: double sums depend on partial-agg order
+    # and flipped the 4th decimal vs the oracle at sf0.1; exact
+    # decimal sums are order-independent on both engines.
     li_per_order = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("_rev")
     )
     dim = R.join(
         R.join(c, n, c.c_nationkey == n.n_nationkey, broadcast_right=True),
@@ -402,7 +410,7 @@ def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enriched.groupBy(F.col("r_name").alias("region")).agg(
         F.count("o_orderkey").cast("bigint").alias("n_orders"),
-        F.round(F.sum("_rev"), 4).alias("revenue"),
+        F.round(F.sum("_rev"), 4).cast("double").alias("revenue"),
     )
 
 
