@@ -58,7 +58,9 @@ def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping",
     """
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE)
+             AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -84,10 +86,18 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o.where(F.col("o_orderdate") < cut), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
     )
+    # exact DECIMAL revenue: the top-10 cut below ranks on it, so a
+    # last-ulp double flip could swap rows 10/11 across engines
     agg = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "revenue"
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(12,2)"))
+            ),
+            4,
         )
+        .cast("double")
+        .alias("revenue")
     )
     return R.top_k(
         agg.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
@@ -105,9 +115,13 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_frames_moving",
     """
     SELECT o_custkey, o_orderkey,
-           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4,
            CAST(dense_rank() OVER (PARTITION BY o_custkey
                  ORDER BY o_orderpriority) AS BIGINT) AS prio_rank,
            CAST(ntile(4) OVER (PARTITION BY o_custkey
@@ -119,11 +133,18 @@ def window_frames_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving-average frame + dense_rank + ntile (§2.5 GAP)."""
     o = _t(spark, sf_dir, "orders")
     w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w_ord.rowsBetween(-3, 0)
+    # avg spelled sum/count with an exact-decimal numerator: engines
+    # sum window frames in different orders (running vs segment-tree)
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.round(
-            F.avg("o_totalprice").over(w_ord.rowsBetween(-3, 0)), 4
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .over(frame)
+            .cast("double")
+            / F.count("*").over(frame),
+            4,
         ).alias("moving_avg4"),
         F.dense_rank()
         .over(Window.partitionBy("o_custkey").orderBy("o_orderpriority"))
@@ -146,7 +167,8 @@ def window_frames_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_extendedprice), 4) AS total
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS total
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -160,7 +182,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice), 4) AS total
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4)
+                    AS DOUBLE) AS total
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -182,7 +205,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.subscription,
            CAST(count(*) AS BIGINT) AS n_events,
            min(e.ts) AS first_ts, max(e.ts) AS last_ts,
-           round(sum(e.value), 4) AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS total_value
     FROM events e JOIN subs s ON e.event_type = s.event_type
     GROUP BY s.subscription
     """,
@@ -204,7 +228,9 @@ def join_subscription_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_events"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("total_value"),
         )
     )
 
@@ -226,7 +252,9 @@ def join_subscription_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_type, value FROM events
     )
     SELECT window_start, event_type,
-           CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS total_value
     FROM w GROUP BY 1, 2
     """,
 )
@@ -239,7 +267,9 @@ def evt_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "2 days", "1 day"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -271,7 +301,8 @@ def evt_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) + INTERVAL 30 MINUTE AS session_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS session_value
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS session_value
     FROM sessions GROUP BY user_id, sid
     """,
 )
@@ -284,7 +315,9 @@ def evt_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("session_value"),
         )
         .select(
             "user_id",
@@ -393,11 +426,11 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (SELECT day, event_type FROM days CROSS JOIN types),
     agg AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-             count(*) AS n, sum(value) AS sv
+             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sv
       FROM events GROUP BY 1, 2)
     SELECT g.day, g.event_type,
            CAST(coalesce(a.n, 0) AS BIGINT) AS n,
-           round(coalesce(a.sv, 0), 4) AS total_value
+           CAST(round(coalesce(a.sv, 0), 4) AS DOUBLE) AS total_value
     FROM grid g LEFT JOIN agg a ON g.day = a.day AND g.event_type = a.event_type
     """,
 )
@@ -413,7 +446,10 @@ def evt_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"),
         "event_type",
-    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+    )
     bounds = ev.agg(
         F.date_trunc("day", F.min("ts")).alias("d0"),
         F.date_trunc("day", F.max("ts")).alias("d1"),
@@ -428,7 +464,9 @@ def evt_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "event_type",
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
-        F.round(F.coalesce(F.col("sv"), F.lit(0.0)), 4).alias("total_value"),
+        F.round(F.coalesce(F.col("sv"), F.lit(0)), 4)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -888,12 +926,18 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT event_type,
-             avg(value) AS mu,
-             stddev_samp(value) AS sigma
-      FROM events GROUP BY event_type)
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value AS DECIMAL(12,2))
+                      * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS ssq,
+             count(*) AS n
+      FROM events GROUP BY event_type),
+    moments AS (
+      SELECT event_type, sv / n AS mu,
+             sqrt((ssq - sv * sv / n) / (n - 1)) AS sigma
+      FROM stats WHERE n > 1)
     SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
            round((e.value - s.mu) / s.sigma, 4) AS zscore
-    FROM events e JOIN stats s ON e.event_type = s.event_type
+    FROM events e JOIN moments s ON e.event_type = s.event_type
     WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3
     """,
 )
@@ -901,10 +945,30 @@ def evt_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score anomaly detection: grouped moments broadcast
     back onto the stream of events; |z| > 3 flags outliers. Two
     passes over the fact (one aggregate, one scan+join) — at 100 TB
-    the stats side is type-cardinality rows, always broadcastable."""
+    the stats side is type-cardinality rows, always broadcastable.
+
+    The moments are derived from EXACT decimal sums (value and value²
+    are 2- and 4-decimal-grained) with the identical double formula on
+    both engines: a native stddev_samp's partial-merge order could
+    flip the last ulp of sigma and change |z|>3 row membership."""
     ev = _t(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    vdec = F.col("value").cast("decimal(12,2)")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(vdec).cast("double").alias("sv"),
+            F.sum(vdec * vdec).cast("double").alias("ssq"),
+            F.count("*").alias("n"),
+        )
+        .where(F.col("n") > 1)
+        .select(
+            "event_type",
+            (F.col("sv") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("ssq") - F.col("sv") * F.col("sv") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
     )
     j = ev.join(F.broadcast(stats), "event_type").where(F.col("sigma") > 0)
     z = (F.col("value") - F.col("mu")) / F.col("sigma")

@@ -136,17 +136,22 @@ def evt_retention_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "evt_type_counts",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS total_value
     FROM events GROUP BY event_type
     """,
 )
 def evt_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Receiver-count / replay-count analog as a grouped aggregate
-    (reference src/topic.ts:119-143 counts matches imperatively)."""
+    (reference src/topic.ts:119-143 counts matches imperatively).
+    Money sums in exact DECIMAL — order-independent across engines."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -195,7 +200,8 @@ def evt_exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id, ts,
            CAST(row_number() OVER wo AS BIGINT) AS version,
-           round(sum(value) OVER ws, 4) AS balance
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER ws, 4) AS DOUBLE)
+             AS balance
     FROM events
     WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
            ws AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -215,7 +221,9 @@ def evt_fold_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.row_number().over(w).cast("bigint").alias("version"),
-        F.round(F.sum("value").over(wsum), 4).alias("balance"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")).over(wsum), 4)
+        .cast("double")
+        .alias("balance"),
     )
 
 
@@ -224,7 +232,7 @@ def evt_fold_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS version,
-           round(sum(value), 4) AS balance,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS balance,
            max(ts) AS last_ts
     FROM events GROUP BY user_id
     """,
@@ -236,7 +244,9 @@ def evt_rehydrate_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("version"),
-        F.round(F.sum("value"), 4).alias("balance"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+        .cast("double")
+        .alias("balance"),
         F.max("ts").alias("last_ts"),
     )
 
@@ -261,7 +271,8 @@ def evt_rehydrate_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            CAST(count(*) AS BIGINT) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end,
-           round(sum(value), 4) AS session_value
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS session_value
     FROM sessions GROUP BY user_id, session_id
     """,
 )
@@ -287,7 +298,9 @@ def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+        .cast("double")
+        .alias("session_value"),
     )
 
 
@@ -297,7 +310,8 @@ def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 4) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -311,7 +325,9 @@ def evt_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -325,12 +341,20 @@ def evt_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(12,2)))), 4) AS DOUBLE)
+             AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -341,18 +365,27 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-group-agg, Catalyst partial+final
     hash aggregation (map-side combine keeps the shuffle tiny)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # money sums in exact DECIMAL(12,2): double sums depend on
+    # partial-agg order and can flip the rounded 4th decimal across
+    # engines at scale; quantity sums stay double (integer-valued, so
+    # double addition is exact in any order). Averages are spelled
+    # sum/count with an exact-decimal numerator for the same reason.
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    dsc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    disc = ext * (1 - dsc)
+    cnt = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.sum(ext), 4).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + tax)), 4).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(ext).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(F.sum(dsc).cast("double") / cnt, 4).alias("avg_disc"),
             F.count("*").cast("bigint").alias("count_order"),
         )
     )
@@ -451,7 +484,8 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('large', 150000.0, 1000000000.0)
     )
     SELECT b.band AS band, CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o.o_totalprice), 4) AS total
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS total
     FROM orders o
     JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
     GROUP BY b.band
@@ -473,7 +507,9 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band").agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 4)
+        .cast("double")
+        .alias("total"),
     )
 
 
@@ -637,7 +673,8 @@ def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup_nation",
     """
     SELECT r_name, n_name,
-           round(sum(c_acctbal), 4) AS total_acctbal,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS total_acctbal,
            CAST(count(*) AS BIGINT) AS n_customers
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -655,7 +692,9 @@ def agg_rollup_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         r, F.col("n_regionkey") == r.r_regionkey, broadcast_right=True,
     )
     return j.rollup("r_name", "n_name").agg(
-        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 4)
+        .cast("double")
+        .alias("total_acctbal"),
         F.count("*").cast("bigint").alias("n_customers"),
     )
 

@@ -109,7 +109,8 @@ def evt_live_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 4) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -139,7 +140,9 @@ def evt_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -21,6 +21,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _money(col: str):
+    """2-decimal money column as exact DECIMAL(12,2).
+
+    Double SUMs depend on partial-aggregation order and can flip the
+    4th decimal vs the oracle at scale (seen at sf0.1 on
+    join_revenue_by_region before its DECIMAL migration); decimal sums
+    are order-independent and bit-identical on both engines. (12,2)
+    holds any TPC-H money value (max ~105k) while keeping 2- and
+    3-factor products under the precision-38 cap on both engines.
+    """
+    return F.col(col).cast("decimal(12,2)")
+
+
+# Oracle-side spelling of the same cast.
+_M = "CAST({} AS DECIMAL(12,2))"
+
+
 # ---------------------------------------------------------------------------
 # TPC-H shapes
 # ---------------------------------------------------------------------------
@@ -30,7 +47,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "tpch_q5_local_supplier",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE)
+             AS revenue
     FROM customer c, orders o, lineitem l, supplier s, nation n, region r
     WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
       AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
@@ -80,7 +99,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey") == F.col("c_custkey"),
     ).where(F.col("c_nationkey") == F.col("sup_nk"))
     return j.groupBy(F.col("n_name").alias("nation")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        F.round(F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))), 4)
+        .cast("double")
         .alias("revenue")
     )
 
@@ -88,7 +108,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_forecast",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(12,2))), 4) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -110,7 +131,8 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            F.round(F.sum(_money("l_extendedprice") * _money("l_discount")), 4)
+            .cast("double")
             .alias("revenue"),
             F.count("*").cast("bigint").alias("n_rows"),
         )
@@ -121,7 +143,9 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned",
     """
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE)
+             AS revenue,
            round(c.c_acctbal, 4) AS acctbal,
            n.n_name AS nation
     FROM customer c, orders o, lineitem l, nation n
@@ -156,7 +180,8 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        F.round(F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))), 4)
+        .cast("double")
         .alias("revenue")
     )
     return (
@@ -424,9 +449,13 @@ def tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q14_promo_revenue",
     """
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                   ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+                 4)
              AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -438,15 +467,19 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered fact scan; single partial+final aggregate, one row out."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal sums; the single double division afterwards is
+    # order-free (IEEE-identical across engines)
+    rev = _money("l_extendedprice") * (1 - _money("l_discount"))
     j = li.where(
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     ).join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
     return j.agg(
         F.round(
             100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / F.sum(rev),
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double"),
             4,
         ).alias("promo_revenue_pct")
     )
@@ -457,7 +490,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
                 FROM lineitem GROUP BY l_partkey)
-    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
     WHERE l.l_quantity < 0.2 * pa.avg_qty
@@ -475,7 +509,9 @@ def tpch_q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(pa), "l_partkey"
     )
     return j.where(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        F.round(F.sum(_money("l_extendedprice")).cast("double") / 7.0, 4).alias(
+            "avg_yearly"
+        ),
         F.count("*").cast("bigint").alias("n_lines"),
     )
 
@@ -483,7 +519,9 @@ def tpch_q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q19_disjunctive",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE)
+             AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -508,7 +546,8 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 40))
     )
     return j.where(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        F.round(F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))), 4)
+        .cast("double")
         .alias("revenue"),
         F.count("*").cast("bigint").alias("n_lines"),
     )
@@ -517,10 +556,13 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q22_dormant_rich",
     """
-    WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       / count(*) AS a
+                FROM customer WHERE c_acctbal > 0)
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c.c_acctbal), 4) AS totacctbal
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS totacctbal
     FROM customer c, ab
     WHERE c.c_acctbal > ab.a
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -539,8 +581,10 @@ def tpch_q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderdate") >= "2001-01-01")
         .select(F.col("o_custkey").alias("c_custkey"))
     )
+    # exact-decimal numerator makes the avg threshold (and thus row
+    # membership near the boundary) engine-independent
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("a")
+        (F.sum(_money("c_acctbal")).cast("double") / F.count("*")).alias("a")
     )
     rich = c.crossJoin(F.broadcast(avg_bal)).where(
         F.col("c_acctbal") > F.col("a")
@@ -548,7 +592,7 @@ def tpch_q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dormant = rich.join(o, "c_custkey", "left_anti")
     return dormant.groupBy("c_mktsegment").agg(
         F.count("*").cast("bigint").alias("numcust"),
-        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        F.round(F.sum(_money("c_acctbal")), 4).cast("double").alias("totacctbal"),
     )
 
 
@@ -606,7 +650,9 @@ def func_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS yr,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE)
+             AS revenue
     FROM lineitem l
     JOIN orders o    ON o.o_orderkey = l.l_orderkey
     JOIN customer c  ON c.c_custkey = o.o_custkey
@@ -650,7 +696,8 @@ def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation", "cust_nation",
         F.year("l_shipdate").cast("bigint").alias("yr"),
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        F.round(F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))), 4)
+        .cast("double")
         .alias("revenue")
     )
 
@@ -691,12 +738,14 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_revenue, 4) AS DOUBLE) AS total_revenue
     FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
     """,
@@ -714,7 +763,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            # exact decimal: the max-equality comparison below is then
+            # engine-independent (double sums could rank two close
+            # suppliers differently across engines)
+            F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))).alias(
                 "total_revenue"
             )
         )
@@ -728,7 +780,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(top, s.s_suppkey == top.supplier_no)
         .select(
             "s_suppkey", "s_name",
-            F.round("total_revenue", 4).alias("total_revenue"),
+            F.round("total_revenue", 4).cast("double").alias("total_revenue"),
         )
     )
 
@@ -789,7 +841,8 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
       SELECT year(o.o_orderdate) AS yr,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS volume,
              ns.n_name AS supp_nation
       FROM lineitem l
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -802,8 +855,9 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
     SELECT CAST(yr AS BIGINT) AS yr,
-           round(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM base GROUP BY yr
     """,
 )
@@ -828,7 +882,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1998-01-01")
     ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _money("l_extendedprice") * (1 - _money("l_discount"))
     j = (
         li.join(o_win, li.l_orderkey == o_win.o_orderkey)
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
@@ -838,8 +892,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(F.col("yr").cast("bigint").alias("yr")).agg(
         F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(0.0))
-            / F.sum(vol),
+            F.sum(F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(0))
+            .cast("double")
+            / F.sum(vol).cast("double"),
             6,
         ).alias("mkt_share")
     )
@@ -850,8 +905,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS yr,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                     - CAST(0.1 AS DECIMAL(2,1))
+                       * CAST(p.p_retailprice AS DECIMAL(12,2))
+                       * CAST(l.l_quantity AS DECIMAL(12,0))), 4) AS DOUBLE)
+             AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -874,8 +933,10 @@ def tpch_q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+        _money("l_extendedprice") * (1 - _money("l_discount"))
+        - F.lit("0.1").cast("decimal(2,1)")
+        * _money("p_retailprice")
+        * F.col("l_quantity").cast("decimal(12,0)")
     )
     j = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -886,7 +947,7 @@ def tpch_q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("bigint").alias("yr"),
-    ).agg(F.round(F.sum(profit), 4).alias("profit"))
+    ).agg(F.round(F.sum(profit), 4).cast("double").alias("profit"))
 
 
 @query(
