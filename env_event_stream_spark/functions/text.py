@@ -26,6 +26,9 @@ __all__ = [
     "quality_metrics",
     "LANG_MARKERS",
     "lang_scores",
+    "PII_PATTERNS",
+    "pii_redact",
+    "pii_counts",
 ]
 
 
@@ -193,4 +196,36 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return {
         lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
+    }
+
+
+# PII patterns restricted to syntax Java regex (Spark) and RE2
+# (DuckDB) interpret identically: explicit ASCII classes, bounded
+# repetition, \b word boundaries (ASCII semantics in both), no
+# lookaround (RE2 has none). Order matters: emails are redacted
+# before IPs so the dotted domain of an address never half-matches
+# the IPv4 pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with its placeholder token, applying
+    the patterns in PII_PATTERNS order. Pure codegen'd regexp_replace
+    chain — no Python in the row path."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts on the ORIGINAL text (audit metric:
+    how much was redacted)."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).cast("bigint")
+        for kind, pat, _ in PII_PATTERNS
     }

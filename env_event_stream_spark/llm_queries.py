@@ -1540,3 +1540,197 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("source", "doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup, containment pairs, PII redaction, token histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_passage_dedup",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    w AS (SELECT doc_id, unnest(range(0, len(tk) // 20)) AS i, tk
+          FROM t WHERE len(tk) >= 20),
+    p AS (SELECT doc_id,
+                 md5(array_to_string(tk[(i*20+1):(i*20+20)], ' '))
+                   AS passage_hash
+          FROM w)
+    SELECT passage_hash,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_doc
+    FROM p GROUP BY passage_hash HAVING count(*) >= 2
+    """,
+)
+def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: non-overlapping 20-word passages that occur
+    more than once in the corpus (boilerplate headers, licence blocks,
+    templated paragraphs — invisible to whole-doc dedup). Survivor =
+    lowest doc id. Plan: explode → groupBy-on-md5, map-side
+    combinable; only the 32-char hash shuffles, never the passage
+    text (operators/dedup.py:passage_dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.passage_dedup(d, "text", "doc_id", window=20)
+
+
+@query(
+    "doc_containment_pairs",
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    bb AS (
+      SELECT id_a, id_b, nc, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b),
+    drc AS (
+      SELECT id_a AS id_inner, id_b AS id_outer,
+             round(nc * 1.0 / n_a, 6) AS containment
+      FROM bb
+      UNION ALL
+      SELECT id_b, id_a, round(nc * 1.0 / n_b, 6) FROM bb)
+    SELECT id_inner, id_outer, containment FROM drc WHERE containment >= 0.8
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-inside-doc near-dup: asymmetric shingle containment
+    |S(A)∩S(B)|/|S(A)| >= 0.8. A short doc quoted verbatim inside a
+    long one scores ~1.0 here but low Jaccard (the union is dominated
+    by the long doc) — exactly the excerpt/quote duplication a
+    training corpus accumulates. Same inverted-index join shape as
+    doc_jaccard_pairs (operators/dedup.py:containment_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+
+
+def _pii_oracle() -> str:
+    from env_event_stream_spark.functions.text import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(ftext, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = "ftext"
+    for _, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return rf"""
+    WITH f AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.'
+                  || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                      ELSE 'net' END)
+                  || ' or +1-202-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                  || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.example'
+                      ELSE '' END) AS ftext
+      FROM documents)
+    SELECT doc_id,
+           {counts},
+           md5({red}) AS redacted_md5,
+           CAST(length({red}) AS BIGINT) AS redacted_len
+    FROM f
+    """
+
+
+@query("doc_pii_redact", _pii_oracle())
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email / phone / IPv4 redaction with per-kind audit
+    counts (functions/text.py:PII_PATTERNS — patterns restricted to
+    the Java-regex ∩ RE2 common dialect, so the oracle replays the
+    byte-identical redaction, verified via md5).
+
+    The synthetic corpus contains no PII, so each doc gets a
+    DETERMINISTIC contact line derived from its id appended before
+    redaction — the operator's regex semantics, chain order, and
+    replacement bytes are what's under test. Pure regexp_replace
+    chain: codegen'd, row-local, no shuffle at any scale."""
+    from env_event_stream_spark.functions.text import pii_counts, pii_redact
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tld = (
+        F.when(did % 3 == 0, F.lit("com"))
+        .when(did % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net"))
+    )
+    extra = F.when(did % 3 == 0, F.lit(" cc admin@corp.example")).otherwise(
+        F.lit("")
+    )
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example."),
+        tld,
+        F.lit(" or +1-202-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+        extra,
+    )
+    f = d.select("doc_id", synth.alias("ftext"))
+    counts = pii_counts(F.col("ftext"))
+    red = pii_redact(F.col("ftext"))
+    return f.select(
+        "doc_id",
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+    )
+
+
+@query(
+    "doc_token_histogram",
+    r"""
+    WITH t AS (SELECT len(string_split_regex(trim(text), '\s+')) AS n
+               FROM documents),
+    b AS (SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, n
+          FROM t WHERE n > 0),
+    tot AS (SELECT count(*) AS total FROM b)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           round(count(*) * 1.0 / total, 6) AS share
+    FROM b CROSS JOIN tot
+    GROUP BY bucket, total
+    """,
+)
+def doc_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: power-of-two token-count histogram
+    (bucket = floor(log2(n_tokens)) — computed as len(bin(n)) - 1,
+    exact integer arithmetic in both engines; floor(log2(x)) on
+    doubles mis-buckets exact powers of two when log2 is computed as
+    ln(x)/ln(2)). The shape that drives packing-bin sizing and
+    truncation-loss estimates. One map-side-combinable aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    b = d.select(n.alias("n")).where(F.col("n") > 0).select(
+        (F.length(F.bin("n")) - 1).cast("bigint").alias("bucket"), "n"
+    )
+    tot = b.agg(F.count("*").alias("total"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("n_docs") * 1.0 / F.col("total"), 6).alias("share"),
+        )
+    )

@@ -41,6 +41,8 @@ __all__ = [
     "fingerprint_groups",
     "shingle_table",
     "jaccard_pairs",
+    "containment_pairs",
+    "passage_dedup",
     "contamination_hits",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -168,6 +170,96 @@ def jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment C(A→B) = |S(A)∩S(B)| / |S(A)|:
+    the doc-inside-doc detector. A short document quoted verbatim
+    inside a much longer one has high containment but low Jaccard
+    (the union is dominated by the long doc), so symmetric Jaccard
+    misses exactly the quote/excerpt duplication a training corpus
+    accumulates.
+
+    Output: (id_inner, id_outer, containment) — id_inner's shingle set
+    is >= threshold contained in id_outer's; both directions of a pair
+    are tested and either or both may emit. Same inverted-index shape
+    as jaccard_pairs: one self-join on the shingle key, never a cross
+    product; ``df_cap`` is the usual hot-shingle skew guard at corpus
+    scale."""
+    sh = shingle_table(df, text_col, id_col, n, df_cap).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    both = common.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
+    )
+    fwd = both.select(
+        F.col("id_a").alias("id_inner"),
+        F.col("id_b").alias("id_outer"),
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_inner"),
+        F.col("id_a").alias("id_outer"),
+        F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+
+
+def passage_dedup(
+    df: DataFrame, text_col: str, id_col: str, *, window: int = 20
+) -> DataFrame:
+    """Passage-level exact dedup: split each document into
+    non-overlapping ``window``-word passages and find passages that
+    occur more than once in the corpus (boilerplate headers, licence
+    blocks, templated paragraphs — sub-document duplication that
+    whole-doc dedup can't see).
+
+    Output: (passage_hash, n_occ, n_docs, keep_doc) for passages with
+    n_occ >= 2; keep_doc = lowest doc id containing the passage (the
+    deterministic survivor — drop the passage everywhere else).
+
+    Scale shape: explode → groupBy-on-hash, fully map-side combinable;
+    the passage string itself never leaves the executor (only its md5
+    shuffles). Tail words beyond the last full window are ignored, so
+    passage identity is alignment-stable."""
+    w = int(window)
+    passages = F.expr(
+        f"transform(sequence(0, int(size(_tk) / {w}) - 1), "
+        f"i -> array_join(slice(_tk, i * {w} + 1, {w}), ' '))"
+    )
+    exploded = (
+        df.withColumn("_tk", tokens(F.col(text_col)))
+        .where(F.size("_tk") >= w)
+        .select(F.col(id_col), F.explode(passages).alias("_passage"))
+    )
+    return (
+        exploded.groupBy(F.md5("_passage").alias("passage_hash"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("keep_doc"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )
 
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1; (P-1)*P < 2^63 so int64 never overflows

@@ -429,3 +429,120 @@ def test_simhash_matches_duckdb(spark, texts):
         ).fetchall()
     )
     assert got == oracle, (texts, got, oracle)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=10).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.6, 0.9]),
+)
+@_SET
+def test_containment_pairs_match_python(spark, docs, threshold):
+    """Asymmetric containment vs brute force — both directions of each
+    pair, identical docs (containment 1.0 both ways), subset docs."""
+    from env_event_stream_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.id_inner, r.id_outer): r.containment
+        for r in containment_pairs(
+            df, "text", "doc_id", n=3, threshold=threshold
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(len(docs)):
+            if i == j:
+                continue
+            a, b = shingles(docs[i]), shingles(docs[j])
+            if not a or not b or not (a & b):
+                continue
+            c = round(len(a & b) / len(a), 6)
+            if c >= threshold:
+                expected[(i, j)] = c
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=13).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    window=st.sampled_from([2, 3, 5]),
+)
+@_SET
+def test_passage_dedup_matches_python(spark, docs, window):
+    """Windowed passage dedup vs brute force: alignment (tail words
+    dropped), repeats within one doc, docs shorter than the window."""
+    import hashlib
+    from collections import defaultdict
+
+    from env_event_stream_spark.operators.dedup import passage_dedup
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        r.passage_hash: (r.n_occ, r.n_docs, r.keep_doc)
+        for r in passage_dedup(df, "text", "doc_id", window=window).collect()
+    }
+
+    occ = defaultdict(list)
+    for i, d in enumerate(docs):
+        toks = d.split() if d.strip() else []
+        for k in range(len(toks) // window):
+            p = " ".join(toks[k * window : (k + 1) * window])
+            occ[hashlib.md5(p.encode()).hexdigest()].append(i)
+    expected = {
+        h: (len(ids), len(set(ids)), min(ids))
+        for h, ids in occ.items()
+        if len(ids) >= 2
+    }
+    assert got == expected
+
+
+def test_pii_redact_and_counts(spark):
+    """Redaction chain order and per-kind counts on crafted edge
+    cases: multiple matches per kind, dotted email domains that must
+    NOT be double-redacted as IPs, adjacent punctuation."""
+    from env_event_stream_spark.functions.text import pii_counts, pii_redact
+
+    cases = [
+        (0, "mail a.b_c%d+e@sub.domain.org now", "mail <EMAIL> now", 1, 0, 0),
+        (1, "x@y.co and z@w.io", "<EMAIL> and <EMAIL>", 2, 0, 0),
+        (2, "call +1-202-555-0123 or +44-700-900-1234.", "call <PHONE> or <PHONE>.", 0, 2, 0),
+        (3, "host 10.0.0.1, peer 192.168.255.254", "host <IP>, peer <IP>", 0, 0, 2),
+        (4, "no pii here", "no pii here", 0, 0, 0),
+        (5, "a@10.0.0.1x +1-202-555-0123", "<EMAIL>x <PHONE>", 1, 1, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, *_ in cases], "doc_id bigint, text string"
+    )
+    counts = pii_counts(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_redact(F.col("text")).alias("red"),
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+        ).collect()
+    }
+    for i, _t, red, ne, np_, ni in cases:
+        r = rows[i]
+        assert r.red == red, (i, r.red)
+        assert (r.n_email, r.n_phone, r.n_ip) == (ne, np_, ni), i
