@@ -65,6 +65,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for non-SQL ops)."""
+    """DuckDB-equivalent SQL per query (omitted for non-SQL ops).
+
+    Callable oracle entries are resolved here (lazy oracles that must
+    inspect the sf0.01 data first, e.g. trained k-means centroids
+    inlined as literals); a lazy oracle that fails to build is simply
+    omitted — the driver then falls back to its rows-only check."""
     order = _rotation_order(list(QUERIES))
-    return {n: ORACLES[n] for n in order if n in ORACLES}
+    out: dict[str, str] = {}
+    for n in order:
+        sql = ORACLES.get(n)
+        if callable(sql):
+            try:
+                sql = sql()
+            except Exception:
+                sql = None
+        if sql is not None:
+            out[n] = sql
+    return out

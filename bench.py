@@ -71,21 +71,28 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads off the clock
     qs["evt_type_counts"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
+        # One query crashing must not zero the whole suite (rounds 3-4
+        # lost all bench data to a single AnalysisException): record
+        # null for the failure, keep timing the rest.
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = None
         # drop cached tables a query left behind (e.g. the shared
         # shingle/band tables in the dedup suite) OFF the clock, so
         # one query's cache pressure doesn't bill the next — this is
         # what made doc_minhash_pairs ~2x slower in-suite than cold.
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {

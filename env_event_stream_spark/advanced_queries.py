@@ -371,7 +371,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("price_iqr"),
+        # scalar columns, not an array: the driver's canonicalizer can't
+        # hash list cells (red row r2-r4)
+        F.percentile_approx("l_extendedprice", 0.25).alias("price_p25"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("price_p75"),
     )
 
 

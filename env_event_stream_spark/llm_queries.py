@@ -774,7 +774,95 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_knn_ivf_trained")
+def _knn_ivf_trained_oracle(
+    n_cells: int = 10,
+    n_iter: int = 10,
+    n_probe: int = 3,
+    k: int = 3,
+    sample_cap: int = 4096,
+) -> str:
+    """Lazy oracle for emb_knn_ivf_trained: re-runs the SAME
+    deterministic spherical k-means as S.train_ivf_centroids'
+    sample_cap path, but with pyarrow + numpy only (no Spark), then
+    inlines the resulting centroids as DOUBLE[] literals into the
+    probe SQL (_knn_ivf_oracle's machinery). Determinism contract:
+    both paths take the sample_cap lowest-id vectors in vec_id order,
+    cast float32→float64 (exact), round each centroid component to
+    9dp per iteration, and stop at a rounded fixpoint — so the
+    centroid lists are bit-identical and the probe SQL sees the exact
+    model the Spark query used. Built at oracle_sql() call time
+    against the driver's correctness scale (sf0.01)."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from env_event_stream_spark.operators.similarity import _spherical_step
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tbl = pq.read_table(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    emb = tbl["embedding"].to_pylist()
+    order = np.argsort(ids, kind="stable")[:sample_cap]
+    X = np.array([emb[i] for i in order], dtype=np.float64)
+
+    def _unit(vec) -> list[float]:
+        n = float(sum(float(x) * float(x) for x in vec)) ** 0.5 or 1.0
+        return [round(float(x) / n, 9) for x in vec]
+
+    U = np.array([_unit(x) for x in X], dtype=np.float64)
+    cur = [list(u) for u in U[:n_cells]]
+    for _ in range(n_iter):
+        nxt = _spherical_step(U, np.array(cur, dtype=np.float64), _unit)
+        if nxt == cur:
+            break
+        cur = nxt
+
+    vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            cid, ", ".join(repr(float(x)) for x in vec)
+        )
+        for cid, vec in enumerate(cur)
+    )
+    cos = _COSINE_SQL
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT * FROM (VALUES {vals}) AS t(cell_id, cv)),
+    scored AS (
+      SELECT v.vec_id, v.e, c.cell_id,
+             {cos.format(a="v.e", b="c.cv")} AS csim
+      FROM v CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, e, cell_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cell_id ASC) AS rn
+      FROM scored
+    ),
+    inv AS (SELECT vec_id AS neighbor_id, e AS ce, cell_id
+            FROM assign WHERE rn = 1),
+    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
+            FROM assign WHERE rn <= {n_probe}
+              AND vec_id >= 10 AND vec_id < 20),
+    s AS (SELECT query_id, neighbor_id,
+                 {cos.format(a="qe", b="ce")} AS csim
+          FROM qry JOIN inv USING (cell_id)
+          WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                 round(csim, 6) AS sim
+          FROM s)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
+    """
+
+
+@query("emb_knn_ivf_trained", _knn_ivf_trained_oracle)
 def emb_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with TRAINED centroids: deterministic spherical
     k-means (seeded by the lowest-id vectors, 5 iterations) replaces

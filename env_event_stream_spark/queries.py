@@ -31,10 +31,13 @@ from env_event_stream_spark.tables import load_events, load_table, prepare_sessi
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# str oracle SQL, or a zero-arg callable returning the SQL (lazy — for
+# oracles that must inspect the data, e.g. trained-centroid literals);
+# resolved in __spark_entry__.oracle_sql().
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             prepare_session(spark)

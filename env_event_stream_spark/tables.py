@@ -55,8 +55,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/pruning into it."""
     prepare_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            # Driver-regenerated parquet carries timestamp[us] with no
+            # isAdjustedToUTC flag, which Spark reads as TIMESTAMP_NTZ;
+            # NTZ-strict exprs (unix_micros) reject it. Session tz is
+            # pinned UTC (prepare_session) so this cast preserves every
+            # instant and keeps DuckDB epoch parity.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -93,10 +102,16 @@ def load_events(
             df = df.where(F.col("ts") <= _utc_ns(to_ts) // 1000 * 1000 + 999)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
+        # Filter on the RAW column first (string literals coerce to the
+        # column's own timestamp type) so the comparison is pushable,
+        # THEN normalize TIMESTAMP_NTZ → TIMESTAMP for downstream
+        # NTZ-strict expressions (UTC session tz ⇒ instants unchanged).
         if from_ts is not None:
             df = df.where(F.col("ts") >= F.lit(from_ts))
         if to_ts is not None:
             df = df.where(F.col("ts") <= F.lit(to_ts))
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

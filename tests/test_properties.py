@@ -528,7 +528,11 @@ def test_pii_redact_and_counts(spark):
         (2, "call +1-202-555-0123 or +44-700-900-1234.", "call <PHONE> or <PHONE>.", 0, 2, 0),
         (3, "host 10.0.0.1, peer 192.168.255.254", "host <IP>, peer <IP>", 0, 0, 2),
         (4, "no pii here", "no pii here", 0, 0, 0),
-        (5, "a@10.0.0.1x +1-202-555-0123", "<EMAIL>x <PHONE>", 1, 1, 0),
+        # digit-led domain tail is NOT an email (pattern contract
+        # requires an alphabetic TLD, matching the oracle SQL), and
+        # "10.0.0.1x" has no trailing word boundary so it is not an
+        # IP either — only the phone is redacted.
+        (5, "a@10.0.0.1x +1-202-555-0123", "a@10.0.0.1x <PHONE>", 0, 1, 0),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, *_ in cases], "doc_id bigint, text string"
