@@ -56,6 +56,11 @@ HEADLINE = [
     "emb_knn_ivf_trained",
     "doc_unigram_logprob",
     "doc_bpe_token_stats",
+    # round-5 additions
+    "evt_funnel_steps",
+    "doc_gopher_quality_rules",
+    "doc_chunk_overlap",
+    "emb_lsh_recall_eval",
 ]
 
 

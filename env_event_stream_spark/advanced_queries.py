@@ -861,18 +861,20 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle: first-seen week per user
-    (cohort) × distinct active weeks, offsets 0..4. Two grouped
-    passes + one equi-join on user_id (both sides hash on the same
-    key — one shuffle each, co-partitioned join)."""
+    (cohort) × distinct active weeks, offsets 0..4. The cohort week
+    AND the distinct-active-week set ride ONE groupBy(user_id)
+    shuffle (collect_set partial-aggregates map-side; a user's
+    distinct weeks are bounded by the calendar, not event volume) —
+    this replaces the former agg + distinct + join shape (3 shuffles)
+    with shuffle + tiny rollup."""
     ev = _t(spark, sf_dir, "events")
-    cohort = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("weeks"),
     )
-    activity = ev.select(
-        "user_id", F.date_trunc("week", "ts").alias("act_week")
-    ).distinct()
-    j = activity.join(cohort, "user_id")  # cohort is user-sized —
-    # no broadcast hint; AQE broadcasts only when stats permit
+    j = per_user.select(
+        "user_id", "cohort_week", F.explode("weeks").alias("act_week")
+    )
     # weeks are exact 7-day buckets: integer-divide the day gap
     offset = (
         F.datediff(F.col("act_week"), F.col("cohort_week")) / 7

@@ -1,0 +1,150 @@
+"""Event-analytics queries on the events table — extensions of the
+product-analytics family in advanced_queries.py (funnel_conversion /
+cohort_retention / transition_matrix), built on the same scan the
+reference's getEvents serves (src/types.ts:190-198).
+
+Scale notes (100 TB): every query here shuffles ONCE on user_id —
+windows and per-user aggregates share that one partitioning (Catalyst
+reuses the exchange), and the final rollups are tiny (steps × 1,
+|types| × stats). Nothing collects, nothing crosses users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.queries import query
+from env_event_stream_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click (after first view) -> purchase (after
+# that click). The classic "how many users made it to step N" query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_funnel_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), s2 AS (
+      SELECT user_id, ts, event_type, t1,
+             min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, t1, t2,
+             min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    ), u AS (
+      SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT 'view' AS step, CAST(count(t1) AS BIGINT) AS users FROM u
+    UNION ALL
+    SELECT 'view>click', CAST(count(t2) AS BIGINT) FROM u
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(count(t3) AS BIGINT) FROM u
+    """,
+)
+def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-SEQUENCE 3-step funnel: step N's earliest qualifying
+    event must follow the step-N-1 event actually chosen, via chained
+    windowed conditional mins (contrast evt_funnel_conversion in
+    advanced_queries.py — the first-touch approximation that only
+    compares each type's global first occurrence; a user whose first
+    click precedes their first view converts here iff they click
+    AGAIN after viewing). The three windows share one user_id
+    partitioning: a single shuffle plus a 3-row rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    u = s.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    agg = u.agg(
+        F.count("t1").cast("bigint").alias("n1"),
+        F.count("t2").cast("bigint").alias("n2"),
+        F.count("t3").cast("bigint").alias("n3"),
+    )
+    return agg.selectExpr(
+        "stack(3, 'view', n1, 'view>click', n2, 'view>click>purchase', n3) "
+        "AS (step, users)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics per event type.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_interarrival_stats",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(avg(gap_us / 1000000.0), 4) AS avg_gap_s,
+           round(min(gap_us) / 1000000.0, 4) AS min_gap_s,
+           round(max(gap_us) / 1000000.0, 4) AS max_gap_s
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def evt_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics over each user's timeline
+    (gap = seconds since the user's previous event of ANY type,
+    attributed to the later event's type). Window + small rollup: one
+    shuffle on user_id, |types| output rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.round(F.avg(F.col("gap_us") / 1_000_000.0), 4).alias("avg_gap_s"),
+        F.round(F.min("gap_us") / 1_000_000.0, 4).alias("min_gap_s"),
+        F.round(F.max("gap_us") / 1_000_000.0, 4).alias("max_gap_s"),
+    )

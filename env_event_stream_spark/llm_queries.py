@@ -1822,3 +1822,212 @@ def doc_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") * 1.0 / F.col("total"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules, sliding-window chunking, ANN recall eval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_gopher_quality_rules",
+    r"""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(tk) AS n_tokens,
+                 list_sum(list_transform(tk, x -> len(x))) * 1.0
+                   / nullif(len(tk), 0) AS mean_word_len,
+                 len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / nullif(len(text), 0) AS alpha_ratio,
+                 len(list_filter(tk,
+                     x -> list_contains(['the','a','of','and'], x))) > 0
+                   AS has_stopword
+          FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(alpha_ratio, 4) AS alpha_ratio,
+           coalesce(n_tokens BETWEEN 10 AND 100000, false) AS rule_len,
+           coalesce(mean_word_len BETWEEN 2 AND 12, false) AS rule_word_len,
+           coalesce(alpha_ratio >= 0.55, false) AS rule_alpha,
+           has_stopword AS rule_stopword,
+           coalesce(n_tokens BETWEEN 10 AND 100000, false)
+             AND coalesce(mean_word_len BETWEEN 2 AND 12, false)
+             AND coalesce(alpha_ratio >= 0.55, false)
+             AND has_stopword AS passes
+    FROM m
+    """,
+)
+def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, public) document quality rules:
+    token-count bounds, mean-word-length bounds, alphabetic-character
+    ratio, mandatory stopword hit, and the conjunction as the keep
+    decision. All Catalyst higher-order functions over one scan —
+    shuffle-free, so it runs as a pre-filter ahead of any dedup pass
+    at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    d = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(tk, lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            * 1.0
+            / F.nullif(n.cast("int"), F.lit(0))
+        ).alias("mean_word_len"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
+            / F.nullif(F.length("text"), F.lit(0))
+        ).alias("alpha_ratio"),
+        (
+            F.size(F.filter(tk, lambda x: x.isin("the", "a", "of", "and"))) > 0
+        ).alias("has_stopword"),
+    )
+    rule_len = F.coalesce(
+        F.col("n_tokens").between(10, 100000), F.lit(False)
+    )
+    rule_wl = F.coalesce(
+        F.col("mean_word_len").between(2, 12), F.lit(False)
+    )
+    rule_alpha = F.coalesce(F.col("alpha_ratio") >= 0.55, F.lit(False))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("alpha_ratio", 4).alias("alpha_ratio"),
+        rule_len.alias("rule_len"),
+        rule_wl.alias("rule_word_len"),
+        rule_alpha.alias("rule_alpha"),
+        F.col("has_stopword").alias("rule_stopword"),
+        (rule_len & rule_wl & rule_alpha & F.col("has_stopword")).alias(
+            "passes"
+        ),
+    )
+
+
+@query(
+    "doc_chunk_overlap",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    idx AS (SELECT doc_id, tk,
+                   unnest(generate_series(0,
+                     CAST(greatest(ceil((len(tk) - 64) / 32.0), 0) AS BIGINT)))
+                     AS chunk_idx
+            FROM t WHERE len(tk) > 0),
+    c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 tk[chunk_idx * 32 + 1 : chunk_idx * 32 + 64] AS chunk
+          FROM idx)
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 32 — the
+    standard long-document prep for embedding/training): sequence +
+    explode + slice, all codegen'd array ops. Row-local (zero
+    shuffles) and output-linear, so it streams through a 100 TB corpus
+    as a pure map stage."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n = F.size(F.col("tk"))
+    d = d.where(n > 0).select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil((n - F.lit(64)) / F.lit(32.0)), F.lit(0)
+                ).cast("bigint"),
+            )
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("tk"), F.col("chunk_idx") * 32 + 1, 64)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    planes = S.hyperplanes()
+    cos = _COSINE_SQL
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qv, lsh_sig FROM sig
+          WHERE vec_id < 10),
+    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    {cos.format(a="qv", b="c.e")} AS csim
+             FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
+    ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM ex_s) WHERE rank <= 3),
+    ls_s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    {cos.format(a="qv", b="c.e")} AS csim
+             FROM q JOIN sig c USING (lsh_sig) WHERE query_id <> c.vec_id),
+    lr AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM ls_s) WHERE rank <= 3),
+    nl AS (SELECT query_id, count(*) AS n_lsh FROM lr GROUP BY query_id),
+    nm AS (SELECT ex.query_id, count(lr.query_id) AS n_match
+           FROM ex LEFT JOIN lr
+             ON ex.query_id = lr.query_id
+            AND ex.neighbor_id = lr.neighbor_id
+           GROUP BY ex.query_id)
+    SELECT nm.query_id,
+           CAST(coalesce(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
+           CAST(nm.n_match AS BIGINT) AS n_match,
+           round(nm.n_match / 3.0, 4) AS recall_at_3
+    FROM nm LEFT JOIN nl ON nm.query_id = nl.query_id
+    """
+
+
+@query("emb_lsh_recall_eval", _lsh_recall_oracle)
+def emb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval: per-query recall@3 of the LSH index against
+    the exact brute-force top-3 — the measurement that justifies (or
+    vetoes) an ANN tier before a corpus-scale rollout. The exact side
+    is the documented brute-force oracle tier; the LSH side is the
+    production candidate; the comparison itself is a tiny
+    query-keyed join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    ex = S.knn_exact(
+        q, e, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    ls = S.knn_lsh(
+        q, e, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    nl = ls.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
+    lsh_hit = ls.withColumn("hit", F.lit(1))
+    nm = (
+        ex.join(lsh_hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_match"))
+    )
+    return (
+        nm.join(nl, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_lsh"), F.lit(0)).cast("bigint").alias("n_lsh"),
+            F.col("n_match").cast("bigint").alias("n_match"),
+            F.round(F.col("n_match") / 3.0, 4).alias("recall_at_3"),
+        )
+    )

@@ -163,3 +163,39 @@ def test_pack_sequences_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_pack_sequences")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_chunking_and_quality_rules_are_pure_map_stages(spark, sf_dir):
+    """Sliding-window chunking and the Gopher quality rules are
+    row-local: their plans must contain NO exchange at all — at corpus
+    scale they run as map-only passes fused into the scan."""
+    for name in ("doc_chunk_overlap", "doc_gopher_quality_rules"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+
+
+def test_funnel_and_cohorts_single_user_shuffle(spark, sf_dir):
+    """The strict-sequence funnel and the cohort retention triangle
+    shuffle the event stream ONCE on user_id (windows / collect_set
+    aggregates share the partitioning); everything after is a rollup
+    over tiny step/cohort cardinalities. Two exchanges total: the
+    user_id one plus the final small rollup."""
+    for name in ("evt_funnel_steps", "evt_cohort_retention"):
+        # AQE's toString repeats the tree under "== Initial Plan ==" —
+        # count exchanges in the final section only
+        plan = _plan(spark, sf_dir, name).split("== Initial Plan ==")[0]
+        assert plan.count("Exchange") <= 2, (name, plan.count("Exchange"))
+        assert "hashpartitioning(user_id" in plan, name
+
+
+def test_lsh_recall_eval_no_unexpected_cartesian(spark, sf_dir):
+    """The eval's exact side is the documented brute-force tier (its
+    crossJoin is intentional); the LSH side and the comparison joins
+    must stay equi-joins — exactly one cross product in the plan."""
+    plan = _plan(spark, sf_dir, "emb_lsh_recall_eval").split(
+        "== Initial Plan =="
+    )[0]
+    n_cross = plan.count("CartesianProduct") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert n_cross <= 1, n_cross
