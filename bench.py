@@ -61,6 +61,8 @@ HEADLINE = [
     "doc_gopher_quality_rules",
     "doc_chunk_overlap",
     "emb_lsh_recall_eval",
+    "emb_quantize_pq",
+    "emb_knn_pq_adc",
 ]
 
 

@@ -2031,3 +2031,165 @@ def emb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_match") / 3.0, 4).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ + ADC)
+# ---------------------------------------------------------------------------
+
+
+def _pq_books_for_oracle(
+    m: int = 8, k: int = 16, n_iter: int = 10, sample_cap: int = 4096
+) -> list[list[list[float]]]:
+    """Rebuild the PQ codebooks with pyarrow + numpy only (no Spark),
+    via the SAME _pq_kmeans core train_pq_codebooks uses — both paths
+    see the identical float64 sample in vec_id order, so the books
+    are bit-identical and can be inlined as oracle literals."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tbl = pq.read_table(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    emb = tbl["embedding"].to_pylist()
+    order = np.argsort(ids, kind="stable")[:sample_cap]
+    X = np.array([emb[i] for i in order], dtype=np.float64)
+    return S._pq_kmeans(X, m, k, n_iter)
+
+
+def _pq_cb_values(books: list[list[list[float]]]) -> str:
+    """VALUES rows (m, code, cv, cc) — cc is the Python-side
+    sequential sum of squares, inlined so neither engine recomputes
+    it with a potentially different accumulation order."""
+    rows = []
+    for i, book in enumerate(books):
+        for j, c in enumerate(book, start=1):
+            arr = "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+            rows.append(f"({i}, {j}, {arr}, {repr(S._cc(c))})")
+    return ", ".join(rows)
+
+
+_PQ_ENCODE_CTES = """
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    sub AS (SELECT vec_id, ms.m, e[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
+            FROM v CROSS JOIN ms),
+    dists AS (SELECT vec_id, sub.m, cb.code,
+                     -2.0 * list_dot_product(sv, cb.cv) + cb.cc AS obj,
+                     list_dot_product(sv, sv) AS ss
+              FROM sub JOIN cb ON cb.m = sub.m),
+    assign AS (SELECT vec_id, m, code, obj, ss,
+                      row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY obj ASC, code ASC) AS rn
+               FROM dists),
+    codes AS (SELECT vec_id, m, code, ss + obj AS err
+              FROM assign WHERE rn = 1)
+"""
+
+
+def _quantize_pq_oracle() -> str:
+    vals = _pq_cb_values(_pq_books_for_oracle())
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cb AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
+    {_PQ_ENCODE_CTES}
+    SELECT vec_id,
+           string_agg(code::VARCHAR, '-' ORDER BY m) AS pq_code,
+           round(list_sum(list(err ORDER BY m)), 6) AS recon_err
+    FROM codes GROUP BY vec_id
+    """
+
+
+@query("emb_quantize_pq", _quantize_pq_oracle)
+def emb_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode: 8 subspaces x 16 centroids turn a
+    64-float vector into 8 small codes (8 bytes vs 256 — the
+    compression that fits a 100 TB index in memory), plus the total
+    squared reconstruction error. Codebooks train on a bounded
+    lowest-id sample (deterministic k-means, _pq_kmeans); the encode
+    itself is pure codegen'd array expressions — row-local, zero
+    shuffles at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(
+        e, id_col="vec_id", vec_col="embedding", m=8, k=16, n_iter=10
+    )
+    v = S.as_double(F.col("embedding"))
+    codes = S.pq_codes(v, books)
+    return e.select(
+        "vec_id",
+        F.array_join(
+            F.transform(codes, lambda c: c.cast("string")), "-"
+        ).alias("pq_code"),
+        F.round(S.pq_recon_error(v, books), 6).alias("recon_err"),
+    )
+
+
+def _knn_pq_adc_oracle() -> str:
+    vals = _pq_cb_values(_pq_books_for_oracle())
+    cos = _COSINE_SQL
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cb AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
+    {_PQ_ENCODE_CTES},
+    cent AS (SELECT vec_id AS cell_id, e AS ccv FROM v WHERE vec_id < 8),
+    cscored AS (SELECT v.vec_id, v.e, c.cell_id,
+                       {cos.format(a="v.e", b="c.ccv")} AS csim
+                FROM v CROSS JOIN cent c),
+    cassign AS (SELECT vec_id, e, cell_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY csim DESC, cell_id ASC)
+                         AS rn
+                FROM cscored),
+    inv AS (SELECT vec_id AS neighbor_id, cell_id FROM cassign WHERE rn = 1),
+    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
+            FROM cassign WHERE rn <= 2 AND vec_id >= 10 AND vec_id < 20),
+    qsub AS (SELECT query_id, cell_id, ms.m,
+                    qe[ms.m * 8 + 1 : ms.m * 8 + 8] AS qs
+             FROM qry CROSS JOIN ms),
+    contrib AS (SELECT q.query_id, i.neighbor_id, q.m,
+                       list_dot_product(q.qs, cb.cv) AS val
+                FROM qsub q
+                JOIN inv i ON i.cell_id = q.cell_id
+                JOIN codes co ON co.vec_id = i.neighbor_id AND co.m = q.m
+                JOIN cb ON cb.m = q.m AND cb.code = co.code
+                WHERE q.query_id <> i.neighbor_id),
+    s AS (SELECT query_id, neighbor_id,
+                 list_sum(list(val ORDER BY m)) AS adc
+          FROM contrib GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                 round(adc, 6) AS adc_score
+          FROM s)
+    SELECT query_id, neighbor_id, rank, adc_score FROM r WHERE rank <= 3
+    """
+
+
+@query("emb_knn_pq_adc", _knn_pq_adc_oracle)
+def emb_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with asymmetric distance computation: candidates
+    from the deterministic IVF cell probe (cell_id equi-join, the
+    only shuffle), scored against the PQ-compressed corpus via a
+    per-query 8x16 lookup table — m array lookups per candidate
+    instead of a 64-dim dot product. The faiss IVFPQ shape,
+    Spark-native."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(
+        e, id_col="vec_id", vec_col="embedding", m=8, k=16, n_iter=10
+    )
+    return S.knn_ivf_pq(
+        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        e,
+        books,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+        n_cells=8,
+        n_probe=2,
+    )

@@ -32,6 +32,10 @@ __all__ = [
     "knn_lsh_multiprobe",
     "knn_ivf",
     "train_ivf_centroids",
+    "train_pq_codebooks",
+    "pq_codes",
+    "pq_recon_error",
+    "knn_ivf_pq",
     "binary_signature",
     "knn_binary",
     "cosine_dedup_pairs",
@@ -662,5 +666,213 @@ def cosine_dedup_pairs(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
             F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ) — the canonical 100 TB vector-index
+# compression: vectors become m small codes, query scoring becomes m
+# table lookups (ADC), and IVF cells bound the candidate set.
+# ---------------------------------------------------------------------------
+
+
+def _pq_kmeans(X, m: int, k: int, n_iter: int) -> list[list[list[float]]]:
+    """Deterministic per-subspace L2 k-means (the PQ codebook
+    trainer), shared verbatim by the Spark path (train_pq_codebooks)
+    and the DuckDB-oracle path (llm_queries builds X from the parquet
+    with pyarrow) so both produce bit-identical codebooks. Seeds are
+    the first ``k`` subvectors in input order; centroid components
+    round to 9dp per iteration with a rounded-fixpoint early stop;
+    empty cells keep their previous centroid. No RNG anywhere."""
+    import numpy as np
+
+    dim = X.shape[1]
+    d = dim // m
+    books: list[list[list[float]]] = []
+    for i in range(m):
+        S = X[:, i * d : (i + 1) * d]
+        cur = [[round(float(x), 9) for x in S[j]] for j in range(k)]
+        for _ in range(n_iter):
+            C = np.array(cur, dtype=np.float64)
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            nxt = []
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    nxt.append(
+                        [round(float(x), 9) for x in S[mask].mean(axis=0)]
+                    )
+                else:
+                    nxt.append([float(x) for x in cur[c]])
+            if nxt == cur:
+                break
+            cur = nxt
+        books.append(cur)
+    return books
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    sample_cap: int = 4096,
+) -> list[list[list[float]]]:
+    """PQ codebooks from the ``sample_cap`` lowest-id vectors (one
+    bounded TakeOrdered — a codebook needs a sample, never the
+    corpus; the model is m × k × dim/m floats on the driver
+    regardless of corpus size)."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(sample_cap)
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    X = np.array([list(r.v) for r in rows], dtype=np.float64)
+    return _pq_kmeans(X, m, k, n_iter)
+
+
+def _lit_arr(vals: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _cc(vals: list[float]) -> float:
+    """Left-to-right sum of squares — bit-identical to the sequential
+    fold / list_dot_product both engines use on the same literals."""
+    acc = 0.0
+    for x in vals:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
+def _lit_book(book: list[list[float]]):
+    """One subspace codebook as a literal array<array<double>> — a
+    single Catalyst literal node, so the per-subspace objective is ONE
+    zip_with/aggregate template instead of k separate fold trees
+    (which made analysis/codegen time explode at k=16, m=8)."""
+    return F.array(*[_lit_arr(c) for c in book])
+
+
+def _pq_objs(sub, book: list[list[float]]):
+    """Array of k assignment objectives -2<s,c> + <c,c> for one
+    subspace (the <s,s> term is constant per subspace and dropped).
+    <c,c> is inlined as a Python-computed literal (_cc) so neither
+    engine recomputes it with a different accumulation order; the
+    <s,c> dot is the shared sequential fold."""
+    return F.zip_with(
+        _lit_book(book),
+        F.array(*[F.lit(_cc(c)) for c in book]),
+        lambda c, cc: -2.0 * dot(sub, c) + cc,
+    )
+
+
+def pq_codes(vec, books: list[list[list[float]]]):
+    """1-based PQ code per subspace as array<int>, pure codegen'd
+    array expressions — row-local, zero shuffles at any scale.
+    First-min tie-break = lowest code, matching the oracle's
+    row_number(ORDER BY obj, code)."""
+    d = len(books[0][0])
+    codes = []
+    for i, book in enumerate(books):
+        sub = F.slice(vec, i * d + 1, d)
+        objs = _pq_objs(sub, book)
+        codes.append(F.array_position(objs, F.array_min(objs)).cast("int"))
+    return F.array(*codes)
+
+
+def pq_recon_error(vec, books: list[list[list[float]]]):
+    """Total squared reconstruction error of the PQ encoding,
+    accumulated over subspaces in index order (sequential fold — the
+    oracle sums the same per-subspace terms m-ordered)."""
+    d = len(books[0][0])
+    errs = []
+    for i, book in enumerate(books):
+        sub = F.slice(vec, i * d + 1, d)
+        errs.append(dot(sub, sub) + F.array_min(_pq_objs(sub, book)))
+    return F.aggregate(F.array(*errs), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def knn_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-PQ ANN with asymmetric distance computation (ADC): the
+    corpus is stored as m PQ codes (here 8 bytes/vector vs 256 for
+    float32x64 — the compression that makes a 100 TB index fit);
+    each query precomputes an m × k lookup table of subspace dot
+    products, and scoring a candidate costs m array lookups instead
+    of a dim-length dot product. Candidates come from the same
+    deterministic IVF cell probe as knn_ivf (equi-join on cell_id —
+    the only shuffle; no cross product)."""
+    cent = (
+        corpus.where(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+    inv = _nearest_cells(
+        corpus, cent, id_out="neighbor_id", id_col=id_col, vec_col=vec_col,
+        n_probe=1,
+    ).select(
+        "neighbor_id",
+        "cell_id",
+        pq_codes(F.col("v"), books).alias("codes"),
+    )
+    d = len(books[0][0])
+    probes = _nearest_cells(
+        queries, cent, id_out="query_id", id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe,
+    )
+    def _sub_dot(i: int):
+        # NB: a default-arg lambda would grow a second parameter,
+        # which PySpark reads as the (element, index) transform form —
+        # close over i via a factory instead
+        return lambda c: dot(F.slice(F.col("v"), i * d + 1, d), c)
+
+    lut = F.array(
+        *[F.transform(_lit_book(book), _sub_dot(i)) for i, book in enumerate(books)]
+    )
+    probes = probes.select("query_id", "cell_id", lut.alias("lut"))
+    scored = (
+        probes.join(inv, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_score",
+            F.aggregate(
+                F.zip_with(
+                    F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adc_score", 6).alias("adc_score"),
         )
     )

@@ -199,3 +199,18 @@ def test_lsh_recall_eval_no_unexpected_cartesian(spark, sf_dir):
         "BroadcastNestedLoopJoin"
     )
     assert n_cross <= 1, n_cross
+
+
+def test_pq_encode_is_row_local(spark, sf_dir):
+    """PQ encoding (codebooks are driver-side literals) must be a
+    pure map stage: no exchange anywhere in the final plan."""
+    plan = _plan(spark, sf_dir, "emb_quantize_pq").split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan
+
+
+def test_knn_pq_adc_no_cartesian(spark, sf_dir):
+    """IVF-PQ candidates come from the cell_id equi-join; the only
+    nested-loop joins are the broadcast-tiny centroid assignments
+    (8 centroid rows), never corpus x corpus."""
+    plan = _plan(spark, sf_dir, "emb_knn_pq_adc").split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
