@@ -201,3 +201,140 @@ def evt_fold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "version", F.round("balance", 4).alias("balance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming strict-sequence funnel — the stateful twin of
+# analytics_queries.evt_funnel_steps.
+# ---------------------------------------------------------------------------
+
+
+def init_funnel() -> dict:
+    return {"t_view": None, "t_click": None, "t_purchase": None}
+
+
+def _unset(x) -> bool:
+    # state round-trips through pandas: a missing timestamp can come
+    # back as None or NaT (NaT != NaT)
+    return x is None or x != x
+
+
+def fold_funnel(s: dict, e: dict) -> dict:
+    """Per-event strict-sequence funnel state machine. Folding events
+    in (ts, event_id) order makes 'first click with ts > t_view'
+    identical to the batch form's min(CASE WHEN...) windows — the
+    oracle equality proves it. Conditions compare ts strictly, so
+    same-ts ties can't depend on arrival order."""
+    t = e["event_type"]
+    if t == "view" and _unset(s["t_view"]):
+        s = {**s, "t_view": e["ts"]}
+    elif (
+        t == "click"
+        and not _unset(s["t_view"])
+        and _unset(s["t_click"])
+        and e["ts"] > s["t_view"]
+    ):
+        s = {**s, "t_click": e["ts"]}
+    elif (
+        t == "purchase"
+        and not _unset(s["t_click"])
+        and _unset(s["t_purchase"])
+        and e["ts"] > s["t_click"]
+    ):
+        s = {**s, "t_purchase": e["ts"]}
+    return s
+
+
+@query(
+    "evt_stream_funnel_state",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), s2 AS (
+      SELECT user_id, ts, event_type, t1,
+             min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, t1, t2,
+             min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(t1) AS t_view, max(t2) AS t_click, max(t3) AS t_purchase
+    FROM s3 GROUP BY user_id
+    """,
+)
+def evt_stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict-sequence funnel on the LIVE path: per-user funnel
+    stage timestamps held in the checkpointed state store
+    (applyInPandasWithState via live_rehydrate), folded event-by-event
+    — the continuously-maintained funnel a product dashboard reads.
+    Oracled against the BATCH funnel's windowed-min formulation: the
+    equality of a sequential state machine and a declarative window
+    query is exactly the batch/stream parity contract. State is
+    O(users) x 3 timestamps; input streams through once."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = ev.select("user_id", "ts", "event_id", "event_type")
+
+    out = live_rehydrate(
+        ev,
+        "user_id",
+        "ts",
+        fold_funnel,
+        init_funnel,
+        state_fields=["t_view", "t_click", "t_purchase"],
+        state_ddl="t_view timestamp, t_click timestamp, t_purchase timestamp",
+        output_ddl=(
+            "user_id bigint, version bigint, t_view timestamp, "
+            "t_click timestamp, t_purchase timestamp"
+        ),
+        tiebreak_col="event_id",
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="funnel_ckpt_")
+    sink_dir = tempfile.mkdtemp(prefix="funnel_sink_")
+
+    def sink(df: DataFrame, epoch: int) -> None:
+        df.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("_epoch").desc())
+    res = (
+        spark.read.parquet(sink_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return res.select(
+        "user_id",
+        F.col("version").alias("n_events"),
+        "t_view",
+        "t_click",
+        "t_purchase",
+    )
