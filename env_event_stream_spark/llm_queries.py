@@ -2015,22 +2015,7 @@ def emb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls = S.knn_lsh(
         q, e, id_col="vec_id", vec_col="embedding", k=3
     ).select("query_id", "neighbor_id")
-    nl = ls.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
-    lsh_hit = ls.withColumn("hit", F.lit(1))
-    nm = (
-        ex.join(lsh_hit, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_match"))
-    )
-    return (
-        nm.join(nl, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_lsh"), F.lit(0)).cast("bigint").alias("n_lsh"),
-            F.col("n_match").cast("bigint").alias("n_match"),
-            F.round(F.col("n_match") / 3.0, 4).alias("recall_at_3"),
-        )
-    )
+    return _recall_frame(ex, ls, "n_lsh")
 
 
 # ---------------------------------------------------------------------------
@@ -2193,3 +2178,91 @@ def emb_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=8,
         n_probe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evals for the remaining tiers (LSH one above)
+# ---------------------------------------------------------------------------
+
+
+def _recall_frame(ex: DataFrame, ap: DataFrame, n_col: str) -> DataFrame:
+    """Shared recall@3 comparison: exact top-3 (query_id, neighbor_id)
+    vs an approximate method's top-3. Tiny query-keyed joins."""
+    na = ap.groupBy("query_id").agg(F.count("*").alias(n_col))
+    hit = ap.withColumn("hit", F.lit(1))
+    nm = (
+        ex.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_match"))
+    )
+    return nm.join(na, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col(n_col), F.lit(0)).cast("bigint").alias(n_col),
+        F.col("n_match").cast("bigint").alias("n_match"),
+        F.round(F.col("n_match") / 3.0, 4).alias("recall_at_3"),
+    )
+
+
+_IVF_RECALL_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < 8),
+    cscored AS (SELECT v.vec_id, v.e, c.cell_id,
+                       {_COSINE_SQL.format(a="v.e", b="c.cv")} AS csim
+                FROM v CROSS JOIN cent c),
+    cassign AS (SELECT vec_id, e, cell_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY csim DESC, cell_id ASC) AS rn
+                FROM cscored),
+    inv AS (SELECT vec_id AS neighbor_id, e AS ce, cell_id
+            FROM cassign WHERE rn = 1),
+    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
+            FROM cassign WHERE rn <= 2 AND vec_id >= 10 AND vec_id < 20),
+    ap_s AS (SELECT query_id, neighbor_id,
+                    {_COSINE_SQL.format(a="qe", b="ce")} AS csim
+             FROM qry JOIN inv USING (cell_id)
+             WHERE query_id <> neighbor_id),
+    ap AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM ap_s) WHERE rank <= 3),
+    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v
+            WHERE vec_id >= 10 AND vec_id < 20),
+    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    {_COSINE_SQL.format(a="qe", b="c.e")} AS csim
+             FROM q10 CROSS JOIN v c WHERE query_id <> c.vec_id),
+    ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM ex_s) WHERE rank <= 3),
+    na AS (SELECT query_id, count(*) AS n_ivf FROM ap GROUP BY query_id),
+    nm AS (SELECT ex.query_id, count(ap.query_id) AS n_match
+           FROM ex LEFT JOIN ap
+             ON ex.query_id = ap.query_id
+            AND ex.neighbor_id = ap.neighbor_id
+           GROUP BY ex.query_id)
+    SELECT nm.query_id,
+           CAST(coalesce(na.n_ivf, 0) AS BIGINT) AS n_ivf,
+           CAST(nm.n_match AS BIGINT) AS n_match,
+           round(nm.n_match / 3.0, 4) AS recall_at_3
+    FROM nm LEFT JOIN na ON nm.query_id = na.query_id
+    """
+
+
+@query("emb_ivf_recall_eval", _IVF_RECALL_ORACLE)
+def emb_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF-flat tier (n_cells=8, n_probe=2 — the
+    emb_knn_ivf configuration) against exact top-3. Together with
+    emb_lsh_recall_eval this completes the pre-rollout recall ladder
+    across the ANN tiers; queries are vec_id 10..19, same as the ANN
+    catalog entries."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    ex = S.knn_exact(
+        q, e, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    ap = S.knn_ivf(
+        q, e, id_col="vec_id", vec_col="embedding", k=3, n_cells=8, n_probe=2
+    ).select("query_id", "neighbor_id")
+    return _recall_frame(ex, ap, "n_ivf")
