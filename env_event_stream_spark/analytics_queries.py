@@ -148,3 +148,47 @@ def evt_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("gap_us") / 1_000_000.0, 4).alias("min_gap_s"),
         F.round(F.max("gap_us") / 1_000_000.0, 4).alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling daily active users.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_rolling_dau",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    )
+    SELECT day, dau,
+           CAST(sum(dau) OVER (ORDER BY day
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS dau_7d_sum,
+           round(avg(dau) OVER (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS dau_7d_avg
+    FROM daily
+    """,
+)
+def evt_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users with a 7-day trailing sum/avg. The distinct
+    count shuffles once on (day, user); the trailing window then runs
+    over the DAILY rollup — |days| rows, so its single-partition sort
+    is a driver-sized no-op at any event volume (the heavy input never
+    sees a global order)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("dau"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "dau",
+        F.sum("dau").over(w).cast("bigint").alias("dau_7d_sum"),
+        F.round(F.avg("dau").over(w), 4).alias("dau_7d_avg"),
+    )

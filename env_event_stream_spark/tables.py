@@ -66,6 +66,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # pinned UTC (prepare_session) so this cast preserves every
             # instant and keeps DuckDB epoch parity.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif dtype == "string":
+            # defensive: a future regeneration could ship ISO strings
+            # (the testdata has drifted once already — see NEXT.md)
+            df = df.withColumn("ts", F.to_timestamp("ts"))
     return df
 
 
@@ -106,6 +110,10 @@ def load_events(
         # column's own timestamp type) so the comparison is pushable,
         # THEN normalize TIMESTAMP_NTZ → TIMESTAMP for downstream
         # NTZ-strict expressions (UTC session tz ⇒ instants unchanged).
+        if dict(df.dtypes).get("ts") == "string":
+            # convert BEFORE filtering (lexicographic string compare is
+            # not a safe ts-range proxy across fractional-second forms)
+            df = df.withColumn("ts", F.to_timestamp("ts"))
         if from_ts is not None:
             df = df.where(F.col("ts") >= F.lit(from_ts))
         if to_ts is not None:

@@ -1,0 +1,100 @@
+"""Event-analytics semantics on crafted edge cases: the strict-
+sequence funnel's ordering contract (same-ts ties must not advance a
+stage; a purchase before the qualifying click must not count), checked
+on BOTH implementations — the batch windowed-min query shape and the
+streaming fold state machine — which the sf-data oracle equality
+already ties together, but only on data without adversarial ties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.streaming_queries import fold_funnel, init_funnel
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# (user_id, ts, event_id, event_type) — crafted:
+# user 1: click at the SAME ts as first view (strict > ⇒ no stage 2),
+#         later click qualifies; purchase BEFORE that click (no stage
+#         3), later purchase qualifies.
+# user 2: click precedes any view — first-touch would convert, the
+#         strict sequence must not (no click AFTER the view).
+# user 3: view only.
+EVENTS = [
+    (1, _ts("2024-01-01 10:00:00"), 1, "view"),
+    (1, _ts("2024-01-01 10:00:00"), 2, "click"),
+    (1, _ts("2024-01-01 10:30:00"), 3, "purchase"),
+    (1, _ts("2024-01-01 11:00:00"), 4, "click"),
+    (1, _ts("2024-01-01 12:00:00"), 5, "purchase"),
+    (2, _ts("2024-01-02 09:00:00"), 6, "click"),
+    (2, _ts("2024-01-02 10:00:00"), 7, "view"),
+    (3, _ts("2024-01-03 08:00:00"), 8, "view"),
+]
+
+EXPECTED = {
+    1: (
+        _ts("2024-01-01 10:00:00"),
+        _ts("2024-01-01 11:00:00"),
+        _ts("2024-01-01 12:00:00"),
+    ),
+    2: (_ts("2024-01-02 10:00:00"), None, None),
+    3: (_ts("2024-01-03 08:00:00"), None, None),
+}
+
+
+def test_fold_funnel_state_machine():
+    got = {}
+    for uid in (1, 2, 3):
+        s = init_funnel()
+        for u, ts, eid, et in sorted(EVENTS, key=lambda e: (e[1], e[2])):
+            if u == uid:
+                s = fold_funnel(s, {"ts": ts, "event_type": et})
+        got[uid] = (s["t_view"], s["t_click"], s["t_purchase"])
+    assert got == EXPECTED
+
+
+def test_batch_funnel_windows_match_state_machine(spark):
+    df = spark.createDataFrame(
+        EVENTS, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
+    s = (
+        df.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+    )
+    rows = (
+        s.groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+        .collect()
+    )
+    got = {r.user_id: (r.t1, r.t2, r.t3) for r in rows}
+    assert got == EXPECTED
