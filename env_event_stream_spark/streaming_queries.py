@@ -338,3 +338,59 @@ def evt_stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_click",
         "t_purchase",
     )
+
+
+@query(
+    "evt_stream_dau",
+    """
+    WITH d AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      user_id
+      FROM events
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY day
+    """,
+)
+def evt_stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users on the REAL streaming path. Streaming
+    aggregation cannot COUNT(DISTINCT) — the standard shape is
+    stateful dropDuplicates on (day, user) followed by a plain count,
+    which is exactly what this runs (complete-mode matview sink, the
+    evt_stream_tumbling_counts pattern). Oracled against the batch
+    DISTINCT + GROUP BY. Dedup state is O(days x users) here; in
+    production a watermark on day bounds it — availableNow over a
+    finite table needs none."""
+    import tempfile as _tf
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .dropDuplicates(["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("dau"))
+    )
+    sink_dir = _tf.mkdtemp(prefix="dau_sink_")
+    ckpt = _tf.mkdtemp(prefix="dau_ckpt_")
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        df.write.mode("overwrite").parquet(sink_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink_dir)
