@@ -2266,3 +2266,85 @@ def emb_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, e, id_col="vec_id", vec_col="embedding", k=3, n_cells=8, n_probe=2
     ).select("query_id", "neighbor_id")
     return _recall_frame(ex, ap, "n_ivf")
+
+
+def _pq_recall_oracle() -> str:
+    vals = _pq_cb_values(_pq_books_for_oracle())
+    cos = _COSINE_SQL
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cb AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
+    {_PQ_ENCODE_CTES},
+    cent AS (SELECT vec_id AS cell_id, e AS ccv FROM v WHERE vec_id < 8),
+    cscored AS (SELECT v.vec_id, v.e, c.cell_id,
+                       {cos.format(a="v.e", b="c.ccv")} AS csim
+                FROM v CROSS JOIN cent c),
+    cassign AS (SELECT vec_id, e, cell_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY csim DESC, cell_id ASC) AS rn
+                FROM cscored),
+    inv AS (SELECT vec_id AS neighbor_id, cell_id FROM cassign WHERE rn = 1),
+    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
+            FROM cassign WHERE rn <= 2 AND vec_id >= 10 AND vec_id < 20),
+    qsub AS (SELECT query_id, cell_id, ms.m,
+                    qe[ms.m * 8 + 1 : ms.m * 8 + 8] AS qs
+             FROM qry CROSS JOIN ms),
+    contrib AS (SELECT q.query_id, i.neighbor_id, q.m,
+                       list_dot_product(q.qs, cb.cv) AS val
+                FROM qsub q
+                JOIN inv i ON i.cell_id = q.cell_id
+                JOIN codes co ON co.vec_id = i.neighbor_id AND co.m = q.m
+                JOIN cb ON cb.m = q.m AND cb.code = co.code
+                WHERE q.query_id <> i.neighbor_id),
+    adc AS (SELECT query_id, neighbor_id,
+                   list_sum(list(val ORDER BY m)) AS s
+            FROM contrib GROUP BY query_id, neighbor_id),
+    ap AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY s DESC, neighbor_id ASC) AS rank
+             FROM adc) WHERE rank <= 3),
+    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v
+            WHERE vec_id >= 10 AND vec_id < 20),
+    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    {cos.format(a="qe", b="c.e")} AS csim
+             FROM q10 CROSS JOIN v c WHERE query_id <> c.vec_id),
+    ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM ex_s) WHERE rank <= 3),
+    na AS (SELECT query_id, count(*) AS n_pq FROM ap GROUP BY query_id),
+    nm AS (SELECT ex.query_id, count(ap.query_id) AS n_match
+           FROM ex LEFT JOIN ap
+             ON ex.query_id = ap.query_id
+            AND ex.neighbor_id = ap.neighbor_id
+           GROUP BY ex.query_id)
+    SELECT nm.query_id,
+           CAST(coalesce(na.n_pq, 0) AS BIGINT) AS n_pq,
+           CAST(nm.n_match AS BIGINT) AS n_match,
+           round(nm.n_match / 3.0, 4) AS recall_at_3
+    FROM nm LEFT JOIN na ON nm.query_id = na.query_id
+    """
+
+
+@query("emb_pq_recall_eval", _pq_recall_oracle)
+def emb_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF-PQ/ADC tier against exact top-3 — closes
+    the recall ladder across all three ANN tiers (LSH, IVF-flat,
+    IVF-PQ). ADC score ranking loses both to cell-probe misses and to
+    quantization error; this eval measures the compound effect, which
+    is the number a rollout decision actually needs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    books = S.train_pq_codebooks(
+        e, id_col="vec_id", vec_col="embedding", m=8, k=16, n_iter=10
+    )
+    ex = S.knn_exact(
+        q, e, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    ap = S.knn_ivf_pq(
+        q, e, books, id_col="vec_id", vec_col="embedding",
+        k=3, n_cells=8, n_probe=2,
+    ).select("query_id", "neighbor_id")
+    return _recall_frame(ex, ap, "n_pq")
