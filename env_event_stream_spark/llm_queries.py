@@ -2348,3 +2348,157 @@ def emb_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, n_cells=8, n_probe=2,
     ).select("query_id", "neighbor_id")
     return _recall_frame(ex, ap, "n_pq")
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy — the dedup-side analogue of the ANN
+# recall ladder: how close is the signature estimate to true Jaccard?
+# ---------------------------------------------------------------------------
+
+
+def _minhash_accuracy_oracle() -> str:
+    from env_event_stream_spark.operators.dedup import MINHASH_P, minhash_params
+
+    params = minhash_params(_K)
+    sig_cols = ", ".join(
+        f"min(({a} * hv + {b}) % {MINHASH_P}) AS h{s}"
+        for s, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(h{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)" for s in range(_K)
+    )
+    return (
+        "WITH "
+        + _JACCARD_CTES
+        + f""",
+hv AS (SELECT doc_id, {_hex32_sql("md5(sh)")} % {MINHASH_P} AS hv FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b, round(({matches}) / 16.0, 4) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       coalesce(j.jaccard, 0.0) AS jaccard,
+       round(abs(e.est_jaccard - coalesce(j.jaccard, 0.0)), 4) AS abs_err
+FROM est e LEFT JOIN jac j ON j.id_a = e.id_a AND j.id_b = e.id_b
+"""
+    )
+
+
+@query("doc_minhash_accuracy", _minhash_accuracy_oracle())
+def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy eval: for every LSH band candidate pair, the
+    16-permutation MinHash Jaccard ESTIMATE (matching permutations /
+    16) next to TRUE shingle Jaccard and the absolute error — the
+    dedup-threshold calibration number (at what estimate does true
+    similarity actually clear your dedup bar?). True Jaccard is
+    computed only for the candidate set (candidate-bounded joins, no
+    all-pairs step anywhere)."""
+    from env_event_stream_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "text", "doc_id", 3).cache()
+    sig = D.minhash_signatures(
+        d, "text", "doc_id", n=3, k=16, shingles=sh
+    )
+    bands, rows = 4, 4
+    frames = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bk"),
+            )
+        )
+    banded = frames[0]
+    for fr in frames[1:]:
+        banded = banded.unionByName(fr)
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(16)],
+    )
+    match_count = None
+    for s in range(16):
+        t = (F.col(f"a{s}") == F.col(f"b{s}")).cast("int")
+        match_count = t if match_count is None else match_count + t
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(match_count / 16.0, 4).alias("est_jaccard"),
+        )
+    )
+    # true Jaccard, candidate-bounded: explode each candidate's
+    # shingles and count the shared ones — never an all-pairs join
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ca = cand.join(
+        sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a"
+    )
+    nc = (
+        ca.join(
+            sh.select(F.col("doc_id").alias("id_b"), "sh"), ["id_b", "sh"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    true_j = (
+        nc.join(sizes.select(F.col("doc_id").alias("id_a"),
+                             F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n_sh").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("nc") * 1.0 / (F.col("na") + F.col("nb") - F.col("nc")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    out = est.join(true_j, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", "est_jaccard",
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        F.round(
+            F.abs(
+                F.col("est_jaccard") - F.coalesce(F.col("jaccard"), F.lit(0.0))
+            ),
+            4,
+        ).alias("abs_err"),
+    )
+    return out
