@@ -2502,3 +2502,60 @@ def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("abs_err"),
     )
     return out
+
+
+@query(
+    "doc_bigram_logprob",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    pairs AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i+1])) AS bg
+              FROM t),
+    cnt2 AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY bg),
+    cnt1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+             FROM pairs GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(c2 * 1.0 / c1)), 4) AS avg_logprob
+    FROM pairs
+    JOIN cnt2 USING (bg)
+    JOIN cnt1 ON split_part(pairs.bg, ' ', 1) = cnt1.w1
+    GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM quality score: P(w2|w1) = corpus bigram
+    count / prefix count, each document scored by its mean bigram
+    log-probability — tighter than the unigram filter at spotting
+    shuffled/templated text (word salad keeps unigram mass but loses
+    bigram mass). Same scale shape as doc_unigram_logprob: one
+    explode, model aggs map-side combined and broadcast back onto the
+    corpus-sized pair stream, one grouped avg per doc. Tokens contain
+    no whitespace (tokenizer contract), so 'w1 w2' strings are
+    collision-free bigram keys."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    pairs_arr = F.zip_with(
+        F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    p = d.select("doc_id", F.explode(pairs_arr).alias("bg")).withColumn(
+        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    )
+    cnt2 = p.groupBy("bg").agg(F.count("*").alias("c2"))
+    cnt1 = p.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        p.join(F.broadcast(cnt2), "bg")
+        .join(F.broadcast(cnt1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c2") * 1.0 / F.col("c1"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
