@@ -98,3 +98,19 @@ def test_batch_funnel_windows_match_state_machine(spark):
     )
     got = {r.user_id: (r.t1, r.t2, r.t3) for r in rows}
     assert got == EXPECTED
+
+
+def test_lazy_oracles_degrade_gracefully(monkeypatch):
+    """A lazy oracle that cannot build (e.g. its training parquet is
+    missing) must be OMITTED from oracle_sql() — degrading that query
+    to the driver's rows-only check — never raise and take down the
+    whole oracle map."""
+    import __spark_entry__ as E
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/nonexistent/dir")
+    os_map = E.oracle_sql()
+    # static oracles survive; the trained-model lazies drop out
+    assert "evt_replay" in os_map
+    for lazy in ("emb_knn_ivf_trained", "emb_quantize_pq", "emb_knn_pq_adc",
+                 "emb_pq_recall_eval"):
+        assert lazy not in os_map, lazy

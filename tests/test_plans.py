@@ -214,3 +214,11 @@ def test_knn_pq_adc_no_cartesian(spark, sf_dir):
     (8 centroid rows), never corpus x corpus."""
     plan = _plan(spark, sf_dir, "emb_knn_pq_adc").split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_broadcasts_model(spark, sf_dir):
+    """Like the unigram filter: the bigram/prefix count models must
+    broadcast onto the corpus-sized pair stream, never shuffle it."""
+    plan = _plan(spark, sf_dir, "doc_bigram_logprob")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
