@@ -78,7 +78,16 @@ def oracle_sql() -> dict[str, str]:
         if callable(sql):
             try:
                 sql = sql()
-            except Exception:
+            except Exception as exc:  # noqa: BLE001
+                # visible degradation: a real bug in a lazy builder must
+                # not be indistinguishable from missing training data
+                import sys as _sys
+
+                print(
+                    f"oracle_sql: lazy oracle for {n!r} failed, "
+                    f"degrading to rows-only: {exc!r}",
+                    file=_sys.stderr,
+                )
                 sql = None
         if sql is not None:
             out[n] = sql

@@ -100,6 +100,10 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    failed = sorted(k for k, v in timings.items() if v is None)
+    # failures must be loud in the headline JSON: without this, a
+    # crashed query SHRINKS the total and reads as a speedup in
+    # cross-round deltas
     print(
         json.dumps(
             {
@@ -107,6 +111,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
                 "sf": sf,
             }
         )

@@ -9,6 +9,8 @@ plan constant-for-constant (hyperplanes, seeds, band layout).
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -774,6 +776,30 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_sample_matrix(sample_cap: int = 4096):
+    """Oracle-side twin of similarity.collect_sample_matrix: the
+    sample_cap lowest-vec_id embeddings as a float64 matrix in vec_id
+    order, loaded with pyarrow + numpy only (no Spark). Reads the
+    driver's correctness scale (sf0.01) unless SPARK_GRAFT_ORACLE_SF_DIR
+    overrides (tools/check.py sets it for sf0.1 validation)."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tbl = pq.read_table(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    emb = tbl["embedding"].to_pylist()
+    order = np.argsort(ids, kind="stable")[:sample_cap]
+    return np.array([emb[i] for i in order], dtype=np.float64)
+
+
 def _knn_ivf_trained_oracle(
     n_cells: int = 10,
     n_iter: int = 10,
@@ -792,24 +818,11 @@ def _knn_ivf_trained_oracle(
     centroid lists are bit-identical and the probe SQL sees the exact
     model the Spark query used. Built at oracle_sql() call time
     against the driver's correctness scale (sf0.01)."""
-    import os as _os
-
     import numpy as np
-    import pyarrow.parquet as pq
 
     from env_event_stream_spark.operators.similarity import _spherical_step
 
-    sf_dir = _os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
-    tbl = pq.read_table(
-        _os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    emb = tbl["embedding"].to_pylist()
-    order = np.argsort(ids, kind="stable")[:sample_cap]
-    X = np.array([emb[i] for i in order], dtype=np.float64)
+    X = _oracle_sample_matrix(sample_cap)
 
     def _unit(vec) -> list[float]:
         n = float(sum(float(x) * float(x) for x in vec)) ** 0.5 or 1.0
@@ -2023,30 +2036,56 @@ def emb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@_functools.lru_cache(maxsize=8)
+def _pq_books_cached(
+    sf_dir: str, m: int, k: int, n_iter: int, sample_cap: int
+) -> tuple:
+    X = _oracle_sample_matrix(sample_cap)
+    return tuple(
+        tuple(tuple(c) for c in book)
+        for book in S._pq_kmeans(X, m, k, n_iter)
+    )
+
+
 def _pq_books_for_oracle(
     m: int = 8, k: int = 16, n_iter: int = 10, sample_cap: int = 4096
 ) -> list[list[list[float]]]:
     """Rebuild the PQ codebooks with pyarrow + numpy only (no Spark),
     via the SAME _pq_kmeans core train_pq_codebooks uses — both paths
     see the identical float64 sample in vec_id order, so the books
-    are bit-identical and can be inlined as oracle literals."""
+    are bit-identical and can be inlined as oracle literals. Cached
+    per (resolved sf_dir, params): the three PQ lazy oracles share
+    one training."""
     import os as _os
-
-    import numpy as np
-    import pyarrow.parquet as pq
 
     sf_dir = _os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    tbl = pq.read_table(
-        _os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
+    books = _pq_books_cached(sf_dir, m, k, n_iter, sample_cap)
+    return [[list(c) for c in book] for book in books]
+
+
+@_functools.lru_cache(maxsize=8)
+def _pq_books_spark_cached(sf_dir: str) -> tuple:
+    from env_event_stream_spark.session import get_spark
+
+    e = load_table(get_spark("pq-train"), sf_dir, "embeddings")
+    return tuple(
+        tuple(tuple(c) for c in book)
+        for book in S.train_pq_codebooks(
+            e, id_col="vec_id", vec_col="embedding", m=8, k=16, n_iter=10
+        )
     )
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    emb = tbl["embedding"].to_pylist()
-    order = np.argsort(ids, kind="stable")[:sample_cap]
-    X = np.array([emb[i] for i in order], dtype=np.float64)
-    return S._pq_kmeans(X, m, k, n_iter)
+
+
+def _pq_books_spark(spark: SparkSession, sf_dir: str) -> list:
+    """One PQ training per sf_dir per process — emb_quantize_pq,
+    emb_knn_pq_adc and emb_pq_recall_eval share the model (training
+    is a deterministic function of the parquet, so caching cannot
+    change results)."""
+    del spark  # session comes from the shared factory inside the cache
+    books = _pq_books_spark_cached(sf_dir)
+    return [[list(c) for c in book] for book in books]
 
 
 def _pq_cb_values(books: list[list[list[float]]]) -> str:
@@ -2101,9 +2140,7 @@ def emb_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is pure codegen'd array expressions — row-local, zero
     shuffles at any corpus size."""
     e = load_table(spark, sf_dir, "embeddings")
-    books = S.train_pq_codebooks(
-        e, id_col="vec_id", vec_col="embedding", m=8, k=16, n_iter=10
-    )
+    books = _pq_books_spark(spark, sf_dir)
     v = S.as_double(F.col("embedding"))
     codes = S.pq_codes(v, books)
     return e.select(
@@ -2165,9 +2202,7 @@ def emb_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a 64-dim dot product. The faiss IVFPQ shape,
     Spark-native."""
     e = load_table(spark, sf_dir, "embeddings")
-    books = S.train_pq_codebooks(
-        e, id_col="vec_id", vec_col="embedding", m=8, k=16, n_iter=10
-    )
+    books = _pq_books_spark(spark, sf_dir)
     return S.knn_ivf_pq(
         e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
         e,
@@ -2337,9 +2372,7 @@ def emb_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the number a rollout decision actually needs."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
-    books = S.train_pq_codebooks(
-        e, id_col="vec_id", vec_col="embedding", m=8, k=16, n_iter=10
-    )
+    books = _pq_books_spark(spark, sf_dir)
     ex = S.knn_exact(
         q, e, id_col="vec_id", vec_col="embedding", k=3
     ).select("query_id", "neighbor_id")
@@ -2530,11 +2563,14 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     count / prefix count, each document scored by its mean bigram
     log-probability — tighter than the unigram filter at spotting
     shuffled/templated text (word salad keeps unigram mass but loses
-    bigram mass). Same scale shape as doc_unigram_logprob: one
-    explode, model aggs map-side combined and broadcast back onto the
-    corpus-sized pair stream, one grouped avg per doc. Tokens contain
-    no whitespace (tokenizer contract), so 'w1 w2' strings are
-    collision-free bigram keys."""
+    bigram mass). Scale shape: the prefix-count model
+    (unigram-vocabulary-sized) is broadcast-hinted like the unigram
+    filter's vocab; the BIGRAM count model is vocabulary-squared-ish
+    and is deliberately NOT hinted — at small scale AQE still
+    broadcasts it, at corpus scale it must shuffle-join (with a
+    df_cap-style tail trim, the same treatment as the dedup shingle
+    tables). Tokens contain no whitespace (tokenizer contract), so
+    'w1 w2' strings are collision-free bigram keys."""
     d = load_table(spark, sf_dir, "documents")
     tk = tokens(F.col("text"))
     n = F.size(tk)
@@ -2549,7 +2585,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt2 = p.groupBy("bg").agg(F.count("*").alias("c2"))
     cnt1 = p.groupBy("w1").agg(F.count("*").alias("c1"))
     return (
-        p.join(F.broadcast(cnt2), "bg")
+        p.join(cnt2, "bg")
         .join(F.broadcast(cnt1), "w1")
         .groupBy("doc_id")
         .agg(

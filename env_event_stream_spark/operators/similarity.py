@@ -359,6 +359,23 @@ def _nearest_cells(
     )
 
 
+def collect_sample_matrix(corpus, *, id_col: str, vec_col: str, cap: int):
+    """The ``cap`` lowest-id vectors as a float64 matrix in id order —
+    THE training-sample determinism contract, shared by every trainer
+    here (IVF spherical k-means, PQ codebooks) and mirrored exactly by
+    the oracle-side pyarrow loader (llm_queries._oracle_sample_matrix):
+    same rows, same order, same float32→float64 exact widening."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(cap)
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    return np.array([list(r.v) for r in rows], dtype=np.float64)
+
+
 def _spherical_step(U, C, _unit) -> list[list[float]]:
     """One spherical k-means update from unit vectors U given
     centroids C: cosine argmax assignment (first max = lowest cell id,
@@ -416,13 +433,9 @@ def train_ivf_centroids(
         return [round(float(x) / n, 9) for x in vec]
 
     if sample_cap is not None:
-        rows = (
-            corpus.orderBy(F.col(id_col).asc())
-            .limit(sample_cap)
-            .select(as_double(F.col(vec_col)).alias("v"))
-            .collect()
+        X = collect_sample_matrix(
+            corpus, id_col=id_col, vec_col=vec_col, cap=sample_cap
         )
-        X = np.array([list(r.v) for r in rows], dtype=np.float64)
         U = np.array([_unit(x) for x in X], dtype=np.float64)
         cur = [list(u) for u in U[:n_cells]]
         for _ in range(n_iter):
@@ -488,6 +501,36 @@ def train_ivf_centroids(
     return cents
 
 
+def _centroid_frame(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    centroids: list[tuple[int, list[float]]] | None,
+) -> DataFrame:
+    """IVF coarse-quantizer cells as (cell_id, cv, cn): a trained
+    model from train_ivf_centroids when given, else the deterministic
+    first-n_cells-corpus-vectors stand-in (oracle-replayable, same
+    plan). Shared by knn_ivf and knn_ivf_pq."""
+    if centroids is not None:
+        return (
+            corpus.sparkSession.createDataFrame(
+                centroids, "cell_id int, cv array<double>"
+            )
+            .withColumn("cell_id", F.col("cell_id").cast("bigint"))
+            .withColumn("cn", l2_norm(F.col("cv")))
+        )
+    return (
+        corpus.where(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -509,23 +552,10 @@ def knn_ivf(
     only shuffle is the equi-join on cell_id. At 100 TB: n_cells ≈
     sqrt(N), inverted lists pre-bucketed by cell_id so the probe
     join is co-located."""
-    if centroids is not None:
-        cent = (
-            corpus.sparkSession.createDataFrame(
-                centroids, "cell_id int, cv array<double>"
-            )
-            .withColumn("cell_id", F.col("cell_id").cast("bigint"))
-            .withColumn("cn", l2_norm(F.col("cv")))
-        )
-    else:
-        cent = (
-            corpus.where(F.col(id_col) < n_cells)
-            .select(
-                F.col(id_col).alias("cell_id"),
-                as_double(F.col(vec_col)).alias("cv"),
-            )
-            .withColumn("cn", l2_norm(F.col("cv")))
-        )
+    cent = _centroid_frame(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        centroids=centroids,
+    )
     inv = _nearest_cells(
         corpus, cent, id_out="neighbor_id", id_col=id_col, vec_col=vec_col,
         n_probe=1,
@@ -727,15 +757,9 @@ def train_pq_codebooks(
     bounded TakeOrdered — a codebook needs a sample, never the
     corpus; the model is m × k × dim/m floats on the driver
     regardless of corpus size)."""
-    import numpy as np
-
-    rows = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(sample_cap)
-        .select(as_double(F.col(vec_col)).alias("v"))
-        .collect()
+    X = collect_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col, cap=sample_cap
     )
-    X = np.array([list(r.v) for r in rows], dtype=np.float64)
     return _pq_kmeans(X, m, k, n_iter)
 
 
@@ -809,6 +833,7 @@ def knn_ivf_pq(
     k: int = 3,
     n_cells: int = 8,
     n_probe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN with asymmetric distance computation (ADC): the
     corpus is stored as m PQ codes (here 8 bytes/vector vs 256 for
@@ -817,14 +842,12 @@ def knn_ivf_pq(
     products, and scoring a candidate costs m array lookups instead
     of a dim-length dot product. Candidates come from the same
     deterministic IVF cell probe as knn_ivf (equi-join on cell_id —
-    the only shuffle; no cross product)."""
-    cent = (
-        corpus.where(F.col(id_col) < n_cells)
-        .select(
-            F.col(id_col).alias("cell_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-        )
-        .withColumn("cn", l2_norm(F.col("cv")))
+    the only shuffle; no cross product); pass ``centroids`` from
+    train_ivf_centroids for the trained-cell variant (the full faiss
+    IVFPQ recipe), else the first-n_cells stand-in is used."""
+    cent = _centroid_frame(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        centroids=centroids,
     )
     inv = _nearest_cells(
         corpus, cent, id_out="neighbor_id", id_col=id_col, vec_col=vec_col,

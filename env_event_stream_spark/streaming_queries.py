@@ -33,6 +33,87 @@ _FOLD_ORACLE = """
 """
 
 
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the SAME ts-type
+    normalization ladder as tables.load_table (bigint nanos /
+    TIMESTAMP_NTZ / string — the testdata's ts encoding has drifted
+    across rounds; this is the single streaming-side choke point)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # nanosAsLong applies
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dtype = dict(ev.dtypes).get("ts")
+    if dtype == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif dtype == "string":
+        ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    return ev
+
+
+def _run_update_to_latest(out: DataFrame, prefix: str) -> str:
+    """Run an update-mode stateful stream to completion (availableNow),
+    appending each micro-batch's rows + epoch to a parquet sink — the
+    executors write, nothing reaches the driver. Returns the sink dir;
+    the caller recovers final state as the latest-epoch row per key
+    (_latest_epoch_rows)."""
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    sink_dir = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+
+    def sink(df: DataFrame, epoch: int) -> None:
+        df.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sink_dir
+
+
+def _latest_epoch_rows(spark: SparkSession, sink_dir: str, key_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col("_epoch").desc())
+    return (
+        spark.read.parquet(sink_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+
+
+def _run_complete_overwrite(agg: DataFrame, prefix: str) -> str:
+    """Run a complete-mode streaming aggregation to completion
+    (availableNow), overwriting a parquet matview each epoch; the
+    final epoch is the full answer. Returns the sink dir."""
+    sink_dir = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        df.write.mode("overwrite").parquet(sink_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sink_dir
+
+
 @query("evt_live_fold_stream", _FOLD_ORACLE)
 def evt_live_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A4 fold on the LIVE path: readStream over the events
@@ -42,18 +123,9 @@ def evt_live_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the batch evt_fold_applyinpandas — semantic parity of the two
     paths is the test. State is O(keys), input is streamed through;
     at 100 TB the same query just keeps running on the live table."""
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # nanosAsLong applies
-    # the file-stream source needs a directory: stream the sf_dir with
-    # a glob pinned to the events file
-    ev = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
     )
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    ev = ev.select("user_id", "ts", "event_id", "event_type", "value")
 
     out = live_rehydrate(
         ev,
@@ -69,35 +141,9 @@ def evt_live_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Scale path: each micro-batch's state updates are APPENDED to a
     # parquet table by the executors — nothing is collected to the
-    # driver (a driver-dict accumulator would cap the operator at
-    # driver memory; this sink is O(keys) on disk, O(1) on the
-    # driver). The final per-key state is the row from the latest
-    # epoch, recovered with one window over the (keys × epochs) sink
-    # table.
-    ckpt = tempfile.mkdtemp(prefix="fold_ckpt_")
-    sink_dir = tempfile.mkdtemp(prefix="fold_sink_")
-
-    def sink(df: DataFrame, epoch: int) -> None:
-        df.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
-            sink_dir
-        )
-
-    q = (
-        out.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("_epoch").desc())
-    res = (
-        spark.read.parquet(sink_dir)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-    )
+    # driver; final per-key state = latest-epoch row per key.
+    sink_dir = _run_update_to_latest(out, "fold")
+    res = _latest_epoch_rows(spark, sink_dir, "user_id")
     return res.select(
         "user_id", "version", F.round("balance", 4).alias("balance")
     )
@@ -125,17 +171,7 @@ def evt_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(windows × types) state, bounded here by design; the
     append+watermark variant for unbounded keyspaces is
     streaming/windows.py."""
-    import tempfile as _tf
-
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    ev = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = _read_events_stream(spark, sf_dir)
     agg = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
@@ -151,21 +187,7 @@ def evt_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    sink_dir = _tf.mkdtemp(prefix="tumble_sink_")
-    ckpt = _tf.mkdtemp(prefix="tumble_ckpt_")
-
-    def sink(df: DataFrame, _epoch: int) -> None:
-        df.write.mode("overwrite").parquet(sink_dir)
-
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.read.parquet(sink_dir)
+    return spark.read.parquet(_run_complete_overwrite(agg, "tumble"))
 
 
 @query("evt_fold_incremental", _FOLD_ORACLE)
@@ -279,18 +301,9 @@ def evt_stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality of a sequential state machine and a declarative window
     query is exactly the batch/stream parity contract. State is
     O(users) x 3 timestamps; input streams through once."""
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    ev = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
     )
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    ev = ev.select("user_id", "ts", "event_id", "event_type")
 
     out = live_rehydrate(
         ev,
@@ -307,30 +320,8 @@ def evt_stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
     )
 
-    ckpt = tempfile.mkdtemp(prefix="funnel_ckpt_")
-    sink_dir = tempfile.mkdtemp(prefix="funnel_sink_")
-
-    def sink(df: DataFrame, epoch: int) -> None:
-        df.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
-            sink_dir
-        )
-
-    q = (
-        out.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("_epoch").desc())
-    res = (
-        spark.read.parquet(sink_dir)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-    )
+    sink_dir = _run_update_to_latest(out, "funnel")
+    res = _latest_epoch_rows(spark, sink_dir, "user_id")
     return res.select(
         "user_id",
         F.col("version").alias("n_events"),
@@ -360,37 +351,11 @@ def evt_stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT + GROUP BY. Dedup state is O(days x users) here; in
     production a watermark on day bounds it — availableNow over a
     finite table needs none."""
-    import tempfile as _tf
-
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    ev = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = _read_events_stream(spark, sf_dir)
     agg = (
         ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
         .dropDuplicates(["day", "user_id"])
         .groupBy("day")
         .agg(F.count("*").cast("bigint").alias("dau"))
     )
-    sink_dir = _tf.mkdtemp(prefix="dau_sink_")
-    ckpt = _tf.mkdtemp(prefix="dau_ckpt_")
-
-    def sink(df: DataFrame, _epoch: int) -> None:
-        df.write.mode("overwrite").parquet(sink_dir)
-
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.read.parquet(sink_dir)
+    return spark.read.parquet(_run_complete_overwrite(agg, "dau"))

@@ -217,8 +217,12 @@ def test_knn_pq_adc_no_cartesian(spark, sf_dir):
 
 
 def test_bigram_logprob_broadcasts_model(spark, sf_dir):
-    """Like the unigram filter: the bigram/prefix count models must
-    broadcast onto the corpus-sized pair stream, never shuffle it."""
-    plan = _plan(spark, sf_dir, "doc_bigram_logprob")
+    """The prefix-count model is broadcast-hinted; the bigram model is
+    unhinted by design (vocabulary-squared at corpus scale) but AQE
+    must still broadcast it at this data size — check the FINAL plan
+    (the AQE initial plan legitimately shows a sort-merge join)."""
+    plan = _plan(spark, sf_dir, "doc_bigram_logprob").split(
+        "== Initial Plan =="
+    )[0]
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan

@@ -1,12 +1,17 @@
-"""4x scale probe: union each sf0.1 table 4x with shifted keys (so key
-cardinality scales with volume), then time queries warm at 1x vs 4x.
-Writes the scaled copies under /tmp (never touches /root/testdata).
+"""4x scale probe: union each sf0.1 FACT table 4x with key shifts
+applied per KEY DOMAIN (both sides of every FK shift together, so
+joins keep their structure and key cardinality scales with volume);
+fixed dimension tables (nation, region) are written once, as TPC-H
+scaling itself does. Writes the scaled copies under /tmp (never
+touches /root/testdata). events.parquet is written as a single FILE
+so the streaming queries' pathGlobFilter matches it.
 
 Usage: python tools/scale_probe.py <query> [query ...]
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import sys
@@ -21,19 +26,37 @@ from env_event_stream_spark.tables import TABLE_NAMES, load_table
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/scale_probe_4x"
+COPIES = 4
 
-# per-table key columns to shift per copy so joins/groups see 4x keys
-SHIFT_KEYS = {
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "nation": [],
-    "region": [],
+# key domain -> (owning table, owning column): the shift stride is the
+# owner's max+1, and EVERY column in the domain shifts by the same
+# amount per copy — FK pairs stay aligned across copies.
+DOMAINS = {
+    "orderkey": ("orders", "o_orderkey"),
+    "custkey": ("customer", "c_custkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
+}
+
+# table -> {column: domain}; tables absent here (nation, region) are
+# fixed dims, written once.
+TABLE_KEYS = {
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
 }
 
 
@@ -41,22 +64,36 @@ def build(spark) -> None:
     if os.path.isdir(OUT):
         shutil.rmtree(OUT)
     os.makedirs(OUT)
+    stride = {
+        dom: load_table(spark, BASE, tbl).agg(F.max(col)).collect()[0][0] + 1
+        for dom, (tbl, col) in DOMAINS.items()
+    }
     for name in TABLE_NAMES:
         df = load_table(spark, BASE, name)
-        keys = SHIFT_KEYS.get(name, [])
-        maxes = {
-            k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys
-        }
+        keymap = TABLE_KEYS.get(name)
+        dest = os.path.join(OUT, f"{name}.parquet")
+        if not keymap:  # fixed dimension: one copy, FKs stay valid
+            df.write.mode("overwrite").parquet(dest)
+            continue
         parts = []
-        for copy in range(4):
+        for copy in range(COPIES):
             c = df
-            for k in keys:
-                c = c.withColumn(k, F.col(k) + F.lit(copy * maxes[k]))
+            for col, dom in keymap.items():
+                c = c.withColumn(col, F.col(col) + F.lit(copy * stride[dom]))
             parts.append(c)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(os.path.join(OUT, f"{name}.parquet"))
+        if name == "events":
+            # streaming queries glob for a leaf FILE named
+            # events.parquet — write one part file and move it there
+            tmp = dest + "_dir"
+            out.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, dest)
+            shutil.rmtree(tmp)
+        else:
+            out.write.mode("overwrite").parquet(dest)
 
 
 def main() -> None:
