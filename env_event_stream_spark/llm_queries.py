@@ -800,6 +800,44 @@ def _oracle_sample_matrix(sample_cap: int = 4096):
     return np.array([emb[i] for i in order], dtype=np.float64)
 
 
+@_functools.lru_cache(maxsize=8)
+def _ivf_cents_cached(
+    sf_dir: str, n_cells: int, n_iter: int, sample_cap: int
+) -> tuple:
+    import numpy as np
+
+    from env_event_stream_spark.operators.similarity import _spherical_step
+
+    X = _oracle_sample_matrix(sample_cap)
+
+    def _unit(vec) -> list[float]:
+        n = float(sum(float(x) * float(x) for x in vec)) ** 0.5 or 1.0
+        return [round(float(x) / n, 9) for x in vec]
+
+    U = np.array([_unit(x) for x in X], dtype=np.float64)
+    cur = [list(u) for u in U[:n_cells]]
+    for _ in range(n_iter):
+        nxt = _spherical_step(U, np.array(cur, dtype=np.float64), _unit)
+        if nxt == cur:
+            break
+        cur = nxt
+    return tuple(tuple(float(x) for x in c) for c in cur)
+
+
+def _ivf_cents_for_oracle(
+    n_cells: int, n_iter: int, sample_cap: int
+) -> list[list[float]]:
+    """Oracle-side trained spherical-k-means centroids — the numpy
+    twin of S.train_ivf_centroids' sample path, cached per resolved
+    sf_dir so multiple lazy oracles share one training."""
+    import os as _os
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    return [list(c) for c in _ivf_cents_cached(sf_dir, n_cells, n_iter, sample_cap)]
+
+
 def _knn_ivf_trained_oracle(
     n_cells: int = 10,
     n_iter: int = 10,
@@ -818,23 +856,7 @@ def _knn_ivf_trained_oracle(
     centroid lists are bit-identical and the probe SQL sees the exact
     model the Spark query used. Built at oracle_sql() call time
     against the driver's correctness scale (sf0.01)."""
-    import numpy as np
-
-    from env_event_stream_spark.operators.similarity import _spherical_step
-
-    X = _oracle_sample_matrix(sample_cap)
-
-    def _unit(vec) -> list[float]:
-        n = float(sum(float(x) * float(x) for x in vec)) ** 0.5 or 1.0
-        return [round(float(x) / n, 9) for x in vec]
-
-    U = np.array([_unit(x) for x in X], dtype=np.float64)
-    cur = [list(u) for u in U[:n_cells]]
-    for _ in range(n_iter):
-        nxt = _spherical_step(U, np.array(cur, dtype=np.float64), _unit)
-        if nxt == cur:
-            break
-        cur = nxt
+    cur = _ivf_cents_for_oracle(n_cells, n_iter, sample_cap)
 
     vals = ", ".join(
         "({}, [{}]::DOUBLE[])".format(
@@ -887,9 +909,6 @@ def emb_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     training is identical to emb_knn_ivf (broadcast centroids,
     cell_id equi-join, in-cell exact rerank)."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = S.train_ivf_centroids(
-        e, id_col="vec_id", vec_col="embedding", n_cells=10, n_iter=10
-    )
     return S.knn_ivf(
         e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
         e,
@@ -898,7 +917,7 @@ def emb_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         n_cells=10,
         n_probe=3,
-        centroids=cents,
+        centroids=_ivf_cents_spark(spark, sf_dir),
     )
 
 
@@ -2594,4 +2613,97 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_logprob"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full faiss-style IVFPQ: trained cells + trained codebooks
+# ---------------------------------------------------------------------------
+
+
+@_functools.lru_cache(maxsize=8)
+def _ivf_cents_spark_cached(sf_dir: str) -> tuple:
+    from env_event_stream_spark.session import get_spark
+
+    e = load_table(get_spark("ivf-train"), sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(
+        e, id_col="vec_id", vec_col="embedding", n_cells=10, n_iter=10
+    )
+    return tuple((cid, tuple(vec)) for cid, vec in cents)
+
+
+def _ivf_cents_spark(spark: SparkSession, sf_dir: str) -> list:
+    """One spherical-k-means training per sf_dir per process, shared
+    by emb_knn_ivf_trained-style queries (deterministic model — the
+    cache cannot change results)."""
+    del spark
+    return [(cid, list(vec)) for cid, vec in _ivf_cents_spark_cached(sf_dir)]
+
+
+def _knn_pq_trained_oracle() -> str:
+    cents = _ivf_cents_for_oracle(10, 10, 4096)
+    cent_vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            cid, ", ".join(repr(float(x)) for x in vec)
+        )
+        for cid, vec in enumerate(cents)
+    )
+    cb_vals = _pq_cb_values(_pq_books_for_oracle())
+    cos = _COSINE_SQL
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cb AS (SELECT * FROM (VALUES {cb_vals}) AS t(m, code, cv, cc)),
+    {_PQ_ENCODE_CTES},
+    cent AS (SELECT * FROM (VALUES {cent_vals}) AS t(cell_id, ccv)),
+    cscored AS (SELECT v.vec_id, v.e, c.cell_id,
+                       {cos.format(a="v.e", b="c.ccv")} AS csim
+                FROM v CROSS JOIN cent c),
+    cassign AS (SELECT vec_id, e, cell_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY csim DESC, cell_id ASC) AS rn
+                FROM cscored),
+    inv AS (SELECT vec_id AS neighbor_id, cell_id FROM cassign WHERE rn = 1),
+    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
+            FROM cassign WHERE rn <= 3 AND vec_id >= 10 AND vec_id < 20),
+    qsub AS (SELECT query_id, cell_id, ms.m,
+                    qe[ms.m * 8 + 1 : ms.m * 8 + 8] AS qs
+             FROM qry CROSS JOIN ms),
+    contrib AS (SELECT q.query_id, i.neighbor_id, q.m,
+                       list_dot_product(q.qs, cb.cv) AS val
+                FROM qsub q
+                JOIN inv i ON i.cell_id = q.cell_id
+                JOIN codes co ON co.vec_id = i.neighbor_id AND co.m = q.m
+                JOIN cb ON cb.m = q.m AND cb.code = co.code
+                WHERE q.query_id <> i.neighbor_id),
+    adc AS (SELECT query_id, neighbor_id,
+                   list_sum(list(val ORDER BY m)) AS s
+            FROM contrib GROUP BY query_id, neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                 round(s, 6) AS adc_score
+          FROM adc)
+    SELECT query_id, neighbor_id, rank, adc_score FROM r WHERE rank <= 3
+    """
+
+
+@query("emb_knn_pq_trained", _knn_pq_trained_oracle)
+def emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete faiss IVFPQ recipe: TRAINED spherical-k-means
+    cells (data-distribution-following candidate lists, n_probe=3)
+    AND trained PQ codebooks (ADC scoring over 8-byte codes). Both
+    models are deterministic and cached per sf_dir; the lazy oracle
+    retrains both with pyarrow+numpy and inlines them as literals —
+    the whole two-model pipeline is value-hash verified."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ivf_pq(
+        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        e,
+        _pq_books_spark(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+        n_cells=10,
+        n_probe=3,
+        centroids=_ivf_cents_spark(spark, sf_dir),
     )
