@@ -63,6 +63,7 @@ HEADLINE = [
     "emb_lsh_recall_eval",
     "emb_quantize_pq",
     "emb_knn_pq_adc",
+    "emb_knn_pq_trained",
 ]
 
 
