@@ -114,3 +114,43 @@ def test_lazy_oracles_degrade_gracefully(monkeypatch):
     for lazy in ("emb_knn_ivf_trained", "emb_quantize_pq", "emb_knn_pq_adc",
                  "emb_pq_recall_eval"):
         assert lazy not in os_map, lazy
+
+
+def test_fold_funnel_matches_declarative_spec_fuzz():
+    """Random event sequences: the sequential fold must equal the
+    declarative spec (t1 = min view ts; t2 = min click ts > t1;
+    t3 = min purchase ts > t2) for every input, including duplicate
+    timestamps across types."""
+    import random
+
+    rnd = random.Random(20260813)
+    types = ["view", "click", "purchase", "signup", "error"]
+    for _ in range(300):
+        n = rnd.randint(0, 12)
+        # coarse ts grid to force plenty of duplicate timestamps
+        evs = sorted(
+            ((rnd.randint(0, 5), i, rnd.choice(types)) for i in range(n)),
+            key=lambda e: (e[0], e[1]),
+        )
+        s = init_funnel()
+        for ts, _eid, et in evs:
+            s = fold_funnel(s, {"ts": ts, "event_type": et})
+
+        t1 = min((ts for ts, _, et in evs if et == "view"), default=None)
+        t2 = (
+            min(
+                (ts for ts, _, et in evs if et == "click" and ts > t1),
+                default=None,
+            )
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min(
+                (ts for ts, _, et in evs if et == "purchase" and ts > t2),
+                default=None,
+            )
+            if t2 is not None
+            else None
+        )
+        assert (s["t_view"], s["t_click"], s["t_purchase"]) == (t1, t2, t3), evs

@@ -1,4 +1,5 @@
-"""4x scale probe: union each sf0.1 FACT table 4x with key shifts
+"""Nx scale probe (default 4x, SPARK_GRAFT_PROBE_COPIES overrides):
+union each sf0.1 FACT table Nx with key shifts
 applied per KEY DOMAIN (both sides of every FK shift together, so
 joins keep their structure and key cardinality scales with volume);
 fixed dimension tables (nation, region) are written once, as TPC-H
@@ -25,8 +26,8 @@ from env_event_stream_spark.session import get_spark
 from env_event_stream_spark.tables import TABLE_NAMES, load_table
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/scale_probe_4x"
-COPIES = 4
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "4"))
+OUT = f"/tmp/scale_probe_{COPIES}x"
 
 # key domain -> (owning table, owning column): the shift stride is the
 # owner's max+1, and EVERY column in the domain shifts by the same
@@ -103,7 +104,7 @@ def main() -> None:
     names = sys.argv[1:]
     spark = get_spark("scale-probe")
     build(spark)
-    print(f"{'query':35s} {'1x':>7s} {'4x':>7s} ratio")
+    print(f"{'query':35s} {'1x':>7s} {str(COPIES)+'x':>7s} ratio")
     for n in names:
         if n not in qs:
             print(f"{n:35s} (unknown)")
