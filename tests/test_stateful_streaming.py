@@ -292,3 +292,78 @@ def test_interval_join_alias_collision_columns(spark):
     )
     rows = out.select("page").collect()
     assert [r.page for r in rows] == ["x"]
+
+
+def test_funnel_state_accumulates_across_restarts(spark, tmp_path):
+    """The streaming funnel's TIMESTAMP state fields survive the
+    checkpoint round-trip: batch 2 advances a user's funnel from the
+    recovered stage timestamps (a click arriving after restart must
+    compare against the t_view persisted in batch 1), and unset
+    stages round-trip as null/NaT without corrupting the fold."""
+    from env_event_stream_spark.streaming_queries import (
+        fold_funnel,
+        init_funnel,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(src, ckpt):
+        stream = spark.readStream.schema(_SCHEMA).parquet(src)
+        out = live_rehydrate(
+            stream.select("user_id", "ts", "event_id", "event_type"),
+            "user_id",
+            "ts",
+            fold_funnel,
+            init_funnel,
+            state_fields=["t_view", "t_click", "t_purchase"],
+            state_ddl=(
+                "t_view timestamp, t_click timestamp, t_purchase timestamp"
+            ),
+            output_ddl=(
+                "user_id bigint, version bigint, t_view timestamp, "
+                "t_click timestamp, t_purchase timestamp"
+            ),
+            tiebreak_col="event_id",
+        )
+        got: dict = {}
+
+        def sink(df, _epoch):
+            for r in df.collect():
+                got[r.user_id] = r
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # batch 1: user 1 views at 9; user 2 clicks at 9 (no view — stays
+    # at stage 0 with all-null state through the checkpoint)
+    _write_batch(
+        spark, src,
+        [(1, 9, 1, "view", None), (2, 9, 2, "click", None)],
+    )
+    r1 = run(src, ckpt)
+    assert r1[1].t_view == dt.datetime(2024, 1, 1, 9, 0, 0)
+    assert r1[1].t_click is None and r1[1].t_purchase is None
+    assert r1[2].t_view is None
+
+    # batch 2: user 1 clicks at 10 (must qualify vs RECOVERED t_view),
+    # then purchases at 11; user 2 views at 10 (click at 9 must NOT
+    # retroactively qualify — it was folded before the view)
+    _write_batch(
+        spark, src,
+        [(1, 10, 3, "click", None), (1, 11, 4, "purchase", None),
+         (2, 10, 5, "view", None)],
+    )
+    r2 = run(src, ckpt)
+    assert r2[1].t_view == dt.datetime(2024, 1, 1, 9, 0, 0)
+    assert r2[1].t_click == dt.datetime(2024, 1, 1, 10, 0, 0)
+    assert r2[1].t_purchase == dt.datetime(2024, 1, 1, 11, 0, 0)
+    assert r2[2].t_view == dt.datetime(2024, 1, 1, 10, 0, 0)
+    assert r2[2].t_click is None
