@@ -2707,3 +2707,146 @@ def emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=3,
         centroids=_ivf_cents_spark(spark, sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining corpus builder verdict
+# ---------------------------------------------------------------------------
+
+
+_PIPELINE_ORACLE = (
+    "WITH RECURSIVE "
+    + _JACCARD_CTES.lstrip()
+    + r""",
+    edges AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.5
+              UNION
+              SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+    comp(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+    ),
+    cm AS (SELECT node, min(label) AS component FROM comp GROUP BY node),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0) tr
+      JOIN (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0) ev
+        USING (sh)
+    ),
+    q AS (SELECT doc_id,
+                 coalesce(len(tk) BETWEEN 10 AND 100000, false)
+                   AND coalesce(list_sum(list_transform(tk, x -> len(x)))
+                                  * 1.0 / nullif(len(tk), 0)
+                                BETWEEN 2 AND 12, false)
+                   AND coalesce(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                  * 1.0 / nullif(len(text), 0) >= 0.55, false)
+                   AND len(list_filter(tk,
+                       x -> list_contains(['the','a','of','and'], x))) > 0
+                   AS passes_quality
+          FROM t),
+    v AS (
+      SELECT d.doc_id,
+             q.passes_quality,
+             cm.node IS NOT NULL AND cm.component <> d.doc_id AS is_dup_loser,
+             c.doc_id IS NOT NULL AS is_contaminated
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN cm ON cm.node = d.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+      WHERE d.doc_id % 97 <> 0
+    )
+    SELECT doc_id, passes_quality, is_dup_loser, is_contaminated,
+           CASE WHEN NOT passes_quality THEN 'quality'
+                WHEN is_dup_loser THEN 'duplicate'
+                WHEN is_contaminated THEN 'contaminated'
+                ELSE 'kept' END AS reason,
+           passes_quality AND NOT is_dup_loser AND NOT is_contaminated
+             AS kept
+    FROM v
+    """
+)
+
+
+@query("doc_pretrain_pipeline", _PIPELINE_ORACLE)
+def doc_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining corpus builder verdict — the
+    composition a user actually ships: Gopher quality rules AND
+    near-dup cluster survivorship (Jaccard >= 0.5 components, head
+    kept) AND benchmark decontamination (eval = doc_id % 97 == 0
+    holdout), with the first failing gate as the per-document reason.
+    Every stage keeps its standalone scale shape (row-local quality,
+    inverted-index dedup, broadcast eval probe); the verdict is two
+    doc_id-keyed left joins over the corpus."""
+    from env_event_stream_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    passes_quality = (
+        F.coalesce(n.cast("bigint").between(10, 100000), F.lit(False))
+        & F.coalesce(
+            (
+                F.aggregate(
+                    F.transform(tk, lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                * 1.0
+                / F.nullif(n.cast("int"), F.lit(0))
+            ).between(2, 12),
+            F.lit(False),
+        )
+        & F.coalesce(
+            (
+                F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
+                / F.nullif(F.length("text"), F.lit(0))
+            )
+            >= 0.55,
+            F.lit(False),
+        )
+        & (F.size(F.filter(tk, lambda x: x.isin("the", "a", "of", "and"))) > 0)
+    )
+    q = d.select("doc_id", passes_quality.alias("passes_quality"))
+
+    pairs = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+
+    train = d.where(F.col("doc_id") % 97 != 0)
+    eval_df = d.where(F.col("doc_id") % 97 == 0)
+    hits = D.contamination_hits(train, eval_df, "text", "doc_id").select(
+        F.col("doc_id").alias("_hit_id")
+    )
+
+    v = (
+        train.select("doc_id")
+        .join(q, "doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .join(hits, F.col("doc_id") == F.col("_hit_id"), "left")
+        .select(
+            "doc_id",
+            "passes_quality",
+            (
+                F.col("node").isNotNull()
+                & (F.col("component") != F.col("doc_id"))
+            ).alias("is_dup_loser"),
+            F.col("_hit_id").isNotNull().alias("is_contaminated"),
+        )
+    )
+    reason = (
+        F.when(~F.col("passes_quality"), "quality")
+        .when(F.col("is_dup_loser"), "duplicate")
+        .when(F.col("is_contaminated"), "contaminated")
+        .otherwise("kept")
+    )
+    return v.select(
+        "doc_id",
+        "passes_quality",
+        "is_dup_loser",
+        "is_contaminated",
+        reason.alias("reason"),
+        (
+            F.col("passes_quality")
+            & ~F.col("is_dup_loser")
+            & ~F.col("is_contaminated")
+        ).alias("kept"),
+    )
