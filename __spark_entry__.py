@@ -31,18 +31,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _rotation_order(names) -> list[str]:
-    """Order queries least-recently-driver-checked first, so a driver
-    that caps per-round checks cycles through the whole catalog over
-    successive rounds instead of re-verifying the same prefix. Derived
-    from the CORRECTNESS_r*.json files the driver leaves in the repo;
-    with none present (or a driver that sorts keys itself) this is a
+    """Order queries so a driver that caps per-round checks cycles
+    usefully: queries whose MOST RECENT driver check failed sort
+    first (a failure must be re-confirmed next round, not in ~3
+    rounds when the round-robin comes back around), then everything
+    else least-recently-checked first. Derived from the
+    CORRECTNESS_r*.json files the driver leaves in the repo; with
+    none present (or a driver that sorts keys itself) this is a
     harmless stable order."""
     import glob
     import json
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    last_checked = {n: -1 for n in names}
+    # name -> (last_checked_round, passed_at_that_round)
+    state = {n: (-1, True) for n in names}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -53,10 +56,20 @@ def _rotation_order(names) -> list[str]:
                 data = json.load(f)
         except Exception:
             continue
-        for n in data:
-            if n in last_checked:
-                last_checked[n] = max(last_checked[n], rnd)
-    return sorted(names, key=lambda n: (last_checked[n], n))
+        for n, row in data.items():
+            if n not in state or rnd <= state[n][0]:
+                continue
+            try:
+                passed = (
+                    row.get("err") is None
+                    and bool(row.get("rows_match"))
+                    and bool(row.get("schema_match"))
+                    and row.get("hash_match") is not False
+                )
+            except AttributeError:
+                passed = True
+            state[n] = (rnd, passed)
+    return sorted(names, key=lambda n: (state[n][1], state[n][0], n))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

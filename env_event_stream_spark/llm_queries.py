@@ -776,20 +776,51 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sf_dirs at which the SPARK side has trained a model this process
+# (recorded by the *_spark_cached trainers). The lazy oracles must
+# train on the same data; _oracle_sf_dir() cross-checks.
+_SPARK_TRAIN_DIRS: set[str] = set()
+
+_DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _oracle_sf_dir() -> str:
+    """Resolve the sf_dir a lazy (trained-model) oracle must read.
+
+    Order: SPARK_GRAFT_ORACLE_SF_DIR if set (tools/check.py sets it
+    for sf0.1 validation); else, if the Spark side already trained at
+    exactly one sf_dir this process, that dir (engine and oracle then
+    provably see the same data); else the driver's correctness scale
+    (sf0.01). Fails loudly instead of silently training the oracle on
+    different data than the engine (spurious red hash mismatches)."""
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    if env is not None:
+        return env
+    if len(_SPARK_TRAIN_DIRS) == 1:
+        return next(iter(_SPARK_TRAIN_DIRS))
+    if len(_SPARK_TRAIN_DIRS) > 1:
+        raise RuntimeError(
+            "lazy oracle: Spark side trained models at multiple sf_dirs "
+            f"({sorted(_SPARK_TRAIN_DIRS)}) and SPARK_GRAFT_ORACLE_SF_DIR "
+            "is unset — set it to the sf_dir under comparison"
+        )
+    return _DEFAULT_ORACLE_SF_DIR
+
+
 def _oracle_sample_matrix(sample_cap: int = 4096):
     """Oracle-side twin of similarity.collect_sample_matrix: the
     sample_cap lowest-vec_id embeddings as a float64 matrix in vec_id
     order, loaded with pyarrow + numpy only (no Spark). Reads the
-    driver's correctness scale (sf0.01) unless SPARK_GRAFT_ORACLE_SF_DIR
-    overrides (tools/check.py sets it for sf0.1 validation)."""
+    sf_dir resolved by _oracle_sf_dir (env override > the dir the
+    Spark side trained at > the driver's sf0.01 default)."""
     import os as _os
 
     import numpy as np
     import pyarrow.parquet as pq
 
-    sf_dir = _os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
+    sf_dir = _oracle_sf_dir()
     tbl = pq.read_table(
         _os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
@@ -830,11 +861,7 @@ def _ivf_cents_for_oracle(
     """Oracle-side trained spherical-k-means centroids — the numpy
     twin of S.train_ivf_centroids' sample path, cached per resolved
     sf_dir so multiple lazy oracles share one training."""
-    import os as _os
-
-    sf_dir = _os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
+    sf_dir = _oracle_sf_dir()
     return [list(c) for c in _ivf_cents_cached(sf_dir, n_cells, n_iter, sample_cap)]
 
 
@@ -2075,11 +2102,7 @@ def _pq_books_for_oracle(
     are bit-identical and can be inlined as oracle literals. Cached
     per (resolved sf_dir, params): the three PQ lazy oracles share
     one training."""
-    import os as _os
-
-    sf_dir = _os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
+    sf_dir = _oracle_sf_dir()
     books = _pq_books_cached(sf_dir, m, k, n_iter, sample_cap)
     return [[list(c) for c in book] for book in books]
 
@@ -2088,6 +2111,7 @@ def _pq_books_for_oracle(
 def _pq_books_spark_cached(sf_dir: str) -> tuple:
     from env_event_stream_spark.session import get_spark
 
+    _SPARK_TRAIN_DIRS.add(sf_dir)
     e = load_table(get_spark("pq-train"), sf_dir, "embeddings")
     return tuple(
         tuple(tuple(c) for c in book)
@@ -2625,6 +2649,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_cents_spark_cached(sf_dir: str) -> tuple:
     from env_event_stream_spark.session import get_spark
 
+    _SPARK_TRAIN_DIRS.add(sf_dir)
     e = load_table(get_spark("ivf-train"), sf_dir, "embeddings")
     cents = S.train_ivf_centroids(
         e, id_col="vec_id", vec_col="embedding", n_cells=10, n_iter=10

@@ -718,6 +718,11 @@ def _pq_kmeans(X, m: int, k: int, n_iter: int) -> list[list[list[float]]]:
     import numpy as np
 
     dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m} "
+            f"(trailing {dim % m} dims would be silently dropped)"
+        )
     d = dim // m
     books: list[list[list[float]]] = []
     for i in range(m):

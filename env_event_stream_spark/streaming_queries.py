@@ -78,7 +78,9 @@ def _run_update_to_latest(out: DataFrame, prefix: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{prefix}: availableNow stream did not finish in 300s")
     return sink_dir
 
 
@@ -110,7 +112,9 @@ def _run_complete_overwrite(agg: DataFrame, prefix: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{prefix}: availableNow stream did not finish in 300s")
     return sink_dir
 
 

@@ -106,13 +106,15 @@ def load_events(
             df = df.where(F.col("ts") <= _utc_ns(to_ts) // 1000 * 1000 + 999)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
-        # Filter on the RAW column first (string literals coerce to the
-        # column's own timestamp type) so the comparison is pushable,
-        # THEN normalize TIMESTAMP_NTZ → TIMESTAMP for downstream
-        # NTZ-strict expressions (UTC session tz ⇒ instants unchanged).
+        # For timestamp/TIMESTAMP_NTZ encodings: filter on the RAW
+        # column (string literals coerce to the column's own timestamp
+        # type) so the comparison is pushable, THEN normalize
+        # TIMESTAMP_NTZ → TIMESTAMP for downstream NTZ-strict
+        # expressions (UTC session tz ⇒ instants unchanged). A string
+        # ts column is the one exception: it must be converted BEFORE
+        # filtering (lexicographic string compare is not a safe
+        # ts-range proxy across fractional-second forms).
         if dict(df.dtypes).get("ts") == "string":
-            # convert BEFORE filtering (lexicographic string compare is
-            # not a safe ts-range proxy across fractional-second forms)
             df = df.withColumn("ts", F.to_timestamp("ts"))
         if from_ts is not None:
             df = df.where(F.col("ts") >= F.lit(from_ts))
