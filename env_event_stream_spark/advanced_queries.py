@@ -359,22 +359,56 @@ def agg_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")  # no oracle: HLL/quantile sketches are
+@query(
+    "agg_approx_sketches",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_err_ok,
+           TRUE AS orders_err_ok,
+           TRUE AS median_err_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB path where exact distinct
-    counts would shuffle the world: HyperLogLog++ distinct, GK-sketch
-    quantiles. Rows-only check (approximation is engine-specific by
-    design; the exact twins agg_distinct_parts / agg_value_stats are
-    the oracle-checked operators)."""
+    counts would shuffle the world: HyperLogLog++ distinct (rsd 0.05),
+    GK-sketch quantiles. Sketch VALUES are engine-specific, so the
+    driver-checkable contract is the error bound itself: the engine
+    computes sketch and exact side by side and emits per-group
+    booleans asserting |approx-exact|/exact within bound (10% for
+    HLL ≈ 2×rsd; the approx median must sit within the exact p40-p60
+    band). The oracle predicts exact counts and TRUE for every bound
+    — a sketch regression past its advertised error turns the row red
+    at the driver, not just in pytest. Exact twins for values:
+    agg_distinct_parts / agg_value_stats."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        # scalar columns, not an array: the driver's canonicalizer can't
-        # hash list cells (red row r2-r4)
-        F.percentile_approx("l_extendedprice", 0.25).alias("price_p25"),
-        F.percentile_approx("l_extendedprice", 0.75).alias("price_p75"),
+    rel_err = lambda approx, exact: (  # noqa: E731
+        F.abs(approx.cast("double") - exact) / exact
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("_ao"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_amed"),
+        F.expr("percentile(l_extendedprice, 0.40)").alias("_p40"),
+        F.expr("percentile(l_extendedprice, 0.60)").alias("_p60"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (rel_err(F.col("_ap"), F.col("exact_parts")) <= 0.10).alias(
+            "parts_err_ok"
+        ),
+        (rel_err(F.col("_ao"), F.col("exact_orders")) <= 0.10).alias(
+            "orders_err_ok"
+        ),
+        F.col("_amed").between(F.col("_p40"), F.col("_p60")).alias(
+            "median_err_ok"
+        ),
     )
 
 

@@ -31,7 +31,7 @@ from env_event_stream_spark.tables import load_table
 # Shared oracle CTE fragments -------------------------------------------------
 
 _TOKENS_CTE = r"""
-t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk, text FROM documents)
 """
 
 _SHINGLES_CTE = (
@@ -2739,26 +2739,79 @@ def emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_PIPELINE_ORACLE = (
-    "WITH RECURSIVE "
-    + _JACCARD_CTES.lstrip()
-    + r""",
-    edges AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.5
-              UNION
-              SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
-    comp(node, label) AS (
-      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-      UNION
-      SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
-    ),
-    cm AS (SELECT node, min(label) AS component FROM comp GROUP BY node),
-    contaminated AS (
-      SELECT DISTINCT tr.doc_id
-      FROM (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0) tr
-      JOIN (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0) ev
-        USING (sh)
-    ),
-    q AS (SELECT doc_id,
+def _pretrain_pipeline_oracle() -> str:
+    """Lazy oracle for doc_pretrain_pipeline. The naive single-SQL
+    form (recursive label-propagation CTE over an inlined shingle
+    self-join) is correct but DuckDB re-evaluates the inlined CTEs
+    inside the recursion — >15 min at sf0.1 while each piece runs in
+    ~2 s (AS MATERIALIZED hints don't rescue the recursive section on
+    DuckDB 1.0). So the dup-component map and the contamination set
+    are precomputed HERE with the exact same SQL text, stepwise via
+    temp tables, and inlined as VALUES — the driver still receives
+    one plain SQL string and value parity is untouched."""
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/documents.parquet')"
+    )
+    con.execute(
+        "CREATE TEMP TABLE _jac AS WITH "
+        + _JACCARD_CTES.lstrip()
+        + " SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5"
+    )
+    cm_rows = con.execute(
+        """
+        WITH RECURSIVE
+        edges AS (SELECT id_a AS u, id_b AS v FROM _jac
+                  UNION
+                  SELECT id_b, id_a FROM _jac),
+        comp(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+        )
+        SELECT node, min(label) AS component FROM comp GROUP BY node
+        """
+    ).fetchall()
+    cont_rows = con.execute(
+        "WITH "
+        + _SHINGLES_CTE.lstrip()
+        + """
+        SELECT DISTINCT tr.doc_id
+        FROM (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0) tr
+        JOIN (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0) ev
+          USING (sh)
+        """
+    ).fetchall()
+    con.close()
+
+    def _values2(rows) -> str:
+        if not rows:
+            return "SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE FALSE"
+        body = ", ".join(f"({int(a)}, {int(b)})" for a, b in rows)
+        return f"SELECT CAST(c0 AS BIGINT), CAST(c1 AS BIGINT) FROM (VALUES {body}) _v(c0, c1)"
+
+    def _values1(rows) -> str:
+        if not rows:
+            return "SELECT CAST(NULL AS BIGINT) WHERE FALSE"
+        body = ", ".join(f"({int(a)})" for (a,) in rows)
+        return f"SELECT CAST(c0 AS BIGINT) FROM (VALUES {body}) _v(c0)"
+
+    return (
+        "WITH "
+        + _TOKENS_CTE.lstrip()
+        + f""",
+    cm(node, component) AS ({_values2(cm_rows)}),
+    contaminated(doc_id) AS ({_values1(cont_rows)}),
+    q AS (SELECT doc_id,"""
+        + _PIPELINE_TAIL
+    )
+
+
+_PIPELINE_TAIL = r"""
                  coalesce(len(tk) BETWEEN 10 AND 100000, false)
                    AND coalesce(list_sum(list_transform(tk, x -> len(x)))
                                   * 1.0 / nullif(len(tk), 0)
@@ -2789,10 +2842,9 @@ _PIPELINE_ORACLE = (
              AS kept
     FROM v
     """
-)
 
 
-@query("doc_pretrain_pipeline", _PIPELINE_ORACLE)
+@query("doc_pretrain_pipeline", _pretrain_pipeline_oracle)
 def doc_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end pretraining corpus builder verdict — the
     composition a user actually ships: Gopher quality rules AND
