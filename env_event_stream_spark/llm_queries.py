@@ -2180,18 +2180,20 @@ def emb_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression that fits a 100 TB index in memory), plus the total
     squared reconstruction error. Codebooks train on a bounded
     lowest-id sample (deterministic k-means, _pq_kmeans); the encode
-    itself is pure codegen'd array expressions — row-local, zero
-    shuffles at any corpus size."""
+    itself runs on the Arrow path (S.pq_encode_arrow — bit-identical
+    math to the declarative pq_codes/pq_recon_error, vectorized over
+    rows) — row-local, zero shuffles at any corpus size."""
     e = load_table(spark, sf_dir, "embeddings")
     books = _pq_books_spark(spark, sf_dir)
-    v = S.as_double(F.col("embedding"))
-    codes = S.pq_codes(v, books)
-    return e.select(
+    enc = S.pq_encode_arrow(
+        e, books, vec_col="embedding", keep=["vec_id"], with_recon=True
+    )
+    return enc.select(
         "vec_id",
         F.array_join(
-            F.transform(codes, lambda c: c.cast("string")), "-"
+            F.transform(F.col("codes"), lambda c: c.cast("string")), "-"
         ).alias("pq_code"),
-        F.round(S.pq_recon_error(v, books), 6).alias("recon_err"),
+        F.round("recon_err", 6).alias("recon_err"),
     )
 
 

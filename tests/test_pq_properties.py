@@ -69,3 +69,80 @@ def test_pq_codes_match_numpy_argmin(spark, rng):
         ).collect()
     }
     assert got == {i: expect[i] for i in range(len(expect))}
+
+
+def test_pq_encode_arrow_bit_identical_to_catalyst(spark, rng):
+    """The Arrow/numpy encode twin (pq_encode_arrow — the corpus-scale
+    hot path) must be BIT-identical to the declarative
+    pq_codes/pq_recon_error pair: same codes and the exact same
+    unrounded reconstruction error, which requires the same
+    sequential accumulation order on both paths."""
+    from pyspark.sql import functions as F
+
+    from env_event_stream_spark.operators.similarity import (
+        pq_encode_arrow,
+        pq_recon_error,
+    )
+
+    dim, m, k = 16, 4, 8
+    X = rng.normal(size=(96, dim)).astype(np.float32)
+    books = _pq_kmeans(X.astype(np.float64), m=m, k=k, n_iter=5)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "id bigint, v array<double>",
+    )
+    declarative = {
+        r.id: (list(r.codes), r.err)
+        for r in df.select(
+            "id",
+            pq_codes(F.col("v"), books).alias("codes"),
+            pq_recon_error(F.col("v"), books).alias("err"),
+        ).collect()
+    }
+    arrow = {
+        r.id: (list(r.codes), r.recon_err)
+        for r in pq_encode_arrow(
+            df, books, vec_col="v", keep=["id"], with_recon=True
+        ).collect()
+    }
+    assert arrow == declarative  # exact float equality, no tolerance
+
+
+def test_nearest_cells_arrow_bit_identical_to_catalyst(spark, rng):
+    """The Arrow cell-assign twin (corpus side of IVF/IVFPQ) must be
+    bit-identical to the declarative _nearest_cells: same cells in
+    the same per-id order (csim DESC, cell_id ASC ties), same exact
+    v/nrm doubles."""
+    from env_event_stream_spark.operators.similarity import (
+        _centroid_frame,
+        _nearest_cells,
+        nearest_cells_arrow,
+    )
+
+    dim = 16
+    X = rng.normal(size=(80, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vid bigint, v array<double>",
+    )
+    cent = _centroid_frame(
+        df, id_col="vid", vec_col="v", n_cells=5, centroids=None
+    )
+
+    def canon(rows):
+        return sorted(
+            (r.nid, r.cell_id, tuple(r.v), r.nrm) for r in rows
+        )
+
+    a = canon(
+        _nearest_cells(
+            df, cent, id_out="nid", id_col="vid", vec_col="v", n_probe=2
+        ).collect()
+    )
+    b = canon(
+        nearest_cells_arrow(
+            df, cent, id_out="nid", id_col="vid", vec_col="v", n_probe=2
+        ).collect()
+    )
+    assert a == b
