@@ -64,6 +64,9 @@ HEADLINE = [
     "emb_quantize_pq",
     "emb_knn_pq_adc",
     "emb_knn_pq_trained",
+    # round-6 additions
+    "emb_knn_opq_adc",
+    "emb_opq_recall_eval",
 ]
 
 

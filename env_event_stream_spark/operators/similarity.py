@@ -33,6 +33,8 @@ __all__ = [
     "knn_ivf",
     "train_ivf_centroids",
     "train_pq_codebooks",
+    "train_opq",
+    "rotate_arrow",
     "pq_codes",
     "pq_recon_error",
     "knn_ivf_pq",
@@ -1046,3 +1048,115 @@ def knn_ivf_pq(
             F.round("adc_score", 6).alias("adc_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (rotated PQ)
+# ---------------------------------------------------------------------------
+
+
+def _opq_train(
+    X, m: int, k: int, pq_iter: int = 10, opq_iter: int = 8
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Deterministic non-parametric OPQ trainer (Ge et al., CVPR'13):
+    alternate (a) PQ codebooks on the rotated sample with (b) the
+    orthogonal-Procrustes rotation R = U·Vᵀ from svd(Xᵀ·X̂) that best
+    aligns the data with its own PQ reconstruction X̂. Shared verbatim
+    by the Spark path (train_opq) and the DuckDB-oracle path
+    (llm_queries rebuilds X with pyarrow), exactly like _pq_kmeans —
+    both see the identical float64 sample, numpy/LAPACK is the same
+    library on both, so R and the codebooks are bit-identical and can
+    be inlined as oracle literals. R is rounded to 9dp and the final
+    codebooks retrained against the ROUNDED rotation, so the shipped
+    (R, books) pair is self-consistent. Training is driver-side on a
+    bounded sample — the model is dim² + m·k·(dim/m) floats no matter
+    the corpus size."""
+    import numpy as np
+
+    dim = X.shape[1]
+    R = np.eye(dim)
+    for _ in range(opq_iter):
+        XR = X @ R
+        books = _pq_kmeans(XR, m, k, pq_iter)
+        B = np.array(books, dtype=np.float64)  # (m, k, d)
+        d = dim // m
+        parts = []
+        for i in range(m):
+            S = XR[:, i * d : (i + 1) * d]
+            d2 = ((S[:, None, :] - B[i][None, :, :]) ** 2).sum(axis=2)
+            parts.append(B[i][np.argmin(d2, axis=1)])
+        Xhat = np.concatenate(parts, axis=1)
+        U, _s, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    Rr = np.round(R, 9)
+    books = _pq_kmeans(X @ Rr, m, k, pq_iter)
+    # Training rotates ROW vectors (XR = X @ R, i.e. y_o = Σⱼ xⱼ·R[j,o]);
+    # rotate_arrow and the oracle apply y_o = Σⱼ M[o,j]·xⱼ — so ship
+    # M = Rᵀ, making the applied rotation identical to the one the
+    # codebooks were trained in. (Shipping R untransposed quantizes in
+    # a basis the books never saw: recall collapses to PQ-level —
+    # caught by the recall-delta eval.)
+    return [[float(x) for x in row] for row in Rr.T], books
+
+
+def train_opq(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    pq_iter: int = 10,
+    opq_iter: int = 8,
+    sample_cap: int = 4096,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(rotation, codebooks) from the sample_cap lowest-id vectors —
+    the same bounded TakeOrdered sample train_pq_codebooks uses."""
+    X = collect_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col, cap=sample_cap
+    )
+    return _opq_train(X, m, k, pq_iter, opq_iter)
+
+
+def rotate_arrow(
+    df: DataFrame, R: list[list[float]], *, vec_col: str, keep: list[str]
+) -> DataFrame:
+    """Row-local orthogonal rotation y = R·x of an embedding column
+    (the OPQ pre-step), as a single MapInPandas stage — zero shuffles
+    at any scale, same plan shape as pq_encode_arrow. Each output
+    component is the SEQUENTIAL fold Σⱼ R[o,j]·x[j] in j order —
+    bit-identical to the oracle's list_dot_product(e, rv) — so the
+    rotated vectors downstream cell-assign/encode/score the same on
+    both engines. Output keeps ``keep`` and replaces ``vec_col`` with
+    the rotated array<double>."""
+    import numpy as np
+    import pandas as pd
+
+    Rm = np.array(R, dtype=np.float64)
+    n_out, dim = Rm.shape
+
+    fields = [df.schema[c] for c in keep]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+        + [f"{vec_col} array<double>"]
+    )
+
+    def rot(iter_):
+        for pdf in iter_:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Y = np.empty((n, n_out), dtype=np.float64)
+            for o in range(n_out):
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(dim):
+                    acc = acc + Rm[o, j] * V[:, j]
+                Y[:, o] = acc
+            out = {f.name: pdf[f.name] for f in fields}
+            out[vec_col] = [list(y) for y in Y]
+            yield pd.DataFrame(out)
+
+    return df.select(*keep, vec_col).mapInPandas(rot, out_schema)

@@ -226,3 +226,11 @@ def test_bigram_logprob_broadcasts_model(spark, sf_dir):
     )[0]
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_opq_adc_no_cartesian(spark, sf_dir):
+    """OPQ adds only a row-local MapInPandas rotation in front of the
+    IVF-PQ pipeline: candidates still come from the cell_id equi-join,
+    never corpus x corpus."""
+    plan = _plan(spark, sf_dir, "emb_knn_opq_adc").split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan

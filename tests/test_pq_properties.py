@@ -146,3 +146,95 @@ def test_nearest_cells_arrow_bit_identical_to_catalyst(spark, rng):
         ).collect()
     )
     assert a == b
+
+
+def _correlated_sample(rng, n=300, dim=16):
+    """Correlated Gaussian (random linear mix + per-dim scales) — the
+    structure OPQ exists to exploit; isotropic data would make the
+    distortion assertions vacuous."""
+    Z = rng.normal(size=(n, dim))
+    A = rng.normal(size=(dim, dim)) * (0.3 + rng.random(dim))
+    return (Z @ A).astype(np.float32).astype(np.float64)
+
+
+def test_opq_train_is_deterministic(rng):
+    from env_event_stream_spark.operators.similarity import _opq_train
+
+    X = _correlated_sample(rng)
+    a = _opq_train(X, 4, 8, pq_iter=5, opq_iter=4)
+    b = _opq_train(X.copy(), 4, 8, pq_iter=5, opq_iter=4)
+    assert a == b  # same SVD/k-means on same bits: bit-identical model
+
+
+def test_opq_rotation_is_orthogonal(rng):
+    from env_event_stream_spark.operators.similarity import _opq_train
+
+    X = _correlated_sample(rng)
+    M, _books = _opq_train(X, 4, 8, pq_iter=5, opq_iter=4)
+    Mm = np.array(M)
+    # exact orthogonality up to the 9dp rounding of the shipped matrix
+    assert np.abs(Mm @ Mm.T - np.eye(Mm.shape[0])).max() < 1e-7
+
+
+def _mean_distortion(Y, books):
+    m = len(books)
+    d = len(books[0][0])
+    B = np.array(books)
+    err = np.zeros(len(Y))
+    for i in range(m):
+        S = Y[:, i * d : (i + 1) * d]
+        d2 = ((S[:, None, :] - B[i][None, :, :]) ** 2).sum(axis=2)
+        err += d2.min(axis=1)
+    return float(err.mean())
+
+
+def test_opq_applied_rotation_matches_training_convention(rng):
+    """Regression for the rotation-orientation bug: the shipped matrix
+    M must satisfy y = M·x == the trainer's internal row-convention
+    X @ R, so the codebooks quantize the basis they were trained in.
+    Applying M the wrong way round (Mᵀ) leaves distortion at or above
+    plain-PQ level; applied correctly it must be strictly below."""
+    from env_event_stream_spark.operators.similarity import (
+        _opq_train,
+        _pq_kmeans,
+    )
+
+    X = _correlated_sample(rng)
+    M, books = _opq_train(X, 4, 8, pq_iter=5, opq_iter=6)
+    Mm = np.array(M)
+    pq_books = _pq_kmeans(X, 4, 8, 5)
+    d_pq = _mean_distortion(X, pq_books)
+    d_opq = _mean_distortion(X @ Mm.T, books)  # y_o = Σj M[o,j]·xj
+    d_wrong = _mean_distortion(X @ Mm, books)
+    assert d_opq < d_pq  # the OPQ training guarantee
+    assert d_opq < d_wrong  # transposed application would be garbage
+
+
+def test_rotate_arrow_is_exact_sequential_fold(spark, rng):
+    """rotate_arrow must equal the pure-Python sequential fold
+    Σⱼ M[o,j]·xⱼ bit-for-bit (the order the DuckDB oracle's
+    list_dot_product uses) — exact float equality, no tolerance."""
+    from env_event_stream_spark.operators.similarity import (
+        _opq_train,
+        rotate_arrow,
+    )
+
+    X = _correlated_sample(rng, n=64)
+    M, _books = _opq_train(X, 4, 8, pq_iter=3, opq_iter=2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "id bigint, v array<double>",
+    )
+    got = {
+        r.id: list(r.v)
+        for r in rotate_arrow(df, M, vec_col="v", keep=["id"]).collect()
+    }
+    dim = len(M)
+    for i, row in enumerate(X):
+        expect = []
+        for o in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + M[o][j] * float(row[j])
+            expect.append(acc)
+        assert got[i] == expect
