@@ -336,6 +336,104 @@ def evt_stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "evt_stream_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), s2 AS (
+      SELECT user_id, ts, event_type, t1,
+             min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, t1, t2,
+             min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    ), u AS (
+      SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM s3 GROUP BY user_id
+    ), a AS (
+      SELECT count(*) AS n0, count(t1) AS n1,
+             count(t2) AS n2, count(t3) AS n3
+      FROM u
+    )
+    SELECT 'view' AS step, CAST(n1 AS BIGINT) AS users,
+           round(n1 * 1.0 / nullif(n0, 0), 4) AS rate_from_start,
+           round(n1 * 1.0 / nullif(n0, 0), 4) AS rate_from_prev
+    FROM a
+    UNION ALL
+    SELECT 'view>click', CAST(n2 AS BIGINT),
+           round(n2 * 1.0 / nullif(n0, 0), 4),
+           round(n2 * 1.0 / nullif(n1, 0), 4)
+    FROM a
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(n3 AS BIGINT),
+           round(n3 * 1.0 / nullif(n0, 0), 4),
+           round(n3 * 1.0 / nullif(n2, 0), 4)
+    FROM a
+    """,
+)
+def evt_stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel CONVERSION RATES on the LIVE path — the dashboard number
+    the stateful funnel exists to serve: per-step reached-user counts
+    plus rate-from-start and rate-from-previous-step, computed from
+    the continuously-maintained per-user funnel states
+    (applyInPandasWithState via live_rehydrate — the
+    evt_stream_funnel_state machinery). Spark does not allow a second
+    stateful aggregation downstream of an arbitrary stateful operator
+    in one streaming query, so the rollup runs as a tiny batch
+    reduction over the O(users) state sink — 4 scalars; the
+    100 TB-scale work (per-event folding) all happens in the stream.
+    Oracled against the batch windowed-min funnel + the same rollup:
+    stream/batch parity on the full pipeline."""
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = live_rehydrate(
+        ev,
+        "user_id",
+        "ts",
+        fold_funnel,
+        init_funnel,
+        state_fields=["t_view", "t_click", "t_purchase"],
+        state_ddl="t_view timestamp, t_click timestamp, t_purchase timestamp",
+        output_ddl=(
+            "user_id bigint, version bigint, t_view timestamp, "
+            "t_click timestamp, t_purchase timestamp"
+        ),
+        tiebreak_col="event_id",
+    )
+    sink_dir = _run_update_to_latest(out, "funnelconv")
+    u = _latest_epoch_rows(spark, sink_dir, "user_id")
+    a = u.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.count("t_view").cast("bigint").alias("n1"),
+        F.count("t_click").cast("bigint").alias("n2"),
+        F.count("t_purchase").cast("bigint").alias("n3"),
+    )
+    steps = a.selectExpr(
+        "stack(3, 'view', n1, n0,"
+        " 'view>click', n2, n1,"
+        " 'view>click>purchase', n3, n2) AS (step, users, prev)",
+        "n0",
+    )
+    return steps.select(
+        "step",
+        F.col("users").cast("bigint").alias("users"),
+        F.round(F.col("users") / F.nullif(F.col("n0"), F.lit(0)), 4).alias(
+            "rate_from_start"
+        ),
+        F.round(F.col("users") / F.nullif(F.col("prev"), F.lit(0)), 4).alias(
+            "rate_from_prev"
+        ),
+    )
+
+
+@query(
     "evt_stream_dau",
     """
     WITH d AS (
