@@ -192,3 +192,77 @@ def evt_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dau").over(w).cast("bigint").alias("dau_7d_sum"),
         F.round(F.avg("dau").over(w), 4).alias("dau_7d_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency / frequency / monetary quartile scoring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_rfm_segments",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(12,2))) AS monetary
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT user_id, last_ts, n_events, monetary,
+             ntile(4) OVER (ORDER BY last_ts ASC, user_id ASC) AS r_score,
+             ntile(4) OVER (ORDER BY n_events ASC, user_id ASC) AS f_score,
+             ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS m_score
+      FROM u
+    )
+    SELECT user_id, last_ts,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(round(monetary, 4) AS DOUBLE) AS monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM s
+    """,
+)
+def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (last event), frequency
+    (event count) and monetary (exact DECIMAL value sum), each scored
+    into quartiles (ntile(4), 4 = best), concatenated into the classic
+    3-digit segment code. One user_id shuffle builds the per-user
+    aggregate; the three ntiles then run over that aggregate — |users|
+    rows, 3-4 orders below event count (the ORDER-BY-only window is a
+    single global sort task; at billion-user scale swap to broadcast
+    percentile cut-points, trading exact quartile boundaries).
+    user_id tie-breaks make every ntile deterministic across engines;
+    monetary ordering compares exact decimals, so no double-rounding
+    flip can reorder the quartile edge."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_ts").asc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("n_events").asc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
+    s = (
+        u.withColumn("r_score", F.ntile(4).over(wr))
+        .withColumn("f_score", F.ntile(4).over(wf))
+        .withColumn("m_score", F.ntile(4).over(wm))
+    )
+    return s.select(
+        "user_id",
+        "last_ts",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("monetary", 4).cast("double").alias("monetary"),
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

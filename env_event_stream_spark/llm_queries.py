@@ -3201,3 +3201,116 @@ def emb_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_match_opq") - F.col("n_match_pq")) / 3.0, 4
         ).alias("recall_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al., 2023)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_oracle() -> str:
+    h = _hex32_sql("md5(term)")
+    g = _hex32_sql("md5('dsir:' || CAST(doc_id AS VARCHAR))")
+    return rf"""
+    WITH t AS (SELECT doc_id, source,
+                      string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    tok AS (SELECT doc_id, source, unnest(tk) AS term FROM t),
+    b AS (SELECT doc_id, source, {h} % 1024 AS bucket FROM tok),
+    ct AS (SELECT bucket, count(*) AS c FROM b
+           WHERE source = 'src0' GROUP BY bucket),
+    nt AS (SELECT count(*) AS n FROM b WHERE source = 'src0'),
+    cr AS (SELECT bucket, count(*) AS c FROM b
+           WHERE source <> 'src0' GROUP BY bucket),
+    nr AS (SELECT count(*) AS n FROM b WHERE source <> 'src0'),
+    sc AS (SELECT b.doc_id,
+                  count(*) AS n_tokens,
+                  avg(ln((coalesce(ct.c, 0) + 1.0) / (nt.n + 1024))
+                      - ln((cr.c + 1.0) / (nr.n + 1024))) AS alr
+           FROM b
+           LEFT JOIN ct USING (bucket)
+           JOIN cr USING (bucket)
+           CROSS JOIN nt CROSS JOIN nr
+           WHERE b.source <> 'src0'
+           GROUP BY b.doc_id),
+    gk AS (SELECT doc_id, n_tokens, round(alr, 4) AS avg_logratio,
+                  round(alr
+                        - ln(-ln(({g} + 0.5) / 4294967296.0)), 4)
+                    AS sample_key
+           FROM sc),
+    r AS (SELECT *, CAST(row_number() OVER
+                    (ORDER BY sample_key DESC, doc_id ASC) AS BIGINT)
+                    AS rank
+          FROM gk)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           avg_logratio, sample_key, rank
+    FROM r WHERE rank <= 50
+    """
+
+
+@query("doc_dsir_sample", _dsir_oracle())
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS'23): pick the raw-pool
+    documents most like a target domain by importance resampling over
+    HASHED unigram features. Two 1024-bucket add-1-smoothed unigram
+    models (target = source 'src0', raw = everything else) train in
+    one pass and broadcast back (1024 rows each — the hashing trick
+    that keeps the model O(buckets) no matter the vocabulary); each
+    raw doc scores its mean per-token log importance ratio
+    ln p_tgt - ln p_raw; Gumbel perturbation (md5(doc_id)-derived, so
+    both engines replay it exactly) + top-k = sampling WITHOUT
+    replacement proportional to the softmax of the scores — the DSIR
+    recipe, deterministic end to end. One doc_id shuffle for the
+    per-doc score; the k-cut is TakeOrderedAndProject on the rounded
+    key (doc_id tie-break); the final row_number runs over k rows."""
+    from env_event_stream_spark.operators.relational import top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    b = tok.withColumn(
+        "bucket", D._hex32_to_long(F.md5(F.col("term"))) % 1024
+    )
+    tgt = b.where(F.col("source") == "src0")
+    raw = b.where(F.col("source") != "src0")
+    ct = tgt.groupBy("bucket").agg(F.count("*").alias("c_t"))
+    nt = tgt.agg(F.count("*").alias("n_t"))
+    cr = raw.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    nr = raw.agg(F.count("*").alias("n_r"))
+    scored = (
+        raw.join(F.broadcast(ct), "bucket", "left")
+        .join(F.broadcast(cr), "bucket")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.avg(
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                    / (F.col("n_t") + 1024)
+                )
+                - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + 1024))
+            ).alias("alr"),
+        )
+    )
+    u = (
+        D._hex32_to_long(
+            F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
+        )
+        + 0.5
+    ) / F.lit(4294967296.0)
+    keyed = scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("alr", 4).alias("avg_logratio"),
+        F.round(F.col("alr") - F.log(-F.log(u)), 4).alias("sample_key"),
+    )
+    cut = top_k(
+        keyed, [F.col("sample_key").desc(), F.col("doc_id").asc()], 50
+    )
+    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+    return cut.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
