@@ -3314,3 +3314,79 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated n-grams — train-train boilerplate marking
+# (Lee et al., 2021: "Deduplicating Training Data Makes LMs Better")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_repeated_ngram_frac",
+    "WITH "
+    + _TOKENS_CTE.lstrip()
+    + r""",
+    t5 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 5),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk) - 3),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                        || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+          FROM t5),
+    gd AS (SELECT g, doc_id, count(*) AS c FROM g GROUP BY g, doc_id),
+    hot AS (SELECT g FROM gd GROUP BY g HAVING count(*) >= 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(coalesce(sum(CASE WHEN h.g IS NOT NULL THEN c END), 0)
+                AS BIGINT) AS n_repeated,
+           round(coalesce(sum(CASE WHEN h.g IS NOT NULL THEN c END), 0)
+                 * 1.0 / sum(c), 4) AS repeated_frac
+    FROM gd LEFT JOIN hot h USING (g)
+    GROUP BY doc_id
+    """,
+)
+def doc_repeated_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN-TRAIN boilerplate signal (Lee et al. 2021): per document,
+    the fraction of its 5-grams that also occur in at least one OTHER
+    document — the cheap proxy for duplicated substrings (headers,
+    licenses, templates) that a corpus builder strips before training.
+    Contrast doc_contamination_spans (train-vs-EVAL membership) and
+    doc_repetition_ratio (WITHIN-doc duplicate grams). Plan: one
+    (gram, doc) pre-aggregation (map-side combined — the multiplicity
+    pass), a gram-keyed doc-frequency agg over the already-distinct
+    (gram, doc) rows, one ≤1:1 join back (each (gram, doc) row meets
+    at most one hot-gram row — NO pair explosion, unlike candidate
+    generation), and the final doc_id rollup. Every shuffle key is
+    gram or doc_id; nothing crosses the corpus."""
+    from env_event_stream_spark.functions.text import _ngram_array
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("tk")).where(
+        F.size("tk") >= 5
+    )
+    grams = t.select("doc_id", F.explode(_ngram_array(F.col("tk"), 5)).alias("g"))
+    per_gd = grams.groupBy("g", "doc_id").agg(F.count("*").alias("c"))
+    hot = (
+        per_gd.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("g", F.lit(1).alias("is_hot"))
+    )
+    flagged = per_gd.join(hot, "g", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_hot").isNotNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_repeated"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("is_hot").isNotNull(), F.col("c"))),
+                F.lit(0),
+            )
+            * 1.0
+            / F.sum("c"),
+            4,
+        ).alias("repeated_frac"),
+    )
