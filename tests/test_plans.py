@@ -234,3 +234,23 @@ def test_knn_opq_adc_no_cartesian(spark, sf_dir):
     never corpus x corpus."""
     plan = _plan(spark, sf_dir, "emb_knn_opq_adc").split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_models_broadcast_and_takeordered(spark, sf_dir):
+    """DSIR's four model frames (bucket counts + totals for target and
+    raw) are O(buckets)/scalars and must broadcast; the k-cut must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "doc_dsir_sample")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 4
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repeated_ngram_no_cartesian(spark, sf_dir):
+    """The boilerplate signal is pre-agg + gram-keyed equi-joins —
+    no pair explosion, no cross product anywhere."""
+    plan = _plan(spark, sf_dir, "doc_repeated_ngram_frac").split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
