@@ -3390,3 +3390,112 @@ def doc_repeated_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("repeated_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH recall gain — the LSH-tier analogue of the OPQ delta
+# ---------------------------------------------------------------------------
+
+
+def _multiprobe_recall_oracle() -> str:
+    planes = S.hyperplanes()
+    flips = ", ".join(
+        _flip_sql("lsh_sig", pos, 8) for pos in S.probe_signatures(8, 2)
+    )
+    cos = _COSINE_SQL
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qv, lsh_sig FROM sig
+          WHERE vec_id < 10),
+    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    {cos.format(a="qv", b="c.e")} AS csim
+             FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
+    ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM ex_s) WHERE rank <= 3),
+    ls_s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    {cos.format(a="qv", b="c.e")} AS csim
+             FROM q JOIN sig c USING (lsh_sig) WHERE query_id <> c.vec_id),
+    lr AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM ls_s) WHERE rank <= 3),
+    probes AS (SELECT query_id, qv, unnest([{flips}]) AS lsh_sig FROM q),
+    mp_s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    {cos.format(a="qv", b="c.e")} AS csim
+             FROM probes JOIN sig c USING (lsh_sig)
+             WHERE query_id <> c.vec_id),
+    mp AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM mp_s) WHERE rank <= 3),
+    nl AS (SELECT ex.query_id, count(lr.query_id) AS n_match_lsh
+           FROM ex LEFT JOIN lr
+             ON ex.query_id = lr.query_id
+            AND ex.neighbor_id = lr.neighbor_id
+           GROUP BY ex.query_id),
+    nm AS (SELECT ex.query_id, count(mp.query_id) AS n_match_mp
+           FROM ex LEFT JOIN mp
+             ON ex.query_id = mp.query_id
+            AND ex.neighbor_id = mp.neighbor_id
+           GROUP BY ex.query_id)
+    SELECT nl.query_id,
+           CAST(nl.n_match_lsh AS BIGINT) AS n_match_lsh,
+           CAST(nm.n_match_mp AS BIGINT) AS n_match_mp,
+           round(nl.n_match_lsh / 3.0, 4) AS recall_lsh_at_3,
+           round(nm.n_match_mp / 3.0, 4) AS recall_mp_at_3,
+           round((nm.n_match_mp - nl.n_match_lsh) / 3.0, 4)
+             AS recall_delta
+    FROM nl JOIN nm ON nl.query_id = nm.query_id
+    """
+
+
+@query("emb_multiprobe_recall_eval", _multiprobe_recall_oracle)
+def emb_multiprobe_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head recall@3 of single-bucket LSH vs Hamming-≤2
+    multi-probe (37 probes/query) under the same signatures and
+    rerank — the per-query delta quantifies what the extra probes buy
+    (the emb_opq_recall_eval pattern applied to the LSH tier). The
+    corpus side keeps ONE signature row either way; only the 10-query
+    side explodes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    ex = S.knn_exact(
+        q, e, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    ap_l = S.knn_lsh(
+        q, e, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    ap_m = S.knn_lsh_multiprobe(
+        q, e, id_col="vec_id", vec_col="embedding", k=3, n_flips=2
+    ).select("query_id", "neighbor_id")
+
+    def _n_match(ap: DataFrame, name: str) -> DataFrame:
+        hit = ap.withColumn("hit", F.lit(1))
+        return (
+            ex.join(hit, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("bigint")
+                .alias(name)
+            )
+        )
+
+    nl = _n_match(ap_l, "n_match_lsh")
+    nm = _n_match(ap_m, "n_match_mp")
+    return nl.join(nm, "query_id").select(
+        "query_id",
+        "n_match_lsh",
+        "n_match_mp",
+        F.round(F.col("n_match_lsh") / 3.0, 4).alias("recall_lsh_at_3"),
+        F.round(F.col("n_match_mp") / 3.0, 4).alias("recall_mp_at_3"),
+        F.round(
+            (F.col("n_match_mp") - F.col("n_match_lsh")) / 3.0, 4
+        ).alias("recall_delta"),
+    )
