@@ -67,6 +67,9 @@ HEADLINE = [
     # round-6 additions
     "emb_knn_opq_adc",
     "emb_opq_recall_eval",
+    "doc_dsir_sample",
+    "doc_repeated_ngram_frac",
+    "emb_multiprobe_recall_eval",
 ]
 
 
