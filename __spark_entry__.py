@@ -56,6 +56,11 @@ def _rotation_order(names) -> list[str]:
                 data = json.load(f)
         except Exception:
             continue
+        if not isinstance(data, dict):
+            # tolerate any JSON shape the driver might write (a bare
+            # list of names etc.) — an unreadable round must not take
+            # down queries()/oracle_sql() for every query
+            continue
         for n, row in data.items():
             if n not in state or rnd <= state[n][0]:
                 continue

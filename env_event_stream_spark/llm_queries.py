@@ -2199,42 +2199,12 @@ def emb_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_pq_adc_oracle() -> str:
     vals = _pq_cb_values(_pq_books_for_oracle())
-    cos = _COSINE_SQL
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cb AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
-    {_PQ_ENCODE_CTES},
-    cent AS (SELECT vec_id AS cell_id, e AS ccv FROM v WHERE vec_id < 8),
-    cscored AS (SELECT v.vec_id, v.e, c.cell_id,
-                       {cos.format(a="v.e", b="c.ccv")} AS csim
-                FROM v CROSS JOIN cent c),
-    cassign AS (SELECT vec_id, e, cell_id,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY csim DESC, cell_id ASC)
-                         AS rn
-                FROM cscored),
-    inv AS (SELECT vec_id AS neighbor_id, cell_id FROM cassign WHERE rn = 1),
-    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
-            FROM cassign WHERE rn <= 2 AND vec_id >= 10 AND vec_id < 20),
-    qsub AS (SELECT query_id, cell_id, ms.m,
-                    qe[ms.m * 8 + 1 : ms.m * 8 + 8] AS qs
-             FROM qry CROSS JOIN ms),
-    contrib AS (SELECT q.query_id, i.neighbor_id, q.m,
-                       list_dot_product(q.qs, cb.cv) AS val
-                FROM qsub q
-                JOIN inv i ON i.cell_id = q.cell_id
-                JOIN codes co ON co.vec_id = i.neighbor_id AND co.m = q.m
-                JOIN cb ON cb.m = q.m AND cb.code = co.code
-                WHERE q.query_id <> i.neighbor_id),
-    s AS (SELECT query_id, neighbor_id,
-                 list_sum(list(val ORDER BY m)) AS adc
-          FROM contrib GROUP BY query_id, neighbor_id),
-    r AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                 round(adc, 6) AS adc_score
-          FROM s)
-    SELECT query_id, neighbor_id, rank, adc_score FROM r WHERE rank <= 3
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cbp AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
+    {_adc_ctes('p', 'v0', 'cbp', n_probe=2)}
+    SELECT query_id, neighbor_id, rank, adc_score FROM app
     """
 
 
@@ -2280,6 +2250,23 @@ def _recall_frame(ex: DataFrame, ap: DataFrame, n_col: str) -> DataFrame:
         F.coalesce(F.col(n_col), F.lit(0)).cast("bigint").alias(n_col),
         F.col("n_match").cast("bigint").alias("n_match"),
         F.round(F.col("n_match") / 3.0, 4).alias("recall_at_3"),
+    )
+
+
+def _recall_match_counts(ex: DataFrame, ap: DataFrame, name: str) -> DataFrame:
+    """Per-query count of approximate top-k hits inside the exact
+    top-k (the recall numerator), as a ``name`` column — the shared
+    counter of the head-to-head delta evals (emb_opq_recall_eval,
+    emb_multiprobe_recall_eval)."""
+    hit = ap.withColumn("hit", F.lit(1))
+    return (
+        ex.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias(name)
+        )
     )
 
 
@@ -2352,53 +2339,25 @@ def _pq_recall_oracle() -> str:
     vals = _pq_cb_values(_pq_books_for_oracle())
     cos = _COSINE_SQL
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cb AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
-    {_PQ_ENCODE_CTES},
-    cent AS (SELECT vec_id AS cell_id, e AS ccv FROM v WHERE vec_id < 8),
-    cscored AS (SELECT v.vec_id, v.e, c.cell_id,
-                       {cos.format(a="v.e", b="c.ccv")} AS csim
-                FROM v CROSS JOIN cent c),
-    cassign AS (SELECT vec_id, e, cell_id,
-                       row_number() OVER (PARTITION BY vec_id
-                         ORDER BY csim DESC, cell_id ASC) AS rn
-                FROM cscored),
-    inv AS (SELECT vec_id AS neighbor_id, cell_id FROM cassign WHERE rn = 1),
-    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
-            FROM cassign WHERE rn <= 2 AND vec_id >= 10 AND vec_id < 20),
-    qsub AS (SELECT query_id, cell_id, ms.m,
-                    qe[ms.m * 8 + 1 : ms.m * 8 + 8] AS qs
-             FROM qry CROSS JOIN ms),
-    contrib AS (SELECT q.query_id, i.neighbor_id, q.m,
-                       list_dot_product(q.qs, cb.cv) AS val
-                FROM qsub q
-                JOIN inv i ON i.cell_id = q.cell_id
-                JOIN codes co ON co.vec_id = i.neighbor_id AND co.m = q.m
-                JOIN cb ON cb.m = q.m AND cb.code = co.code
-                WHERE q.query_id <> i.neighbor_id),
-    adc AS (SELECT query_id, neighbor_id,
-                   list_sum(list(val ORDER BY m)) AS s
-            FROM contrib GROUP BY query_id, neighbor_id),
-    ap AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY s DESC, neighbor_id ASC) AS rank
-             FROM adc) WHERE rank <= 3),
-    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cbp AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
+    {_adc_ctes('p', 'v0', 'cbp', n_probe=2)},
+    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v0
             WHERE vec_id >= 10 AND vec_id < 20),
     ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
                     {cos.format(a="qe", b="c.e")} AS csim
-             FROM q10 CROSS JOIN v c WHERE query_id <> c.vec_id),
+             FROM q10 CROSS JOIN v0 c WHERE query_id <> c.vec_id),
     ex AS (SELECT query_id, neighbor_id FROM (
              SELECT query_id, neighbor_id,
                     row_number() OVER (PARTITION BY query_id
                       ORDER BY csim DESC, neighbor_id ASC) AS rank
              FROM ex_s) WHERE rank <= 3),
-    na AS (SELECT query_id, count(*) AS n_pq FROM ap GROUP BY query_id),
-    nm AS (SELECT ex.query_id, count(ap.query_id) AS n_match
-           FROM ex LEFT JOIN ap
-             ON ex.query_id = ap.query_id
-            AND ex.neighbor_id = ap.neighbor_id
+    na AS (SELECT query_id, count(*) AS n_pq FROM app GROUP BY query_id),
+    nm AS (SELECT ex.query_id, count(app.query_id) AS n_match
+           FROM ex LEFT JOIN app
+             ON ex.query_id = app.query_id
+            AND ex.neighbor_id = app.neighbor_id
            GROUP BY ex.query_id)
     SELECT nm.query_id,
            CAST(coalesce(na.n_pq, 0) AS BIGINT) AS n_pq,
@@ -2676,41 +2635,15 @@ def _knn_pq_trained_oracle() -> str:
         for cid, vec in enumerate(cents)
     )
     cb_vals = _pq_cb_values(_pq_books_for_oracle())
-    cos = _COSINE_SQL
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cb AS (SELECT * FROM (VALUES {cb_vals}) AS t(m, code, cv, cc)),
-    {_PQ_ENCODE_CTES},
-    cent AS (SELECT * FROM (VALUES {cent_vals}) AS t(cell_id, ccv)),
-    cscored AS (SELECT v.vec_id, v.e, c.cell_id,
-                       {cos.format(a="v.e", b="c.ccv")} AS csim
-                FROM v CROSS JOIN cent c),
-    cassign AS (SELECT vec_id, e, cell_id,
-                       row_number() OVER (PARTITION BY vec_id
-                         ORDER BY csim DESC, cell_id ASC) AS rn
-                FROM cscored),
-    inv AS (SELECT vec_id AS neighbor_id, cell_id FROM cassign WHERE rn = 1),
-    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
-            FROM cassign WHERE rn <= 3 AND vec_id >= 10 AND vec_id < 20),
-    qsub AS (SELECT query_id, cell_id, ms.m,
-                    qe[ms.m * 8 + 1 : ms.m * 8 + 8] AS qs
-             FROM qry CROSS JOIN ms),
-    contrib AS (SELECT q.query_id, i.neighbor_id, q.m,
-                       list_dot_product(q.qs, cb.cv) AS val
-                FROM qsub q
-                JOIN inv i ON i.cell_id = q.cell_id
-                JOIN codes co ON co.vec_id = i.neighbor_id AND co.m = q.m
-                JOIN cb ON cb.m = q.m AND cb.code = co.code
-                WHERE q.query_id <> i.neighbor_id),
-    adc AS (SELECT query_id, neighbor_id,
-                   list_sum(list(val ORDER BY m)) AS s
-            FROM contrib GROUP BY query_id, neighbor_id),
-    r AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY s DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                 round(s, 6) AS adc_score
-          FROM adc)
-    SELECT query_id, neighbor_id, rank, adc_score FROM r WHERE rank <= 3
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cbp AS (SELECT * FROM (VALUES {cb_vals}) AS t(m, code, cv, cc)),
+    {_adc_ctes(
+        'p', 'v0', 'cbp', n_probe=3,
+        cent_sql=f"SELECT * FROM (VALUES {cent_vals}) AS t(cell_id, ccv)",
+    )}
+    SELECT query_id, neighbor_id, rank, adc_score FROM app
     """
 
 
@@ -2986,6 +2919,40 @@ def _opq_for_oracle() -> tuple[list, list]:
     )
 
 
+def _rotate_row(R: list[list[float]], x: list[float]) -> list[float]:
+    """Driver-side twin of one rotate_arrow row: y_o = Σⱼ R[o,j]·xⱼ in
+    the same left-to-right fold (python float64 ops are bit-identical
+    to the numpy scalar sequence). Used to rotate the 8 stand-in
+    centroids WITHOUT dragging the whole corpus through the
+    MapInPandas rotation (a filter above a UDF does not push down, so
+    `rotated_corpus.where(vec_id < 8)` would rotate everything just
+    to collect 8 rows)."""
+    out = []
+    for row in R:
+        acc = 0.0
+        for rj, xj in zip(row, x):
+            acc = acc + rj * float(xj)
+        out.append(acc)
+    return out
+
+
+def _opq_rot_centroids(
+    spark: SparkSession, sf_dir: str, R: list[list[float]]
+) -> list[tuple[int, list[float]]]:
+    """The first-8-vector IVF stand-in cells, rotated driver-side —
+    8 collected rows instead of a full-corpus rotation job."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [
+        (int(r.vec_id), _rotate_row(R, list(r.embedding)))
+        for r in sorted(rows, key=lambda r: r.vec_id)
+    ]
+
+
 def _opq_rot_values(R: list[list[float]]) -> str:
     """VALUES rows (o, rv) — one row per OUTPUT dimension o holding
     the o-th row of the rotation as DOUBLE[]; the oracle's rotated
@@ -3007,14 +2974,27 @@ _OPQ_ROT_CTES = """
 """
 
 
-def _adc_ctes(s: str, v: str, cb: str, *, n_probe: int, k_out: int = 3) -> str:
+def _adc_ctes(
+    s: str,
+    v: str,
+    cb: str,
+    *,
+    n_probe: int,
+    k_out: int = 3,
+    cent_sql: str | None = None,
+) -> str:
     """The IVF-PQ/ADC pipeline as suffixed CTEs (suffix ``s``) over a
-    vector view ``v`` and codebook view ``cb`` — the _PQ_ENCODE_CTES /
-    _knn_pq_adc_oracle text, name-parameterized so two pipelines (PQ
-    and OPQ) can ride one query. Cells are the first-8 vectors of
-    ``v`` (the stand-in centroid tier), queries are vec_id 10..19,
-    final view ap{s} is the ADC top-``k_out``."""
+    vector view ``v`` and codebook view ``cb`` — THE single copy of
+    the value-critical ADC oracle text; every PQ-family oracle
+    (emb_knn_pq_adc, emb_pq_recall_eval, emb_knn_pq_trained, both OPQ
+    queries) is built from it, so the pipeline the oracles replay
+    cannot drift between them. Cells default to the first-8 vectors
+    of ``v`` (the stand-in centroid tier); pass ``cent_sql`` for a
+    trained-centroid VALUES body exposing (cell_id, ccv). Queries are
+    vec_id 10..19; final view ap{s} is the ADC top-``k_out``."""
     cos = _COSINE_SQL
+    if cent_sql is None:
+        cent_sql = f"SELECT vec_id AS cell_id, e AS ccv FROM {v} WHERE vec_id < 8"
     return f"""
     sub{s} AS (SELECT vec_id, ms.m, e[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
             FROM {v} CROSS JOIN ms),
@@ -3026,7 +3006,7 @@ def _adc_ctes(s: str, v: str, cb: str, *, n_probe: int, k_out: int = 3) -> str:
                                          ORDER BY obj ASC, code ASC) AS rn
                FROM dists{s}),
     codes{s} AS (SELECT vec_id, m, code FROM assign{s} WHERE rn = 1),
-    cent{s} AS (SELECT vec_id AS cell_id, e AS ccv FROM {v} WHERE vec_id < 8),
+    cent{s} AS ({cent_sql}),
     cscored{s} AS (SELECT {v}.vec_id, {v}.e, c.cell_id,
                        {cos.format(a=f"{v}.e", b="c.ccv")} AS csim
                 FROM {v} CROSS JOIN cent{s} c),
@@ -3092,8 +3072,18 @@ def emb_knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     R, books = _opq_model_spark(spark, sf_dir)
     e_rot = S.rotate_arrow(e, R, vec_col="embedding", keep=["vec_id"])
+    # queries: filter BELOW the rotation (row-local 1:1, so
+    # filter∘rotate ≡ rotate∘filter — but the filtered form rotates 10
+    # rows, not the corpus); cells: rotated driver-side from 8
+    # collected rows for the same reason.
+    q_rot = S.rotate_arrow(
+        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        R,
+        vec_col="embedding",
+        keep=["vec_id"],
+    )
     return S.knn_ivf_pq(
-        e_rot.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        q_rot,
         e_rot,
         books,
         id_col="vec_id",
@@ -3101,6 +3091,7 @@ def emb_knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         n_cells=8,
         n_probe=2,
+        centroids=_opq_rot_centroids(spark, sf_dir, R),
     )
 
 
@@ -3164,7 +3155,15 @@ def emb_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     R, books_opq = _opq_model_spark(spark, sf_dir)
     books_pq = _pq_books_spark(spark, sf_dir)
     e_rot = S.rotate_arrow(e, R, vec_col="embedding", keep=["vec_id"])
-    q_rot = e_rot.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    # filter below the rotation + driver-rotated cells (see
+    # emb_knn_opq_adc) — the corpus is rotated exactly once, for the
+    # inverted list it actually needs
+    q_rot = S.rotate_arrow(
+        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        R,
+        vec_col="embedding",
+        keep=["vec_id"],
+    )
     ex = S.knn_exact(
         q, e, id_col="vec_id", vec_col="embedding", k=3
     ).select("query_id", "neighbor_id")
@@ -3175,22 +3174,11 @@ def emb_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     apo = S.knn_ivf_pq(
         q_rot, e_rot, books_opq, id_col="vec_id", vec_col="embedding",
         k=3, n_cells=8, n_probe=2,
+        centroids=_opq_rot_centroids(spark, sf_dir, R),
     ).select("query_id", "neighbor_id")
 
-    def _n_match(ap: DataFrame, name: str) -> DataFrame:
-        hit = ap.withColumn("hit", F.lit(1))
-        return (
-            ex.join(hit, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                .cast("bigint")
-                .alias(name)
-            )
-        )
-
-    nmp = _n_match(app, "n_match_pq")
-    nmo = _n_match(apo, "n_match_opq")
+    nmp = _recall_match_counts(ex, app, "n_match_pq")
+    nmo = _recall_match_counts(ex, apo, "n_match_opq")
     return nmp.join(nmo, "query_id").select(
         "query_id",
         "n_match_pq",
@@ -3475,20 +3463,8 @@ def emb_multiprobe_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, e, id_col="vec_id", vec_col="embedding", k=3, n_flips=2
     ).select("query_id", "neighbor_id")
 
-    def _n_match(ap: DataFrame, name: str) -> DataFrame:
-        hit = ap.withColumn("hit", F.lit(1))
-        return (
-            ex.join(hit, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                .cast("bigint")
-                .alias(name)
-            )
-        )
-
-    nl = _n_match(ap_l, "n_match_lsh")
-    nm = _n_match(ap_m, "n_match_mp")
+    nl = _recall_match_counts(ex, ap_l, "n_match_lsh")
+    nm = _recall_match_counts(ex, ap_m, "n_match_mp")
     return nl.join(nm, "query_id").select(
         "query_id",
         "n_match_lsh",

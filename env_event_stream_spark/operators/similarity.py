@@ -399,6 +399,12 @@ def nearest_cells_arrow(
         f"{id_out} {id_field}, v array<double>, nrm double, cell_id bigint"
     )
 
+    # _nearest_cells (rn <= n_probe) degrades gracefully to n_cells
+    # rows per id when asked for more probes than cells; truncating
+    # argsort columns while np.repeat'ing n_probe copies would build
+    # mismatched-length columns instead — clamp to match the twin.
+    n_probe = min(n_probe, len(cent))
+
     def assign(iter_):
         for pdf in iter_:
             n = len(pdf)
@@ -416,7 +422,14 @@ def nearest_cells_arrow(
                 acc = np.zeros(n, dtype=np.float64)
                 for j in range(dim):
                     acc = acc + V[:, j] * C[c, j]
-                csim[:, c] = acc / (nrm * CN[c])
+                den = nrm * CN[c]
+                # Spark's Divide yields NULL on a zero divisor and
+                # csim DESC sorts NULLS LAST; numpy would yield
+                # inf/nan with a different sort position — map the
+                # zero-divisor case to -inf (sorts last, cell_id
+                # tie-break preserved by the stable argsort below)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    csim[:, c] = np.where(den == 0.0, -np.inf, acc / den)
             # stable argsort of -csim: ties keep ascending-cell order,
             # matching the window's (csim DESC, cell_id ASC)
             top = np.argsort(-csim, axis=1, kind="stable")[:, :n_probe]
