@@ -3475,3 +3475,47 @@ def emb_multiprobe_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_match_mp") - F.col("n_match_lsh")) / 3.0, 4
         ).alias("recall_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index — build once, search from parquet
+# ---------------------------------------------------------------------------
+
+
+@_functools.lru_cache(maxsize=8)
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    """Build the persisted IVF-PQ index once per sf_dir per process
+    (training is deterministic, so caching cannot change results)."""
+    import tempfile
+
+    from env_event_stream_spark.session import get_spark
+
+    _SPARK_TRAIN_DIRS.add(sf_dir)
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    e = load_table(get_spark("ivfpq-index"), sf_dir, "embeddings")
+    S.build_ivfpq_index(
+        e, path, id_col="vec_id", vec_col="embedding",
+        m=8, k=16, n_cells=10, n_iter=10,
+    )
+    return path
+
+
+@query("emb_knn_pq_persisted", _knn_pq_trained_oracle)
+def emb_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emb_knn_pq_trained search served from a PERSISTED index:
+    build_ivfpq_index materializes the trained cells + codebooks +
+    PQ-encoded corpus as parquet partitioned by cell_id (once per
+    process), then search_ivfpq_index probes it — the probe cells
+    arrive as literal partition filters, so the scan reads
+    n_probe/n_cells of the index files (pruning pinned by plan test).
+    Same deterministic models and the same _adc_topk scoring tail as
+    the live query, hence the SAME oracle — value-hash equality of
+    the live and persisted paths is the round-trip proof."""
+    path = _ivfpq_index_dir(sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").where(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    )
+    return S.search_ivfpq_index(
+        spark, path, q, id_col="vec_id", vec_col="embedding",
+        k=3, n_probe=3,
+    )

@@ -117,3 +117,70 @@ def test_ivf_trained_recall_vs_ground_truth(spark, sf_dir):
         assert r_tr >= 0.55, r_tr
     finally:
         e.unpersist()
+
+
+def test_ivfpq_index_roundtrip_matches_live(spark, sf_dir):
+    """build_ivfpq_index → search_ivfpq_index must return EXACTLY the
+    rows knn_ivf_pq computes live with the same trained models — the
+    persisted path (parquet codes + JSON model sidecar) loses nothing."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import env_event_stream_spark.operators.similarity as S
+    from env_event_stream_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    kw = dict(id_col="vec_id", vec_col="embedding")
+    path = tempfile.mkdtemp(prefix="ivfpq_rt_")
+    S.build_ivfpq_index(e, path, m=4, k=8, n_cells=5, n_iter=5, **kw)
+    got = sorted(
+        tuple(r)
+        for r in S.search_ivfpq_index(
+            spark, path, q, k=3, n_probe=2, **kw
+        ).collect()
+    )
+    cents = S.train_ivf_centroids(e, n_cells=5, n_iter=5, **kw)
+    books = S.train_pq_codebooks(e, m=4, k=8, n_iter=5, **kw)
+    live = sorted(
+        tuple(r)
+        for r in S.knn_ivf_pq(
+            q, e, books, k=3, n_cells=5, n_probe=2, centroids=cents, **kw
+        ).collect()
+    )
+    assert got == live  # exact equality, scores included
+
+
+def test_ivfpq_index_search_prunes_partitions(spark, sf_dir):
+    """The probe cells reach the index scan as literal partition
+    filters — the search reads n_probe worth of cell partitions, not
+    the whole index."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import env_event_stream_spark.operators.similarity as S
+    from env_event_stream_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 10)
+    path = tempfile.mkdtemp(prefix="ivfpq_pp_")
+    S.build_ivfpq_index(
+        e, path, m=4, k=8, n_cells=5, n_iter=5,
+        id_col="vec_id", vec_col="embedding",
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    df = S.search_ivfpq_index(
+        spark, path, q, k=3, n_probe=2, id_col="vec_id", vec_col="embedding"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the INDEX scan (not the embeddings scan) must carry a non-empty
+    # cell_id partition filter
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell_id" in ln.split("PartitionFilters")[1]
+    ]
+    assert pruned, plan[:2000]
