@@ -1288,3 +1288,44 @@ def search_ivfpq_index(
         "neighbor_id", F.col("cell_id").cast("bigint").alias("cell_id"), "codes"
     )
     return _adc_topk(probes, inv, books, k)
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF-PQ index WITHOUT retraining: encode the
+    new vectors with the index's saved cells + codebooks and append
+    them to the partitioned inverted list (dynamic partition append —
+    only the touched cell partitions gain files). This is how a
+    production ANN index absorbs a stream of new embeddings; quality
+    degrades only as the data distribution drifts from the original
+    training sample, at which point a rebuild retrains. Search needs
+    no change — pruning and ADC scoring read the union."""
+    import json
+    import os
+
+    with open(os.path.join(path, "model.json")) as f:
+        model = json.load(f)
+    cents = [(int(c), [float(x) for x in v]) for c, v in model["centroids"]]
+    books = [[[float(x) for x in c] for c in book] for book in model["books"]]
+
+    cent = _centroid_frame(
+        new_vectors, id_col=id_col, vec_col=vec_col, n_cells=len(cents),
+        centroids=cents,
+    )
+    inv = pq_encode_arrow(
+        nearest_cells_arrow(
+            new_vectors, cent, id_out="neighbor_id", id_col=id_col,
+            vec_col=vec_col, n_probe=1,
+        ),
+        books,
+        vec_col="v",
+        keep=["neighbor_id", "cell_id"],
+    )
+    inv.write.mode("append").partitionBy("cell_id").parquet(
+        os.path.join(path, "inv")
+    )

@@ -184,3 +184,44 @@ def test_ivfpq_index_search_prunes_partitions(spark, sf_dir):
         if "PartitionFilters" in ln and "cell_id" in ln.split("PartitionFilters")[1]
     ]
     assert pruned, plan[:2000]
+
+
+def test_ivfpq_index_append_matches_fixed_model_search(spark, sf_dir):
+    """Appending new vectors to a persisted index (encoded with the
+    SAVED models, no retraining) must make search over the grown index
+    exactly equal to a live knn_ivf_pq over the full corpus using the
+    ORIGINAL half-corpus models — growth loses nothing and retrains
+    nothing."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import env_event_stream_spark.operators.similarity as S
+    from env_event_stream_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    half1 = e.where(F.col("vec_id") % 2 == 0)
+    half2 = e.where(F.col("vec_id") % 2 == 1)
+    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    kw = dict(id_col="vec_id", vec_col="embedding")
+
+    path = tempfile.mkdtemp(prefix="ivfpq_app_")
+    S.build_ivfpq_index(half1, path, m=4, k=8, n_cells=5, n_iter=5, **kw)
+    S.append_to_ivfpq_index(half2, path, **kw)
+    got = sorted(
+        tuple(r)
+        for r in S.search_ivfpq_index(
+            spark, path, q, k=3, n_probe=2, **kw
+        ).collect()
+    )
+
+    # live reference: models trained on half1 only, corpus = everything
+    cents = S.train_ivf_centroids(half1, n_cells=5, n_iter=5, **kw)
+    books = S.train_pq_codebooks(half1, m=4, k=8, n_iter=5, **kw)
+    live = sorted(
+        tuple(r)
+        for r in S.knn_ivf_pq(
+            q, e, books, k=3, n_cells=5, n_probe=2, centroids=cents, **kw
+        ).collect()
+    )
+    assert got == live
