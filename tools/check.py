@@ -66,6 +66,15 @@ def counts() -> int:
                 bad.append(
                     f"{fname}: says '{m.group(0)}', ORACLES has {len(ORACLES)}"
                 )
+    cov_path = os.path.join(here, "COVERAGE.md")
+    if os.path.exists(cov_path):
+        cov = open(cov_path).read()
+        missing = [n for n in sorted(QUERIES) if n not in cov]
+        if missing:
+            bad.append(
+                f"COVERAGE.md: {len(missing)} catalog queries unmentioned: "
+                f"{missing}"
+            )
     print(f"catalog: {len(QUERIES)} queries, {len(ORACLES)} oracled")
     if bad:
         print("\n".join("DRIFT " + b for b in bad))
