@@ -550,3 +550,137 @@ def test_pii_redact_and_counts(spark):
         r = rows[i]
         assert r.red == red, (i, r.red)
         assert (r.n_email, r.n_phone, r.n_ip) == (ne, np_, ni), i
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators: black-box property tests — random corpora written
+# to a temp documents.parquet, catalog query vs pure-Python reference.
+# ---------------------------------------------------------------------------
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_doc_text = st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+def _write_docs(rows):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="propdocs_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    return d
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+@_SET
+def test_repeated_ngram_frac_matches_python(spark, texts):
+    """doc_repeated_ngram_frac vs a pure-Python recount: per doc, the
+    number of 5-grams (with multiplicity) whose gram string occurs in
+    >= 2 distinct docs. Small alphabet forces cross-doc collisions."""
+    from env_event_stream_spark.llm_queries import doc_repeated_ngram_frac
+
+    rows = [(i, t, "src1") for i, t in enumerate(texts)]
+    sf_dir = _write_docs(rows)
+
+    import re
+
+    grams: dict[int, list[str]] = {}
+    for i, t, _src in rows:
+        tk = re.split(r"\s+", t.strip())  # the tokens() contract: '' -> ['']
+        if len(tk) >= 5:
+            grams[i] = [
+                " ".join(tk[j : j + 5]) for j in range(len(tk) - 4)
+            ]
+    docs_per_gram: dict[str, set[int]] = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            docs_per_gram.setdefault(g, set()).add(i)
+    expect = {}
+    for i, gs in grams.items():
+        rep = sum(1 for g in gs if len(docs_per_gram[g]) >= 2)
+        expect[i] = (len(gs), rep, round(rep * 1.0 / len(gs), 4))
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_repeated, r.repeated_frac)
+        for r in doc_repeated_ngram_frac(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+@given(
+    texts=st.lists(_doc_text, min_size=2, max_size=8),
+    n_target=st.integers(0, 3),
+)
+@_SET
+def test_dsir_sample_matches_python(spark, texts, n_target):
+    """doc_dsir_sample vs a full pure-Python replication: hashed-bucket
+    unigram models with add-1 smoothing, mean per-token log importance
+    ratio, md5-Gumbel key, top-50 by (rounded key DESC, doc_id ASC).
+    Covers the empty-target and token-free-doc edges the fixed corpus
+    never hits."""
+    import hashlib
+    import math
+
+    from env_event_stream_spark.llm_queries import doc_dsir_sample
+
+    rows = [
+        (i, t, "src0" if i < n_target else f"src{1 + i % 3}")
+        for i, t in enumerate(texts)
+    ]
+    sf_dir = _write_docs(rows)
+
+    def hex32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    import re
+
+    tgt: dict[int, int] = {}
+    raw: dict[int, int] = {}
+    nt = nr = 0
+    doc_buckets: dict[int, list[int]] = {}
+    for i, t, src in rows:
+        tk = re.split(r"\s+", t.strip())  # tokens() contract: '' -> ['']
+        bs = [hex32(w) % 1024 for w in tk]
+        if src == "src0":
+            for b in bs:
+                tgt[b] = tgt.get(b, 0) + 1
+            nt += len(bs)
+        else:
+            doc_buckets[i] = bs
+            for b in bs:
+                raw[b] = raw.get(b, 0) + 1
+            nr += len(bs)
+    expect_rows = []
+    for i, bs in doc_buckets.items():
+        alr = sum(
+            math.log((tgt.get(b, 0) + 1.0) / (nt + 1024))
+            - math.log((raw[b] + 1.0) / (nr + 1024))
+            for b in bs
+        ) / len(bs)
+        u = (hex32(f"dsir:{i}") + 0.5) / 4294967296.0
+        key = round(alr - math.log(-math.log(u)), 4)
+        expect_rows.append((i, len(bs), round(alr, 4), key))
+    expect_rows.sort(key=lambda r: (-r[3], r[0]))
+    expect = [
+        (i, n, a, k, rank + 1)
+        for rank, (i, n, a, k) in enumerate(expect_rows[:50])
+    ]
+
+    got = sorted(
+        (
+            (r.doc_id, r.n_tokens, r.avg_logratio, r.sample_key, r.rank)
+            for r in doc_dsir_sample(spark, sf_dir).collect()
+        ),
+        key=lambda r: r[4],
+    )
+    assert got == expect
