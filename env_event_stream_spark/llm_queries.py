@@ -3492,10 +3492,15 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
 
     _SPARK_TRAIN_DIRS.add(sf_dir)
     path = tempfile.mkdtemp(prefix="ivfpq_index_")
-    e = load_table(get_spark("ivfpq-index"), sf_dir, "embeddings")
+    spark = get_spark("ivfpq-index")
+    e = load_table(spark, sf_dir, "embeddings")
+    # reuse the per-sf_dir cached models (the ones emb_knn_pq_trained
+    # trains with identical hyperparameters) instead of retraining —
+    # one k-means per process, and one place that owns the params
     S.build_ivfpq_index(
         e, path, id_col="vec_id", vec_col="embedding",
-        m=8, k=16, n_cells=10, n_iter=10,
+        cents=_ivf_cents_spark(spark, sf_dir),
+        books=_pq_books_spark(spark, sf_dir),
     )
     return path
 

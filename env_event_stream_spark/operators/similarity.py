@@ -38,6 +38,9 @@ __all__ = [
     "pq_codes",
     "pq_recon_error",
     "knn_ivf_pq",
+    "build_ivfpq_index",
+    "search_ivfpq_index",
+    "append_to_ivfpq_index",
     "binary_signature",
     "knn_binary",
     "cosine_dedup_pairs",
@@ -1202,6 +1205,8 @@ def build_ivfpq_index(
     n_cells: int = 10,
     n_iter: int = 10,
     sample_cap: int = 4096,
+    cents: list[tuple[int, list[float]]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> None:
     """Materialize a searchable IVF-PQ index: train spherical-k-means
     cells + PQ codebooks (bounded driver-side sample), encode the
@@ -1212,18 +1217,21 @@ def build_ivfpq_index(
     probe cells (parquet partition pruning: n_probe/n_cells of the
     index, the inverted-list skip a native ANN library does with its
     own storage). 8 codes/vector ≈ 32× smaller than the float32
-    corpus."""
+    corpus. Pass pre-trained ``cents``/``books`` to skip training
+    (e.g. models already cached by a caller)."""
     import json
     import os
 
-    cents = train_ivf_centroids(
-        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        n_iter=n_iter, sample_cap=sample_cap,
-    )
-    books = train_pq_codebooks(
-        corpus, id_col=id_col, vec_col=vec_col, m=m, k=k, n_iter=n_iter,
-        sample_cap=sample_cap,
-    )
+    if cents is None:
+        cents = train_ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            n_iter=n_iter, sample_cap=sample_cap,
+        )
+    if books is None:
+        books = train_pq_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, m=m, k=k, n_iter=n_iter,
+            sample_cap=sample_cap,
+        )
     cent = _centroid_frame(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
         centroids=cents,
@@ -1274,10 +1282,15 @@ def search_ivfpq_index(
         queries, id_col=id_col, vec_col=vec_col, n_cells=len(cents),
         centroids=cents,
     )
+    # persist the probe assignment: it is both collected (for the
+    # literal partition filter) and joined (for scoring) — without the
+    # persist the assignment would compute twice, and a
+    # nondeterministic `queries` input could even diverge between the
+    # two evaluations
     probes = _nearest_cells(
         queries, cent, id_out="query_id", id_col=id_col, vec_col=vec_col,
         n_probe=n_probe,
-    )
+    ).persist()
     probe_cells = sorted(
         {int(r.cell_id) for r in probes.select("cell_id").distinct().collect()}
     )

@@ -170,18 +170,29 @@ def test_ivfpq_index_search_prunes_partitions(spark, sf_dir):
         e, path, m=4, k=8, n_cells=5, n_iter=5,
         id_col="vec_id", vec_col="embedding",
     )
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
-    df = S.search_ivfpq_index(
-        spark, path, q, k=3, n_probe=2, id_col="vec_id", vec_col="embedding"
-    )
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # the INDEX scan (not the embeddings scan) must carry a non-empty
-    # cell_id partition filter
+    try:
+        df = S.search_ivfpq_index(
+            spark, path, q, k=3, n_probe=2,
+            id_col="vec_id", vec_col="embedding",
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    # the INDEX scan must carry the LITERAL probe-cell IN filter on the
+    # partition column. NB: a bare `cell_id` / isnotnull check would
+    # false-pass — the equi-join alone infers
+    # `PartitionFilters: [isnotnull(cell_id), dynamicpruning...]` even
+    # with the isin pruning removed (verified); only the static IN
+    # list proves the scan reads n_probe cells.
     pruned = [
         ln
         for ln in plan.splitlines()
-        if "PartitionFilters" in ln and "cell_id" in ln.split("PartitionFilters")[1]
+        if "PartitionFilters" in ln
+        and "cell_id" in ln.split("PartitionFilters")[1]
+        and " IN (" in ln.split("PartitionFilters")[1]
     ]
     assert pruned, plan[:2000]
 

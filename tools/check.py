@@ -66,10 +66,41 @@ def counts() -> int:
                 bad.append(
                     f"{fname}: says '{m.group(0)}', ORACLES has {len(ORACLES)}"
                 )
+    # pytest-count claims must match the collected suite (README says
+    # "N cases", NEXT.md says "N pytest cases")
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q", "--collect-only"],
+            cwd=here, capture_output=True, text=True, timeout=120,
+        ).stdout
+        mm = re.search(r"(\d+) tests collected", out)
+        n_tests = int(mm.group(1)) if mm else None
+    except Exception:
+        n_tests = None
+    if n_tests is not None:
+        for fname, pat in (
+            ("NEXT.md", r"(\d+)\s*\n?pytest cases"),
+            ("README.md", r"(\d+) cases"),
+        ):
+            path = os.path.join(here, fname)
+            if not os.path.exists(path):
+                continue
+            for m in re.finditer(pat, open(path).read()):
+                if int(m.group(1)) != n_tests:
+                    bad.append(
+                        f"{fname}: claims {m.group(1)} tests, suite "
+                        f"collects {n_tests}"
+                    )
+        print(f"pytest: {n_tests} collected")
+
     cov_path = os.path.join(here, "COVERAGE.md")
     if os.path.exists(cov_path):
-        cov = open(cov_path).read()
-        missing = [n for n in sorted(QUERIES) if n not in cov]
+        # word-boundary tokens, not substring containment: emb_knn_ivf
+        # must not count as mentioned just because emb_knn_ivf_trained is
+        cov_tokens = set(re.findall(r"[A-Za-z0-9_]+", open(cov_path).read()))
+        missing = [n for n in sorted(QUERIES) if n not in cov_tokens]
         if missing:
             bad.append(
                 f"COVERAGE.md: {len(missing)} catalog queries unmentioned: "
