@@ -68,10 +68,15 @@ def bpe_pretokens(text: Column) -> Column:
     The whitespace-run filter names the SAME class the pattern's
     ``\\s`` matches (engine trim()s disagree about which characters
     are 'space' — e.g. U+2028 — so trim-based emptiness checks are
-    not portable; an explicit class is)."""
+    not portable; an explicit class is). Anchors are \\A/\\z, NOT ^/$:
+    Java's $ also matches BEFORE a final line terminator (U+2028/29,
+    \\r, \\n...), so '^ws+$' wrongly classifies ' \\u2028' as a pure
+    whitespace run on the Spark side only — found by the cross-engine
+    fuzz (DuckDB regexp_full_match and Python re have \\A..\\z
+    semantics here)."""
     return F.filter(
         F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0),
-        lambda t: ~t.rlike(r"^[ \t\n\x0b\f\r]+$"),
+        lambda t: ~t.rlike(r"\A[ \t\n\x0b\f\r]+\z"),
     )
 
 
