@@ -3524,3 +3524,54 @@ def emb_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, q, id_col="vec_id", vec_col="embedding",
         k=3, n_probe=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent-phrase mining via a distributed Misra-Gries sketch
+# (boilerplate phrase detection without shuffling the gram vocabulary)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_phrase_heavy_hitters",
+    "WITH "
+    + _TOKENS_CTE.lstrip()
+    + r""",
+    t3 AS (SELECT tk FROM t WHERE len(tk) >= 3),
+    g AS (SELECT unnest(list_transform(range(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS phrase
+          FROM t3),
+    c AS (SELECT phrase, count(*) AS freq FROM g GROUP BY phrase),
+    tot AS (SELECT sum(freq) AS n FROM c)
+    SELECT phrase, CAST(freq AS BIGINT) AS freq,
+           CAST(freq * 1000000 // n AS BIGINT) AS ppm
+    FROM c, tot
+    WHERE freq * 5000 > n
+    ORDER BY freq DESC, phrase ASC
+    """,
+)
+def doc_phrase_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy-hitter word-3-gram phrases (freq > n/5000 of all
+    gram occurrences) — the frequent-template/boilerplate-phrase
+    mining stage of a corpus pipeline, computed WITHOUT a
+    full-vocabulary shuffle: a map-only per-partition Misra-Gries
+    sketch (capacity 5000) emits a proven-superset candidate list,
+    which is broadcast back over the gram stream for an exact
+    recount (operators/sketches.py — two scans, shuffles bounded by
+    capacity x partitions instead of |vocabulary|). The recount
+    makes the output EXACT, so the oracle is the plain full groupBy.
+    Contrast doc_repeated_ngram_frac (per-DOC boilerplate fraction;
+    this names the global phrases) and func_explode_token_freq
+    (full-shuffle top-k — the small-vocab path). At sf0.01 the 16k
+    gram vocabulary vs 30 survivors is the pruning the sketch
+    exists for; partition-local dicts only overflow once partitions
+    carry >capacity occurrences (any real corpus; tiny test
+    partitions just pass everything through as candidates, which is
+    still the proven superset)."""
+    from env_event_stream_spark.functions.text import _ngram_array
+    from env_event_stream_spark.operators import sketches as SK
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(tokens(F.col("text")).alias("tk")).where(F.size("tk") >= 3)
+    grams = t.select(F.explode(_ngram_array(F.col("tk"), 3)).alias("phrase"))
+    return SK.heavy_hitters_exact(grams, "phrase", phi_inverse=5000)

@@ -1,0 +1,120 @@
+"""Mergeable streaming-sketch operators: distributed Misra-Gries
+heavy hitters with an exact-recount tail.
+
+The 100 TB frequent-items problem: a full ``groupBy(item)`` shuffles
+the entire occurrence multiset — at corpus scale that is the whole
+dataset moving for an answer that names a few hundred items. The
+classic fix (Misra & Gries 1982; the MapReduce formulation is the
+"mergeable summaries" result of Agarwal et al., PODS'12) is a
+two-pass candidates-then-recount plan:
+
+1. **Sketch pass** (map-only, zero shuffle): each partition folds its
+   occurrences into a Misra-Gries summary of ``capacity`` counters.
+   MG's guarantee, per partition p with n_p occurrences: a counter
+   undercounts its item's true partition frequency by at most
+   D_p <= n_p/(capacity+1) (every decrement round subtracts 1 from
+   at least capacity+1 counters). Summed over partitions, any item
+   with global frequency f > n/(capacity+1) must survive in at least
+   one partition summary. With ``capacity >= phi_inverse - 1``, the
+   survivor union is a SUPERSET of every phi-heavy hitter
+   (f * phi_inverse > n). Only <= capacity * n_partitions candidate
+   rows ever leave the map stage.
+2. **Recount pass**: broadcast the (tiny) candidate set back over the
+   occurrence stream, exact-count just the matching rows, and keep
+   those over the threshold. Because the candidate set is a proven
+   superset, the final output is EXACT — bit-equal to the full
+   groupBy — which is what lets the driver value-hash it against a
+   plain SQL oracle (contrast agg_approx_sketches, where the sketch
+   VALUE is the output and only an error bound is checkable).
+
+Cost shape at scale: two scans of the occurrence stream (scans are
+cheap; both are map-side) versus one full-vocabulary shuffle. The
+only shuffles here are the candidate distinct (<= capacity * P rows)
+and the recount aggregation (candidate-matching rows only, map-side
+combined to <= capacity * P partial rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["misra_gries_candidates", "heavy_hitters_exact"]
+
+
+def misra_gries_candidates(
+    occurrences: DataFrame, item_col: str, *, capacity: int
+) -> DataFrame:
+    """Map-only Misra-Gries sketch per partition: one row per
+    surviving counter, ``(item_col, mg_lower bigint)`` where
+    ``mg_lower`` is the counter value (a lower bound on the
+    partition-local frequency). Zero shuffle — summaries never merge
+    across partitions here; the union of survivors is already the
+    candidate superset (see module docstring)."""
+    import pandas as pd
+
+    out_schema = f"{item_col} string, mg_lower bigint"
+
+    def sketch(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf[item_col].value_counts()
+            for item, c in zip(vc.index, vc.values):
+                counts[item] = counts.get(item, 0) + int(c)
+            while len(counts) > capacity:
+                m = min(counts.values())
+                counts = {k: v - m for k, v in counts.items() if v > m}
+        yield pd.DataFrame(
+            {
+                item_col: list(counts.keys()),
+                "mg_lower": list(counts.values()),
+            }
+        )
+
+    return occurrences.select(item_col).mapInPandas(sketch, schema=out_schema)
+
+
+def heavy_hitters_exact(
+    occurrences: DataFrame,
+    item_col: str,
+    *,
+    phi_inverse: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact phi-heavy hitters (items with freq * phi_inverse > n,
+    n = total occurrences) via the sketch-then-recount plan above.
+    Output: ``(item_col, freq bigint, ppm bigint)`` where ppm is the
+    integer-exact freq * 1_000_000 DIV n (integer math on both
+    engines — no float-rounding tie risk), ordered freq DESC, item
+    ASC. ``capacity`` defaults to ``phi_inverse`` — the smallest
+    value (minus one) that keeps the candidate set a proven superset;
+    raising it only admits more false candidates into the recount."""
+    cap = capacity if capacity is not None else phi_inverse
+    if cap < phi_inverse - 1:
+        raise ValueError(
+            f"capacity {cap} breaks the superset guarantee for "
+            f"phi_inverse={phi_inverse} (need >= phi_inverse - 1)"
+        )
+    cand = (
+        misra_gries_candidates(occurrences, item_col, capacity=cap)
+        .select(item_col)
+        .distinct()
+    )
+    total = occurrences.agg(F.count("*").alias("_n"))
+    counted = (
+        occurrences.join(F.broadcast(cand), item_col)
+        .groupBy(item_col)
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("freq") * phi_inverse > F.col("_n"))
+        .select(
+            item_col,
+            "freq",
+            F.expr("freq * 1000000L DIV _n").cast("bigint").alias("ppm"),
+        )
+        .orderBy(F.col("freq").desc(), F.col(item_col).asc())
+    )

@@ -254,3 +254,21 @@ def test_repeated_ngram_no_cartesian(spark, sf_dir):
         "== Initial Plan =="
     )[0]
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_heavy_hitters_sketch_plan(spark, sf_dir):
+    """The MG sketch pass is map-only (candidates come straight off
+    the gram stream with no exchange feeding the python runner), the
+    candidate set comes back as a BROADCAST join (never a shuffle of
+    the occurrence stream on phrase), and the 1-row total joins as a
+    broadcast nested loop. The only shuffles left are the candidate
+    distinct and the recount's own aggregation."""
+    plan = _plan(spark, sf_dir, "doc_phrase_heavy_hitters").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # recount must not re-shuffle occurrences for the join itself:
+    # the only Exchanges are candidate-distinct + final agg partials
+    assert plan.count("Exchange hashpartitioning") <= 3

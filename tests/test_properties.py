@@ -684,3 +684,54 @@ def test_dsir_sample_matches_python(spark, texts, n_target):
         key=lambda r: r[4],
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries candidate-superset + exact-recount properties
+# ---------------------------------------------------------------------------
+
+
+def _mg_reference(stream, cap):
+    """Textbook sequential Misra-Gries (decrement-all overflow)."""
+    counts = {}
+    for x in stream:
+        if x in counts:
+            counts[x] += 1
+        elif len(counts) < cap:
+            counts[x] = 1
+        else:
+            for k in list(counts):
+                counts[k] -= 1
+                if counts[k] == 0:
+                    del counts[k]
+    return counts
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=400),
+    st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_batch_fold_matches_superset_guarantee(xs, cap):
+    """The batched min-subtraction fold used in
+    operators/sketches.misra_gries_candidates keeps every item whose
+    true frequency exceeds n/(cap+1) — the superset guarantee the
+    exact recount relies on — and never overcounts any survivor."""
+    from collections import Counter
+
+    # replicate the batched fold: value_counts merge + min-subtraction
+    counts = {}
+    for i in range(0, len(xs), 37):  # arbitrary batch size
+        batch = Counter(str(x) for x in xs[i : i + 37])
+        for item, c in batch.items():
+            counts[item] = counts.get(item, 0) + c
+        while len(counts) > cap:
+            m = min(counts.values())
+            counts = {k: v - m for k, v in counts.items() if v > m}
+    true = Counter(str(x) for x in xs)
+    n = len(xs)
+    for item, f in true.items():
+        if f * (cap + 1) > n:
+            assert item in counts, (item, f, n, cap)
+    for item, v in counts.items():
+        assert v <= true[item]
