@@ -3575,3 +3575,141 @@ def doc_phrase_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(tokens(F.col("text")).alias("tk")).where(F.size("tk") >= 3)
     grams = t.select(F.explode(_ngram_array(F.col("tk"), 3)).alias("phrase"))
     return SK.heavy_hitters_exact(grams, "phrase", phi_inverse=5000)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: ADC candidates + exact re-rank (faiss refine)
+# ---------------------------------------------------------------------------
+
+
+def _knn_pq_rerank_oracle() -> str:
+    vals = _pq_cb_values(_pq_books_for_oracle())
+    cos = _COSINE_SQL
+    return f"""
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cbp AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
+    {_adc_ctes('p', 'v0', 'cbp', n_probe=2, k_out=10)},
+    rr AS (SELECT a.query_id, a.neighbor_id,
+                  {cos.format(a="q.e", b="c.e")} AS csim
+           FROM app a
+           JOIN v0 q ON q.vec_id = a.query_id
+           JOIN v0 c ON c.vec_id = a.neighbor_id)
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             round(csim, 6) AS sim
+      FROM rr) WHERE rank <= 3
+    """
+
+
+@query("emb_knn_pq_rerank", _knn_pq_rerank_oracle)
+def emb_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (faiss IndexRefineFlat shape): IVF-PQ/ADC
+    proposes 10 candidates per query from the compressed index, then
+    ONLY those ids fetch their full-precision vectors (broadcast of
+    the |Q|x10 candidate list against the corpus — no new corpus
+    shuffle) for an exact cosine re-rank to top-3. ADC's quantization
+    error stops being a ranking error; what remains is candidate-miss
+    risk, which emb_pq_rerank_recall_eval measures."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = _pq_books_spark(spark, sf_dir)
+    return S.knn_ivf_pq_rerank(
+        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        e,
+        books,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+        r_cand=10,
+        n_cells=8,
+        n_probe=2,
+    )
+
+
+def _pq_rerank_recall_oracle() -> str:
+    vals = _pq_cb_values(_pq_books_for_oracle())
+    cos = _COSINE_SQL
+    return f"""
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cbp AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
+    {_adc_ctes('p', 'v0', 'cbp', n_probe=2, k_out=10)},
+    adc3 AS (SELECT query_id, neighbor_id FROM app WHERE rank <= 3),
+    rr_s AS (SELECT a.query_id, a.neighbor_id,
+                    {cos.format(a="q.e", b="c.e")} AS csim
+             FROM app a
+             JOIN v0 q ON q.vec_id = a.query_id
+             JOIN v0 c ON c.vec_id = a.neighbor_id),
+    rr3 AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY csim DESC, neighbor_id ASC) AS rank
+              FROM rr_s) WHERE rank <= 3),
+    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v0
+            WHERE vec_id >= 10 AND vec_id < 20),
+    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    {cos.format(a="qe", b="c.e")} AS csim
+             FROM q10 CROSS JOIN v0 c WHERE query_id <> c.vec_id),
+    ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM ex_s) WHERE rank <= 3),
+    nma AS (SELECT ex.query_id, count(adc3.query_id) AS n_match_adc
+            FROM ex LEFT JOIN adc3
+              ON ex.query_id = adc3.query_id
+             AND ex.neighbor_id = adc3.neighbor_id
+            GROUP BY ex.query_id),
+    nmr AS (SELECT ex.query_id, count(rr3.query_id) AS n_match_rerank
+            FROM ex LEFT JOIN rr3
+              ON ex.query_id = rr3.query_id
+             AND ex.neighbor_id = rr3.neighbor_id
+            GROUP BY ex.query_id)
+    SELECT nma.query_id,
+           CAST(nma.n_match_adc AS BIGINT) AS n_match_adc,
+           CAST(nmr.n_match_rerank AS BIGINT) AS n_match_rerank,
+           round(nma.n_match_adc / 3.0, 4) AS recall_adc_at_3,
+           round(nmr.n_match_rerank / 3.0, 4) AS recall_rerank_at_3,
+           round((nmr.n_match_rerank - nma.n_match_adc) / 3.0, 4)
+             AS recall_delta
+    FROM nma JOIN nmr ON nma.query_id = nmr.query_id
+    """
+
+
+@query("emb_pq_rerank_recall_eval", _pq_rerank_recall_oracle)
+def emb_pq_rerank_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head recall@3: plain ADC ranking vs the exact re-rank
+    over the SAME 10-candidate pool (the refine stage is the only
+    variable). The delta isolates how much of PQ's recall loss is
+    RANKING error (recoverable by refine, almost free) versus
+    candidate-miss (recoverable only by more probes or better
+    codebooks, cf. emb_opq_recall_eval) — the number that decides
+    whether to ship a refine stage or retrain the quantizer."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    books = _pq_books_spark(spark, sf_dir)
+    ex = S.knn_exact(
+        q, e, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    adc3 = S.knn_ivf_pq(
+        q, e, books, id_col="vec_id", vec_col="embedding",
+        k=3, n_cells=8, n_probe=2,
+    ).select("query_id", "neighbor_id")
+    rr3 = S.knn_ivf_pq_rerank(
+        q, e, books, id_col="vec_id", vec_col="embedding",
+        k=3, r_cand=10, n_cells=8, n_probe=2,
+    ).select("query_id", "neighbor_id")
+    nma = _recall_match_counts(ex, adc3, "n_match_adc")
+    nmr = _recall_match_counts(ex, rr3, "n_match_rerank")
+    return nma.join(nmr, "query_id").select(
+        "query_id",
+        "n_match_adc",
+        "n_match_rerank",
+        F.round(F.col("n_match_adc") / 3.0, 4).alias("recall_adc_at_3"),
+        F.round(F.col("n_match_rerank") / 3.0, 4).alias("recall_rerank_at_3"),
+        F.round(
+            (F.col("n_match_rerank") - F.col("n_match_adc")) / 3.0, 4
+        ).alias("recall_delta"),
+    )

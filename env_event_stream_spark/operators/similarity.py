@@ -38,6 +38,7 @@ __all__ = [
     "pq_codes",
     "pq_recon_error",
     "knn_ivf_pq",
+    "knn_ivf_pq_rerank",
     "build_ivfpq_index",
     "search_ivfpq_index",
     "append_to_ivfpq_index",
@@ -1073,6 +1074,73 @@ def _adc_topk(probes: DataFrame, inv, books, k: int) -> DataFrame:
             "neighbor_id",
             "rank",
             F.round("adc_score", 6).alias("adc_score"),
+        )
+    )
+
+
+def knn_ivf_pq_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    r_cand: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Two-stage retrieval (the faiss ``refine`` / IndexRefineFlat
+    recipe): the IVF-PQ/ADC pipeline proposes ``r_cand`` candidates
+    per query from the COMPRESSED index — cheap, but ranked by
+    quantized scores — then the candidate ids alone are joined back
+    to the full-precision vectors for an exact cosine re-rank to
+    top-``k``. This converts ADC's quantization error from a ranking
+    error into only a candidate-miss risk, at the cost of fetching
+    r_cand full vectors per query.
+
+    Scale shape: stage 1 is knn_ivf_pq unchanged (cell_id equi-join
+    is the only corpus shuffle). Stage 2's candidate list is
+    |Q| x r_cand rows — broadcast back against the corpus, so the
+    100 TB side is a streamed broadcast-hash probe that fetches only
+    candidate vectors; no new corpus shuffle, no pair explosion.
+    Output: (query_id, neighbor_id, rank, sim) — exact cosine, the
+    same contract as knn_exact."""
+    cand = knn_ivf_pq(
+        queries,
+        corpus,
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=r_cand,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        centroids=centroids,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
         )
     )
 

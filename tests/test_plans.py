@@ -272,3 +272,15 @@ def test_phrase_heavy_hitters_sketch_plan(spark, sf_dir):
     # recount must not re-shuffle occurrences for the join itself:
     # the only Exchanges are candidate-distinct + final agg partials
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_knn_pq_rerank_broadcasts_candidates(spark, sf_dir):
+    """The refine stage must fetch candidate vectors via BROADCAST of
+    the |Q| x r_cand candidate list — never a corpus re-shuffle or a
+    cross product beyond the stage-1 broadcast centroid probes."""
+    plan = _plan(spark, sf_dir, "emb_knn_pq_rerank").split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

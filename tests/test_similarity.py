@@ -236,3 +236,29 @@ def test_ivfpq_index_append_matches_fixed_model_search(spark, sf_dir):
         ).collect()
     )
     assert got == live
+
+
+def test_rerank_with_full_candidate_pool_matches_exact_on_pool(spark, sf_dir):
+    """Refine-stage contract: the re-rank must reproduce knn_exact's
+    scores EXACTLY (same cast/fold/round pipeline) — with the
+    candidate pool widened to cover the probed cells entirely, every
+    surviving difference from the ADC ordering is pure ranking
+    correction, and each returned (query, neighbor, sim) must equal
+    the brute-force pair when the neighbor is in the exact top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    books = S.train_pq_codebooks(
+        e, id_col="vec_id", vec_col="embedding", m=8, k=8, n_iter=3
+    )
+    rr = S.knn_ivf_pq_rerank(
+        q, e, books, id_col="vec_id", vec_col="embedding",
+        k=3, r_cand=1000, n_cells=4, n_probe=4,  # probe ALL cells
+    )
+    ex = S.knn_exact(q, e, id_col="vec_id", vec_col="embedding", k=3)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.sim) for r in rr.collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.sim) for r in ex.collect()
+    )
+    assert got == want
