@@ -3713,3 +3713,49 @@ def emb_pq_rerank_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_match_rerank") - F.col("n_match_adc")) / 3.0, 4
         ).alias("recall_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup scoped to embedding clusters
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle(n_cells: int = 8, tau: float = 0.3) -> str:
+    cos = _COSINE_SQL
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < {n_cells}),
+    sc AS (SELECT v.vec_id, v.e, c.cell_id,
+                  {cos.format(a="v.e", b="c.cv")} AS cs
+           FROM v CROSS JOIN cent c),
+    a AS (SELECT vec_id, e, cell_id, cs FROM (
+            SELECT vec_id, e, cell_id, cs,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cs DESC, cell_id ASC) AS rn
+            FROM sc) WHERE rn = 1),
+    dom AS (SELECT DISTINCT y.vec_id AS victim
+            FROM a x JOIN a y
+              ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+            WHERE {cos.format(a="x.e", b="y.e")} > {tau}
+              AND (x.cs < y.cs
+                   OR (x.cs = y.cs AND x.vec_id < y.vec_id)))
+    SELECT a.vec_id, a.cell_id, round(a.cs, 6) AS cent_sim,
+           (d.victim IS NULL) AS keep
+    FROM a LEFT JOIN dom d ON d.victim = a.vec_id
+    """
+
+
+@query("emb_semdedup", _semdedup_oracle())
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop verdict per vector:
+    cluster-scoped semantic dedup — nearest-cell assignment (Arrow
+    probe, zero shuffle), within-cell cosine > 0.3 pairs, keep the
+    member LESS similar to its centroid (the paper's max-diversity
+    rule). One cell_id self-equi-join bounds candidates by cell
+    population; the corpus never cross-joins itself (plan-pinned).
+    Threshold matches emb_dup_clusters' 0.3 so the two strategies'
+    verdicts are directly comparable on this corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3, n_cells=8
+    )

@@ -39,6 +39,7 @@ __all__ = [
     "pq_recon_error",
     "knn_ivf_pq",
     "knn_ivf_pq_rerank",
+    "semantic_dedup",
     "build_ivfpq_index",
     "search_ivfpq_index",
     "append_to_ivfpq_index",
@@ -1141,6 +1142,84 @@ def knn_ivf_pq_rerank(
         .where(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_cells: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication scoped
+    to k-means clusters. Every vector is assigned to its nearest
+    cell; WITHIN each cell, any pair with cosine > ``threshold`` is
+    a semantic-duplicate pair, and the member kept is the one LESS
+    similar to the centroid (the paper's max-diversity rule; id
+    ascending breaks exact ties). Output: one row per vector —
+    (id, cell_id, cent_sim, keep boolean) — the verdict column a
+    corpus builder anti-joins on.
+
+    Scale shape: cell assignment is the zero-shuffle Arrow probe
+    (nearest_cells_arrow — centroid model broadcast in the closure);
+    the pair generation is a self-equi-join on cell_id, so candidates
+    are bounded by cell populations and the corpus never
+    cross-joins itself (with real training, n_cells grows with the
+    corpus to hold cells at ~constant size — the paper uses 50k
+    clusters; the deterministic first-``n_cells`` stand-in here keeps
+    the oracle literal-free). The dominated set is DISTINCT victim
+    ids (tiny), joined back as the keep flag.
+
+    Contrast cosine_dedup_pairs/emb_dup_clusters (LSH-bucketed exact
+    near-dup PAIRS + transitive components): SemDeDup trades recall
+    near cell borders for cluster-bounded candidates and a built-in,
+    diversity-preserving keep rule."""
+    cent = _centroid_frame(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        centroids=centroids,
+    )
+    a = nearest_cells_arrow(
+        corpus, cent, id_out=id_col, id_col=id_col, vec_col=vec_col,
+        n_probe=1,
+    )
+    a = (
+        a.join(F.broadcast(cent), "cell_id")
+        .withColumn(
+            "cs", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+        )
+        .select(id_col, "cell_id", "v", "nrm", "cs")
+    )
+    x, y = a.alias("x"), a.alias("y")
+    pair_sim = dot(F.col("x.v"), F.col("y.v")) / (
+        F.col("x.nrm") * F.col("y.nrm")
+    )
+    dom = (
+        x.join(y, "cell_id")
+        .where(F.col(f"x.{id_col}") != F.col(f"y.{id_col}"))
+        .where(pair_sim > threshold)
+        .where(
+            (F.col("x.cs") < F.col("y.cs"))
+            | (
+                (F.col("x.cs") == F.col("y.cs"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            )
+        )
+        .select(F.col(f"y.{id_col}").alias("_victim"))
+        .distinct()
+    )
+    return (
+        a.join(
+            F.broadcast(dom), a[id_col] == dom["_victim"], "left"
+        )
+        .select(
+            id_col,
+            "cell_id",
+            F.round("cs", 6).alias("cent_sim"),
+            F.col("_victim").isNull().alias("keep"),
         )
     )
 

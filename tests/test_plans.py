@@ -284,3 +284,15 @@ def test_knn_pq_rerank_broadcasts_candidates(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_no_corpus_cross_join(spark, sf_dir):
+    """SemDeDup's pair generation must be the cell_id self-EQUI-join
+    (candidates bounded by cell population) — the only cross product
+    allowed is the 8-row broadcast centroid probe inside the Arrow
+    assignment, which is a closure, not a join; the victim set comes
+    back as a broadcast."""
+    plan = _plan(spark, sf_dir, "emb_semdedup").split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

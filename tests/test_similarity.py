@@ -262,3 +262,41 @@ def test_rerank_with_full_candidate_pool_matches_exact_on_pool(spark, sf_dir):
         (r.query_id, r.neighbor_id, r.rank, r.sim) for r in ex.collect()
     )
     assert got == want
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Constructed two-cell corpus: ids 0/1 are the centroids. 10 and
+    11 are near-identical (cos ~1) in cell 0 — the one FARTHER from
+    the centroid must be kept; 12 sits alone in cell 1 and must
+    survive untouched."""
+    import math
+
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    close = [0.9, 0.1, 0.0, 0.0]   # nearer to centroid 0
+    far = [0.8, 0.1, 0.05, 0.0]    # same direction-ish, farther from c0
+    lone = [0.1, 0.9, 0.0, 0.0]
+    rows = [(0, c0), (1, c1), (10, close), (11, far), (12, lone)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in S.semantic_dedup(
+            df, id_col="vec_id", vec_col="embedding",
+            threshold=0.9, n_cells=2,
+        ).collect()
+    }
+    assert len(out) == 5
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assert cos(close, far) > 0.9  # the pair really is a semantic dup
+    assert out[10].cell_id == 0 and out[11].cell_id == 0
+    assert out[11].keep is True   # farther from centroid: kept
+    assert out[10].keep is False  # nearer to centroid: dropped
+    assert out[12].keep is True and out[12].cell_id == 1
+    # centroids themselves: 0 is a dup of 10/11 direction (cos(c0, close)
+    # ~0.99 > 0.9) — exactly one of each dup group survives overall
+    kept_cell0 = [v for v in out.values() if v.cell_id == 0 and v.keep]
+    assert len(kept_cell0) == 1
