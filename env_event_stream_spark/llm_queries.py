@@ -3759,3 +3759,289 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(
         e, id_col="vec_id", vec_col="embedding", threshold=0.3, n_cells=8
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style quality classifier — trained logistic over hashed
+# unigrams (operators/classifier.py), Gopher rules as label source
+# ---------------------------------------------------------------------------
+
+_QC_SAMPLE_CAP = 1000
+
+
+@_functools.lru_cache(maxsize=8)
+def _qc_model_cached(sf_dir: str) -> tuple:
+    """Oracle-side training: (doc_id, text) sample read with pyarrow
+    in doc_id order — strings, so both paths trivially see identical
+    bytes; the shared float64 trainer then makes the weights
+    bit-identical to the Spark path's."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from env_event_stream_spark.operators import classifier as C
+
+    tbl = pq.read_table(
+        _os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    rows = sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()),
+        key=lambda r: int(r[0]),
+    )[:_QC_SAMPLE_CAP]
+    w, b = C.train_quality_classifier(rows)
+    return tuple(w), b
+
+
+@_functools.lru_cache(maxsize=8)
+def _qc_model_spark_cached(sf_dir: str) -> tuple:
+    from env_event_stream_spark.session import get_spark
+
+    from env_event_stream_spark.operators import classifier as C
+
+    _SPARK_TRAIN_DIRS.add(sf_dir)
+    d = load_table(get_spark("qc-train"), sf_dir, "documents")
+    rows = [
+        (int(r.doc_id), r.text)
+        for r in d.select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(_QC_SAMPLE_CAP)
+        .collect()
+    ]
+    w, b = C.train_quality_classifier(rows)
+    return tuple(w), b
+
+
+def _qc_score_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide scoring with the trained model broadcast back:
+    token -> md5 bucket -> per-(doc, bucket) counts (one doc_id+bucket
+    map-side-combined shuffle), weights joined as a 256-row broadcast,
+    per-doc weighted sum folded in ASCENDING-bucket order (the
+    canonical reduction both engines replay bit-identically), logit =
+    sum/n_tokens + bias. Raw-logit sign is the keep decision — no
+    libm transcendentals anywhere in the scoring path, so the
+    cross-engine value hash is exact."""
+    from env_event_stream_spark.operators import classifier as C
+
+    w, bias = _qc_model_spark_cached(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    wdf = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(w[: C.N_BUCKETS])],
+        "bucket bigint, w double",
+    )
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    base = d.withColumn("tk", tk).select(
+        "doc_id",
+        F.explode(F.col("tk")).alias("term"),
+        # the 4 dense surface slots ride the same scan (per-doc
+        # constants duplicated per token, F.first'ed back out — no
+        # extra doc_id join/shuffle for a second frame)
+        (F.lit(1.0) / n).alias("f_inv"),
+        (
+            (
+                F.aggregate(
+                    F.transform(F.col("tk"), lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / n
+            )
+            / 10.0
+        ).alias("f_mwl"),
+        F.coalesce(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
+            / F.nullif(F.length("text"), F.lit(0)),
+            F.lit(0.0),
+        ).alias("f_ar"),
+        F.when(
+            F.size(
+                F.filter(F.col("tk"), lambda x: x.isin("the", "a", "of", "and"))
+            )
+            > 0,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("f_stw"),
+    )
+    bk = base.withColumn(
+        "bucket", D._hex32_to_long(F.md5(F.col("term"))) % C.N_BUCKETS
+    )
+    c = bk.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.first("f_inv").alias("f_inv"),
+        F.first("f_mwl").alias("f_mwl"),
+        F.first("f_ar").alias("f_ar"),
+        F.first("f_stw").alias("f_stw"),
+    )
+    j = c.join(F.broadcast(wdf), "bucket")
+    per = j.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket").alias("bucket"),
+                        (F.col("w") * F.col("cnt")).alias("contrib"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("sw"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.first("f_inv").alias("f_inv"),
+        F.first("f_mwl").alias("f_mwl"),
+        F.first("f_ar").alias("f_ar"),
+        F.first("f_stw").alias("f_stw"),
+    )
+    wi, wm, wa, ws = (float(w[C.N_BUCKETS + i]) for i in range(4))
+    logit = (
+        F.col("sw") / F.col("n")
+        + F.lit(wi) * F.col("f_inv")
+        + F.lit(wm) * F.col("f_mwl")
+        + F.lit(wa) * F.col("f_ar")
+        + F.lit(ws) * F.col("f_stw")
+        + F.lit(float(bias))
+    )
+    return per.select(
+        "doc_id",
+        F.round(logit, 6).alias("logit"),
+        (logit >= 0).alias("pred_keep"),
+    )
+
+
+def _qc_weight_values() -> str:
+    from env_event_stream_spark.operators import classifier as C
+
+    w, _ = _qc_model_cached(_oracle_sf_dir())
+    return ", ".join(
+        f"({i}, {repr(float(x))})" for i, x in enumerate(w[: C.N_BUCKETS])
+    )
+
+
+def _qc_score_ctes() -> str:
+    from env_event_stream_spark.operators import classifier as C
+
+    h = _hex32_sql("md5(term)")
+    return f"""
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+    bk AS (SELECT doc_id, {h} % {C.N_BUCKETS} AS bucket FROM tok),
+    c AS (SELECT doc_id, bucket, count(*) AS cnt
+          FROM bk GROUP BY doc_id, bucket),
+    wt AS (SELECT * FROM (VALUES {_qc_weight_values()}) AS v(bucket, w)),
+    surf AS (SELECT doc_id,
+                    1.0 / len(tk) AS f_inv,
+                    (list_sum(list_transform(tk, x -> len(x))) * 1.0
+                     / len(tk)) / 10.0 AS f_mwl,
+                    coalesce(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             * 1.0 / nullif(len(text), 0), 0.0) AS f_ar,
+                    (CASE WHEN len(list_filter(tk,
+                        x -> list_contains(['the','a','of','and'], x))) > 0
+                      THEN 1.0 ELSE 0.0 END) AS f_stw
+             FROM t),
+    s AS (SELECT doc_id,
+                 list_sum(list(wt.w * c.cnt ORDER BY c.bucket)) AS sw,
+                 sum(c.cnt) AS n
+          FROM c JOIN wt USING (bucket) GROUP BY doc_id)
+    """
+
+
+def _qc_logit_sql() -> str:
+    from env_event_stream_spark.operators import classifier as C
+
+    w, bias = _qc_model_cached(_oracle_sf_dir())
+    wi, wm, wa, ws = (repr(float(w[C.N_BUCKETS + i])) for i in range(4))
+    return (
+        f"sw / n + {wi} * f_inv + {wm} * f_mwl + {wa} * f_ar"
+        f" + {ws} * f_stw + {repr(float(bias))}"
+    )
+
+
+def _qc_oracle() -> str:
+    z = _qc_logit_sql()
+    return (
+        "WITH "
+        + _TOKENS_CTE.lstrip()
+        + ","
+        + _qc_score_ctes()
+        + f"""
+    SELECT s.doc_id, round({z}, 6) AS logit,
+           ({z}) >= 0 AS pred_keep
+    FROM s JOIN surf USING (doc_id)
+    """
+    )
+
+
+@query("doc_quality_classifier", _qc_oracle)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style learned quality filter: logistic regression
+    over 256 hashed-unigram buckets, trained deterministically on the
+    1000 lowest-id documents with the Gopher rules as labels
+    (operators/classifier.py — shared float64 trainer, weights
+    rounded 9dp and literal-inlined into the oracle), then scored
+    over the WHOLE corpus with the weights broadcast back. The model
+    generalizes the heuristic labels: scoring is hash + weighted sum,
+    O(tokens) per doc with an O(256) model, one doc_id-keyed shuffle.
+    Output is the raw logit (sign = keep) — scoring has no
+    transcendentals, so both engines agree bit-exactly."""
+    return _qc_score_frame(spark, sf_dir)
+
+
+def _qc_eval_oracle() -> str:
+    z = _qc_logit_sql()
+    return (
+        "WITH "
+        + _TOKENS_CTE.lstrip()
+        + ","
+        + _qc_score_ctes()
+        + f""",
+    pred AS (SELECT s.doc_id, ({z}) >= 0 AS p
+             FROM s JOIN surf USING (doc_id)),
+    m AS (SELECT t.doc_id,
+                 len(tk) AS n_tokens,
+                 list_sum(list_transform(tk, x -> len(x))) * 1.0
+                   / nullif(len(tk), 0) AS mwl,
+                 len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / nullif(len(text), 0) AS ar,
+                 len(list_filter(tk,
+                     x -> list_contains(['the','a','of','and'], x))) > 0
+                   AS hs
+          FROM t),
+    lab AS (SELECT doc_id,
+                   coalesce(n_tokens BETWEEN 10 AND 100000, false)
+                     AND coalesce(mwl BETWEEN 2 AND 12, false)
+                     AND coalesce(ar >= 0.55, false) AND hs AS y
+            FROM m)
+    SELECT CAST(count(*) FILTER (y AND p) AS BIGINT) AS tp,
+           CAST(count(*) FILTER (NOT y AND p) AS BIGINT) AS fp,
+           CAST(count(*) FILTER (y AND NOT p) AS BIGINT) AS fn,
+           CAST(count(*) FILTER (NOT y AND NOT p) AS BIGINT) AS tn,
+           round(count(*) FILTER (y = p) * 1.0 / count(*), 4) AS accuracy
+    FROM pred JOIN lab USING (doc_id)
+    """
+    )
+
+
+@query("doc_quality_classifier_eval", _qc_eval_oracle)
+def doc_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + accuracy of the learned filter against the
+    Gopher rule labels over the WHOLE corpus (train sample is the
+    1000 lowest ids; at sf>0.01 the rest is honest held-out data) —
+    the rollout gate for replacing rule-filtering with the model.
+    Reuses the classifier scoring frame and the gopher rule
+    expressions; one broadcast-joined comparison, two scans."""
+    preds = _qc_score_frame(spark, sf_dir).select("doc_id", "pred_keep")
+    g = doc_gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("y")
+    )
+    j = preds.join(g, "doc_id")
+    p, y = F.col("pred_keep"), F.col("y")
+    return j.agg(
+        F.sum((y & p).cast("bigint")).alias("tp"),
+        F.sum(((~y) & p).cast("bigint")).alias("fp"),
+        F.sum((y & (~p)).cast("bigint")).alias("fn"),
+        F.sum(((~y) & (~p)).cast("bigint")).alias("tn"),
+        F.round(
+            F.sum((y == p).cast("int")) * 1.0 / F.count("*"), 4
+        ).alias("accuracy"),
+    )

@@ -1,0 +1,144 @@
+"""fastText-style document-quality classifier: logistic regression
+over hashed unigram features (the "hashing trick"), trained
+deterministically on a bounded lowest-id sample with labels from the
+Gopher heuristic rules, scored corpus-wide with the weight vector
+broadcast back.
+
+This is the supervised stage every production corpus pipeline runs
+after the heuristic rules (CCNet / fastText quality filters): the
+rules label a bounded sample, the linear model generalizes the
+decision, and scoring is a pure hash + weighted-sum over tokens —
+O(tokens) with an O(n_buckets) model no matter the vocabulary.
+
+Determinism contract (the same one operators/similarity._pq_kmeans
+keeps): training consumes (doc_id, text) rows in doc_id order, all
+arithmetic is float64 numpy with fixed iteration count and reduction
+order, and the shipped weights are rounded to 9dp — so the Spark
+path (sample collected via TakeOrdered) and the DuckDB-oracle path
+(sample read via pyarrow) produce bit-identical models that can be
+literal-inlined into oracle SQL.
+
+Tokenization uses the explicit six-char whitespace class contract
+(see operators/dedup._WS_CHARS — engine trim()/\\s definitions
+disagree across engines, the fuzz-pinned invariant), and the bucket
+hash is the md5-hex32 the SQL oracles replay digit-by-digit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from env_event_stream_spark.operators.dedup import _WS_CHARS, _WS_RUN
+
+__all__ = [
+    "tokenize_py",
+    "gopher_label",
+    "bucket_of",
+    "surface_features",
+    "train_quality_classifier",
+]
+
+N_BUCKETS = 256
+# hashed buckets + 4 dense surface slots (inverse length, mean word
+# length / 10, alphabetic ratio, stopword presence) — the quality
+# signal is mostly SURFACE shape (the Gopher thresholds), which
+# normalized term frequencies cannot see (tf is length-invariant);
+# without these slots the fit degenerates to the majority class.
+N_FEATURES = N_BUCKETS + 4
+
+
+def tokenize_py(text: str | None) -> list[str]:
+    """Python twin of functions.text.tokens (strip + split on the
+    explicit whitespace class; empty text yields the single empty
+    token, matching split(trim('')) in both engines)."""
+    t = ("" if text is None else str(text)).strip(_WS_CHARS)
+    return _WS_RUN.split(t) if t else [""]
+
+
+def bucket_of(term: str, n_buckets: int = N_BUCKETS) -> int:
+    """Hashing-trick feature index: uint32 from the first 8 hex chars
+    of md5, mod n_buckets — replayed by _hex32_sql on the SQL side
+    and _hex32_to_long on the Spark side."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+def gopher_label(text: str | None) -> bool:
+    """Python twin of the doc_gopher_quality_rules conjunction
+    (llm_queries.doc_gopher_quality_rules): token-count 10..100000,
+    mean word length 2..12, alphabetic-char ratio >= 0.55, at least
+    one stopword. Label source for training only — the label logic
+    never needs a SQL twin because BOTH engines receive the trained
+    weights, not the labels."""
+    t = "" if text is None else str(text)
+    tk = tokenize_py(t)
+    n = len(tk)
+    if not (10 <= n <= 100000):
+        return False
+    mwl = sum(len(w) for w in tk) / n
+    if not (2 <= mwl <= 12):
+        return False
+    n_alpha = sum(1 for ch in t if ("a" <= ch <= "z") or ("A" <= ch <= "Z"))
+    if len(t) == 0 or n_alpha / len(t) < 0.55:
+        return False
+    return any(w in _STOPWORDS for w in tk)
+
+
+def surface_features(text: str | None) -> tuple[float, float, float, float]:
+    """The 4 dense slots: (1/n_tokens, mean_word_len/10,
+    alpha_ratio, stopword_presence). Each is a ratio of exact
+    integer counts (one float division) so the engine-side scoring
+    twins (Catalyst expressions / DuckDB SQL) reproduce the values
+    bit-exactly."""
+    t = "" if text is None else str(text)
+    tk = tokenize_py(t)
+    n = len(tk)
+    inv = 1.0 / n
+    mwl10 = (sum(len(w) for w in tk) / n) / 10.0
+    n_alpha = sum(1 for ch in t if ("a" <= ch <= "z") or ("A" <= ch <= "Z"))
+    ar = (n_alpha * 1.0 / len(t)) if len(t) else 0.0
+    stw = 1.0 if any(w in _STOPWORDS for w in tk) else 0.0
+    return inv, mwl10, ar, stw
+
+
+def train_quality_classifier(
+    sample: list[tuple[int, str]],
+    *,
+    n_buckets: int = N_BUCKETS,
+    n_iter: int = 200,
+    lr: float = 1.0,
+) -> tuple[list[float], float]:
+    """Full-batch gradient-descent logistic regression on normalized
+    hashed-term-frequency features plus the 4 dense surface slots.
+    ``sample`` is (doc_id, text) pairs; rows are sorted by doc_id
+    internally so caller order can't perturb the float reduction.
+    Returns (weights[n_buckets + 4], bias), all rounded to 9dp. Pure
+    numpy float64, zero-init, fixed iterations — rerunning on the
+    same sample is bit-identical."""
+    import numpy as np
+
+    rows = sorted(sample, key=lambda r: int(r[0]))
+    n_docs = len(rows)
+    if n_docs == 0:
+        raise ValueError("empty training sample")
+    n_feat = n_buckets + 4
+    X = np.zeros((n_docs, n_feat), dtype=np.float64)
+    y = np.zeros(n_docs, dtype=np.float64)
+    for i, (doc_id, text) in enumerate(rows):
+        tk = tokenize_py(text)
+        for w in tk:
+            X[i, bucket_of(w, n_buckets)] += 1.0
+        X[i, :n_buckets] /= len(tk)
+        X[i, n_buckets:] = surface_features(text)
+        y[i] = 1.0 if gopher_label(text) else 0.0
+    w = np.zeros(n_feat, dtype=np.float64)
+    b = 0.0
+    for _ in range(n_iter):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g) / n_docs
+        b -= lr * float(g.sum()) / n_docs
+    return [round(float(x), 9) for x in w], round(float(b), 9)

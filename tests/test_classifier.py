@@ -1,0 +1,66 @@
+"""Quality-classifier trainer (operators/classifier.py): determinism
+(the property the literal-inlined oracle depends on), label parity
+with the SQL gopher rules, and separation on a constructed sample."""
+
+from __future__ import annotations
+
+from env_event_stream_spark.operators import classifier as C
+
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and runs far away "
+    "with the pack of hounds chasing it through fields of grain"
+)
+BAD = "x1 9$$ !!"  # short, low-alpha, no stopword
+
+
+def test_trainer_is_deterministic():
+    sample = [(i, GOOD if i % 3 else BAD + str(i)) for i in range(60)]
+    w1, b1 = C.train_quality_classifier(sample)
+    w2, b2 = C.train_quality_classifier(list(reversed(sample)))
+    assert w1 == w2 and b1 == b2  # bit-identical, caller order ignored
+
+
+def test_gopher_label_python_twin():
+    assert C.gopher_label(GOOD) is True
+    assert C.gopher_label(BAD) is False
+    assert C.gopher_label("") is False
+    assert C.gopher_label("the " * 5) is False  # < 10 tokens
+    # no stopword: fails despite length/alpha
+    assert C.gopher_label("alpha beta gamma delta epsilon zeta eta "
+                          "theta iota kappa lambada") is False
+
+
+def test_classifier_separates_constructed_sample():
+    sample = [
+        (i, GOOD + f" extra{i}") if i % 2 else (i, BAD + str(i))
+        for i in range(100)
+    ]
+    w, b = C.train_quality_classifier(sample)
+
+    def score(text):
+        tk = C.tokenize_py(text)
+        z = 0.0
+        cnts: dict[int, int] = {}
+        for t in tk:
+            k = C.bucket_of(t)
+            cnts[k] = cnts.get(k, 0) + 1
+        for k in sorted(cnts):
+            z += w[k] * cnts[k]
+        z /= len(tk)
+        fi, fm, fa, fs = C.surface_features(text)
+        return (
+            z + w[C.N_BUCKETS] * fi + w[C.N_BUCKETS + 1] * fm
+            + w[C.N_BUCKETS + 2] * fa + w[C.N_BUCKETS + 3] * fs + b
+        )
+
+    assert score(GOOD + " extra7") > 0
+    assert score(BAD + "77") < 0
+
+
+def test_surface_features_are_ratio_exact():
+    fi, fm, fa, fs = C.surface_features("the cat of abc")
+    assert fi == 1.0 / 4
+    assert fm == (11 / 4) / 10.0
+    assert fa == 11 * 1.0 / 14
+    assert fs == 1.0

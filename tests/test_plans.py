@@ -296,3 +296,15 @@ def test_semdedup_no_corpus_cross_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_classifier_broadcasts_weights(spark, sf_dir):
+    """The 256-row weight table must broadcast; scoring is two
+    doc-keyed aggregations and never a sort-merge join or cross
+    product."""
+    plan = _plan(spark, sf_dir, "doc_quality_classifier").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
