@@ -70,6 +70,11 @@ HEADLINE = [
     "doc_dsir_sample",
     "doc_repeated_ngram_frac",
     "emb_multiprobe_recall_eval",
+    # round-6 additions (second batch)
+    "doc_phrase_heavy_hitters",
+    "emb_knn_pq_rerank",
+    "emb_semdedup",
+    "doc_quality_classifier",
 ]
 
 
