@@ -461,3 +461,78 @@ def evt_stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("dau"))
     )
     return spark.read.parquet(_run_complete_overwrite(agg, "dau"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization — built-in session_window on the real
+# streaming path (6th genuinely-streaming oracled entry)
+# ---------------------------------------------------------------------------
+
+
+def session_stream_agg(ev: DataFrame) -> DataFrame:
+    """The streaming session-window aggregation (30-min gap), shared
+    by the catalog query and the multi-batch pytest. Watermark is
+    formally required for streaming session_window state management;
+    the 3650-day delay means no state eviction and no late drops over
+    a finite replay — production sets a real lateness bound."""
+    return (
+        ev.withWatermark("ts", "3650 days")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "evt_stream_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS session_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization on the REAL streaming path: readStream →
+    built-in session_window (30-min gap) with watermark →
+    complete-mode matview sink (sessions MERGE as events arrive, so
+    update-mode recovery is Spark-unsupported here; complete
+    re-emits the merged full state and the final epoch is the
+    answer — the evt_stream_tumbling_counts pattern, state
+    O(sessions)). Oracled against the SAME lag+cumsum islands SQL as
+    the batch evt_session_window_builtin — streaming ≡ batch ≡ SQL,
+    three engines on one answer; a forced multi-batch pytest pins
+    that cross-batch session merging agrees with the batch
+    operator."""
+    ev = _read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    return spark.read.parquet(
+        _run_complete_overwrite(session_stream_agg(ev), "sessw")
+    )

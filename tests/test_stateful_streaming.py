@@ -367,3 +367,52 @@ def test_funnel_state_accumulates_across_restarts(spark, tmp_path):
     assert r2[1].t_purchase == dt.datetime(2024, 1, 1, 11, 0, 0)
     assert r2[2].t_view == dt.datetime(2024, 1, 1, 10, 0, 0)
     assert r2[2].t_click is None
+
+
+def test_session_window_merges_across_micro_batches(spark, sf_dir, tmp_path):
+    """Cross-batch session merging: feed the events table one file at
+    a time (maxFilesPerTrigger=1 over a 3-file copy, so sessions that
+    span the file split must MERGE across micro-batches) and require
+    the streaming complete-mode result to equal the batch
+    session_window answer row-for-row."""
+    from env_event_stream_spark.streaming_queries import (
+        _run_complete_overwrite,
+        session_stream_agg,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "split_events")
+    # split WITHOUT ordering so each file holds an arbitrary slice —
+    # the merge path, not the happy append path
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = spark.read.parquet(
+        _run_complete_overwrite(session_stream_agg(stream), "sessw_mb")
+    )
+
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(g) > 0
+    assert g == b
