@@ -3813,100 +3813,26 @@ def _qc_model_spark_cached(sf_dir: str) -> tuple:
 
 
 def _qc_score_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide scoring with the trained model broadcast back:
-    token -> md5 bucket -> per-(doc, bucket) counts (one doc_id+bucket
-    map-side-combined shuffle), weights joined as a 256-row broadcast,
-    per-doc weighted sum folded in ASCENDING-bucket order (the
-    canonical reduction both engines replay bit-identically), logit =
-    sum/n_tokens + bias. Raw-logit sign is the keep decision — no
-    libm transcendentals anywhere in the scoring path, so the
-    cross-engine value hash is exact."""
+    """Corpus-wide scoring as ONE row-local projection
+    (classifier.quality_logit_column): the 256-weight vector rides as
+    a literal array, each token does one md5 + element_at lookup,
+    the fold runs in token order, dense surface slots come off the
+    same scan — zero shuffles, zero joins, whole plan is
+    scan-project (plan-pinned). Raw-logit sign is the keep decision;
+    no libm transcendentals, so the cross-engine value hash is
+    exact. (History: the first version bucket-counted via
+    groupBy(doc_id, bucket) + broadcast weight join + a second
+    doc_id agg — two shuffles and a join for something a pure
+    expression does.)"""
     from env_event_stream_spark.operators import classifier as C
 
     w, bias = _qc_model_spark_cached(sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    wdf = spark.createDataFrame(
-        [(i, float(x)) for i, x in enumerate(w[: C.N_BUCKETS])],
-        "bucket bigint, w double",
-    )
-    tk = tokens(F.col("text"))
-    n = F.size(tk)
-    base = d.withColumn("tk", tk).select(
+    z = C.quality_logit_column(F.col("text"), list(w), bias)
+    return d.select(
         "doc_id",
-        F.explode(F.col("tk")).alias("term"),
-        # the 4 dense surface slots ride the same scan (per-doc
-        # constants duplicated per token, F.first'ed back out — no
-        # extra doc_id join/shuffle for a second frame)
-        (F.lit(1.0) / n).alias("f_inv"),
-        (
-            (
-                F.aggregate(
-                    F.transform(F.col("tk"), lambda x: F.length(x)),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                ).cast("double")
-                / n
-            )
-            / 10.0
-        ).alias("f_mwl"),
-        F.coalesce(
-            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
-            / F.nullif(F.length("text"), F.lit(0)),
-            F.lit(0.0),
-        ).alias("f_ar"),
-        F.when(
-            F.size(
-                F.filter(F.col("tk"), lambda x: x.isin("the", "a", "of", "and"))
-            )
-            > 0,
-            1.0,
-        )
-        .otherwise(0.0)
-        .alias("f_stw"),
-    )
-    bk = base.withColumn(
-        "bucket", D._hex32_to_long(F.md5(F.col("term"))) % C.N_BUCKETS
-    )
-    c = bk.groupBy("doc_id", "bucket").agg(
-        F.count("*").cast("bigint").alias("cnt"),
-        F.first("f_inv").alias("f_inv"),
-        F.first("f_mwl").alias("f_mwl"),
-        F.first("f_ar").alias("f_ar"),
-        F.first("f_stw").alias("f_stw"),
-    )
-    j = c.join(F.broadcast(wdf), "bucket")
-    per = j.groupBy("doc_id").agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("bucket").alias("bucket"),
-                        (F.col("w") * F.col("cnt")).alias("contrib"),
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
-        ).alias("sw"),
-        F.sum("cnt").cast("bigint").alias("n"),
-        F.first("f_inv").alias("f_inv"),
-        F.first("f_mwl").alias("f_mwl"),
-        F.first("f_ar").alias("f_ar"),
-        F.first("f_stw").alias("f_stw"),
-    )
-    wi, wm, wa, ws = (float(w[C.N_BUCKETS + i]) for i in range(4))
-    logit = (
-        F.col("sw") / F.col("n")
-        + F.lit(wi) * F.col("f_inv")
-        + F.lit(wm) * F.col("f_mwl")
-        + F.lit(wa) * F.col("f_ar")
-        + F.lit(ws) * F.col("f_stw")
-        + F.lit(float(bias))
-    )
-    return per.select(
-        "doc_id",
-        F.round(logit, 6).alias("logit"),
-        (logit >= 0).alias("pred_keep"),
+        F.round(z, 6).alias("logit"),
+        (z >= 0).alias("pred_keep"),
     )
 
 
@@ -3914,60 +3840,47 @@ def _qc_weight_values() -> str:
     from env_event_stream_spark.operators import classifier as C
 
     w, _ = _qc_model_cached(_oracle_sf_dir())
-    return ", ".join(
-        f"({i}, {repr(float(x))})" for i, x in enumerate(w[: C.N_BUCKETS])
-    )
+    return "[" + ", ".join(
+        repr(float(x)) for x in w[: C.N_BUCKETS]
+    ) + "]::DOUBLE[]"
 
 
 def _qc_score_ctes() -> str:
-    from env_event_stream_spark.operators import classifier as C
-
-    h = _hex32_sql("md5(term)")
-    return f"""
-    tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
-    bk AS (SELECT doc_id, {h} % {C.N_BUCKETS} AS bucket FROM tok),
-    c AS (SELECT doc_id, bucket, count(*) AS cnt
-          FROM bk GROUP BY doc_id, bucket),
-    wt AS (SELECT * FROM (VALUES {_qc_weight_values()}) AS v(bucket, w)),
-    surf AS (SELECT doc_id,
-                    1.0 / len(tk) AS f_inv,
-                    (list_sum(list_transform(tk, x -> len(x))) * 1.0
-                     / len(tk)) / 10.0 AS f_mwl,
-                    coalesce(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                             * 1.0 / nullif(len(text), 0), 0.0) AS f_ar,
-                    (CASE WHEN len(list_filter(tk,
-                        x -> list_contains(['the','a','of','and'], x))) > 0
-                      THEN 1.0 ELSE 0.0 END) AS f_stw
-             FROM t),
-    s AS (SELECT doc_id,
-                 list_sum(list(wt.w * c.cnt ORDER BY c.bucket)) AS sw,
-                 sum(c.cnt) AS n
-          FROM c JOIN wt USING (bucket) GROUP BY doc_id)
-    """
-
-
-def _qc_logit_sql() -> str:
+    """One CTE computing the raw logit z per doc — the exact
+    token-order fold quality_logit_column runs: weight-array literal
+    (1-based list index), list_sum in token order, dense slots, the
+    same left-to-right addition chain."""
     from env_event_stream_spark.operators import classifier as C
 
     w, bias = _qc_model_cached(_oracle_sf_dir())
+    h = _hex32_sql("md5(x)")
     wi, wm, wa, ws = (repr(float(w[C.N_BUCKETS + i])) for i in range(4))
-    return (
-        f"sw / n + {wi} * f_inv + {wm} * f_mwl + {wa} * f_ar"
-        f" + {ws} * f_stw + {repr(float(bias))}"
-    )
+    return f"""
+    wl AS (SELECT {_qc_weight_values()} AS a),
+    s AS (SELECT doc_id,
+                 list_sum(list_transform(tk,
+                     x -> a[({h} % {C.N_BUCKETS}) + 1])) / len(tk)
+                 + {wi} * (1.0 / len(tk))
+                 + {wm} * ((list_sum(list_transform(tk, x -> len(x))) * 1.0
+                            / len(tk)) / 10.0)
+                 + {wa} * coalesce(len(regexp_replace(text, '[^A-Za-z]', '',
+                            'g')) * 1.0 / nullif(len(text), 0), 0.0)
+                 + {ws} * (CASE WHEN len(list_filter(tk,
+                        x -> list_contains(['the','a','of','and'], x))) > 0
+                      THEN 1.0 ELSE 0.0 END)
+                 + {repr(float(bias))} AS z
+          FROM t CROSS JOIN wl)
+    """
 
 
 def _qc_oracle() -> str:
-    z = _qc_logit_sql()
     return (
         "WITH "
         + _TOKENS_CTE.lstrip()
         + ","
         + _qc_score_ctes()
-        + f"""
-    SELECT s.doc_id, round({z}, 6) AS logit,
-           ({z}) >= 0 AS pred_keep
-    FROM s JOIN surf USING (doc_id)
+        + """
+    SELECT doc_id, round(z, 6) AS logit, z >= 0 AS pred_keep FROM s
     """
     )
 
@@ -3988,15 +3901,13 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _qc_eval_oracle() -> str:
-    z = _qc_logit_sql()
     return (
         "WITH "
         + _TOKENS_CTE.lstrip()
         + ","
         + _qc_score_ctes()
-        + f""",
-    pred AS (SELECT s.doc_id, ({z}) >= 0 AS p
-             FROM s JOIN surf USING (doc_id)),
+        + """,
+    pred AS (SELECT doc_id, z >= 0 AS p FROM s),
     m AS (SELECT t.doc_id,
                  len(tk) AS n_tokens,
                  list_sum(list_transform(tk, x -> len(x))) * 1.0

@@ -36,6 +36,7 @@ __all__ = [
     "bucket_of",
     "surface_features",
     "train_quality_classifier",
+    "quality_logit_column",
 ]
 
 N_BUCKETS = 256
@@ -101,6 +102,65 @@ def surface_features(text: str | None) -> tuple[float, float, float, float]:
     ar = (n_alpha * 1.0 / len(t)) if len(t) else 0.0
     stw = 1.0 if any(w in _STOPWORDS for w in tk) else 0.0
     return inv, mwl10, ar, stw
+
+
+def quality_logit_column(text, weights: list[float], bias: float):
+    """The trained model as ONE pure Catalyst column expression over
+    a text column: z = (token-order fold of weight lookups)/n +
+    dense-slot terms + bias. The weight vector rides as a 256-literal
+    array (element_at per token); NO shuffle, NO join, NO
+    transcendentals — scoring a 100 TB corpus is a scan-project, and
+    the same expression drops into the stateless streaming ingest
+    gate unchanged. The DuckDB oracle replays the identical
+    token-order fold (list_transform + 1-based list index), so the
+    raw double is bit-identical cross-engine."""
+    from pyspark.sql import functions as F
+
+    from env_event_stream_spark.functions.text import tokens
+    from env_event_stream_spark.operators.dedup import _hex32_to_long
+
+    n_b = N_BUCKETS
+    warr = F.array(*[F.lit(float(x)) for x in weights[:n_b]])
+    tk = tokens(text)
+    n = F.size(tk)
+    sw = F.aggregate(
+        F.transform(
+            tk,
+            lambda t: F.element_at(
+                warr, ((_hex32_to_long(F.md5(t)) % n_b) + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    f_inv = F.lit(1.0) / n
+    f_mwl = (
+        F.aggregate(
+            F.transform(tk, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n
+    ) / 10.0
+    f_ar = F.coalesce(
+        F.length(F.regexp_replace(text, "[^A-Za-z]", "")) * 1.0
+        / F.nullif(F.length(text), F.lit(0)),
+        F.lit(0.0),
+    )
+    f_stw = (
+        F.when(
+            F.size(F.filter(tk, lambda x: x.isin(*_STOPWORDS))) > 0, 1.0
+        ).otherwise(0.0)
+    )
+    wi, wm, wa, ws = (float(weights[n_b + i]) for i in range(4))
+    return (
+        sw / n
+        + F.lit(wi) * f_inv
+        + F.lit(wm) * f_mwl
+        + F.lit(wa) * f_ar
+        + F.lit(ws) * f_stw
+        + F.lit(float(bias))
+    )
 
 
 def train_quality_classifier(

@@ -8,7 +8,11 @@ Stages (all stateless → append-mode safe, unbounded-stream safe):
 2. repetition ratio (functions/text.py ngram_repetition)
 3. contamination    (streaming/dedup_stream.py contamination_gate —
    broadcast eval-vocabulary intersect)
-4. routing verdict  — 'pass' | 'low_quality' | 'contaminated',
+4. optional learned quality filter (operators/classifier.py
+   quality_logit_column — the trained logistic as one literal-array
+   expression; still stateless)
+5. routing verdict  — 'pass' | 'low_quality' | 'model_reject' |
+   'contaminated',
    mirroring the reference's publish gate routing invalid events to
    the DLQ instead of failing the stream (src/topic.ts:103-110,
    src/subscription.ts:100-104): bad documents are DATA, not errors.
@@ -45,6 +49,7 @@ def document_ingest_pipeline(
     min_tokens: int = 5,
     max_rep_ratio: float = 0.3,
     min_shared: int = 1,
+    model: tuple[list[float], float] | None = None,
 ) -> DataFrame:
     """Annotate a document stream with quality + contamination signals
     and a routing verdict. Works identically on batch frames (for
@@ -63,6 +68,18 @@ def document_ingest_pipeline(
     gated = contamination_gate(
         annotated, eval_df, text_col=text_col, min_shared=min_shared
     )
+    if model is not None:
+        from env_event_stream_spark.operators.classifier import (
+            quality_logit_column,
+        )
+
+        weights, bias = model
+        gated = gated.withColumn(
+            "model_keep",
+            quality_logit_column(F.col(text_col), weights, bias) >= 0,
+        )
+    else:
+        gated = gated.withColumn("model_keep", F.lit(True))
     return gated.withColumn(
         "verdict",
         F.when(F.col("contaminated"), F.lit("contaminated"))
@@ -71,5 +88,6 @@ def document_ingest_pipeline(
             | (F.col("rep_ratio") > max_rep_ratio),
             F.lit("low_quality"),
         )
+        .when(~F.col("model_keep"), F.lit("model_reject"))
         .otherwise(F.lit("pass")),
     )

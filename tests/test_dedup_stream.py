@@ -170,3 +170,52 @@ def test_document_ingest_pipeline_routes(spark, tmp_path):
         spark.createDataFrame(docs, schema), eval_df
     )
     assert {r.doc_id: r.verdict for r in batch.collect()} == got
+
+
+def test_ingest_pipeline_model_gate_streaming(spark, tmp_path):
+    """The learned quality filter rides the ingest projection as a
+    stateless expression: train on a labeled sample, then verify a
+    STREAMING pass routes model-rejected docs to 'model_reject' while
+    clean docs still 'pass' — and that the plan stays append-safe
+    (no state store, the stream runs in append mode)."""
+    from env_event_stream_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+    from env_event_stream_spark.streaming.ingest_pipeline import (
+        document_ingest_pipeline,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and runs far away "
+        "with the pack of hounds chasing it through fields of grain"
+    )
+    bad = "zz9 $$!! ##"
+    model = train_quality_classifier(
+        [(i, good + f" x{i}") if i % 2 else (i, bad + str(i)) for i in range(80)]
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, good + " fresh"), (2, bad + " new")], "doc_id bigint, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    eval_df = spark.createDataFrame(
+        [("completely unrelated evaluation text",)], "text string"
+    )
+    out = document_ingest_pipeline(
+        stream, eval_df, min_tokens=1, model=model
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(sink).collect()}
+    assert rows[1].verdict == "pass" and rows[1].model_keep is True
+    assert rows[2].verdict == "model_reject" and rows[2].model_keep is False

@@ -298,13 +298,12 @@ def test_semdedup_no_corpus_cross_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_quality_classifier_broadcasts_weights(spark, sf_dir):
-    """The 256-row weight table must broadcast; scoring is two
-    doc-keyed aggregations and never a sort-merge join or cross
-    product."""
+def test_quality_classifier_is_pure_map_stage(spark, sf_dir):
+    """Learned-filter scoring is ONE row-local projection (weights as
+    a literal array, token-order fold): no exchange, no join of any
+    kind — the whole plan is scan-project."""
     plan = _plan(spark, sf_dir, "doc_quality_classifier").split(
         "== Initial Plan =="
     )[0]
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
