@@ -266,3 +266,90 @@ def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+@query(
+    "evt_power_user_curve",
+    """
+    WITH a AS (
+      SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS n_days
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a GROUP BY n_days
+    """,
+)
+def evt_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (the "L28"-style engagement histogram): how
+    many users were active on exactly N distinct days. The shape of
+    this curve — smile vs decay — is the standard health read of an
+    event stream. Plan: one user_id shuffle for the distinct-day
+    count (countDistinct rides the same exchange), then a tiny
+    histogram rollup (≤ |days| rows, map-side combined). Pure integer
+    output — nothing to round."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).alias("n_days")
+    )
+    return a.groupBy("n_days").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    ).select(
+        F.col("n_days").cast("bigint").alias("n_active_days"), "n_users"
+    )
+
+
+@query(
+    "evt_attribution_last_touch",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, '(none)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS revenue
+    FROM s
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(channel, '(none)')
+    """,
+)
+def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits its full
+    value to the user's most recent PRECEDING non-purchase event type
+    (the classic marketing-attribution baseline; '(none)' buckets
+    purchases with no prior touch). The carry-forward is
+    last(..., ignorenulls) over a rows-frame ending 1 PRECEDING —
+    same single user_id shuffle as every query in this module; the
+    channel rollup is |types| rows. Revenue sums ride DECIMAL(12,2)
+    so no double-sum-order flip (the join_revenue_by_region lesson),
+    surfaced as a rounded double."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        s.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

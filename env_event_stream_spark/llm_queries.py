@@ -3956,3 +3956,266 @@ def doc_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((y == p).cast("int")) * 1.0 / F.count("*"), 4
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus curation: perplexity bucketing + vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_perplexity_buckets",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+    vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM tok),
+    lp AS (SELECT doc_id, round(avg(ln(cnt * 1.0 / n)), 4) AS alp
+           FROM tok JOIN vocab USING (term) CROSS JOIN tot
+           GROUP BY doc_id),
+    b AS (SELECT d.source, lp.doc_id, alp,
+                 ntile(3) OVER (PARTITION BY d.source
+                                ORDER BY alp DESC, lp.doc_id ASC) AS bucket
+          FROM lp JOIN documents d ON d.doc_id = lp.doc_id)
+    SELECT source,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(min(alp), 4) AS DOUBLE) AS min_logprob,
+           CAST(round(max(alp), 4) AS DOUBLE) AS max_logprob,
+           CAST(round(sum(CAST(alp AS DECIMAL(14,4))), 4) AS DOUBLE)
+             AS sum_logprob
+    FROM b GROUP BY source, bucket
+    """,
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020):
+    score every document with the corpus-trained unigram LM
+    (doc_unigram_logprob's plan), then split each source into
+    perplexity terciles — the standard curation move that keeps the
+    fluent "head" and drops or downweights the noisy "tail" per
+    domain. The ntile orders by the 4dp-ROUNDED logprob with a doc_id
+    tie-break, so the bucket boundary is decided on values both
+    engines agree on bit-exactly; per-bucket sums ride an exact
+    DECIMAL so no double-sum-order flip can move the output. Plan:
+    the token stream shuffles once (doc_id agg), vocab + total are
+    broadcast, the tercile window is one |docs|-row sort per source
+    (at 100 TB swap ntile for broadcast percentile cut-points, same
+    as evt_rfm_segments documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = t.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = t.agg(F.count("*").alias("n"))
+    lp = (
+        t.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt") * 1.0 / F.col("n"))), 4
+            ).alias("alp")
+        )
+    )
+    b = lp.join(d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("alp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        b.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.min("alp"), 4).cast("double").alias("min_logprob"),
+            F.round(F.max("alp"), 4).cast("double").alias("max_logprob"),
+            F.round(F.sum(F.col("alp").cast("decimal(14,4)")), 4)
+            .cast("double")
+            .alias("sum_logprob"),
+        )
+        .select(
+            "source",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_docs",
+            "min_logprob",
+            "max_logprob",
+            "sum_logprob",
+        )
+    )
+
+
+@query(
+    "doc_vocab_coverage",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+    vc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    v AS (SELECT term FROM vc ORDER BY cnt DESC, term ASC LIMIT 256)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (v.term IS NULL) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM tok LEFT JOIN v ON tok.term = v.term
+    GROUP BY tok.doc_id
+    """,
+)
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-256 corpus
+    vocabulary (count desc, term asc — the deterministic WordPiece-
+    style frequency cut) and report each document's out-of-vocabulary
+    token count and rate. The OOV rate is the standard proxy for "will
+    the tokenizer shatter this document into bytes" — high-OOV docs
+    get routed to vocab retraining or dropped. Rate is integer-exact
+    ppm (count * 1e6 DIV n) — no float division to tie-flip. Plan:
+    vocab top-k is TakeOrdered over the term counts (map-side
+    combined), then broadcast; the token stream itself shuffles once
+    for the per-doc agg. At 100 TB the vocab is KBs regardless of
+    corpus size — the broadcast never grows."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    v = (
+        t.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(256)
+        .select("term", F.lit(1).alias("in_v"))
+    )
+    return (
+        t.join(F.broadcast(v), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.expr("n_oov * 1000000L DIV n_tokens").cast("bigint"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space corpus curation: OOD outliers + cluster-balanced sampling
+# ---------------------------------------------------------------------------
+
+_CELL_ASSIGN_CTES = f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.cell_id,
+             {_COSINE_SQL.format(a="v.e", b="c.cv")} AS csim
+      FROM v CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell_id, csim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cell_id ASC) AS rn
+      FROM scored
+    ),
+    m AS (SELECT vec_id, cell_id, csim FROM assign WHERE rn = 1)
+"""
+
+
+def _cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id, csim) for every corpus vector against the
+    deterministic 8-cell coarse quantizer (first-8-ids stand-in, same
+    contract as emb_knn_ivf). The centroid table is 8 rows and
+    broadcast — the crossJoin is |corpus| × 8 row-local probes inside
+    whole-stage codegen, never a shuffle of the corpus."""
+    from env_event_stream_spark.functions.vectors import as_double, dot, l2_norm
+    from env_event_stream_spark.operators.similarity import _centroid_frame
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _centroid_frame(
+        e, id_col="vec_id", vec_col="embedding", n_cells=8, centroids=None
+    )
+    v = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "csim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "csim")
+    )
+
+
+@query(
+    "emb_centroid_outliers",
+    f"""
+    WITH {_CELL_ASSIGN_CTES}
+    SELECT vec_id, cell_id, round(csim, 6) AS sim
+    FROM m
+    ORDER BY round(csim, 6) ASC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OOD detection: every vector's similarity to
+    its NEAREST coarse-quantizer centroid, lowest-20 reported — the
+    cheap distance-to-manifold filter that flags mislabeled, corrupt,
+    or genuinely out-of-distribution examples before they enter a
+    training mix (same signal SemDeDup-style pipelines use to prune
+    "no cluster wants this" points). Plan: 8 broadcast centroid
+    probes per row + a per-vector rn=1 window, then TakeOrdered 20 on
+    the 6dp-rounded similarity (deterministic vec_id tie-break) — the
+    corpus never shuffles for scoring, only |cells| rows per
+    partition reach the final top-k heap."""
+    a = _cell_assignments(spark, sf_dir)
+    return (
+        a.select("vec_id", "cell_id", F.round("csim", 6).alias("sim"))
+        .orderBy(F.col("sim").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "emb_cluster_sample",
+    f"""
+    WITH {_CELL_ASSIGN_CTES},
+    h AS (SELECT vec_id, cell_id,
+                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS hv
+          FROM m),
+    p AS (SELECT vec_id, cell_id,
+                 row_number() OVER (PARTITION BY cell_id
+                                    ORDER BY hv ASC, vec_id ASC) AS pick
+          FROM h)
+    SELECT cell_id, CAST(pick AS BIGINT) AS pick, vec_id
+    FROM p WHERE pick <= 4
+    """,
+)
+def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: assign every vector to
+    its coarse cell, then draw a fixed per-cell quota (4) by md5-hash
+    order — the "cluster then sample uniformly within cluster" recipe
+    that keeps a subsample topically diverse instead of letting the
+    head cluster dominate (the D4/SemDeDup-adjacent selection step).
+    The hash draw is a pure function of vec_id, so the sample is
+    reproducible across runs, engines, and repartitioning — no
+    sampling state. Plan: row-local broadcast cell-assign (see
+    _cell_assignments), then one shuffle on cell_id for the per-cell
+    row_number; at 100 TB the quota window is per-cell-partition
+    top-k, never a global sort."""
+    a = _cell_assignments(spark, sf_dir)
+    h = a.withColumn(
+        "hv",
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("hv").asc(), F.col("vec_id").asc()
+    )
+    return (
+        h.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= 4)
+        .select("cell_id", F.col("pick").cast("bigint").alias("pick"), "vec_id")
+    )

@@ -307,3 +307,54 @@ def test_quality_classifier_is_pure_map_stage(spark, sf_dir):
     )[0]
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_perplexity_buckets_broadcasts_lm(spark, sf_dir):
+    """The unigram LM (vocab counts + total) must broadcast back onto
+    the token stream — the corpus-sized side shuffles only for the
+    per-doc agg, never to meet the model."""
+    plan = _plan(spark, sf_dir, "doc_perplexity_buckets")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_topk_and_broadcast(spark, sf_dir):
+    """The vocabulary cut must be TakeOrdered (no global sort of the
+    term table) and must broadcast onto the token stream."""
+    plan = _plan(spark, sf_dir, "doc_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_outliers_broadcast_probe_takeordered(spark, sf_dir):
+    """Cell scoring is a broadcast probe (8 centroid rows) and the
+    outlier cut is TakeOrdered — the corpus is never shuffled to be
+    scored, and there is no global sort."""
+    plan = _plan(spark, sf_dir, "emb_centroid_outliers")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_sample_single_cell_shuffle(spark, sf_dir):
+    """Cluster-balanced sampling: broadcast cell-assign, then the only
+    exchanges are the per-vector rn window and the per-cell quota
+    window — no join shuffle of the corpus."""
+    plan = _plan(spark, sf_dir, "emb_cluster_sample")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Last-touch attribution: the carry-forward window and the final
+    rollup ride ONE user_id exchange + one tiny channel exchange."""
+    plan = _plan(spark, sf_dir, "evt_attribution_last_touch").split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("Exchange") <= 2
+    assert "hashpartitioning(user_id" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
