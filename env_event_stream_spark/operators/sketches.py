@@ -39,7 +39,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["misra_gries_candidates", "heavy_hitters_exact"]
+__all__ = ["mg_fold", "misra_gries_candidates", "heavy_hitters_exact"]
+
+
+def mg_fold(counts: dict[str, int], items, capacity: int) -> dict[str, int]:
+    """Fold a batch of item occurrences into a Misra-Gries summary of
+    at most ``capacity`` counters (pandas value_counts bulk-add, then
+    decrement rounds). Shared by the map-only batch sketch below and
+    the streaming keyed-state twin (streaming_queries.
+    doc_stream_heavy_hitters) so the two paths cannot drift. The
+    undercount bound D <= n/(capacity+1) holds for ANY fold order, so
+    the survivor set is a proven candidate superset regardless of
+    batch/arrival order."""
+    if len(items) == 0:
+        return counts
+    vc = items.value_counts()
+    for item, c in zip(vc.index, vc.values):
+        counts[item] = counts.get(item, 0) + int(c)
+    while len(counts) > capacity:
+        m = min(counts.values())
+        counts = {k: v - m for k, v in counts.items() if v > m}
+    return counts
 
 
 def misra_gries_candidates(
@@ -58,14 +78,7 @@ def misra_gries_candidates(
     def sketch(batches):
         counts: dict[str, int] = {}
         for pdf in batches:
-            if not len(pdf):
-                continue
-            vc = pdf[item_col].value_counts()
-            for item, c in zip(vc.index, vc.values):
-                counts[item] = counts.get(item, 0) + int(c)
-            while len(counts) > capacity:
-                m = min(counts.values())
-                counts = {k: v - m for k, v in counts.items() if v > m}
+            counts = mg_fold(counts, pdf[item_col], capacity)
         yield pd.DataFrame(
             {
                 item_col: list(counts.keys()),

@@ -536,3 +536,135 @@ def evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         _run_complete_overwrite(session_stream_agg(ev), "sessw")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries in keyed streaming state
+# ---------------------------------------------------------------------------
+
+
+def _read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (schema from a batch
+    peek, pathGlobFilter pins the one table — same recipe as
+    _read_events_stream; documents carry no timestamps to
+    normalize)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def mg_state_fn(capacity: int):
+    """applyInPandasWithState function holding one Misra-Gries summary
+    per hash-bucket key: state = (items, counts) arrays, each batch
+    group folds through operators.sketches.mg_fold (the SAME fold as
+    the batch map-side sketch), and the current survivor set is
+    emitted every micro-batch."""
+    import pandas as pd
+
+    from env_event_stream_spark.operators.sketches import mg_fold
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            items, counts = state.get
+            d = dict(zip(list(items), [int(c) for c in counts]))
+        else:
+            d = {}
+        for pdf in pdfs:
+            d = mg_fold(d, pdf["term"], capacity)
+        state.update((list(d.keys()), [int(v) for v in d.values()]))
+        yield pd.DataFrame(
+            {
+                "bucket": [int(key[0])] * len(d),
+                "term": list(d.keys()),
+                "mg_lower": [int(v) for v in d.values()],
+            }
+        )
+
+    return fn
+
+
+def stream_mg_candidates(
+    occurrences: DataFrame, *, n_buckets: int, capacity: int
+) -> DataFrame:
+    """Streaming Misra-Gries candidate survivors: occurrences are
+    hash-bucketed (all occurrences of one item land in one bucket, so
+    the per-bucket undercount bound D_b <= n_b/(capacity+1) <=
+    n/(capacity+1) preserves the global superset guarantee), each
+    bucket folds its stream into checkpointed MG state, survivors are
+    re-emitted per micro-batch. State is O(n_buckets * capacity)
+    regardless of stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    bucketed = occurrences.withColumn(
+        "bucket", F.pmod(F.hash("term"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        mg_state_fn(capacity),
+        outputStructType="bucket int, term string, mg_lower bigint",
+        stateStructType="items array<string>, counts array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "doc_stream_heavy_hitters",
+    r"""
+    WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    tok AS (SELECT unnest(tk) AS term FROM t),
+    c AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+    tot AS (SELECT sum(freq) AS n FROM c)
+    SELECT term, CAST(freq AS BIGINT) AS freq,
+           CAST(freq * 1000000 // n AS BIGINT) AS ppm
+    FROM c, tot WHERE freq * 500 > n
+    """,
+)
+def doc_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter words over a LIVE document stream (7th
+    genuinely-streaming oracled entry): readStream → explode tokens →
+    hash-bucketed Misra-Gries state (applyInPandasWithState, the same
+    mg_fold as the batch sketch) → latest-epoch survivors per bucket
+    → exact broadcast recount over the batch table. The recount makes
+    the output EXACT (the survivor union is a proven superset of
+    every phi=1/500 hitter for ANY arrival order — see
+    operators/sketches.py), so the oracle is the plain full groupBy.
+    At 100 TB: streaming state is O(buckets x capacity) counters
+    (~MBs) while the stream itself is never retained — the candidate
+    list a continuously-running corpus monitor maintains; the recount
+    is the same two-scan plan as doc_phrase_heavy_hitters."""
+    from env_event_stream_spark.functions.text import tokens
+
+    phi_inverse = 500
+
+    st = _read_docs_stream(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    out = stream_mg_candidates(st, n_buckets=8, capacity=phi_inverse)
+    sink_dir = _run_update_to_latest(out, "mg")
+
+    sink = spark.read.parquet(sink_dir)
+    mx = sink.groupBy("bucket").agg(F.max("_epoch").alias("_epoch"))
+    cand = sink.join(mx, ["bucket", "_epoch"]).select("term").distinct()
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    total = occ.agg(F.count("*").alias("_n"))
+    counted = (
+        occ.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("freq") * phi_inverse > F.col("_n"))
+        .select(
+            "term",
+            "freq",
+            F.expr("freq * 1000000L DIV _n").cast("bigint").alias("ppm"),
+        )
+    )

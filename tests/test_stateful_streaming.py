@@ -416,3 +416,60 @@ def test_session_window_merges_across_micro_batches(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, batch.collect()))
     assert len(g) > 0
     assert g == b
+
+
+def test_stream_mg_superset_across_micro_batches(spark, sf_dir, tmp_path):
+    """Streaming Misra-Gries: feed the documents table one file at a
+    time (3-file split) so the MG state must fold across
+    micro-batches, then require (a) the latest-epoch survivor union
+    to be a SUPERSET of every exact phi=1/500 heavy hitter, and (b)
+    the broadcast recount over the survivors to reproduce the exact
+    full-groupBy answer row-for-row."""
+    from env_event_stream_spark.functions.text import tokens
+    from env_event_stream_spark.streaming_queries import (
+        _run_update_to_latest,
+        stream_mg_candidates,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    phi_inverse = 500
+    d = load_table(spark, sf_dir, "documents").select("text")
+    src = str(tmp_path / "split_docs")
+    d.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    toks = stream.select(F.explode(tokens(F.col("text"))).alias("term"))
+    out = stream_mg_candidates(toks, n_buckets=8, capacity=phi_inverse)
+    sink = spark.read.parquet(_run_update_to_latest(out, "mg_mb"))
+    mx = sink.groupBy("bucket").agg(F.max("_epoch").alias("_epoch"))
+    cand = set(
+        r.term
+        for r in sink.join(mx, ["bucket", "_epoch"]).select("term").collect()
+    )
+
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    exact = occ.groupBy("term").agg(F.count("*").alias("freq"))
+    n = occ.count()
+    hitters = {
+        r.term: r.freq
+        for r in exact.where(F.col("freq") * phi_inverse > n).collect()
+    }
+    assert len(hitters) > 0
+    missing = set(hitters) - cand
+    assert not missing, f"MG survivors lost hitters: {missing}"
+
+    recount = (
+        occ.join(
+            F.broadcast(spark.createDataFrame([(t,) for t in cand], "term string")),
+            "term",
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") * phi_inverse > n)
+    )
+    got = {r.term: r.freq for r in recount.collect()}
+    assert got == hitters
