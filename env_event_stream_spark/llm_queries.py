@@ -4219,3 +4219,135 @@ def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pick") <= 4)
         .select("cell_id", F.col("pick").cast("bigint").alias("pick"), "vec_id")
     )
+
+
+@query(
+    "doc_token_budget_recipe",
+    r"""
+    WITH t AS (SELECT source,
+                      len(string_split_regex(trim(text), '\s+')) AS n_tok
+               FROM documents),
+    s AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS avail_tokens,
+                 CAST(sum(CASE WHEN n_tok >= 50 THEN n_tok ELSE 0 END)
+                      AS BIGINT) AS kept_tokens
+          FROM t GROUP BY source),
+    tot AS (SELECT sum(kept_tokens) AS tk FROM s)
+    SELECT source, n_docs, avail_tokens, kept_tokens,
+           CAST(1000000 * kept_tokens // tk AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN kept_tokens = 0 THEN 0
+                ELSE (1000000 * kept_tokens // tk) * 1000000 // kept_tokens
+                END AS BIGINT) AS epochs_ppm
+    FROM s CROSS JOIN tot
+    """,
+)
+def doc_token_budget_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static data-recipe planner: allocate a 1M-token training
+    budget across sources proportionally to their QUALITY-KEPT token
+    mass (docs >= 50 tokens — stand-in for the full Gopher gate), and
+    report the implied epoch count per source (how many times that
+    source must repeat to fill its allocation — the DoReMi/Pile-style
+    mixture table a pretraining run starts from). All integer-exact
+    math (alloc = budget * kept // total, epochs in ppm) — nothing to
+    round or tie-flip. Plan: one map-side-combined groupBy(source) over
+    a row-local token count; the 20-row source table then meets a
+    1-row broadcast total. At 100 TB this is the same two-stage agg —
+    recipe planning is never the bottleneck."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    s = t.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("avail_tokens"),
+        F.sum(F.when(F.col("n_tok") >= 50, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    tot = s.agg(F.sum("kept_tokens").alias("tk"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "kept_tokens",
+        F.expr("1000000L * kept_tokens DIV tk").cast("bigint")
+        .alias("alloc_tokens"),
+        F.when(F.col("kept_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.expr("(1000000L * kept_tokens DIV tk) * 1000000L DIV kept_tokens")
+        )
+        .cast("bigint")
+        .alias("epochs_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: distributed BPE merge learning
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merges_oracle() -> str:
+    """Lazy oracle: retrain the first 10 BPE merges with the PURE
+    PYTHON reference trainer (operators/bpe.learn_merges_py) on word
+    counts tokenized by DuckDB itself (the same
+    string_split_regex(trim(text)) contract every other oracle uses),
+    and inline the merge table as VALUES literals. The Spark side
+    trains DISTRIBUTED (pair-explode + agg per round); all math is
+    exact integers with a total-order tie-break, so the two
+    independent trainers must agree bit-for-bit — their agreement is
+    the check (see operators/bpe.py)."""
+    import duckdb
+
+    from env_event_stream_spark.operators.bpe import learn_merges_py
+
+    sf = _oracle_sf_dir()
+    rows = duckdb.sql(
+        rf"""
+        WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+                   FROM '{sf}/documents.parquet'),
+        tok AS (SELECT unnest(tk) AS term FROM t)
+        SELECT term, count(*) AS freq FROM tok GROUP BY term
+        """
+    ).fetchall()
+    merges = learn_merges_py({w: f for w, f in rows}, 10)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"(CAST({r} AS BIGINT), {q(a)}, {q(b)}, {q(a + b)}, "
+        f"CAST({w} AS BIGINT))"
+        for r, a, b, w in merges
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS t(rank, left_sym, right_sym, merged, weight)"
+    )
+
+
+@query("doc_bpe_learn_merges", _bpe_merges_oracle)
+def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 10 BPE merges over the corpus, distributed
+    (Sennrich et al. 2016) — the tokenizer-training stage of the
+    pipeline, run the way HF trainers run it: on the word-FREQUENCY
+    table, so the corpus shuffles once (word counts) and each round
+    touches only |vocab| rows (pair explode → map-side-combined agg →
+    1-row collect = the model update; merges applied row-locally,
+    lineage truncated per round). See operators/bpe.py for the scale
+    shape and why the oracle trainer is deliberately an independent
+    implementation."""
+    from env_event_stream_spark.operators.bpe import learn_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    merges = learn_merges(words, 10)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, w) for r, a, b, w in merges],
+        "rank bigint, left_sym string, right_sym string, "
+        "merged string, weight bigint",
+    )

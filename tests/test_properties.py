@@ -735,3 +735,37 @@ def test_mg_batch_fold_matches_superset_guarantee(xs, cap):
             assert item in counts, (item, f, n, cap)
     for item, v in counts.items():
         assert v <= true[item]
+
+
+_bpe_word = st.text(
+    alphabet=st.sampled_from(list("aabbc") + ["é", "中"]),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(
+    words=st.dictionaries(
+        _bpe_word, st.integers(1, 50), min_size=1, max_size=12
+    ),
+    k=st.integers(1, 4),
+)
+@_SET
+def test_bpe_merges_spark_matches_python(spark, words, k):
+    """The distributed BPE trainer and the independent pure-Python
+    reference must agree merge-for-merge — weights are exact integer
+    sums with a (weight DESC, left ASC, right ASC) total order, so
+    any divergence is a real bug (overlap counting, greedy-apply
+    order, or tie-break). The tiny skewed alphabet maximizes
+    overlapping pairs ('aaa'), re-merge chances and ties."""
+    from env_event_stream_spark.operators.bpe import (
+        learn_merges,
+        learn_merges_py,
+    )
+
+    df = spark.createDataFrame(
+        [(w, f) for w, f in words.items()], "word string, freq bigint"
+    )
+    got = learn_merges(df, k)
+    want = learn_merges_py(words, k)
+    assert got == want
