@@ -75,6 +75,13 @@ HEADLINE = [
     "emb_knn_pq_rerank",
     "emb_semdedup",
     "doc_quality_classifier",
+    # round-6 additions (third batch)
+    "doc_perplexity_buckets",
+    "doc_vocab_coverage",
+    "emb_centroid_outliers",
+    "emb_cluster_sample",
+    "evt_attribution_last_touch",
+    "doc_bpe_learn_merges",
 ]
 
 
