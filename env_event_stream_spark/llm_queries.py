@@ -4351,3 +4351,130 @@ def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank bigint, left_sym string, right_sym string, "
         "merged string, weight bigint",
     )
+
+
+@_functools.lru_cache(maxsize=4)
+def _bpe_merges_spark_cached(sf_dir: str) -> tuple:
+    """Memoized distributed-training result per sf_dir (the
+    _pq_books_spark_cached pattern) so doc_bpe_learn_merges and
+    doc_bpe_apply train once per process."""
+    from pyspark.sql import SparkSession
+
+    from env_event_stream_spark.operators.bpe import learn_merges
+
+    spark = SparkSession.getActiveSession()
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    _SPARK_TRAIN_DIRS.add(sf_dir)
+    return tuple(learn_merges(words, 10))
+
+
+def _bpe_apply_oracle() -> str:
+    """Lazy oracle: retrain merges with the independent Python
+    trainer, apply them (shared applier) to DuckDB-tokenized
+    per-source word bags, and inline the 20-row per-source encoding
+    report as VALUES. Integer-exact throughout."""
+    import duckdb
+
+    from env_event_stream_spark.operators.bpe import (
+        apply_merges_py,
+        learn_merges_py,
+    )
+
+    sf = _oracle_sf_dir()
+    rows = duckdb.sql(
+        rf"""
+        WITH t AS (SELECT source,
+                          string_split_regex(trim(text), '\s+') AS tk
+                   FROM '{sf}/documents.parquet'),
+        tok AS (SELECT source, unnest(tk) AS term FROM t)
+        SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2
+        """
+    ).fetchall()
+    wf: dict[str, int] = {}
+    for _, w, c in rows:
+        wf[w] = wf.get(w, 0) + c
+    merges = [(a, b) for _, a, b, _ in learn_merges_py(wf, 10)]
+    enc = {w: apply_merges_py(w, merges) for w in wf}
+
+    agg: dict[str, list[int]] = {}
+    for src, w, c in rows:
+        a = agg.setdefault(src, [0, 0, 0])
+        a[0] += c
+        a[1] += len(w) * c
+        a[2] += len(enc[w]) * c
+    vals = ", ".join(
+        f"('{src}', CAST({a[0]} AS BIGINT), CAST({a[1]} AS BIGINT), "
+        f"CAST({a[2]} AS BIGINT), "
+        f"CAST(CASE WHEN {a[1]} = 0 THEN 0 "
+        f"ELSE CAST({a[2]} AS BIGINT) * 1000000 // {a[1]} END AS BIGINT))"
+        for src, a in sorted(agg.items())
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS t(source, n_ws_tokens, n_chars, n_bpe_tokens, tokens_per_mchar)"
+    )
+
+
+@query("doc_bpe_apply", _bpe_apply_oracle)
+def doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned BPE merges and report the
+    per-source compression: whitespace tokens, raw characters, BPE
+    symbols after 10 merges, and symbols-per-million-chars — the
+    "how much does this tokenizer actually compress each domain"
+    readout that decides whether the vocab needs more merges. The
+    merge table is applied to the DEDUPLICATED vocabulary (an Arrow
+    mapInPandas over |vocab| rows — merge work is O(vocab), not
+    O(corpus)) and the per-word symbol counts are broadcast back
+    onto the per-source word bag. Integer-exact output. At 100 TB:
+    one (source, word) pre-agg shuffle, vocab-sized model work,
+    20-row result."""
+    from env_event_stream_spark.operators.bpe import apply_merges_py
+
+    merges = [(a, b) for _, a, b, _ in _bpe_merges_spark_cached(sf_dir)]
+
+    d = load_table(spark, sf_dir, "documents")
+    bag = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = bag.select("word").distinct()
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            words = list(pdf["word"])
+            yield pd.DataFrame(
+                {
+                    "word": words,
+                    "n_sym": [len(apply_merges_py(w, merges)) for w in words],
+                    "n_chr": [len(w) for w in words],
+                }
+            )
+
+    sym = vocab.mapInPandas(
+        encode, "word string, n_sym bigint, n_chr bigint"
+    )
+    return (
+        bag.join(F.broadcast(sym), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_ws_tokens"),
+            F.sum(F.col("n_chr") * F.col("cnt")).cast("bigint")
+            .alias("n_chars"),
+            F.sum(F.col("n_sym") * F.col("cnt")).cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "tokens_per_mchar",
+            F.when(F.col("n_chars") == 0, F.lit(0))
+            .otherwise(F.expr("n_bpe_tokens * 1000000L DIV n_chars"))
+            .cast("bigint"),
+        )
+    )

@@ -28,7 +28,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["learn_merges", "learn_merges_py", "merge_pair"]
+__all__ = ["learn_merges", "learn_merges_py", "merge_pair", "apply_merges_py"]
+
+
+def apply_merges_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with a learned merge table: split to chars,
+    apply each merge greedily left-to-right in rank order — the
+    standard (rank-ordered, not priority-queue) BPE apply. Shared by
+    the Spark row-local encoder and the oracle side (the TRAINERS are
+    independent — see module docstring — but the applier is one code
+    path, the _pq_kmeans sharing pattern)."""
+    sym = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
 
 
 def merge_pair(syms: Column, a: str, b: str) -> Column:

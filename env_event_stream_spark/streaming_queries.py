@@ -668,3 +668,122 @@ def doc_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("freq * 1000000L DIV _n").cast("bigint").alias("ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-touch attribution: order-sensitive fold in keyed state
+# ---------------------------------------------------------------------------
+
+_ATTR_CHANNELS = [
+    ("view", "view"),
+    ("click", "click"),
+    ("signup", "signup"),
+    ("error", "error"),
+    ("(none)", "none"),
+]
+_ATTR_FIELDS = [f"c_{s}" for _, s in _ATTR_CHANNELS] + [
+    f"n_{s}" for _, s in _ATTR_CHANNELS
+]
+
+
+def init_attr() -> dict:
+    s: dict = {"last_touch": None}
+    for f in _ATTR_FIELDS:
+        s[f] = 0
+    return s
+
+
+def fold_attr(s: dict, e: dict) -> dict:
+    """Per-event last-touch attribution state machine: non-purchase
+    events update the touch pointer; purchases credit integer CENTS
+    (Decimal(repr(v)) — the shortest-repr HALF_UP conversion Spark's
+    double→DECIMAL(12,2) cast performs) to the current touch's
+    bucket. Integer state ⇒ the stream total is exactly the batch
+    DECIMAL sum regardless of fold grouping."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = e["event_type"]
+    if t != "purchase":
+        return {**s, "last_touch": t}
+    ch = s["last_touch"]
+    slug = ch if ch in ("view", "click", "signup", "error") else "none"
+    cents = int(
+        (Decimal(repr(float(e["value"]))) * 100).to_integral_value(
+            ROUND_HALF_UP
+        )
+    )
+    return {
+        **s,
+        f"c_{slug}": int(s[f"c_{slug}"] or 0) + cents,
+        f"n_{slug}": int(s[f"n_{slug}"] or 0) + 1,
+    }
+
+
+@query(
+    "evt_stream_attribution",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, '(none)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS revenue
+    FROM s
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(channel, '(none)')
+    """,
+)
+def evt_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution on the LIVE path (8th
+    genuinely-streaming oracled entry): per-user state =
+    (current touch, per-channel cent + purchase counters) folded
+    event-by-event in the checkpointed store (live_rehydrate), final
+    states unpivoted and rolled up to per-channel totals — the
+    continuously-maintained attribution dashboard. Oracled against
+    the BATCH window formulation (evt_attribution_last_touch's SQL):
+    a sequential state machine and a 1-PRECEDING ignorenulls window
+    must agree purchase-for-purchase, and integer-cent state makes
+    the revenue totals exact. State is O(users) x 11 scalars."""
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = live_rehydrate(
+        ev,
+        "user_id",
+        "ts",
+        fold_attr,
+        init_attr,
+        state_fields=["last_touch"] + _ATTR_FIELDS,
+        state_ddl="last_touch string, "
+        + ", ".join(f"{f} bigint" for f in _ATTR_FIELDS),
+        output_ddl="user_id bigint, version bigint, last_touch string, "
+        + ", ".join(f"{f} bigint" for f in _ATTR_FIELDS),
+        tiebreak_col="event_id",
+    )
+    sink_dir = _run_update_to_latest(out, "attr")
+    res = _latest_epoch_rows(spark, sink_dir, "user_id")
+
+    stack_args = ", ".join(
+        f"'{ch}', n_{s}, c_{s}" for ch, s in _ATTR_CHANNELS
+    )
+    u = res.select(
+        F.expr(
+            f"stack({len(_ATTR_CHANNELS)}, {stack_args}) "
+            "AS (channel, n, c)"
+        )
+    )
+    return (
+        u.groupBy("channel")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_purchases"),
+            (F.sum("c") / F.lit(100.0)).cast("double").alias("revenue"),
+        )
+        .where(F.col("n_purchases") > 0)
+    )

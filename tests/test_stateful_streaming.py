@@ -473,3 +473,73 @@ def test_stream_mg_superset_across_micro_batches(spark, sf_dir, tmp_path):
     )
     got = {r.term: r.freq for r in recount.collect()}
     assert got == hitters
+
+
+def test_attribution_state_accumulates_across_restarts(spark, tmp_path):
+    """The streaming attribution fold is ORDER-SENSITIVE (a purchase
+    credits the touch folded before it): the recovered last_touch and
+    cent counters must drive batch-2 purchases, and a touch-change in
+    batch 2 must redirect later credit without disturbing counters
+    persisted in batch 1."""
+    from env_event_stream_spark.streaming_queries import (
+        _ATTR_FIELDS,
+        fold_attr,
+        init_attr,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(_SCHEMA).parquet(src)
+        out = live_rehydrate(
+            stream.select("user_id", "ts", "event_id", "event_type", "value"),
+            "user_id",
+            "ts",
+            fold_attr,
+            init_attr,
+            state_fields=["last_touch"] + _ATTR_FIELDS,
+            state_ddl="last_touch string, "
+            + ", ".join(f"{f} bigint" for f in _ATTR_FIELDS),
+            output_ddl="user_id bigint, version bigint, last_touch string, "
+            + ", ".join(f"{f} bigint" for f in _ATTR_FIELDS),
+            tiebreak_col="event_id",
+        )
+        got: dict = {}
+
+        def sink(df, _epoch):
+            for r in df.collect():
+                got[r.user_id] = r
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # batch 1: view touch, then a 10.55 purchase (credits view);
+    # user 2 purchases with NO prior touch -> (none)
+    _write_batch(
+        spark, src,
+        [(1, 9, 1, "view", None), (1, 10, 2, "purchase", 10.55),
+         (2, 9, 3, "purchase", 3.33)],
+    )
+    r1 = run()
+    assert r1[1].last_touch == "view"
+    assert r1[1].c_view == 1055 and r1[1].n_view == 1
+    assert r1[2].c_none == 333 and r1[2].n_none == 1
+
+    # batch 2: click retargets user 1, purchase credits click off the
+    # RECOVERED state; view counters from batch 1 must be unchanged
+    _write_batch(
+        spark, src,
+        [(1, 11, 4, "click", None), (1, 12, 5, "purchase", 0.45)],
+    )
+    r2 = run()
+    assert r2[1].last_touch == "click"
+    assert r2[1].c_view == 1055 and r2[1].n_view == 1
+    assert r2[1].c_click == 45 and r2[1].n_click == 1
