@@ -561,3 +561,78 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def winnow_fingerprint_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS algorithm): hash every word k-gram (md5-derived
+    32-bit, oracle-replayable), slide a window of ``w`` consecutive
+    hashes, keep the window MINIMUM — the guarantee is every shared
+    substring of at least k+w-1 words contributes at least one
+    IDENTICAL selected fingerprint in both documents, while storing
+    only ~1/w of the gram hashes. Row-local array expressions, zero
+    shuffles; output one (id, fp) row per distinct selected
+    fingerprint."""
+    from env_event_stream_spark.functions.text import _ngram_array, tokens
+
+    g = df.select(
+        F.col(id_col),
+        _ngram_array(tokens(F.col(text_col)), k).alias("gr"),
+    ).where(F.size(tokens(F.col(text_col))) >= k)
+    h = g.select(
+        id_col,
+        F.transform(
+            F.col("gr"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("hs"),
+    ).where(F.size("hs") >= w)
+    fps = h.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+            )
+        ).alias("fps"),
+    )
+    return fps.select(id_col, F.explode("fps").alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+    df_cap: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints —
+    the MOSS overlap report. Inverted-index self-join on the selected
+    fingerprints (~1/w the size of the shingle index jaccard_pairs
+    joins on), hot fingerprints dropped at df_cap exactly like the
+    shingle df_cap skew guard. Output (id_a, id_b, n_shared)."""
+    fp = winnow_fingerprint_table(df, text_col, id_col, k=k, w=w)
+    dfq = fp.groupBy("fp").agg(F.count("*").alias("dfreq"))
+    kept = fp.join(
+        F.broadcast(dfq.where(F.col("dfreq") <= df_cap)), "fp"
+    ).select(id_col, "fp")
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
