@@ -82,6 +82,7 @@ HEADLINE = [
     "emb_cluster_sample",
     "evt_attribution_last_touch",
     "doc_bpe_learn_merges",
+    "doc_winnow_pairs",
 ]
 
 

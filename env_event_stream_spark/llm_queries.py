@@ -4478,3 +4478,53 @@ def doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
+
+
+@query(
+    "doc_winnow_pairs",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(
+                        trim(text, ' ' || chr(9) || chr(10) || chr(11)
+                             || chr(12) || chr(13)),
+                        '[ \t\n\x0b\f\r]+') AS tk
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS gr
+          FROM t WHERE len(tk) >= 3),
+    h AS (SELECT doc_id,
+                 list_transform(gr,
+                   x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+          FROM g),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(hs) - 2),
+                   i -> list_min(list_slice(hs, i, i + 3)))) AS fps
+          FROM h WHERE len(hs) >= 4),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    dfq AS (SELECT fp, count(*) AS dfreq FROM fp GROUP BY fp),
+    kept AS (SELECT doc_id, f.fp FROM fp f JOIN dfq USING (fp)
+             WHERE dfreq <= 50),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          FROM kept a JOIN kept b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM p WHERE n_shared >= 2
+    """,
+)
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing / MOSS overlap detection (Schleimer et al. SIGMOD'03):
+    document pairs sharing >= 2 winnowed fingerprints — window-min
+    selection over md5 k-gram hashes guarantees any shared run of
+    k+w-1=6 words surfaces at least one identical fingerprint while
+    indexing only ~1/w of the grams (the storage trade MinHash can't
+    make: winnowing localizes WHERE the overlap is and never misses a
+    long-enough match; MinHash estimates global similarity). Plan:
+    fingerprint selection is row-local (zero shuffles), the pair join
+    is the same bounded inverted-index shape as jaccard_pairs but on
+    a 4x smaller index, hot fingerprints capped at df<=50."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.winnow_pairs(
+        d, "text", "doc_id", k=3, w=4, df_cap=50, min_shared=2
+    )

@@ -358,3 +358,13 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 2
     assert "hashpartitioning(user_id" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_winnow_pairs_bounded_join(spark, sf_dir):
+    """Winnowing: fingerprint selection is a shuffle-free Arrow map
+    stage; the pair stage is the bounded inverted-index equi-join —
+    no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "doc_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan

@@ -769,3 +769,38 @@ def test_bpe_merges_spark_matches_python(spark, words, k):
     got = learn_merges(df, k)
     want = learn_merges_py(words, k)
     assert got == want
+
+
+@given(
+    base=st.lists(
+        st.sampled_from(["apple", "banana", "cat", "dog", "egg"]),
+        min_size=6,
+        max_size=10,
+    ),
+    pre=st.lists(
+        st.sampled_from(["x1", "y2", "z3"]), min_size=0, max_size=5
+    ),
+    post=st.lists(
+        st.sampled_from(["q7", "r8", "s9"]), min_size=0, max_size=5
+    ),
+)
+@_SET
+def test_winnowing_guarantee_shared_run_shares_fingerprint(
+    spark, base, pre, post
+):
+    """The winnowing guarantee (Schleimer et al. §3): two documents
+    sharing a run of >= k+w-1 = 6 words must share at least one
+    selected fingerprint, wherever the run sits in each document.
+    Doc A is the bare run; doc B embeds the same run between random
+    padding."""
+    from env_event_stream_spark.operators.dedup import winnow_pairs
+
+    doc_a = " ".join(base)
+    doc_b = " ".join(pre + base + post)
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id bigint, text string"
+    )
+    pairs = winnow_pairs(
+        df, "text", "doc_id", df_cap=10**6, min_shared=1
+    ).collect()
+    assert any(r.id_a == 1 and r.id_b == 2 for r in pairs)
