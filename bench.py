@@ -83,6 +83,9 @@ HEADLINE = [
     "evt_attribution_last_touch",
     "doc_bpe_learn_merges",
     "doc_winnow_pairs",
+    "doc_lm_heldout_eval",
+    "evt_scd2_status_history",
+    "evt_zorder_key",
 ]
 
 

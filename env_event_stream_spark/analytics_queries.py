@@ -353,3 +353,113 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "evt_scd2_status_history",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, ts AS valid_from, event_type AS status
+      FROM o WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from ASC) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from ASC) AS BIGINT)
+             AS version
+    FROM runs
+    """,
+)
+def evt_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's event-type stream into change RUNS and emit versioned
+    validity intervals [valid_from, valid_to) — the temporal dimension
+    table a warehouse maintains so facts can be joined to
+    "the status as of that moment" (the as-of join family serves the
+    point-in-time lookup; this operator builds the table). Run starts
+    are lag()<>current (dedup-consecutive — NOT sessionize's gap rule);
+    valid_to = next run's start, NULL = current row. One user_id
+    shuffle; both windows and the row_number ride it. At 100 TB this
+    is the standard CDC-compaction shape: O(changes) output rows from
+    O(events) input."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    o = ev.withColumn("prev", F.lag("event_type").over(w))
+    runs = o.where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("event_type").alias("status"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("valid_from").asc())
+    return runs.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+
+
+@query(
+    "evt_zorder_key",
+    """
+    WITH b AS (
+      SELECT event_id, user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      FROM events
+    ),
+    z AS (
+      SELECT event_id, user_id, CAST(day_idx AS BIGINT) AS day_idx,
+             CAST(list_sum(list_transform(range(0, 16),
+                    x -> ((least(user_id, 65535) >> x) & 1)
+                         * (CAST(1 AS BIGINT) << (2 * x))))
+                + list_sum(list_transform(range(0, 16),
+                    x -> ((least(CAST(day_idx AS BIGINT), 65535) >> x) & 1)
+                         * (CAST(1 AS BIGINT) << (2 * x + 1))))
+               AS BIGINT) AS zkey
+      FROM b
+    )
+    SELECT event_id, user_id, day_idx, zkey
+    FROM z
+    ORDER BY zkey ASC, event_id ASC
+    LIMIT 100
+    """,
+)
+def evt_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, day) — the
+    write-layout operator for multi-column data skipping
+    (operators/layout.py; Delta OPTIMIZE ZORDER's missing Spark
+    built-in). Interleaving bits gives BOTH columns partial locality,
+    so point/range filters on either prune row groups after a single
+    clustered write. Pure integer shift/mask math — the oracle
+    replays the key bit-for-bit; first 100 rows of the curve with an
+    event_id tie-break. The layout write itself (range-partition +
+    sort on this key) is exercised in pytest, where the clustered
+    layout measurably concentrates a point filter into fewer files
+    than a time-sorted one."""
+    from env_event_stream_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    )
+    z = b.withColumn(
+        "zkey",
+        zorder_key([F.col("user_id"), F.col("day_idx")], bits=16),
+    )
+    return z.orderBy(F.col("zkey").asc(), F.col("event_id").asc()).limit(100)

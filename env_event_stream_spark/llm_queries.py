@@ -4528,3 +4528,79 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_pairs(
         d, "text", "doc_id", k=3, w=4, df_cap=50, min_shared=2
     )
+
+
+@query(
+    "doc_lm_heldout_eval",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS tk,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 100 AS bucket
+               FROM documents),
+    tok AS (SELECT doc_id, bucket, unnest(tk) AS term FROM t),
+    vocab AS (SELECT term, count(*) AS cnt FROM tok
+              WHERE bucket < 80 GROUP BY term),
+    m AS (SELECT (SELECT sum(cnt) FROM vocab) AS n,
+                 (SELECT count(*) FROM vocab) AS v),
+    te AS (SELECT doc_id, term FROM tok WHERE bucket >= 90)
+    SELECT te.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (vocab.term IS NULL) AS BIGINT) AS n_oov,
+           round(avg(ln((coalesce(cnt, 0) + 1) * 1.0 / (n + v + 1))), 4)
+             AS avg_logprob
+    FROM te LEFT JOIN vocab ON te.term = vocab.term CROSS JOIN m
+    GROUP BY te.doc_id
+    """,
+)
+def doc_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation: train the unigram LM on
+    the hash-split TRAIN buckets (md5 < 80, the doc_hash_split_sample
+    contract) and score only the TEST buckets (>= 90) with add-one
+    smoothing over the train vocabulary (+1 OOV class) — the honest
+    generalization readout the in-corpus doc_unigram_logprob can't
+    give (it scores docs with a model that saw them). Per-doc mean
+    logprob + OOV count, 4dp. Plan: train counts aggregate map-side
+    and broadcast with the two model scalars; the test token stream
+    shuffles once for the per-doc agg. At 100 TB the model is
+    vocab-sized, the split is a pure hash function — no sampling
+    state."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 100
+    )
+    tok = d.select(
+        "doc_id", bucket.alias("bucket"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    vocab = (
+        tok.where(F.col("bucket") < 80)
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    m = vocab.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("v")
+    )
+    te = tok.where(F.col("bucket") >= 90)
+    return (
+        te.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(m))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                        * 1.0
+                        / (F.col("n") + F.col("v") + 1)
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
