@@ -86,6 +86,7 @@ HEADLINE = [
     "doc_lm_heldout_eval",
     "evt_scd2_status_history",
     "evt_zorder_key",
+    "window_top3_value_per_type",
 ]
 
 

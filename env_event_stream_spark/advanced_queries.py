@@ -1017,3 +1017,41 @@ def evt_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@query(
+    "window_top3_value_per_type",
+    """
+    SELECT * FROM (
+      SELECT event_type, event_id, value,
+             CAST(row_number() OVER (PARTITION BY event_type
+                      ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value leaderboard in the FEW-HOT-GROUPS regime (5
+    types × millions of rows each at scale) via the map-side-heap
+    top-k (operators/relational.py:top_k_per_group_partial): every
+    partition forwards at most k rows per type, so the exchange
+    carries ≤ k × |types| × partitions rows instead of the whole
+    event stream — the per-group analogue of TakeOrderedAndProject's
+    partial top-k. Contrast window_top3_orders_per_cust (fine-grained
+    groups, where the plain one-shuffle window is the right shape —
+    the operator docstring spells out the trade)."""
+    from env_event_stream_spark.operators import relational as R
+
+    ev = _t(spark, sf_dir, "events")
+    out = R.top_k_per_group_partial(
+        ev.select("event_type", "event_id", "value"),
+        keys=["event_type"],
+        order_col="value",
+        k=3,
+        descending=True,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_type", "event_id", "value",
+        F.col("rn").cast("bigint").alias("rn"),
+    )

@@ -235,3 +235,58 @@ def running_agg(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(out_col, agg_col.over(w))
+
+
+def top_k_per_group_partial(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak: str,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k per group with a MAP-SIDE heap: each partition keeps at
+    most k candidate rows per group (incremental pandas head-k, memory
+    O(groups-in-partition × k + batch)) BEFORE the shuffle, then the
+    exact row_number window runs over the survivors. Identical result
+    to top_k_per_group — per-partition top-k is a superset of every
+    group's global top-k contribution from that partition — but the
+    exchange carries ≤ k × groups × partitions rows instead of the
+    whole table.
+
+    When to use which: this wins when rows-per-group-per-partition
+    >> k (few hot groups — per-type/per-tenant leaderboards over
+    event streams); the plain window wins when groups are fine-grained
+    (per-customer over orders: ~1 row per group per partition, the
+    prefilter keeps everything and just adds a pass)."""
+    import pandas as pd
+
+    asc = not descending
+    key_list = list(keys)
+
+    def prefilter(batches):
+        surv: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pool = pdf if surv is None else pd.concat([surv, pdf])
+            surv = (
+                pool.sort_values(
+                    [order_col, tiebreak],
+                    ascending=[asc, True],
+                    kind="mergesort",
+                )
+                .groupby(key_list, sort=False)
+                .head(k)
+            )
+        if surv is not None:
+            yield surv
+
+    pre = df.mapInPandas(prefilter, schema=df.schema)
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tiebreak).asc(),
+    ]
+    return top_k_per_group(pre, key_list, order, k, rank_col)

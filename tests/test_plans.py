@@ -368,3 +368,16 @@ def test_winnow_pairs_bounded_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
+
+
+def test_partial_topk_prefilters_before_exchange(spark, sf_dir):
+    """The map-side-heap top-k must run its MapInPandas prefilter
+    BEFORE the window's hash exchange — the shuffle sees survivors,
+    not the stream."""
+    plan = _plan(spark, sf_dir, "window_top3_value_per_type").split(
+        "== Initial Plan =="
+    )[0]
+    assert "MapInPandas" in plan
+    # the prefilter appears below (after, in tree order) the exchange
+    assert plan.index("MapInPandas") > plan.index("Exchange")
+    assert "CartesianProduct" not in plan

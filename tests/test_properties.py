@@ -804,3 +804,34 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(
         df, "text", "doc_id", df_cap=10**6, min_shared=1
     ).collect()
     assert any(r.id_a == 1 and r.id_b == 2 for r in pairs)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # group
+            st.integers(-50, 50),       # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(1, 4),
+)
+@_SET
+def test_partial_topk_equals_plain_window_topk(spark, rows, k):
+    """The map-side-heap top-k must be row-identical to the plain
+    window form for any grouping/skew/tie pattern (ids give the
+    total order; duplicate values exercise the tie-break)."""
+    from env_event_stream_spark.operators import relational as R
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "g bigint, id bigint, v double"
+    ).repartition(4)
+    a = R.top_k_per_group_partial(
+        df, ["g"], "v", k, descending=True, tiebreak="id"
+    ).collect()
+    b = R.top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("id").asc()], k
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
