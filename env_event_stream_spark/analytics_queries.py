@@ -365,16 +365,15 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     runs AS (
-      SELECT user_id, ts AS valid_from, event_type AS status
+      SELECT user_id, ts AS valid_from, event_id, event_type AS status
       FROM o WHERE prev IS NULL OR prev <> event_type
     )
     SELECT user_id, status, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from ASC) AS valid_to,
-           CAST(row_number() OVER (PARTITION BY user_id
-                                   ORDER BY valid_from ASC) AS BIGINT)
-             AS version
+           lead(valid_from) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version
     FROM runs
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY valid_from ASC, event_id ASC)
     """,
 )
 def evt_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,9 +398,16 @@ def evt_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.col("ts").alias("valid_from"),
+        "event_id",
         F.col("event_type").alias("status"),
     )
-    w2 = Window.partitionBy("user_id").orderBy(F.col("valid_from").asc())
+    # event_id tie-break: two runs CAN share a valid_from (same-ts
+    # events of different types, split deterministically by the first
+    # window's event_id order) — without it version/valid_to are
+    # ambiguous on both engines and the hash gate can flake
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from").asc(), F.col("event_id").asc()
+    )
     return runs.select(
         "user_id",
         "status",
@@ -422,10 +428,10 @@ def evt_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT event_id, user_id, CAST(day_idx AS BIGINT) AS day_idx,
              CAST(list_sum(list_transform(range(0, 16),
-                    x -> ((least(user_id, 65535) >> x) & 1)
+                    x -> ((greatest(0, least(user_id, 65535)) >> x) & 1)
                          * (CAST(1 AS BIGINT) << (2 * x))))
                 + list_sum(list_transform(range(0, 16),
-                    x -> ((least(CAST(day_idx AS BIGINT), 65535) >> x) & 1)
+                    x -> ((greatest(0, least(CAST(day_idx AS BIGINT), 65535)) >> x) & 1)
                          * (CAST(1 AS BIGINT) << (2 * x + 1))))
                AS BIGINT) AS zkey
       FROM b

@@ -4337,15 +4337,7 @@ def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage truncated per round). See operators/bpe.py for the scale
     shape and why the oracle trainer is deliberately an independent
     implementation."""
-    from env_event_stream_spark.operators.bpe import learn_merges
-
-    d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(tokens(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    merges = learn_merges(words, 10)
+    merges = _bpe_merges_spark_cached(sf_dir)
     return spark.createDataFrame(
         [(r, a, b, a + b, w) for r, a, b, w in merges],
         "rank bigint, left_sym string, right_sym string, "

@@ -27,15 +27,20 @@ def zorder_key(cols: list[Column], *, bits: int = 16) -> Column:
     """Morton/Z-value: interleave the low ``bits`` bits of each
     (non-negative integral) column — column j contributes its bit b to
     output bit ``b * len(cols) + j``. ``bits * len(cols)`` must fit a
-    signed 64-bit int. Values beyond 2^bits-1 are clamped (saturate at
-    the top of the curve rather than aliasing onto small keys)."""
+    signed 64-bit int. Values are clamped into [0, 2^bits-1] on BOTH
+    sides (saturate at the curve ends): without the low clamp, an
+    arithmetic shiftright on a negative value sign-extends to all-ones
+    and scatters garbage bits across the key."""
     n = len(cols)
     if bits * n > 62:
         raise ValueError(f"bits*cols = {bits * n} exceeds signed-64 range")
     cap = (1 << bits) - 1
     z = F.lit(0).cast("bigint")
     for j, c in enumerate(cols):
-        cb = F.least(c.cast("bigint"), F.lit(cap).cast("bigint"))
+        cb = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(c.cast("bigint"), F.lit(cap).cast("bigint")),
+        )
         for b in range(bits):
             z = z + F.shiftleft(
                 F.shiftright(cb, b).bitwiseAND(F.lit(1)), b * n + j

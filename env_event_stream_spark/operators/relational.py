@@ -265,6 +265,13 @@ def top_k_per_group_partial(
 
     asc = not descending
     key_list = list(keys)
+    # Spark null order: asc() = NULLS FIRST, desc() = NULLS LAST —
+    # pandas must match or a null order value ranks differently in the
+    # prefilter than in the final window (and dropna must be off or a
+    # NULL group key vanishes entirely). tiebreak is assumed non-null
+    # (it's an id column); pandas supports one na_position for all
+    # sort keys.
+    na_pos = "first" if asc else "last"
 
     def prefilter(batches):
         surv: pd.DataFrame | None = None
@@ -277,8 +284,9 @@ def top_k_per_group_partial(
                     [order_col, tiebreak],
                     ascending=[asc, True],
                     kind="mergesort",
+                    na_position=na_pos,
                 )
-                .groupby(key_list, sort=False)
+                .groupby(key_list, sort=False, dropna=False)
                 .head(k)
             )
         if surv is not None:

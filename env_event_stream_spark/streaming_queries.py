@@ -704,6 +704,12 @@ def fold_attr(s: dict, e: dict) -> dict:
 
     t = e["event_type"]
     if t != "purchase":
+        if t not in ("view", "click", "signup", "error"):
+            # a new event type must fail LOUDLY here: silently bucketing
+            # it into '(none)' would make the stream side diverge from
+            # the batch oracle (which attributes to the actual type
+            # string) with a confusing hash mismatch instead of a cause
+            raise ValueError(f"unknown touch event_type {t!r} — add a slot")
         return {**s, "last_touch": t}
     ch = s["last_touch"]
     slug = ch if ch in ("view", "click", "signup", "error") else "none"

@@ -809,8 +809,8 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(0, 3),          # group
-            st.integers(-50, 50),       # value
+            st.one_of(st.none(), st.integers(0, 3)),   # group (null keys!)
+            st.one_of(st.none(), st.integers(-50, 50)),  # value (nulls!)
         ),
         min_size=1,
         max_size=40,
@@ -820,11 +820,14 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(
 @_SET
 def test_partial_topk_equals_plain_window_topk(spark, rows, k):
     """The map-side-heap top-k must be row-identical to the plain
-    window form for any grouping/skew/tie pattern (ids give the
-    total order; duplicate values exercise the tie-break)."""
+    window form for any grouping/skew/tie pattern — INCLUDING null
+    group keys (pandas dropna trap) and null order values (Spark
+    desc = NULLS LAST vs pandas na_position); ids give the total
+    order, duplicate values exercise the tie-break."""
     from env_event_stream_spark.operators import relational as R
 
-    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    data = [(g, i, None if v is None else float(v))
+            for i, (g, v) in enumerate(rows)]
     df = spark.createDataFrame(
         data, "g bigint, id bigint, v double"
     ).repartition(4)
@@ -834,4 +837,5 @@ def test_partial_topk_equals_plain_window_topk(spark, rows, k):
     b = R.top_k_per_group(
         df, ["g"], [F.col("v").desc(), F.col("id").asc()], k
     ).collect()
-    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    key = lambda t: tuple(repr(x) for x in t)  # None-safe total order
+    assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)

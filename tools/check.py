@@ -95,6 +95,23 @@ def counts() -> int:
                     )
         print(f"pytest: {n_tests} collected")
 
+    # bench headline-count claims ("for NN headline queries") must
+    # match bench.py's HEADLINE list — the review pass caught this
+    # drifting when the list grew
+    try:
+        import bench as _bench
+
+        for m in re.finditer(r"(\d+)\s+headline queries", open(
+            os.path.join(here, "NEXT.md")
+        ).read()):
+            if int(m.group(1)) != len(_bench.HEADLINE):
+                bad.append(
+                    f"NEXT.md: says '{m.group(0)}', bench.py HEADLINE has "
+                    f"{len(_bench.HEADLINE)}"
+                )
+    except Exception:
+        pass
+
     cov_path = os.path.join(here, "COVERAGE.md")
     if os.path.exists(cov_path):
         # word-boundary tokens, not substring containment: emb_knn_ivf
