@@ -87,6 +87,7 @@ HEADLINE = [
     "evt_scd2_status_history",
     "evt_zorder_key",
     "window_top3_value_per_type",
+    "evt_value_percentiles_by_type",
 ]
 
 

@@ -469,3 +469,36 @@ def evt_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_key([F.col("user_id"), F.col("day_idx")], bits=16),
     )
     return z.orderBy(F.col("zkey").asc(), F.col("event_id").asc()).limit(100)
+
+
+@query(
+    "evt_value_percentiles_by_type",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           round(max(value), 4) AS p100
+    FROM events GROUP BY event_type
+    """,
+)
+def evt_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type value percentiles (p50/p95/p99/max) — the SLA/
+    distribution readout dashboards publish; the exact complement of
+    agg_approx_sketches' approx_percentile tier (use approx at
+    trillion-row interactive latencies, exact for the daily report).
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition — verified bit-equal before rounding.
+    Plan: percentile is a full-sort-per-group aggregate: one shuffle
+    on event_type; with few hot types at 100 TB, pre-aggregate
+    per-partition histograms or switch to the sketch tier — the trade
+    both queries exist to offer."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.expr("percentile(value, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95D)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"),
+        F.round(F.max("value"), 4).alias("p100"),
+    )

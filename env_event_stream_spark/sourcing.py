@@ -190,3 +190,32 @@ def fold_balance_with_reset(state: dict, event: dict) -> dict:
 
 def init_balance() -> dict:
     return {"balance": 0.0}
+
+
+def forget_key_in_snapshot(
+    spark: "SparkSession", path: str, key_col: str, value
+) -> int:
+    """Right-to-erasure companion for snapshot tables: rewrite the
+    snapshot parquet without the given key (snapshots hold the FOLDED
+    per-subject state, so erasing the event history alone leaves a
+    derived copy behind). Returns rows removed."""
+    import os
+
+    if not os.path.isdir(path):
+        return 0
+    df = spark.read.parquet(path).cache()
+    try:
+        total = df.count()
+        keep = df.where(~F.col(key_col).eqNullSafe(F.lit(value)))
+        kept = keep.count()
+        if kept == total:
+            return 0
+        tmp = path + ".tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return total - kept
+    finally:
+        df.unpersist()

@@ -141,6 +141,25 @@ class InMemoryEventStore:
         self._rows = [r for r in self._rows if r.topic != topic]
         return n0 - len(self._rows)
 
+    def delete_matching(self, topic: str, predicate) -> int:
+        """Erase rows of a topic matching a Column predicate (the
+        right-to-erasure primitive; see ParquetEventStore twin)."""
+        if not self._rows:
+            return 0
+        df = self.to_df().where(F.col("topic") == topic).cache()
+        try:
+            doomed = {r.id for r in df.where(predicate).collect()}
+        finally:
+            df.unpersist()
+        if not doomed:
+            return 0
+        n0 = len(self._rows)
+        self._rows = [
+            r for r in self._rows
+            if not (r.topic == topic and r.id in doomed)
+        ]
+        return n0 - len(self._rows)
+
 
 class ParquetEventStore:
     """System-of-record backend: parquet partitioned by topic.
@@ -238,6 +257,11 @@ class ParquetEventStore:
         shutil.rmtree(part_dir)
         return n
 
+    def delete_matching(self, topic: str, predicate) -> int:
+        """Erase rows of a topic matching a Column predicate —
+        partition-local rewrite (_erase_matching_parquet)."""
+        return _erase_matching_parquet(self, topic, predicate)
+
     def delete_events(self, topic: str, before_ts) -> int:
         """Retention: rewrite only the affected topic partition."""
         part_dir = os.path.join(self.path, f"topic={topic}")
@@ -255,3 +279,28 @@ class ParquetEventStore:
             return total - kept
         finally:
             full.unpersist()
+
+
+def _erase_matching_parquet(store: "ParquetEventStore", topic: str,
+                            predicate) -> int:
+    """Partition-local erase: rewrite one topic partition keeping rows
+    NOT matching ``predicate`` (a Column over the event schema). The
+    GDPR/right-to-erasure primitive — same rewrite shape as retention
+    delete_events, arbitrary predicate."""
+    part_dir = os.path.join(store.path, f"topic={topic}")
+    if not os.path.isdir(part_dir):
+        return 0
+    full = store.to_df().where(F.col("topic") == topic).cache()
+    try:
+        total = full.count()
+        keep = full.where(~predicate)
+        kept = keep.count()
+        if kept == total:
+            return 0
+        tmp = part_dir + ".tmp"
+        keep.drop("topic").write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        return total - kept
+    finally:
+        full.unpersist()

@@ -451,6 +451,39 @@ class EventBroker:
             return False
         return self.dlq.retry_event(event_id, sub.handler)
 
+    def forget_subject(self, field: str, value) -> dict:
+        """Right to erasure (GDPR Art. 17) — the operational primitive
+        an event-sourced system must add on top of retention: erase
+        every event whose JSON payload has ``field == value`` from ALL
+        topics and the DLQ, without touching anyone else's history
+        (the reference has no analog; contract-side completeness for
+        running the engine on user data). Event-store removal is a
+        partition-local rewrite per affected topic (delete_matching);
+        DLQ removal goes through the backend's per-id remove (DLQs
+        are small by construction — they hold failures). Snapshot
+        tables must be filtered by the caller
+        (sourcing.forget_key_in_snapshot): they hold FOLDED per-
+        subject state, so erasing history alone leaves a derived
+        copy. Returns per-surface removal counts."""
+        pred = F.get_json_object(
+            F.col("payload"), f"$.{field}"
+        ).eqNullSafe(F.lit(value).cast("string"))
+        removed_events = 0
+        for name in self.list_topics():
+            removed_events += self.store.delete_matching(name, pred)
+        doomed = [
+            r.id
+            for r in self.dlq.to_df()
+            .where(
+                F.get_json_object(F.col("event.payload"), f"$.{field}")
+                == F.lit(value).cast("string")
+            )
+            .select(F.col("event.id").alias("id"))
+            .collect()
+        ]
+        removed_dlq = sum(1 for i in doomed if self.dlq.remove_event(i))
+        return {"events": removed_events, "dlq": removed_dlq}
+
     def apply_retention(self, topic: str, *, now: _dt.datetime | None = None) -> int:
         """Time + count retention sweep (reference runs a 60 s timer,
         src/topic.ts:39-42; here it's an explicit job — schedule it

@@ -289,3 +289,53 @@ def test_retention_time_and_count(spark):
     assert deleted == 3
     ids = [r.id for r in remaining]
     assert ids == ["ev-3", "ev-4", "ev-5"]
+
+
+def test_forget_subject_erases_all_surfaces(spark, tmp_path):
+    """GDPR right-to-erasure sweep: one subject's events disappear
+    from every topic, the DLQ, and a snapshot table — other subjects'
+    history is untouched and stays queryable/re-foldable."""
+    import pyspark.sql.functions as F
+
+    from env_event_stream_spark.sourcing import forget_key_in_snapshot
+    from env_event_stream_spark.storage.event_store import make_event
+
+    broker = EventBroker(spark, path=str(tmp_path / "broker"))
+    broker.create_topic("orders")
+    broker.create_topic("users")
+
+    def failing(_e):
+        raise RuntimeError("boom")
+
+    broker.subscribe(
+        "orders", failing,
+        SubscriptionOptions(name="f", max_retries=1, retry_delay=0),
+    )
+    for topic in ("orders", "users"):
+        for uid in (7, 8):
+            broker.publish(topic, "evt", {"userId": uid, "v": 1})
+
+    assert broker.dlq.get_events().count() == 2  # one per orders publish
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(7, 2, 10.0), (8, 1, 5.0)], "user_id bigint, version bigint, bal double"
+    ).write.parquet(snap)
+
+    removed = broker.forget_subject("userId", 7)
+    assert removed == {"events": 2, "dlq": 1}
+    assert forget_key_in_snapshot(spark, snap, "user_id", 7) == 1
+
+    # subject 7 gone everywhere
+    left = broker.store.to_df().collect()
+    assert len(left) == 2
+    assert all('"userId": 8' in r.payload for r in left)
+    dlq_left = broker.dlq.get_events().collect()
+    assert len(dlq_left) == 1 and '"userId": 8' in dlq_left[0].event.payload
+    snap_left = spark.read.parquet(snap).collect()
+    assert [r.user_id for r in snap_left] == [8]
+
+    # idempotent: forgetting again removes nothing
+    assert broker.forget_subject("userId", 7) == {"events": 0, "dlq": 0}
+    # untouched subject still replayable
+    assert broker.store.get_events("users").count() == 1
