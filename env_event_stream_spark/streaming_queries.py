@@ -793,3 +793,82 @@ def evt_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_purchases") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 "current" dimension view
+# ---------------------------------------------------------------------------
+
+
+def init_scd2() -> dict:
+    return {"status": None, "valid_from": None, "n_changes": 0}
+
+
+def fold_scd2(s: dict, e: dict) -> dict:
+    """Change-capture fold: a new event_type opens a new dimension
+    version (valid_from = its ts); equal consecutive types extend the
+    current one — the live twin of evt_scd2_status_history's
+    dedup-consecutive runs."""
+    if s["status"] == e["event_type"]:
+        return s
+    return {
+        "status": e["event_type"],
+        "valid_from": e["ts"],
+        "n_changes": int(s["n_changes"] or 0) + 1,
+    }
+
+
+@query(
+    "evt_stream_scd2_current",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type AS status
+      FROM o WHERE prev IS NULL OR prev <> event_type
+    ),
+    v AS (
+      SELECT user_id, status, valid_from,
+             lead(valid_from) OVER w AS valid_to,
+             row_number() OVER w AS version
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY valid_from ASC, event_id ASC)
+    )
+    SELECT user_id, status, valid_from,
+           CAST(version AS BIGINT) AS n_changes
+    FROM v WHERE valid_to IS NULL
+    """,
+)
+def evt_stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 dimension's CURRENT row maintained LIVE (9th
+    genuinely-streaming oracled entry): per-user (status, valid_from,
+    n_changes) state folded event-by-event — the continuously-updated
+    "current status" dimension a CDC pipeline serves while the batch
+    evt_scd2_status_history rebuilds the full history. Oracled
+    against the batch SCD2's open rows (valid_to IS NULL): the
+    sequential change-capture fold and the declarative
+    lag/lead-window form must agree row-for-row, version-for-version.
+    State is O(users) x 3 scalars; input streams through once."""
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = live_rehydrate(
+        ev,
+        "user_id",
+        "ts",
+        fold_scd2,
+        init_scd2,
+        state_fields=["status", "valid_from", "n_changes"],
+        state_ddl="status string, valid_from timestamp, n_changes bigint",
+        output_ddl="user_id bigint, version bigint, status string, "
+        "valid_from timestamp, n_changes bigint",
+        tiebreak_col="event_id",
+    )
+    sink_dir = _run_update_to_latest(out, "scd2")
+    res = _latest_epoch_rows(spark, sink_dir, "user_id")
+    return res.select("user_id", "status", "valid_from", "n_changes")
