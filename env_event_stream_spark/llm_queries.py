@@ -4596,3 +4596,62 @@ def doc_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "doc_winnow_spans",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(
+                        trim(text, ' ' || chr(9) || chr(10) || chr(11)
+                             || chr(12) || chr(13)),
+                        '[ \t\n\x0b\f\r]+') AS tk
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS gr
+          FROM t WHERE len(tk) >= 3),
+    h AS (SELECT doc_id,
+                 list_transform(gr,
+                   x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+          FROM g),
+    w AS (SELECT doc_id,
+                 list_transform(range(1, len(hs) - 2),
+                   i -> {'i': i, 'v': list_min(list_slice(hs, i, i + 3))})
+                   AS ws
+          FROM h WHERE len(hs) >= 4),
+    flat AS (SELECT doc_id, unnest(ws, recursive := true) FROM w),
+    fp AS (SELECT doc_id, v AS fp, min(i) AS pos
+           FROM flat GROUP BY doc_id, v),
+    dfq AS (SELECT fp, count(*) AS dfreq FROM fp GROUP BY fp),
+    kept AS (SELECT doc_id, f.fp, pos FROM fp f JOIN dfq USING (fp)
+             WHERE dfreq <= 50),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS n_shared,
+                 min(a.pos) AS a_first, max(a.pos) AS a_last,
+                 min(b.pos) AS b_first, max(b.pos) AS b_last
+          FROM kept a JOIN kept b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(a_first AS BIGINT) AS a_first,
+           CAST(a_last AS BIGINT) AS a_last,
+           CAST(b_first AS BIGINT) AS b_first,
+           CAST(b_last AS BIGINT) AS b_last
+    FROM p WHERE n_shared >= 2
+    """,
+)
+def doc_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE each near-dup overlap lives: the gram-position extent of
+    the shared winnowed fingerprints on both sides of every matching
+    pair — the localization that makes winnowing a SCRUB input, not
+    just a detector (MinHash scores similarity; this says which span
+    to re-examine/cut; contrast doc_contamination_spans, the
+    train-vs-EVAL twin). Each fingerprint carries the 1-based index
+    of the first window that selected it (np.unique(return_index) in
+    the same zero-shuffle Arrow pass); the pair join is unchanged —
+    bounded inverted index with the df<=50 skew cap."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.winnow_spans(
+        d, "text", "doc_id", k=3, w=4, df_cap=50, min_shared=2
+    )

@@ -578,8 +578,9 @@ def winnow_fingerprint_table(
     substring of at least k+w-1 words contributes at least one
     IDENTICAL selected fingerprint in both documents, while storing
     only ~1/w of the gram hashes. One row-local Arrow pass, zero
-    shuffles; output one (id, fp) row per distinct selected
-    fingerprint."""
+    shuffles; output one (id, fp, pos) row per distinct selected
+    fingerprint, pos = 1-based index of the first gram window that
+    selected it (the localization winnowing exists for)."""
     import hashlib
 
     import numpy as np
@@ -593,7 +594,7 @@ def winnow_fingerprint_table(
     if src.rdd.getNumPartitions() < slots:
         src = src.repartition(slots)
 
-    out_schema = f"{id_col} bigint, fp bigint"
+    out_schema = f"{id_col} bigint, fp bigint, pos bigint"
 
     # One Arrow pass, like simhash(): the declarative form
     # (transform(md5) column + per-window slice/array_min) collapses
@@ -607,7 +608,7 @@ def winnow_fingerprint_table(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, fps = [], []
+            ids, fps, poss = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 t = ("" if text is None else str(text)).strip(_WS_CHARS)
                 toks = _WS_RUN.split(t) if t else [""]
@@ -627,14 +628,17 @@ def winnow_fingerprint_table(
                     dtype=np.int64,
                     count=n,
                 )
-                sel_fps = np.unique(
-                    np.minimum.reduce(
-                        [hv[i: n - w + 1 + i] for i in range(w)]
-                    )
+                # np.unique(return_index) = FIRST window achieving
+                # each selected fingerprint — the 1-based gram
+                # position that localizes WHERE the overlap starts
+                M = np.minimum.reduce(
+                    [hv[i: n - w + 1 + i] for i in range(w)]
                 )
+                sel_fps, first_idx = np.unique(M, return_index=True)
                 ids.extend([did] * len(sel_fps))
                 fps.extend(int(x) for x in sel_fps)
-            yield pd.DataFrame({id_col: ids, "fp": fps})
+                poss.extend(int(i) + 1 for i in first_idx)
+            yield pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
 
     return src.mapInPandas(sel, schema=out_schema)
 
@@ -668,5 +672,46 @@ def winnow_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+    df_cap: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """WHERE the overlap is — the localization report that separates
+    winnowing from MinHash (which only scores global similarity):
+    for each matching pair, the gram-position extent of the shared
+    fingerprints in BOTH documents. Output (id_a, id_b, n_shared,
+    a_first, a_last, b_first, b_last); the [first, last] window range
+    per side is the candidate span a surgical dedup/scrub pass
+    re-examines. Same bounded inverted-index join as winnow_pairs."""
+    fp = winnow_fingerprint_table(df, text_col, id_col, k=k, w=w).cache()
+    dfq = fp.groupBy("fp").agg(F.count("*").alias("dfreq"))
+    kept = fp.join(
+        F.broadcast(dfq.where(F.col("dfreq") <= df_cap)), "fp"
+    ).select(id_col, "fp", "pos")
+    a = kept.select(F.col(id_col).alias("id_a"), "fp",
+                    F.col("pos").alias("pa"))
+    b = kept.select(F.col(id_col).alias("id_b"), "fp",
+                    F.col("pos").alias("pb"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared"),
+            F.min("pa").cast("bigint").alias("a_first"),
+            F.max("pa").cast("bigint").alias("a_last"),
+            F.min("pb").cast("bigint").alias("b_first"),
+            F.max("pb").cast("bigint").alias("b_last"),
+        )
         .where(F.col("n_shared") >= min_shared)
     )
