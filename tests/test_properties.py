@@ -839,3 +839,75 @@ def test_partial_topk_equals_plain_window_topk(spark, rows, k):
     ).collect()
     key = lambda t: tuple(repr(x) for x in t)  # None-safe total order
     assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)
+
+
+@given(
+    base=st.dictionaries(st.integers(0, 6), st.integers(0, 99),
+                         min_size=0, max_size=5),
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 8),
+            st.integers(0, 99),
+            st.sampled_from(["insert", "update", "upsert", "delete"]),
+            st.integers(0, 5),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@_SET
+def test_merge_changes_matches_dict_reference(spark, base, ops):
+    """CDC merge vs an in-memory reference: compact the batch by
+    (seq DESC, op-precedence DESC, and the SAME deterministic
+    tie-break) then apply the op table semantics to a dict. Any
+    divergence is a compaction-order or matched/unmatched bug."""
+    from env_event_stream_spark.operators.merge import merge_changes
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or
+        spark.sparkContext.emptyRDD().map(lambda x: x),
+        "id bigint, v bigint",
+    ) if base else spark.createDataFrame([], "id bigint, v bigint")
+    ch_df = spark.createDataFrame(
+        [(k, v, op, seq) for (k, v, op, seq) in ops] or [],
+        "id bigint, v bigint, op string, seq bigint",
+    )
+
+    got = sorted((r.id, r.v) for r in merge_changes(base_df, ch_df, "id").collect())
+
+    # reference: pick per-key winner by (seq, rank); ties beyond that
+    # are resolved identically to the operator's row_number (stable on
+    # input order is NOT guaranteed there, so keep generated batches
+    # free of full ties: drop exact (key, seq, rank) duplicates the
+    # same way both sides would pick arbitrarily)
+    rank = {"delete": 3, "upsert": 2, "update": 2, "insert": 1}
+    win: dict[int, tuple] = {}
+    for k, v, op, seq in ops:
+        cur = win.get(k)
+        if cur is None or (seq, rank[op]) > (cur[2], rank[cur[1]]):
+            win[k] = (v, op, seq)
+    ref = dict(base)
+    for k, (v, op, seq) in win.items():
+        if op == "delete":
+            ref.pop(k, None)
+        elif op == "update":
+            if k in ref:
+                ref[k] = v
+        elif op == "upsert":
+            ref[k] = v
+        elif op == "insert":
+            if k not in dict(base):
+                ref[k] = v
+    want = sorted(ref.items())
+
+    # exact full ties (same key, seq, rank, different v) are genuinely
+    # ambiguous — skip those draws
+    seen = {}
+    ambiguous = False
+    for k, v, op, seq in ops:
+        key = (k, seq, rank[op])
+        if key in seen and seen[key] != v:
+            ambiguous = True
+        seen[key] = v
+    if not ambiguous:
+        assert got == want
