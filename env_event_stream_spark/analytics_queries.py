@@ -502,3 +502,57 @@ def evt_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"),
         F.round(F.max("value"), 4).alias("p100"),
     )
+
+
+@query(
+    "evt_rolling_p95_by_type",
+    """
+    WITH b AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             value
+      FROM events
+    )
+    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(count(*) AS BIGINT) AS n_days_rows,
+           round(max(p95), 4) AS p95_7d
+    FROM (
+      SELECT event_type, day_idx, value,
+             quantile_cont(value, 0.95)
+               OVER (PARTITION BY event_type ORDER BY day_idx
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS p95
+      FROM b)
+    GROUP BY event_type, day_idx
+    """,
+)
+def evt_rolling_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing p95 of event value per type — the SLA TREND
+    line (evt_value_percentiles_by_type gives the point-in-time
+    read; this shows drift). Exact windowed percentile over a RANGE
+    frame on the day index: Spark `percentile(...) OVER (RANGE 6
+    PRECEDING)` ≡ DuckDB windowed `quantile_cont` (linear
+    interpolation on the identical frame), verified row-equal before
+    rounding. One event_type shuffle carries window + rollup; with
+    few hot types at 100 TB the per-type sort is the cost — swap to
+    per-day t-digest merge when exactness can yield."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("day_idx"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        b.withColumn("p95", F.expr("percentile(value, 0.95D)").over(w))
+        .groupBy("event_type", F.col("day_idx").cast("bigint").alias("day_idx"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days_rows"),
+            F.round(F.max("p95"), 4).alias("p95_7d"),
+        )
+    )
