@@ -88,6 +88,8 @@ HEADLINE = [
     "evt_zorder_key",
     "window_top3_value_per_type",
     "evt_value_percentiles_by_type",
+    "doc_winnow_spans",
+    "evt_rolling_p95_by_type",
 ]
 
 
