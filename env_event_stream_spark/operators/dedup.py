@@ -654,26 +654,15 @@ def winnow_pairs(
     min_shared: int = 2,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints —
-    the MOSS overlap report. Inverted-index self-join on the selected
-    fingerprints (~1/w the size of the shingle index jaccard_pairs
-    joins on), hot fingerprints dropped at df_cap exactly like the
-    shingle df_cap skew guard. Output (id_a, id_b, n_shared)."""
-    # cache: the selection pass feeds both the doc-frequency cut and
-    # the pair join (the jaccard_pairs shingle-table pattern)
-    fp = winnow_fingerprint_table(df, text_col, id_col, k=k, w=w).cache()
-    dfq = fp.groupBy("fp").agg(F.count("*").alias("dfreq"))
-    kept = fp.join(
-        F.broadcast(dfq.where(F.col("dfreq") <= df_cap)), "fp"
-    ).select(id_col, "fp")
-    a = kept.select(F.col(id_col).alias("id_a"), "fp")
-    b = kept.select(F.col(id_col).alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
-    )
+    the MOSS overlap report. A strict projection of winnow_spans
+    (same bounded inverted-index join; the span extents it also
+    computes are a handful of min/max aggregates, so one shared
+    implementation instead of two pipelines to keep in sync).
+    Output (id_a, id_b, n_shared)."""
+    return winnow_spans(
+        df, text_col, id_col,
+        k=k, w=w, df_cap=df_cap, min_shared=min_shared,
+    ).select("id_a", "id_b", "n_shared")
 
 
 def winnow_spans(

@@ -50,13 +50,29 @@ def merge_changes(
     """Apply a CDC change batch to ``base``; returns the merged
     DataFrame (caller commits it — write parquet, or feed a matview).
     ``changes`` carries the base's data columns plus ``op_col`` and
-    ``seq_col``."""
+    ``seq_col``. Unknown op strings fail LOUDLY — an unrecognized op
+    could otherwise win compaction on seq and silently swallow a
+    key's legitimate changes."""
+    bad = (
+        changes.where(~F.col(op_col).isin(*_OP_RANK))
+        .select(op_col)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"merge_changes: unknown op {bad[0][0]!r} "
+            f"(expected one of {sorted(_OP_RANK)})"
+        )
     data_cols = [c for c in base.columns]
     rank = F.create_map(
         *[x for k, v in _OP_RANK.items() for x in (F.lit(k), F.lit(v))]
     )[F.col(op_col)]
+    # op_col ASC as the deterministic tertiary tie-break: update vs
+    # upsert share rank 2, and without it the compaction winner at an
+    # equal (seq, rank) would be partition-order-dependent
     w = Window.partitionBy(key).orderBy(
-        F.col(seq_col).desc(), rank.desc()
+        F.col(seq_col).desc(), rank.desc(), F.col(op_col).asc()
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

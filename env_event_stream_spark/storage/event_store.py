@@ -146,11 +146,14 @@ class InMemoryEventStore:
         right-to-erasure primitive; see ParquetEventStore twin)."""
         if not self._rows:
             return 0
-        df = self.to_df().where(F.col("topic") == topic).cache()
-        try:
-            doomed = {r.id for r in df.where(predicate).collect()}
-        finally:
-            df.unpersist()
+        doomed = {
+            r.id
+            for r in self.to_df()
+            .where(F.col("topic") == topic)
+            .where(predicate)
+            .select("id")
+            .collect()
+        }
         if not doomed:
             return 0
         n0 = len(self._rows)
@@ -293,7 +296,10 @@ def _erase_matching_parquet(store: "ParquetEventStore", topic: str,
     full = store.to_df().where(F.col("topic") == topic).cache()
     try:
         total = full.count()
-        keep = full.where(~predicate)
+        # NULL-predicate rows (e.g. payloads lacking the probed JSON
+        # field) must be KEPT: where(~NULL) would silently drop them —
+        # the one data-loss trap a generic erase primitive must close
+        keep = full.where(~F.coalesce(predicate, F.lit(False)))
         kept = keep.count()
         if kept == total:
             return 0

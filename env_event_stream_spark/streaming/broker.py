@@ -465,6 +465,11 @@ class EventBroker:
         (sourcing.forget_key_in_snapshot): they hold FOLDED per-
         subject state, so erasing history alone leaves a derived
         copy. Returns per-surface removal counts."""
+        if value is None:
+            # eqNullSafe(NULL) would be TRUE for every event that
+            # merely LACKS the field — a mass erase. A null subject id
+            # is always a caller bug; fail loudly.
+            raise ValueError("forget_subject: subject value must not be None")
         pred = F.get_json_object(
             F.col("payload"), f"$.{field}"
         ).eqNullSafe(F.lit(value).cast("string"))

@@ -841,6 +841,12 @@ def test_partial_topk_equals_plain_window_topk(spark, rows, k):
     assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)
 
 
+def _neg_str(x: str):
+    """Key helper: makes 'lower string sorts FIRST' usable inside a
+    max-comparison tuple (ASC op order within a DESC comparison)."""
+    return tuple(-ord(c) for c in x)
+
+
 @given(
     base=st.dictionaries(st.integers(0, 6), st.integers(0, 99),
                          min_size=0, max_size=5),
@@ -864,13 +870,10 @@ def test_merge_changes_matches_dict_reference(spark, base, ops):
     from env_event_stream_spark.operators.merge import merge_changes
 
     base_df = spark.createDataFrame(
-        [(k, v) for k, v in base.items()] or
-        spark.sparkContext.emptyRDD().map(lambda x: x),
-        "id bigint, v bigint",
-    ) if base else spark.createDataFrame([], "id bigint, v bigint")
+        list(base.items()), "id bigint, v bigint"
+    )
     ch_df = spark.createDataFrame(
-        [(k, v, op, seq) for (k, v, op, seq) in ops] or [],
-        "id bigint, v bigint, op string, seq bigint",
+        ops, "id bigint, v bigint, op string, seq bigint"
     )
 
     got = sorted((r.id, r.v) for r in merge_changes(base_df, ch_df, "id").collect())
@@ -884,7 +887,11 @@ def test_merge_changes_matches_dict_reference(spark, base, ops):
     win: dict[int, tuple] = {}
     for k, v, op, seq in ops:
         cur = win.get(k)
-        if cur is None or (seq, rank[op]) > (cur[2], rank[cur[1]]):
+        # mirror the operator's (seq DESC, rank DESC, op ASC) order:
+        # higher seq wins, then higher rank, then LOWER op string
+        if cur is None or (seq, rank[op], _neg_str(op)) > (
+            cur[2], rank[cur[1]], _neg_str(cur[1])
+        ):
             win[k] = (v, op, seq)
     ref = dict(base)
     for k, (v, op, seq) in win.items():
@@ -900,12 +907,13 @@ def test_merge_changes_matches_dict_reference(spark, base, ops):
                 ref[k] = v
     want = sorted(ref.items())
 
-    # exact full ties (same key, seq, rank, different v) are genuinely
-    # ambiguous — skip those draws
+    # exact full ties (same key, seq, OP, different v) are genuinely
+    # ambiguous — skip those draws (update-vs-upsert at one (seq,rank)
+    # is NOT ambiguous anymore: op ASC breaks it on both sides)
     seen = {}
     ambiguous = False
     for k, v, op, seq in ops:
-        key = (k, seq, rank[op])
+        key = (k, seq, op)
         if key in seen and seen[key] != v:
             ambiguous = True
         seen[key] = v

@@ -109,8 +109,8 @@ def counts() -> int:
                     f"NEXT.md: says '{m.group(0)}', bench.py HEADLINE has "
                     f"{len(_bench.HEADLINE)}"
                 )
-    except Exception:
-        pass
+    except Exception as exc:  # a broken bench.py IS drift — never green
+        bad.append(f"headline gate could not run: {exc!r}")
 
     cov_path = os.path.join(here, "COVERAGE.md")
     if os.path.exists(cov_path):
