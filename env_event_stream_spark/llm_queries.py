@@ -4655,3 +4655,49 @@ def doc_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_spans(
         d, "text", "doc_id", k=3, w=4, df_cap=50, min_shared=2
     )
+
+
+@_functools.lru_cache(maxsize=8)
+def _opq_index_dir(sf_dir: str) -> str:
+    """Build the persisted OPQ-rotated IVF-PQ index once per sf_dir
+    per process (deterministic models — caching cannot change
+    results)."""
+    import tempfile
+
+    from env_event_stream_spark.session import get_spark
+
+    _SPARK_TRAIN_DIRS.add(sf_dir)
+    path = tempfile.mkdtemp(prefix="opq_index_")
+    spark = get_spark("opq-index")
+    e = load_table(spark, sf_dir, "embeddings")
+    R, books = _opq_model_spark(spark, sf_dir)
+    # cents/books are rotated-space models: the same rotated stand-in
+    # cells and OPQ codebooks the live emb_knn_opq_adc uses
+    S.build_ivfpq_index(
+        e, path, id_col="vec_id", vec_col="embedding",
+        cents=_opq_rot_centroids(spark, sf_dir, R),
+        books=books,
+        rotation=R,
+    )
+    return path
+
+
+@query("emb_knn_opq_persisted", _knn_opq_adc_oracle)
+def emb_knn_opq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emb_knn_opq_adc search served from a PERSISTED index: the
+    rotation ships in the model sidecar, the corpus is rotated ONCE
+    at build (then encoded + partitioned by cell), and every search
+    rotates only its queries before the pruned-partition probe — the
+    operational shape of a deployed OPQ index (faiss "OPQ..,IVF..,PQ.."
+    written to disk). Same deterministic models and scoring tail as
+    the live query, hence the SAME oracle — live/persisted value-hash
+    equality is the round-trip proof (the emb_knn_pq_persisted
+    pattern, one rung up the ladder)."""
+    path = _opq_index_dir(sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").where(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    )
+    return S.search_ivfpq_index(
+        spark, path, q, id_col="vec_id", vec_col="embedding",
+        k=3, n_probe=2,
+    )

@@ -1354,6 +1354,7 @@ def build_ivfpq_index(
     sample_cap: int = 4096,
     cents: list[tuple[int, list[float]]] | None = None,
     books: list[list[list[float]]] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Materialize a searchable IVF-PQ index: train spherical-k-means
     cells + PQ codebooks (bounded driver-side sample), encode the
@@ -1369,6 +1370,15 @@ def build_ivfpq_index(
     import json
     import os
 
+    if rotation is not None:
+        # OPQ index: rotate the corpus (one extra row-local Arrow
+        # stage) before cell-assign + encode. ``cents``/``books`` are
+        # then models in ROTATED space (train them on the rotated
+        # corpus or rotate driver-side); the rotation ships in the
+        # sidecar so searches rotate queries to match.
+        corpus = rotate_arrow(
+            corpus, rotation, vec_col=vec_col, keep=[id_col]
+        )
     if cents is None:
         cents = train_ivf_centroids(
             corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
@@ -1397,7 +1407,16 @@ def build_ivfpq_index(
     )
     with open(os.path.join(path, "model.json"), "w") as f:
         # repr-exact floats: json round-trips float64 losslessly
-        json.dump({"centroids": cents, "books": books, "m": m, "k": k}, f)
+        json.dump(
+            {
+                "centroids": cents,
+                "books": books,
+                "m": m,
+                "k": k,
+                "rotation": rotation,
+            },
+            f,
+        )
 
 
 def search_ivfpq_index(
@@ -1424,6 +1443,16 @@ def search_ivfpq_index(
         model = json.load(f)
     cents = [(int(c), [float(x) for x in v]) for c, v in model["centroids"]]
     books = [[[float(x) for x in c] for c in book] for book in model["books"]]
+    rot = model.get("rotation")
+    if rot is not None:
+        # OPQ index: queries must probe/score in the same rotated
+        # space the corpus was encoded in
+        queries = rotate_arrow(
+            queries,
+            [[float(x) for x in row] for row in rot],
+            vec_col=vec_col,
+            keep=[id_col],
+        )
 
     cent = _centroid_frame(
         queries, id_col=id_col, vec_col=vec_col, n_cells=len(cents),
@@ -1472,6 +1501,16 @@ def append_to_ivfpq_index(
         model = json.load(f)
     cents = [(int(c), [float(x) for x in v]) for c, v in model["centroids"]]
     books = [[[float(x) for x in c] for c in book] for book in model["books"]]
+    rot = model.get("rotation")
+    if rot is not None:
+        # OPQ index: queries must probe/score in the same rotated
+        # space the corpus was encoded in
+        queries = rotate_arrow(
+            queries,
+            [[float(x) for x in row] for row in rot],
+            vec_col=vec_col,
+            keep=[id_col],
+        )
 
     cent = _centroid_frame(
         new_vectors, id_col=id_col, vec_col=vec_col, n_cells=len(cents),

@@ -300,3 +300,19 @@ def test_semantic_dedup_keep_rule(spark):
     # ~0.99 > 0.9) — exactly one of each dup group survives overall
     kept_cell0 = [v for v in out.values() if v.cell_id == 0 and v.keep]
     assert len(kept_cell0) == 1
+
+
+def test_opq_persisted_index_matches_live_search(spark, sf_dir):
+    """The OPQ rotation must round-trip the model sidecar exactly:
+    a search against the persisted OPQ index returns row-for-row the
+    live rotate->probe->ADC pipeline's answer (and the sidecar of a
+    rotation-free index keeps working — rotation=None path)."""
+    from env_event_stream_spark.llm_queries import (
+        emb_knn_opq_adc,
+        emb_knn_opq_persisted,
+    )
+
+    live = sorted(map(tuple, emb_knn_opq_adc(spark, sf_dir).collect()))
+    pers = sorted(map(tuple, emb_knn_opq_persisted(spark, sf_dir).collect()))
+    assert live == pers
+    assert len(live) == 30
