@@ -90,6 +90,10 @@ HEADLINE = [
     "evt_value_percentiles_by_type",
     "doc_winnow_spans",
     "evt_rolling_p95_by_type",
+    "doc_bm25_topk",
+    "doc_rrf_hybrid",
+    "emb_hard_negatives",
+    "evt_hist_percentiles_by_type",
 ]
 
 

@@ -556,3 +556,159 @@ def evt_rolling_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p95"), 4).alias("p95_7d"),
         )
     )
+
+
+@query(
+    "evt_hist_percentiles_by_type",
+    """
+    WITH mm AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+             count(*) AS n,
+             (max(value) - min(value)) / 128.0 AS w
+      FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type,
+             CASE WHEN vmax > vmin THEN
+               CAST(least(floor((value - vmin) / w), 127) AS BIGINT)
+             ELSE 0 END AS bin
+      FROM events e JOIN mm USING (event_type)),
+    h AS (SELECT event_type, bin, count(*) AS cnt
+          FROM b GROUP BY 1, 2),
+    c AS (SELECT event_type, bin, CAST(cnt AS DOUBLE) AS cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY bin) AS DOUBLE) AS cum
+          FROM h),
+    qs AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q),
+    hit AS (
+      SELECT event_type, q, min(bin) AS bin
+      FROM c CROSS JOIN qs
+      WHERE cum >= q * (SELECT n FROM mm m WHERE m.event_type = c.event_type)
+      GROUP BY 1, 2),
+    est AS (
+      SELECT hit.event_type, hit.q, mm.n,
+             CASE WHEN vmax > vmin THEN
+               vmin + w * (hit.bin
+                           + (hit.q * mm.n - (c.cum - c.cnt)) / c.cnt)
+             ELSE vmin END AS hist_est
+      FROM hit
+      JOIN c ON c.event_type = hit.event_type AND c.bin = hit.bin
+      JOIN mm ON mm.event_type = hit.event_type),
+    ex AS (
+      SELECT event_type,
+             CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q,
+             unnest([quantile_cont(value, 0.5),
+                     quantile_cont(value, 0.95),
+                     quantile_cont(value, 0.99)]) AS exact
+      FROM events GROUP BY event_type)
+    SELECT est.event_type, est.q, CAST(est.n AS BIGINT) AS n,
+           round(est.hist_est, 4) AS hist_est,
+           round(ex.exact, 4) AS exact,
+           round(est.hist_est - ex.exact, 4) AS err
+    FROM est JOIN ex ON ex.event_type = est.event_type AND ex.q = est.q
+    """,
+)
+def evt_hist_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-SKETCH percentile tier: a fixed 128-bin equi-width
+    histogram per event_type, with p50/p95/p99 read off the
+    cumulative counts by linear interpolation inside the hit bin —
+    the t-digest-class answer to evt_value_percentiles_by_type's
+    per-type full sort. The histogram is a map-side-combinable
+    (type, bin) count: at 100 TB each partition emits ≤128 partial
+    rows per type and NO value ever shuffles — this is the tier the
+    exact query's docstring promises.
+
+    Two narrow passes: (1) per-type min/max/count (scalar agg,
+    broadcast back), (2) row-local binning + (type, bin) count. The
+    quantile extraction runs over |types|×128 rows — driver-trivial.
+    The EXACT percentile rides along as the accuracy readout (same
+    recall-ladder philosophy as emb_*_recall_eval: the sketch ships
+    with its measured error, here ≲ bin width = range/128); at
+    production scale you'd drop the exact column — it is the cost
+    being avoided. Deterministic: binning and interpolation are
+    fixed double expressions replayed verbatim by the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("n"),
+        ((F.max("value") - F.min("value")) / F.lit(128.0)).alias("w"),
+    )
+    b = ev.join(F.broadcast(mm), "event_type").select(
+        "event_type",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / F.col("w")),
+                F.lit(127),
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
+    )
+    h = b.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    c = h.select(
+        "event_type",
+        "bin",
+        F.col("cnt").cast("double").alias("cnt"),
+        F.sum("cnt").over(wc).cast("double").alias("cum"),
+    )
+    qs = (
+        c.sparkSession.range(1)
+        .select(F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("q"))
+    )
+    hit = (
+        c.join(F.broadcast(mm.select("event_type", "n")), "event_type")
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("event_type", "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        hit.join(c, ["event_type", "bin"])
+        .join(F.broadcast(mm), "event_type")
+        .select(
+            "event_type",
+            "q",
+            F.col("n").cast("bigint").alias("n"),
+            F.when(
+                F.col("vmax") > F.col("vmin"),
+                F.col("vmin")
+                + F.col("w")
+                * (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                ),
+            )
+            .otherwise(F.col("vmin"))
+            .alias("hist_est"),
+        )
+    )
+    ex = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5D)").alias("e50"),
+            F.expr("percentile(value, 0.95D)").alias("e95"),
+            F.expr("percentile(value, 0.99D)").alias("e99"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0.5).alias("q"), F.col("e50").alias("exact")),
+                    F.struct(F.lit(0.95).alias("q"), F.col("e95").alias("exact")),
+                    F.struct(F.lit(0.99).alias("q"), F.col("e99").alias("exact")),
+                )
+            ).alias("s"),
+        )
+        .select("event_type", F.col("s.q").alias("q"), F.col("s.exact").alias("exact"))
+    )
+    return est.join(ex, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "n",
+        F.round("hist_est", 4).alias("hist_est"),
+        F.round("exact", 4).alias("exact"),
+        F.round(F.col("hist_est") - F.col("exact"), 4).alias("err"),
+    )

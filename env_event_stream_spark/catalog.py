@@ -17,3 +17,4 @@ import env_event_stream_spark.tpch_queries  # noqa: F401,E402
 import env_event_stream_spark.multimodal_queries  # noqa: F401,E402
 import env_event_stream_spark.streaming_queries  # noqa: F401,E402
 import env_event_stream_spark.analytics_queries  # noqa: F401,E402
+import env_event_stream_spark.retrieval_queries  # noqa: F401,E402

@@ -1,0 +1,356 @@
+"""Ranked retrieval over the document/embedding corpus — the search
+side of a training-data platform (find the docs a probe query hits:
+curation spot-checks, contamination audits, eval-set provenance).
+
+Three rungs:
+- ``doc_bm25_topk``     — lexical BM25 (Robertson/Sparck Jones k1/b
+  form, the Lucene/Elasticsearch default scorer).
+- ``doc_rrf_hybrid``    — reciprocal-rank fusion of the BM25 ranking
+  with an embedding-cosine ranking (the standard hybrid-search
+  combiner; Cormack et al., k=60).
+- ``emb_hard_negatives`` — triplet mining for contrastive training:
+  per anchor, the hardest positive (same label, least similar is NOT
+  wanted — hardest positive = most similar non-self) and hardest
+  negative (different label, most similar).
+
+Scale notes (100 TB): BM25 here is deliberately *query-time* shaped —
+the query's terms are a tiny literal set, so term stats (df, avgdl,
+N) are two scalar-row aggregates broadcast back onto a row-local
+scoring pass; the corpus is never exploded and never shuffled (no
+posting-list build — that's doc_tfidf_top_terms' shape). Per-term tf
+uses size(filter(tokens)) per row, which whole-stage-codegens. The
+final rank only sees docs that matched ≥1 query term. Hard-negative
+mining broadcasts the anchor batch (a training batch is KBs) and
+reduces the corpus with a map-side-combinable max(struct) — the
+corpus never shuffles full rows, only |anchors|×2 partials per
+partition.
+
+Determinism: BM25 contributions are summed in FIXED term order (a
+three-addend expression, not an agg over exploded rows) so the double
+result is bit-identical to the DuckDB oracle; constants are spelled
+as the same literals on both sides (2.2 not k1+1 — 1.2+1.0 rounds to
+a different double than the literal 2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.functions.text import tokens
+from env_event_stream_spark.functions.vectors import as_double, dot, l2_norm
+from env_event_stream_spark.queries import query
+from env_event_stream_spark.tables import load_table
+
+# The probe query: one rare term ('dup', df≈5%) + two common terms —
+# the classic BM25 demo shape where idf separates the rare term's
+# contribution from the background.
+BM25_TERMS = ("dup", "merge", "window")
+_RRF_K = 60
+_RRF_POOL = 50  # per-ranker candidate pool fused by RRF
+
+
+def _eq_term(t: str):
+    """One-param lambda factory for F.filter — a ``lambda x, t=t``
+    default argument would widen the signature to the (element,
+    index) form and silently compare against the INDEX (the repo's
+    recorded higher-order-function pitfall)."""
+    return lambda x: x == F.lit(t)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for docs matching ≥1 query term.
+
+    Two passes: (1) row-local per-term tf + doc length, (2) one
+    scalar aggregate row (N, avgdl, per-term df) broadcast back, then
+    a row-local fixed-order score expression. No explode, no corpus
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(tk).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(tk, _eq_term(t))).cast("double").alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    contribs = []
+    for t in BM25_TERMS:
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log(
+            (F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(1.2) * (
+            F.lit(1.0) - F.lit(0.75)
+            + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+        )
+        contribs.append(
+            F.when(tf > 0, idf * tf * F.lit(2.2) / denom).otherwise(F.lit(0.0))
+        )
+    # fixed-order sum: c0 + c1 + c2 — bit-identical across engines
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return scored.select("doc_id", score.alias("score")).where(
+        F.col("score") > 0
+    )
+
+
+def _bm25_contrib_sql(t: str) -> str:
+    return (
+        f"(CASE WHEN tf_{t} > 0 THEN "
+        f"ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0) * tf_{t} * 2.2 / "
+        f"(tf_{t} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) "
+        f"ELSE 0.0 END)"
+    )
+
+
+_BM25_CTES = r"""
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      FROM documents),
+b AS (SELECT doc_id,
+             CAST(len(tk) AS DOUBLE) AS dl,
+""" + ",\n".join(
+    f"             CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+    f" AS tf_{t}"
+    for t in BM25_TERMS
+) + r"""
+      FROM t),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+""" + ",\n".join(
+    f"             CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)"
+    f" AS DOUBLE) AS df_{t}"
+    for t in BM25_TERMS
+) + r"""
+      FROM b),
+sc AS (SELECT doc_id,
+              """ + " + ".join(
+    _bm25_contrib_sql(t) for t in BM25_TERMS
+) + r""" AS score
+       FROM b CROSS JOIN s),
+matched AS (SELECT doc_id, score FROM sc WHERE score > 0)
+"""
+
+
+@query(
+    "doc_bm25_topk",
+    "WITH "
+    + _BM25_CTES
+    + """
+    SELECT doc_id, round(score, 6) AS bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM matched)
+    WHERE rank <= 20
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed probe query (k1=1.2, b=0.75) — the
+    Lucene-default lexical scorer, query-time shaped (see module
+    docstring: scalar stats broadcast, row-local tf, no posting
+    lists, corpus never shuffled). Only matched docs reach the final
+    rank; the global top-k is a single-column sort over the matched
+    subset, which at 100 TB is the scale of the rare-term df, not
+    the corpus."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", F.round("score", 6).alias("bm25"), "rank")
+    )
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "doc_rrf_hybrid",
+    "WITH "
+    + _BM25_CTES
+    + f""",
+    bmr AS (SELECT doc_id, row_number() OVER
+                     (ORDER BY score DESC, doc_id ASC) AS rank_bm25
+            FROM matched WHERE doc_id <> 0),
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+           WHERE vec_id = 0),
+    vs AS (SELECT vec_id AS doc_id,
+                  {_COS_SQL.format(a="q", b="embedding::DOUBLE[]")} AS csim
+           FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+    vr AS (SELECT doc_id, row_number() OVER
+                    (ORDER BY csim DESC, doc_id ASC) AS rank_vec
+           FROM vs),
+    fused AS (
+      SELECT doc_id,
+             rank_bm25, rank_vec,
+             coalesce(1.0 / ({_RRF_K} + rank_bm25), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + rank_vec), 0.0) AS rrf
+      FROM (SELECT * FROM bmr WHERE rank_bm25 <= {_RRF_POOL}) b
+      FULL JOIN (SELECT * FROM vr WHERE rank_vec <= {_RRF_POOL}) v
+      USING (doc_id))
+    SELECT doc_id,
+           CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+           CAST(rank_vec AS BIGINT) AS rank_vec,
+           round(rrf, 6) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def doc_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: RRF (k=60) fusing the BM25 ranking with the
+    embedding-cosine ranking for the same probe (text = BM25_TERMS,
+    vector = doc 0's embedding; doc 0 itself excluded from both
+    pools so the trivial self-hit doesn't pin rank 1). Each ranker
+    contributes its top-50; docs found by only one ranker score with
+    the other's term zeroed (full outer join). RRF is the
+    score-scale-free combiner — no min-max normalization to tune,
+    which is why it's the hybrid default in Elasticsearch/Vespa.
+
+    Scale: both rankers end in a top-50 — pools are tiny whatever
+    the corpus; the fusion join and final sort are driver-trivial.
+    """
+    bm = _bm25_scored(spark, sf_dir).where(F.col("doc_id") != 0)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bmr = (
+        bm.withColumn("rank_bm25", F.row_number().over(wb))
+        .where(F.col("rank_bm25") <= _RRF_POOL)
+        .select("doc_id", "rank_bm25")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("q")
+    )
+    cand = e.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), as_double(F.col("embedding")).alias("v")
+    )
+    vs = cand.join(F.broadcast(qv)).withColumn(
+        "csim",
+        dot(F.col("q"), F.col("v")) / (l2_norm(F.col("q")) * l2_norm(F.col("v"))),
+    )
+    wv = Window.orderBy(F.col("csim").desc(), F.col("doc_id").asc())
+    vr = (
+        vs.withColumn("rank_vec", F.row_number().over(wv))
+        .where(F.col("rank_vec") <= _RRF_POOL)
+        .select("doc_id", "rank_vec")
+    )
+
+    fused = bmr.join(vr, "doc_id", "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_bm25")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_vec")), F.lit(0.0)),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("fused_rank") <= 10)
+        .select(
+            "doc_id",
+            F.col("rank_bm25").cast("bigint").alias("rank_bm25"),
+            F.col("rank_vec").cast("bigint").alias("rank_vec"),
+            F.round("rrf", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+
+
+@query(
+    "emb_hard_negatives",
+    f"""
+    WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
+                      embedding::DOUBLE[] AS av
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    s AS (SELECT anchor_id,
+                 vec_id,
+                 (label = a_label) AS same_label,
+                 {_COS_SQL.format(a="av", b="cv")} AS csim
+          FROM a JOIN c ON vec_id <> anchor_id),
+    r AS (SELECT *, row_number() OVER
+                 (PARTITION BY anchor_id, same_label
+                  ORDER BY csim DESC, vec_id ASC) AS rn
+          FROM s)
+    SELECT anchor_id,
+           max(CASE WHEN same_label THEN vec_id END) AS pos_id,
+           round(max(CASE WHEN same_label THEN csim END), 6) AS pos_sim,
+           max(CASE WHEN NOT same_label THEN vec_id END) AS neg_id,
+           round(max(CASE WHEN NOT same_label THEN csim END), 6) AS neg_sim,
+           round(max(CASE WHEN same_label THEN csim END)
+                 - max(CASE WHEN NOT same_label THEN csim END), 6) AS margin
+    FROM r WHERE rn = 1
+    GROUP BY anchor_id
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training: for each anchor
+    (vec_id % 50 = 0 — the 'batch'), the hardest positive (most
+    similar same-label neighbor) and hardest negative (most similar
+    different-label vector), plus the triplet margin. Negative
+    margins mark the anchors a contrastive update actually learns
+    from (an impostor outranks the true neighbor).
+
+    Scale: the anchor batch broadcasts; the corpus is scanned once
+    and reduced with max(struct(csim, -vec_id)) per (anchor, side) —
+    a map-side-combinable aggregate, so each partition emits at most
+    |anchors|×2 partial rows and the corpus itself never shuffles.
+    The struct max realizes the sim-desc, vec_id-asc tie-break
+    (larger -vec_id = smaller vec_id)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        as_double(F.col("embedding")).alias("av"),
+    ).withColumn("an", l2_norm(F.col("av")))
+    c = e.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    s = (
+        c.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id"))
+        .withColumn(
+            "csim", dot(F.col("av"), F.col("cv")) / (F.col("an") * F.col("cn"))
+        )
+        .withColumn("same_label", F.col("label") == F.col("a_label"))
+    )
+    best = s.groupBy("anchor_id", "same_label").agg(
+        F.max(
+            F.struct(
+                F.col("csim").alias("csim"),
+                (-F.col("vec_id")).alias("neg_vid"),
+            )
+        ).alias("b")
+    )
+    return best.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("same_label"), -F.col("b.neg_vid"))).alias("pos_id"),
+        F.round(
+            F.max(F.when(F.col("same_label"), F.col("b.csim"))), 6
+        ).alias("pos_sim"),
+        F.max(F.when(~F.col("same_label"), -F.col("b.neg_vid"))).alias("neg_id"),
+        F.round(
+            F.max(F.when(~F.col("same_label"), F.col("b.csim"))), 6
+        ).alias("neg_sim"),
+        F.round(
+            F.max(F.when(F.col("same_label"), F.col("b.csim")))
+            - F.max(F.when(~F.col("same_label"), F.col("b.csim"))),
+            6,
+        ).alias("margin"),
+    )
