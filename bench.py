@@ -94,6 +94,8 @@ HEADLINE = [
     "doc_rrf_hybrid",
     "emb_hard_negatives",
     "evt_hist_percentiles_by_type",
+    "doc_exactsubstr_spans",
+    "doc_scrub_contamination",
 ]
 
 

@@ -4701,3 +4701,234 @@ def emb_knn_opq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, q, id_col="vec_id", vec_col="embedding",
         k=3, n_probe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better", the exactsubstr rung): longest common
+# CONTIGUOUS token run per near-dup candidate pair, located. The
+# suffix-array formulation is replaced by the equivalent seed-and-
+# extend relational plan: any common run of L >= 5 tokens surfaces
+# L-4 consecutive matching 5-gram positions on one (pos_a - pos_b)
+# diagonal, so max-run-per-diagonal recovers the exact run length and
+# extent — no suffix array, no quadratic alignment, every stage a
+# bounded equi-join/agg.
+# ---------------------------------------------------------------------------
+
+_SEED_N = 5  # seed gram width: detects (and measures exactly) runs >= 5
+
+
+@query(
+    "doc_exactsubstr_spans",
+    "WITH "
+    + _TOKENS_CTE
+    + f""",
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                       || tk[i+3] || ' ' || tk[i+4] AS gram
+          FROM (SELECT doc_id, tk,
+                       unnest(range(1, len(tk) - {_SEED_N - 2})) AS i
+                FROM t WHERE len(tk) >= {_SEED_N})),
+    m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM g a JOIN g b ON a.gram = b.gram
+                           AND a.doc_id < b.doc_id),
+    r AS (SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+                 pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                         ORDER BY pa) AS grp
+          FROM m),
+    runs AS (SELECT id_a, id_b,
+                    count(*) + {_SEED_N - 1} AS run_len,
+                    min(pa) AS start_a, min(pb) AS start_b
+             FROM r GROUP BY id_a, id_b, diag, grp),
+    best AS (SELECT *, row_number() OVER
+                 (PARTITION BY id_a, id_b
+                  ORDER BY run_len DESC, start_a ASC, start_b ASC) AS rn
+             FROM runs)
+    SELECT id_a, id_b,
+           CAST(run_len AS BIGINT) AS lcs_tokens,
+           CAST(start_a AS BIGINT) AS start_a,
+           CAST(start_b AS BIGINT) AS start_b
+    FROM best WHERE rn = 1
+    """,
+)
+def doc_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: for every pair of docs sharing a
+    5-token run, the length and extent (start in both docs) of their
+    LONGEST common contiguous token run — the signal Lee et al. cut
+    on (their threshold is 50 BPE tokens; the seed width is the
+    detection floor and this corpus's docs are ~30 tokens, so 5).
+
+    Plan: 5-gram inverted-index self-join proposes (pos_a, pos_b)
+    matches — ONLY docs sharing a full seed gram ever pair, the same
+    bounded-candidates property as the MinHash/winnowing rungs (add
+    the df-cap guard of operators/dedup.py for adversarial hot grams
+    at 100 TB). Matches on the same diagonal (pos_a - pos_b) with
+    consecutive pos_a form islands (pos_a - row_number), one
+    groupBy recovers each run's exact length/extent, and a per-pair
+    top-1 window picks the longest (ties: smallest start_a then
+    start_b). Shuffles: gram join, (pair,diag) islands, pair top-1 —
+    all keyed by pair, which the seed join already bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    from env_event_stream_spark.functions.text import _ngram_array
+
+    tk = tokens(F.col("text"))
+    g = (
+        d.select("doc_id", tk.alias("tk"))
+        .where(F.size("tk") >= _SEED_N)
+        .select(
+            "doc_id",
+            F.posexplode(_ngram_array(F.col("tk"), _SEED_N)).alias("pos", "gram"),
+        )
+    )
+    a = g.select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "gram"
+    )
+    m = a.join(b, "gram").where(F.col("id_a") < F.col("id_b"))
+    wd = Window.partitionBy("id_a", "id_b", F.col("pa") - F.col("pb")).orderBy(
+        "pa"
+    )
+    r = m.select(
+        "id_a",
+        "id_b",
+        "pa",
+        "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(wd)).alias("grp"),
+    )
+    runs = r.groupBy("id_a", "id_b", "diag", "grp").agg(
+        (F.count("*") + F.lit(_SEED_N - 1)).alias("run_len"),
+        F.min("pa").alias("start_a"),
+        F.min("pb").alias("start_b"),
+    )
+    wb = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("run_len").desc(), F.col("start_a").asc(), F.col("start_b").asc()
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("run_len").cast("bigint").alias("lcs_tokens"),
+            F.col("start_a").cast("bigint").alias("start_a"),
+            F.col("start_b").cast("bigint").alias("start_b"),
+        )
+    )
+
+
+@query(
+    "doc_scrub_contamination",
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                FROM t WHERE len(tk) >= 3)
+          WHERE doc_id % 97 <> 0),
+    ev AS (SELECT DISTINCT sh AS shingle FROM sh WHERE doc_id % 97 = 0),
+    hitpos AS (SELECT g.doc_id, g.pos FROM g JOIN ev USING (shingle)),
+    rm AS (SELECT DISTINCT doc_id, pos + off AS j
+           FROM hitpos CROSS JOIN (SELECT unnest([0, 1, 2]) AS off)),
+    tok AS (SELECT doc_id, i - 1 AS j, tk[i] AS tok
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                  FROM t WHERE doc_id % 97 <> 0)
+            WHERE doc_id IN (SELECT DISTINCT doc_id FROM hitpos)),
+    kept AS (SELECT tok.doc_id, tok.j, tok.tok
+             FROM tok LEFT JOIN rm
+               ON rm.doc_id = tok.doc_id AND rm.j = tok.j
+             WHERE rm.doc_id IS NULL)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) - count(kept.j) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(kept.tok, ' ' ORDER BY kept.j), ''))
+             AS clean_hash
+    FROM tok LEFT JOIN kept
+      ON kept.doc_id = tok.doc_id AND kept.j = tok.j
+    GROUP BY tok.doc_id
+    """,
+)
+def doc_scrub_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping a contaminated
+    training doc (doc_decontaminate's verdict), cut ONLY the tokens
+    covered by an eval-overlapping 3-gram (doc_contamination_spans'
+    output, widened to the 3 token indexes each hit spans) and emit
+    the scrubbed doc's shape: total/removed token counts + md5 of
+    the re-joined clean text (the hash pins exact reassembly order —
+    the column a downstream writer would actually materialize).
+
+    Scale: eval shingles broadcast (KBs); hit positions explode ×3
+    to removal indexes; ONLY contaminated docs (a semi-join-selected
+    small fraction) are tokenized positionally and reassembled — the
+    clean 100 TB majority never shuffles. Reassembly is one
+    doc_id-keyed agg over kept tokens with an in-group order."""
+    d = load_table(spark, sf_dir, "documents")
+    from env_event_stream_spark.functions.text import _ngram_array
+
+    is_eval = F.col("doc_id") % 97 == 0
+    train = d.where(~is_eval).select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    grams = train.where(F.size("tk") >= 3).select(
+        "doc_id",
+        F.posexplode(_ngram_array(F.col("tk"), 3)).alias("pos", "shingle"),
+    )
+    ev = (
+        d.where(is_eval)
+        .select(
+            F.explode(
+                shingles_from_tokens(tokens(F.col("text")), 3)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    hitpos = grams.join(F.broadcast(ev), "shingle").select("doc_id", "pos")
+    rm = (
+        hitpos.select(
+            "doc_id",
+            F.explode(
+                F.array(F.lit(0), F.lit(1), F.lit(2))
+            ).alias("off"),
+            "pos",
+        )
+        .select("doc_id", (F.col("pos") + F.col("off")).alias("j"))
+        .distinct()
+    )
+    contaminated = hitpos.select("doc_id").distinct()
+    tok = (
+        train.join(F.broadcast(contaminated), "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("tk").alias("j", "tok"))
+    )
+    kept = tok.join(rm, ["doc_id", "j"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("clean_hash"),
+    )
+    totals = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(
+                F.col("clean_hash"), F.md5(F.lit(""))
+            ).alias("clean_hash"),
+        )
+    )
