@@ -96,6 +96,8 @@ HEADLINE = [
     "evt_hist_percentiles_by_type",
     "doc_exactsubstr_spans",
     "doc_scrub_contamination",
+    "graph_pagerank_custsupp",
+    "evt_rolling_p95_hist_by_type",
 ]
 
 

@@ -1055,3 +1055,94 @@ def window_top3_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", "value",
         F.col("rn").cast("bigint").alias("rn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: integer-exact PageRank over the
+# customer↔supplier trade graph (the "who anchors the network" rank).
+# ---------------------------------------------------------------------------
+
+_PR_UNIT = 10**12
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        """e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """edges AS (
+         SELECT 'c:' || CAST(c AS VARCHAR) AS src,
+                's:' || CAST(s AS VARCHAR) AS dst FROM e0
+         UNION ALL
+         SELECT 's:' || CAST(s AS VARCHAR), 'c:' || CAST(c AS VARCHAR)
+         FROM e0)""",
+        """deg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg
+               FROM edges GROUP BY src)""",
+        "n AS (SELECT count(*) AS n FROM deg)",
+        f"""r0 AS (SELECT src AS node, odeg,
+                  CAST({_PR_UNIT} // n.n AS BIGINT) AS r
+               FROM deg CROSS JOIN n)""",
+    ]
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""r{k} AS (
+          SELECT deg.src AS node, deg.odeg,
+                 CAST((15 * {_PR_UNIT}) // (100 * n.n)
+                      + (85 * coalesce(s.total, 0)) // 100 AS BIGINT) AS r
+          FROM deg CROSS JOIN n
+          LEFT JOIN (SELECT e.dst AS nd,
+                            sum({prev}.r // {prev}.odeg) AS total
+                     FROM edges e JOIN {prev} ON {prev}.node = e.src
+                     GROUP BY e.dst) s
+            ON s.nd = deg.src)"""
+        )
+        prev = f"r{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, odeg, r AS rank_units,
+           CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT)
+             AS pos
+    FROM {prev}
+    QUALIFY pos <= 20
+    """
+    )
+
+
+@query("graph_pagerank_custsupp", _pagerank_oracle())
+def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations) over the
+    symmetrized customer↔supplier trade graph (distinct
+    orders⋈lineitem pairs), top-20 nodes — the iterative-algorithm
+    rung of the catalog next to connected_components.
+
+    INTEGER-EXACT (operators/graph.py:pagerank_int): ranks in 10^12
+    micro-units, contributions rank DIV odeg, damping (85·sum) DIV
+    100 — bigint sums are order-independent, so a multi-engine
+    value-hash holds where double PageRank never would, and re-runs
+    are bit-identical on any partitioning. Per iteration: one
+    node-keyed join + grouped sum (co-partitioned), localCheckpoint
+    lineage truncation; the only driver scalar is the node count."""
+    from env_event_stream_spark.operators.graph import pagerank_int
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = e0.select(c.alias("src"), s.alias("dst")).unionByName(
+        e0.select(s.alias("src"), c.alias("dst"))
+    )
+    pr = pagerank_int(edges, iterations=_PR_ITERS, unit=_PR_UNIT)
+    w = Window.orderBy(F.col("rank_units").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .where(F.col("pos") <= 20)
+        .select("node", "odeg", "rank_units", "pos")
+    )

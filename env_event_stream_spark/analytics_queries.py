@@ -712,3 +712,165 @@ def evt_hist_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact", 4).alias("exact"),
         F.round(F.col("hist_est") - F.col("exact"), 4).alias("err"),
     )
+
+
+@query(
+    "evt_rolling_p95_hist_by_type",
+    """
+    WITH mm AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+             (max(value) - min(value)) / 128.0 AS w
+      FROM events GROUP BY event_type),
+    d AS (
+      SELECT e.event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             CASE WHEN vmax > vmin THEN
+               CAST(least(floor((value - vmin) / w), 127) AS BIGINT)
+             ELSE 0 END AS bin
+      FROM events e JOIN mm USING (event_type)),
+    daily AS (SELECT event_type, day_idx, bin, count(*) AS cnt
+              FROM d GROUP BY 1, 2, 3),
+    days AS (SELECT DISTINCT event_type, day_idx FROM d),
+    grid AS (SELECT event_type, day_idx, unnest(range(0, 128)) AS bin
+             FROM days),
+    base AS (SELECT g.event_type, g.day_idx, g.bin,
+                    coalesce(daily.cnt, 0) AS cnt
+             FROM grid g LEFT JOIN daily
+               USING (event_type, day_idx, bin)),
+    win AS (SELECT event_type, day_idx, bin,
+                   sum(cnt) OVER (PARTITION BY event_type, bin
+                                  ORDER BY day_idx
+                                  RANGE BETWEEN 6 PRECEDING
+                                        AND CURRENT ROW) AS mcnt
+            FROM base),
+    c AS (SELECT event_type, day_idx, bin,
+                 CAST(mcnt AS DOUBLE) AS cnt,
+                 CAST(sum(mcnt) OVER (PARTITION BY event_type, day_idx
+                                      ORDER BY bin) AS DOUBLE) AS cum,
+                 CAST(sum(mcnt) OVER (PARTITION BY event_type, day_idx)
+                      AS DOUBLE) AS n7
+          FROM win),
+    hit AS (SELECT event_type, day_idx, min(bin) AS bin
+            FROM c WHERE cum >= 0.95 * n7 GROUP BY 1, 2),
+    est AS (SELECT hit.event_type, hit.day_idx, hit.bin,
+                   c.cum, c.cnt, c.n7
+            FROM hit JOIN c ON c.event_type = hit.event_type
+                           AND c.day_idx = hit.day_idx
+                           AND c.bin = hit.bin)
+    SELECT est.event_type, CAST(est.day_idx AS BIGINT) AS day_idx,
+           CAST(est.n7 AS BIGINT) AS n_7d,
+           floor((CASE WHEN vmax > vmin THEN
+                   vmin + w * (est.bin + (0.95 * est.n7
+                                          - (est.cum - est.cnt)) / est.cnt)
+                 ELSE vmin END) * 10000 + 0.5) / 10000 AS p95_7d_hist
+    FROM est JOIN mm ON mm.event_type = est.event_type
+    """,
+)
+def evt_rolling_p95_hist_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY payoff of the histogram tier: 7-day trailing
+    p95 per type computed by MERGING per-day histograms — the sketch
+    twin of evt_rolling_p95_by_type, whose exact form re-sorts every
+    window (its docstring names this query as the at-scale swap).
+    Because equi-width histograms over a SHARED per-type bin grid
+    merge by adding counts, the rolling window is a range-frame SUM
+    over (type, bin) daily partials: events are scanned twice (global
+    min/max, then daily bin counts) and NO value is ever sorted or
+    re-shuffled per window.
+
+    Everything after the daily (type, day, bin) counts runs on the
+    fixed |types|×|days|×128 grid — size set by the calendar, not the
+    corpus, so the window/cumsum/interpolation stages cost the same
+    at 100 TB as at sf0.01. Deterministic double math replayed
+    verbatim by the oracle; single-window accuracy is measured by
+    evt_hist_percentiles_by_type's err column."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        ((F.max("value") - F.min("value")) / F.lit(128.0)).alias("w"),
+    )
+    d = ev.join(F.broadcast(mm), "event_type").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / F.col("w")),
+                F.lit(127),
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
+    )
+    daily = d.groupBy("event_type", "day_idx", "bin").agg(
+        F.count("*").alias("cnt")
+    )
+    grid = (
+        d.select("event_type", "day_idx")
+        .distinct()
+        .select(
+            "event_type",
+            "day_idx",
+            F.explode(F.sequence(F.lit(0), F.lit(127))).alias("bin"),
+        )
+        .withColumn("bin", F.col("bin").cast("bigint"))
+    )
+    base = grid.join(daily, ["event_type", "day_idx", "bin"], "left").select(
+        "event_type",
+        "day_idx",
+        "bin",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+    )
+    wroll = (
+        Window.partitionBy("event_type", "bin")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    win = base.withColumn("mcnt", F.sum("cnt").over(wroll))
+    wcum = Window.partitionBy("event_type", "day_idx").orderBy("bin")
+    wtot = Window.partitionBy("event_type", "day_idx")
+    c = win.select(
+        "event_type",
+        "day_idx",
+        "bin",
+        F.col("mcnt").cast("double").alias("cnt"),
+        F.sum("mcnt").over(wcum).cast("double").alias("cum"),
+        F.sum("mcnt").over(wtot).cast("double").alias("n7"),
+    )
+    hit = (
+        c.where(F.col("cum") >= F.lit(0.95) * F.col("n7"))
+        .groupBy("event_type", "day_idx")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = hit.join(c, ["event_type", "day_idx", "bin"])
+    return est.join(F.broadcast(mm), "event_type").select(
+        "event_type",
+        "day_idx",
+        F.col("n7").cast("bigint").alias("n_7d"),
+        # floor(x*1e4+0.5)/1e4, NOT round(): a .00005 tie flips
+        # between Spark's shortest-repr and DuckDB's raw-binary
+        # rounding, while this is the same IEEE ops on both engines
+        (
+            F.floor(
+                F.when(
+                    F.col("vmax") > F.col("vmin"),
+                    F.col("vmin")
+                    + F.col("w")
+                    * (
+                        F.col("bin")
+                        + (
+                            F.lit(0.95) * F.col("n7")
+                            - (F.col("cum") - F.col("cnt"))
+                        )
+                        / F.col("cnt")
+                    ),
+                ).otherwise(F.col("vmin"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("p95_7d_hist"),
+    )

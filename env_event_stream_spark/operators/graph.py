@@ -74,3 +74,73 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 3,
+    unit: int = 10**12,
+) -> DataFrame:
+    """INTEGER-EXACT PageRank (damping 0.85), fixed iteration count.
+
+    All arithmetic is bigint: ranks live in ``unit`` micro-units,
+    per-edge contributions are ``rank DIV out_degree``, and the
+    damping step is ``(85 * sum) DIV 100`` — so the result is
+    INDEPENDENT OF SUMMATION ORDER (bigint addition is associative/
+    commutative where double addition is not), which is what lets an
+    iterative algorithm survive a cross-engine value-hash oracle and
+    re-run bit-identically on any cluster layout. The rounding the
+    integer divisions introduce is far below any ranking use's noise
+    floor (1 micro-unit in 10^12).
+
+    Scale: per iteration one node-keyed join (contributions onto
+    edges) + one grouped sum on the destination — co-partitioned
+    after round one — and a localCheckpoint to truncate lineage
+    (same discipline as connected_components). The node count is the
+    single driver scalar.
+
+    Returns (node, odeg, rank_units). Dangling nodes are the
+    caller's concern — symmetrize the edge list (as the bipartite
+    catalog query does) and there are none."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("odeg"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    base = (15 * unit) // (100 * n)  # exact int — replayed by the oracle
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        "odeg",
+        F.lit(unit // n).cast("bigint").alias("r"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = ranks.select(
+            "node", F.expr("r DIV odeg").alias("contrib")
+        )
+        total = (
+            e.join(contrib, e.src == contrib.node)
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("total"))
+        )
+        ranks = (
+            deg.join(total, deg.src == total.dst, "left")
+            .select(
+                F.col("src").alias("node"),
+                "odeg",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(total, 0L)) DIV 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "odeg", F.col("r").alias("rank_units"))

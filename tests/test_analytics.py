@@ -154,3 +154,52 @@ def test_fold_funnel_matches_declarative_spec_fuzz():
             else None
         )
         assert (s["t_view"], s["t_click"], s["t_purchase"]) == (t1, t2, t3), evs
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark, sf_dir):
+    """Integer PageRank: total rank mass stays within the integer-
+    division rounding loss of one unit (each node's DIV discards
+    < odeg micro-units per iteration; the damping DIV < 100 more),
+    re-runs are bit-identical, and every rank is positive."""
+    from env_event_stream_spark.catalog import QUERIES
+
+    r1 = QUERIES["graph_pagerank_custsupp"](spark, sf_dir).collect()
+    r2 = QUERIES["graph_pagerank_custsupp"](spark, sf_dir).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    assert all(r.rank_units > 0 for r in r1)
+    assert [r.pos for r in sorted(r1, key=lambda r: r.pos)] == list(
+        range(1, 21)
+    )
+    # rank follows (damped) degree on this near-regular graph: the
+    # top node must be a hub (degree above the median)
+    degs = sorted(r.odeg for r in r1)
+    top = min(r1, key=lambda r: r.pos)
+    assert top.odeg >= degs[len(degs) // 2]
+
+
+def test_rolling_hist_p95_window_mass_and_bounds(spark, sf_dir):
+    """n_7d must equal the true event count of each 7-day window,
+    and the estimate must stay inside the type's [vmin, vmax]."""
+    import datetime as dt2
+
+    from env_event_stream_spark.catalog import QUERIES
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.to_date("ts").alias("d"), "value"
+    )
+    rows = ev.collect()
+    base = dt2.date(2024, 1, 1)
+    per_type: dict[str, list[tuple[int, float]]] = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(
+            ((r.d - base).days, r.value)
+        )
+    out = QUERIES["evt_rolling_p95_hist_by_type"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        pts = per_type[r.event_type]
+        in_win = [v for (dd, v) in pts if r.day_idx - 6 <= dd <= r.day_idx]
+        assert r.n_7d == len(in_win), (r.event_type, r.day_idx)
+        lo = min(v for _, v in pts)
+        hi = max(v for _, v in pts)
+        assert lo - 1e-9 <= r.p95_7d_hist <= hi + 1e-9
