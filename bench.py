@@ -98,6 +98,7 @@ HEADLINE = [
     "doc_scrub_contamination",
     "graph_pagerank_custsupp",
     "evt_rolling_p95_hist_by_type",
+    "evt_stream_hist_p95",
 ]
 
 

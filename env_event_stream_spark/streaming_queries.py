@@ -872,3 +872,154 @@ def evt_stream_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = _run_update_to_latest(out, "scd2")
     res = _latest_epoch_rows(spark, sink_dir, "user_id")
     return res.select("user_id", "status", "valid_from", "n_changes")
+
+
+# ---------------------------------------------------------------------------
+# Streaming histogram-percentile matview (10th genuinely-streaming
+# oracled entry): the mergeable sketch family's live form.
+# ---------------------------------------------------------------------------
+
+
+def hist_bin_stream_agg(ev: DataFrame, mm: DataFrame) -> DataFrame:
+    """The streaming (event_type, bin) histogram aggregation, shared
+    by the catalog query and the multi-batch pytest. ``mm`` is the
+    static per-type (vmin, vmax, w) frame (stream-static join —
+    production would pin fixed config bins instead of a batch
+    pre-pass). Bin counts are exactly the batch formula's."""
+    return (
+        ev.join(mm, "event_type")
+        .select(
+            "event_type",
+            F.when(
+                F.col("vmax") > F.col("vmin"),
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("vmin")) / F.col("w")
+                    ),
+                    F.lit(127),
+                ).cast("bigint"),
+            )
+            .otherwise(F.lit(0))
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_p95_finalize(h: DataFrame, mm: DataFrame) -> DataFrame:
+    """Batch finalization of a (event_type, bin, cnt) histogram into
+    (event_type, n, p95_hist) — cum + first-hit-bin interpolation,
+    identical math to evt_hist_percentiles_by_type at q=0.95; the
+    floor(x*1e4+0.5)/1e4 rounding avoids engine round() tie skew."""
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type",
+        "bin",
+        F.col("cnt").cast("double").alias("cnt"),
+        F.sum("cnt").over(wc).cast("double").alias("cum"),
+        F.sum("cnt").over(wt).cast("double").alias("n"),
+    )
+    hit = (
+        c.where(F.col("cum") >= F.lit(0.95) * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = hit.join(c, ["event_type", "bin"]).join(
+        F.broadcast(mm), "event_type"
+    )
+    return est.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.floor(
+                F.when(
+                    F.col("vmax") > F.col("vmin"),
+                    F.col("vmin")
+                    + F.col("w")
+                    * (
+                        F.col("bin")
+                        + (
+                            F.lit(0.95) * F.col("n")
+                            - (F.col("cum") - F.col("cnt"))
+                        )
+                        / F.col("cnt")
+                    ),
+                ).otherwise(F.col("vmin"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("p95_hist"),
+    )
+
+
+@query(
+    "evt_stream_hist_p95",
+    """
+    WITH mm AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+             count(*) AS nn,
+             (max(value) - min(value)) / 128.0 AS w
+      FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type,
+             CASE WHEN vmax > vmin THEN
+               CAST(least(floor((value - vmin) / w), 127) AS BIGINT)
+             ELSE 0 END AS bin
+      FROM events e JOIN mm USING (event_type)),
+    h AS (SELECT event_type, bin, count(*) AS cnt
+          FROM b GROUP BY 1, 2),
+    c AS (SELECT event_type, bin, CAST(cnt AS DOUBLE) AS cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY bin) AS DOUBLE) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type)
+                      AS DOUBLE) AS n
+          FROM h),
+    hit AS (SELECT event_type, min(bin) AS bin
+            FROM c WHERE cum >= 0.95 * n GROUP BY 1),
+    est AS (SELECT hit.event_type, hit.bin, c.cum, c.cnt, c.n
+            FROM hit JOIN c ON c.event_type = hit.event_type
+                           AND c.bin = hit.bin)
+    SELECT est.event_type, CAST(est.n AS BIGINT) AS n,
+           floor((CASE WHEN vmax > vmin THEN
+                   vmin + w * (est.bin + (0.95 * est.n
+                                          - (est.cum - est.cnt)) / est.cnt)
+                 ELSE vmin END) * 10000 + 0.5) / 10000 AS p95_hist
+    FROM est JOIN mm ON mm.event_type = est.event_type
+    """,
+)
+def evt_stream_hist_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p95 maintained LIVE via the mergeable histogram
+    (10th genuinely-streaming oracled entry): the streaming side
+    keeps only the (type, bin) counts as aggregation state — the
+    sketch whose mergeability the batch twins establish — in a
+    complete-mode matview; the percentile readout is a batch
+    finalization over |types|×128 rows. This is how a dashboard gets
+    a live p95 without streaming ever sorting values: state is
+    O(types × 128), input streams through once, and the matview
+    equals the batch histogram bit-for-bit (oracled end-to-end
+    against the batch formula; a multi-batch pytest pins the
+    cross-micro-batch count merge).
+
+    The per-type bin grid comes from a batch min/max pre-pass here
+    (finite replay); production pins configured bounds instead —
+    the stream-static join shape is the same."""
+    from env_event_stream_spark.tables import load_table
+
+    mm = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            ((F.max("value") - F.min("value")) / F.lit(128.0)).alias("w"),
+        )
+    )
+    ev = _read_events_stream(spark, sf_dir).select("event_type", "value")
+    agg = hist_bin_stream_agg(ev, mm)
+    h = spark.read.parquet(_run_complete_overwrite(agg, "histp95"))
+    return hist_p95_finalize(h, mm)

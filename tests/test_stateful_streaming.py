@@ -543,3 +543,45 @@ def test_attribution_state_accumulates_across_restarts(spark, tmp_path):
     assert r2[1].last_touch == "click"
     assert r2[1].c_view == 1055 and r2[1].n_view == 1
     assert r2[1].c_click == 45 and r2[1].n_click == 1
+
+
+def test_stream_hist_counts_merge_across_micro_batches(spark, sf_dir, tmp_path):
+    """The streaming histogram's cross-batch merge: feed events one
+    file at a time (maxFilesPerTrigger=1 over a 3-way split) and
+    require the complete-mode (type, bin) matview to equal the batch
+    histogram bit-for-bit, and the finalized p95 to match the batch
+    finalization of the batch histogram."""
+    from env_event_stream_spark.streaming_queries import (
+        _run_complete_overwrite,
+        hist_bin_stream_agg,
+        hist_p95_finalize,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        ((F.max("value") - F.min("value")) / F.lit(128.0)).alias("w"),
+    )
+    src = str(tmp_path / "split_events_hist")
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = _run_complete_overwrite(
+        hist_bin_stream_agg(stream, mm), "histp95_mb"
+    )
+    got_hist = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    batch_hist_df = hist_bin_stream_agg(ev, mm)
+    batch_hist = sorted(map(tuple, batch_hist_df.collect()))
+    assert got_hist == batch_hist and len(got_hist) > 0
+
+    got_p95 = sorted(
+        map(tuple, hist_p95_finalize(spark.read.parquet(sink), mm).collect())
+    )
+    want_p95 = sorted(map(tuple, hist_p95_finalize(batch_hist_df, mm).collect()))
+    assert got_p95 == want_p95
