@@ -99,6 +99,7 @@ HEADLINE = [
     "graph_pagerank_custsupp",
     "evt_rolling_p95_hist_by_type",
     "evt_stream_hist_p95",
+    "evt_ewma_daily_by_type",
 ]
 
 

@@ -874,3 +874,91 @@ def evt_rolling_p95_hist_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("p95_7d_hist"),
     )
+
+
+@query(
+    "evt_ewma_daily_by_type",
+    """
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day_idx, cnt,
+             lag(cnt, 1) OVER w AS c1, lag(cnt, 2) OVER w AS c2,
+             lag(cnt, 3) OVER w AS c3, lag(cnt, 4) OVER w AS c4,
+             lag(cnt, 5) OVER w AS c5, lag(cnt, 6) OVER w AS c6
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day_idx))
+    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(cnt AS BIGINT) AS n_events,
+           floor((
+             (cnt * 1.0 + coalesce(c1, 0) * 0.5 + coalesce(c2, 0) * 0.25
+              + coalesce(c3, 0) * 0.125 + coalesce(c4, 0) * 0.0625
+              + coalesce(c5, 0) * 0.03125 + coalesce(c6, 0) * 0.015625)
+             / (1.0 + CASE WHEN c1 IS NULL THEN 0 ELSE 0.5 END
+                + CASE WHEN c2 IS NULL THEN 0 ELSE 0.25 END
+                + CASE WHEN c3 IS NULL THEN 0 ELSE 0.125 END
+                + CASE WHEN c4 IS NULL THEN 0 ELSE 0.0625 END
+                + CASE WHEN c5 IS NULL THEN 0 ELSE 0.03125 END
+                + CASE WHEN c6 IS NULL THEN 0 ELSE 0.015625 END)
+           ) * 10000 + 0.5) / 10000 AS ewma_7d,
+           (cnt * 1.0 + coalesce(c1, 0) * 0.5 + coalesce(c2, 0) * 0.25
+              + coalesce(c3, 0) * 0.125 + coalesce(c4, 0) * 0.0625
+              + coalesce(c5, 0) * 0.03125 + coalesce(c6, 0) * 0.015625)
+             / (1.0 + CASE WHEN c1 IS NULL THEN 0 ELSE 0.5 END
+                + CASE WHEN c2 IS NULL THEN 0 ELSE 0.25 END
+                + CASE WHEN c3 IS NULL THEN 0 ELSE 0.125 END
+                + CASE WHEN c4 IS NULL THEN 0 ELSE 0.0625 END
+                + CASE WHEN c5 IS NULL THEN 0 ELSE 0.03125 END
+                + CASE WHEN c6 IS NULL THEN 0 ELSE 0.015625 END)
+             * 1.25 < cnt AS is_spike
+    FROM l
+    """,
+)
+def evt_ewma_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily-volume baseline per event type
+    (half-life 1 day over a 7-day horizon) + spike flag (today >
+    1.25x the smoothed baseline) — the alerting baseline ops
+    dashboards run; complements evt_zscore_outliers' global-std
+    z-score with a TREND-aware local baseline.
+
+    Determinism by construction: the weights are powers of two
+    (dyadic rationals are EXACT doubles), counts are integers, and
+    the weighted sum is a fixed-order 7-term expression over lag()
+    columns — so the pre-round double is bit-identical across
+    engines with no summation-order exposure at all; the leading
+    days renormalize over the lags that exist. Plan: one map-side-
+    combinable daily count, then windows over the |types|×|days|
+    grid — calendar-sized, corpus-size-invariant."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    l = d.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        *[F.lag("cnt", k).over(w).alias(f"c{k}") for k in range(1, 7)],
+    )
+    wts = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625]
+    num = F.col("cnt") * F.lit(wts[0])
+    den = F.lit(wts[0])
+    for k in range(1, 7):
+        num = num + F.coalesce(F.col(f"c{k}"), F.lit(0)) * F.lit(wts[k])
+        den = den + F.when(F.col(f"c{k}").isNull(), F.lit(0.0)).otherwise(
+            F.lit(wts[k])
+        )
+    ewma = num / den
+    return l.select(
+        "event_type",
+        "day_idx",
+        F.col("cnt").cast("bigint").alias("n_events"),
+        (F.floor(ewma * 10000 + F.lit(0.5)) / 10000).alias("ewma_7d"),
+        (ewma * F.lit(1.25) < F.col("cnt")).alias("is_spike"),
+    )
