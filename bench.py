@@ -100,6 +100,8 @@ HEADLINE = [
     "evt_rolling_p95_hist_by_type",
     "evt_stream_hist_p95",
     "evt_ewma_daily_by_type",
+    "evt_hll_distinct_users",
+    "join_bloom_prefilter",
 ]
 
 

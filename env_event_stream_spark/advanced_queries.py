@@ -1146,3 +1146,312 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pos") <= 20)
         .select("node", "odeg", "rank_units", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic probabilistic structures: a hand-rolled HyperLogLog
+# and a Bloom-filter join prefilter. Unlike the engine-internal
+# sketches (agg_approx_sketches is error-bound-oracled because
+# Spark's HLL bytes aren't replayable), these are built from md5 so
+# BOTH engines replay them bit-for-bit — the full value-hash oracle
+# applies to an approximate structure.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # buckets (first 6 md5 bits); ~13% standard error
+_POW50 = 1125899906842624.0  # 2^50 — the rho fixed-point scale
+
+
+def _rho_sql(hexsub: str) -> str:
+    """Leading-zero rank of a 60-bit hash suffix via STRING ops only
+    (4 bits per stripped hex digit + the first digit's own zeros) —
+    no log2/bit_length, so Spark and DuckDB agree exactly."""
+    stripped = f"ltrim({hexsub}, '0')"
+    return f"""
+      CASE WHEN {stripped} = '' THEN 61
+           ELSE 4 * (15 - length({stripped}))
+                + CASE substr({stripped}, 1, 1)
+                    WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                    WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                    WHEN '7' THEN 1 ELSE 0 END
+                + 1 END"""
+
+
+@query(
+    "evt_hll_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events),
+    b AS (
+      SELECT event_type,
+             ('0x' || substr(hx, 1, 2))::BIGINT % {_HLL_M} AS bucket,
+             {_rho_sql("substr(hx, 3, 15)")} AS rho
+      FROM h),
+    mx AS (SELECT event_type, bucket, max(rho) AS mrho
+           FROM b GROUP BY 1, 2),
+    z AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << (50 - least(mrho, 50))) AS BIGINT)
+               + ({_HLL_M} - count(*)) * 1125899906842624 AS z_int,
+             {_HLL_M} - count(*) AS v_empty
+      FROM mx GROUP BY event_type),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY event_type),
+    est AS (
+      SELECT z.event_type, ex.n_exact, z.v_empty,
+             0.7213 / (1.0 + 1.079 / {_HLL_M}.0)
+               * {_HLL_M}.0 * {_HLL_M}.0 * {_POW50} / z.z_int AS raw
+      FROM z JOIN ex USING (event_type))
+    SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           floor((CASE WHEN raw <= 2.5 * {_HLL_M} AND v_empty > 0
+                       THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v_empty)
+                       ELSE raw END) * 10000 + 0.5) / 10000 AS hll_est,
+           floor(((CASE WHEN raw <= 2.5 * {_HLL_M} AND v_empty > 0
+                        THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v_empty)
+                        ELSE raw END) / n_exact - 1.0) * 10000 + 0.5)
+             / 10000 AS rel_err
+    FROM est
+    """,
+)
+def evt_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog (m=64) for distinct users per event
+    type, with the exact count and relative error alongside — the
+    fully-ORACLED member of the approx-distinct family
+    (agg_approx_sketches exercises the engine-internal HLL, whose
+    bytes no other engine can replay; this one is md5-derived, so
+    DuckDB rebuilds the identical sketch and the value hash holds).
+
+    Determinism the sketch way: bucket maxima (max of integer rho)
+    are order-independent; the harmonic sum runs in FIXED-POINT
+    (2^(50-rho) bigints — exact integer addition, no float
+    summation), converted to double once. The leading-zero rank is
+    computed with string ops (ltrim + first-digit case), identical
+    in both engines. State is m integers per type — the sketch you'd
+    actually keep per partition and merge with max() at 100 TB,
+    which is the whole point: partials are 64 numbers regardless of
+    cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    # TRIM(LEADING ...) syntax: Spark's two-arg ltrim is
+    # (trimStr, str) — REVERSED vs DuckDB's (str, trimStr)
+    stripped = F.expr(
+        "TRIM(LEADING '0' FROM substr(md5(CAST(user_id AS STRING)), 3, 15))"
+    )
+    rho = F.when(stripped == "", F.lit(61)).otherwise(
+        F.lit(4) * (F.lit(15) - F.length(stripped))
+        + F.when(F.substring(stripped, 1, 1) == "1", 3)
+        .when(F.substring(stripped, 1, 1).isin("2", "3"), 2)
+        .when(F.substring(stripped, 1, 1).isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + F.lit(1)
+    )
+    b = ev.select(
+        "event_type",
+        (
+            F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint")
+            % F.lit(_HLL_M)
+        ).alias("bucket"),
+        rho.alias("rho"),
+    )
+    mx = b.groupBy("event_type", "bucket").agg(F.max("rho").alias("mrho"))
+    z = mx.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 50 - least(mrho, 50))"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1125899906842624)
+        ).cast("bigint").alias("z_int"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v_empty"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(_POW50)
+        / F.col("z_int")
+    )
+    est = z.join(ex, "event_type").withColumn(
+        "est",
+        F.when(
+            (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_empty") > 0),
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / F.col("v_empty")),
+        ).otherwise(raw),
+    )
+    return est.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.floor(F.col("est") * 10000 + F.lit(0.5)) / 10000).alias("hll_est"),
+        (
+            F.floor(
+                (F.col("est") / F.col("n_exact") - F.lit(1.0)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("rel_err"),
+    )
+
+
+_BLOOM_BITS = 1024  # 16 x 64-bit words
+_MINLONG = -9223372036854775808  # 1<<63 as a signed bigint (both engines)
+
+
+def _bloom_pos_sql(expr: str, salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_BLOOM_BITS}"
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    f"""
+    WITH build AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 300),
+    probe AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    bpos AS (
+      SELECT user_id, {_bloom_pos_sql("user_id", "a:")} AS p
+      FROM build
+      UNION ALL
+      SELECT user_id, {_bloom_pos_sql("user_id", "b:")} AS p
+      FROM build),
+    words AS (
+      SELECT p // 64 AS word,
+             bit_or(CASE WHEN p % 64 = 63 THEN {_MINLONG}
+                         ELSE (1::BIGINT << (p % 64)) END) AS mask
+      FROM bpos GROUP BY p // 64),
+    pr AS (
+      SELECT user_id,
+             {_bloom_pos_sql("user_id", "a:")} AS p1,
+             {_bloom_pos_sql("user_id", "b:")} AS p2
+      FROM probe),
+    checked AS (
+      SELECT pr.user_id,
+             coalesce((w1.mask >> (p1 % 64)) & 1, 0) = 1
+               AND coalesce((w2.mask >> (p2 % 64)) & 1, 0) = 1 AS bloom_pass,
+             build.user_id IS NOT NULL AS is_member
+      FROM pr
+      LEFT JOIN words w1 ON w1.word = p1 // 64
+      LEFT JOIN words w2 ON w2.word = p2 // 64
+      LEFT JOIN build ON build.user_id = pr.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(sum(CASE WHEN bloom_pass AND NOT is_member
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN is_member AND NOT bloom_pass
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+           floor((sum(CASE WHEN bloom_pass AND NOT is_member
+                           THEN 1 ELSE 0 END) * 1.0
+                  / count(*)) * 10000 + 0.5) / 10000 AS fp_rate
+    FROM checked
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter, hand-rolled and fully oracled:
+    build a 1024-bit / 2-hash filter over the small build side
+    (high-value purchasers), probe the click-user stream through it,
+    and report pass/false-positive/missed counts — n_missed MUST be
+    0 (a Bloom filter never false-negatives), which the oracle now
+    proves on real data rather than a unit test asserting it.
+
+    This is the semi-join-pushdown pattern AQE's runtime filters
+    automate (and the reference's per-key exists probes approximate):
+    at 100 TB you broadcast the 16-word bitmask — 128 BYTES — to
+    prefilter the probe scan before any join, then run the exact
+    join only on survivors. Determinism: positions are md5-derived;
+    the word masks build with bit_or, which is order-independent
+    (the same property max gave the HLL); bit 63 is the min-long
+    literal because 1<<63 overflows in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    build = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 300))
+        .select("user_id")
+        .distinct()
+    )
+    probe = (
+        ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    )
+
+    def pos(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_BITS
+        )
+
+    bpos = build.select(pos("a:").alias("p")).unionAll(
+        build.select(pos("b:").alias("p"))
+    )
+    mask_bit = F.when(
+        F.col("p") % 64 == 63, F.lit(_MINLONG).cast("bigint")
+    ).otherwise(F.expr("shiftleft(1L, int(p % 64))"))
+    words = bpos.groupBy(F.expr("p DIV 64").alias("word")).agg(
+        F.bit_or(mask_bit).alias("mask")
+    )
+    pr = probe.select(
+        "user_id", pos("a:").alias("p1"), pos("b:").alias("p2")
+    )
+    w1 = words.select(F.col("word").alias("w1"), F.col("mask").alias("m1"))
+    w2 = words.select(F.col("word").alias("w2"), F.col("mask").alias("m2"))
+    checked = (
+        pr.join(F.broadcast(w1), F.expr("p1 DIV 64") == F.col("w1"), "left")
+        .join(F.broadcast(w2), F.expr("p2 DIV 64") == F.col("w2"), "left")
+        .join(
+            F.broadcast(build.withColumnRenamed("user_id", "b_uid")),
+            F.col("user_id") == F.col("b_uid"),
+            "left",
+        )
+        .select(
+            (
+                (F.coalesce(F.expr("(m1 >> int(p1 % 64)) & 1"), F.lit(0)) == 1)
+                & (F.coalesce(F.expr("(m2 >> int(p2 % 64)) & 1"), F.lit(0)) == 1)
+            ).alias("bloom_pass"),
+            F.col("b_uid").isNotNull().alias("is_member"),
+        )
+    )
+    return checked.agg(
+        F.count("*").cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed"),
+        (
+            F.floor(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("bloom_pass") & ~F.col("is_member"), 1
+                        ).otherwise(0)
+                    )
+                    * F.lit(1.0)
+                    / F.count("*")
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("fp_rate"),
+    )
