@@ -102,6 +102,7 @@ HEADLINE = [
     "evt_ewma_daily_by_type",
     "evt_hll_distinct_users",
     "join_bloom_prefilter",
+    "evt_stream_hll_users",
 ]
 
 

@@ -1176,9 +1176,7 @@ def _rho_sql(hexsub: str) -> str:
                 + 1 END"""
 
 
-@query(
-    "evt_hll_distinct_users",
-    f"""
+_HLL_ORACLE = f"""
     WITH h AS (
       SELECT event_type,
              md5(CAST(user_id AS VARCHAR)) AS hx
@@ -1212,8 +1210,10 @@ def _rho_sql(hexsub: str) -> str:
                         ELSE raw END) / n_exact - 1.0) * 10000 + 0.5)
              / 10000 AS rel_err
     FROM est
-    """,
-)
+    """
+
+
+@query("evt_hll_distinct_users", _HLL_ORACLE)
 def evt_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hand-rolled HyperLogLog (m=64) for distinct users per event
     type, with the exact count and relative error alongside — the
@@ -1222,72 +1222,36 @@ def evt_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes no other engine can replay; this one is md5-derived, so
     DuckDB rebuilds the identical sketch and the value hash holds).
 
-    Determinism the sketch way: bucket maxima (max of integer rho)
-    are order-independent; the harmonic sum runs in FIXED-POINT
-    (2^(50-rho) bigints — exact integer addition, no float
-    summation), converted to double once. The leading-zero rank is
-    computed with string ops (ltrim + first-digit case), identical
-    in both engines. State is m integers per type — the sketch you'd
-    actually keep per partition and merge with max() at 100 TB,
-    which is the whole point: partials are 64 numbers regardless of
-    cardinality."""
+    Determinism the sketch way (operators/sketches.py hll_*): bucket
+    maxima (max of integer rho) are order-independent; the harmonic
+    sum runs in FIXED-POINT (2^(50-rho) bigints — exact integer
+    addition, no float summation), converted to double once. The
+    leading-zero rank is computed with string ops (TRIM(LEADING) +
+    first-digit case), identical in both engines. State is m
+    integers per type — the sketch you'd actually keep per partition
+    and merge with max() at 100 TB; the streaming twin
+    (evt_stream_hll_users) holds exactly that as live state."""
+    from env_event_stream_spark.operators.sketches import (
+        hll_estimate,
+        hll_project,
+        hll_registers,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    hx = F.md5(F.col("user_id").cast("string"))
-    # TRIM(LEADING ...) syntax: Spark's two-arg ltrim is
-    # (trimStr, str) — REVERSED vs DuckDB's (str, trimStr)
-    stripped = F.expr(
-        "TRIM(LEADING '0' FROM substr(md5(CAST(user_id AS STRING)), 3, 15))"
+    regs = hll_registers(
+        hll_project(ev, F.col("user_id"), ["event_type"]), ["event_type"]
     )
-    rho = F.when(stripped == "", F.lit(61)).otherwise(
-        F.lit(4) * (F.lit(15) - F.length(stripped))
-        + F.when(F.substring(stripped, 1, 1) == "1", 3)
-        .when(F.substring(stripped, 1, 1).isin("2", "3"), 2)
-        .when(F.substring(stripped, 1, 1).isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-        + F.lit(1)
-    )
-    b = ev.select(
-        "event_type",
-        (
-            F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint")
-            % F.lit(_HLL_M)
-        ).alias("bucket"),
-        rho.alias("rho"),
-    )
-    mx = b.groupBy("event_type", "bucket").agg(F.max("rho").alias("mrho"))
-    z = mx.groupBy("event_type").agg(
-        (
-            F.sum(F.expr("shiftleft(1L, 50 - least(mrho, 50))"))
-            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1125899906842624)
-        ).cast("bigint").alias("z_int"),
-        (F.lit(_HLL_M) - F.count("*")).alias("v_empty"),
-    )
+    est = hll_estimate(regs, ["event_type"])
     ex = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    raw = (
-        F.lit(0.7213)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
-        * F.lit(float(_HLL_M))
-        * F.lit(float(_HLL_M))
-        * F.lit(_POW50)
-        / F.col("z_int")
-    )
-    est = z.join(ex, "event_type").withColumn(
-        "est",
-        F.when(
-            (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_empty") > 0),
-            F.lit(float(_HLL_M))
-            * F.log(F.lit(float(_HLL_M)) / F.col("v_empty")),
-        ).otherwise(raw),
-    )
-    return est.select(
+    return est.join(ex, "event_type").select(
         "event_type",
         F.col("n_exact").cast("bigint").alias("n_exact"),
-        (F.floor(F.col("est") * 10000 + F.lit(0.5)) / 10000).alias("hll_est"),
+        "hll_est",
         (
             F.floor(
-                (F.col("est") / F.col("n_exact") - F.lit(1.0)) * 10000
+                (F.col("_est_raw") / F.col("n_exact") - F.lit(1.0)) * 10000
                 + F.lit(0.5)
             )
             / 10000

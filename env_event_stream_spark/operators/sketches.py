@@ -131,3 +131,81 @@ def heavy_hitters_exact(
         )
         .orderBy(F.col("freq").desc(), F.col(item_col).asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog pieces, shared by the batch catalog query
+# (evt_hll_distinct_users) and its streaming twin: md5-derived
+# bucket/rho projection + the fixed-point estimator. Registers merge
+# with max() — the property that makes the sketch distributable AND
+# lets streaming state hold exactly (groups × m) integers.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # buckets; ~1.04/sqrt(64) ≈ 13% standard error
+_HLL_POW50 = 1125899906842624.0  # 2^50 fixed-point scale
+
+
+def hll_project(df: DataFrame, key, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., bucket, rho) for each row — the map-side
+    projection. rho (leading-zero rank of a 60-bit md5 suffix) is
+    computed with STRING ops (TRIM(LEADING) + first-digit case; note
+    Spark's two-arg ltrim is (trimStr, str) — reversed vs DuckDB —
+    so the TRIM syntax is the only portable spelling)."""
+    hx = F.md5(key.cast("string"))
+    out = df.withColumn("_hx", hx).withColumn(
+        "_stripped", F.expr("TRIM(LEADING '0' FROM substr(_hx, 3, 15))")
+    )
+    rho = F.when(F.col("_stripped") == "", F.lit(61)).otherwise(
+        F.lit(4) * (F.lit(15) - F.length("_stripped"))
+        + F.when(F.substring("_stripped", 1, 1) == "1", 3)
+        .when(F.substring("_stripped", 1, 1).isin("2", "3"), 2)
+        .when(F.substring("_stripped", 1, 1).isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + F.lit(1)
+    )
+    return out.select(
+        *group_cols,
+        (
+            F.conv(F.substring("_hx", 1, 2), 16, 10).cast("bigint")
+            % F.lit(HLL_M)
+        ).alias("bucket"),
+        rho.alias("rho"),
+    )
+
+
+def hll_registers(projected: DataFrame, group_cols: list[str]) -> DataFrame:
+    """max-rho register per (group, bucket) — the mergeable state."""
+    return projected.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("mrho")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., hll_est) from the registers: fixed-point
+    harmonic sum (exact bigint addition, one double conversion),
+    linear-counting small-range correction. floor(x*1e4+0.5)/1e4
+    rounding — identical IEEE ops in the SQL oracle."""
+    z = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 50 - least(mrho, 50))"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1125899906842624)
+        ).cast("bigint").alias("z_int"),
+        (F.lit(HLL_M) - F.count("*")).alias("v_empty"),
+    )
+    raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        * F.lit(_HLL_POW50)
+        / F.col("z_int")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("v_empty") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_empty")),
+    ).otherwise(raw)
+    return z.select(
+        *group_cols,
+        (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("hll_est"),
+        est.alias("_est_raw"),
+    )

@@ -1023,3 +1023,60 @@ def evt_stream_hist_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hist_bin_stream_agg(ev, mm)
     h = spark.read.parquet(_run_complete_overwrite(agg, "histp95"))
     return hist_p95_finalize(h, mm)
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog matview (11th genuinely-streaming oracled
+# entry): live approx-distinct with O(groups × 64 ints) state.
+# ---------------------------------------------------------------------------
+
+
+from env_event_stream_spark.advanced_queries import _HLL_ORACLE
+
+
+# SAME oracle as the batch twin: the streaming registers must equal
+# the batch registers exactly (max is order- and batching-
+# independent), so estimate and error agree verbatim.
+@query("evt_stream_hll_users", _HLL_ORACLE)
+def evt_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type served LIVE from a hand-rolled
+    HyperLogLog (11th genuinely-streaming oracled entry): streaming
+    state is ONLY the (type, bucket) max-rho registers — 64 integers
+    per type, whatever the cardinality — maintained by a streaming
+    max() aggregation (complete-mode matview); the estimator is a
+    batch finalization. Because max is insensitive to arrival order
+    and micro-batch boundaries, the live registers are bit-equal to
+    the batch sketch, so the streaming query shares the batch twin's
+    FULL value-hash oracle (exact count + rel_err ride along as the
+    accuracy readout). This is the approx-distinct dashboards keep
+    hot at 100 TB: state O(1), merge = max."""
+    from env_event_stream_spark.operators.sketches import (
+        hll_estimate,
+        hll_project,
+        hll_registers,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    ev = _read_events_stream(spark, sf_dir).select("event_type", "user_id")
+    regs = hll_registers(
+        hll_project(ev, F.col("user_id"), ["event_type"]), ["event_type"]
+    )
+    live = spark.read.parquet(_run_complete_overwrite(regs, "hll"))
+    est = hll_estimate(live, ["event_type"])
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(ex, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "hll_est",
+        (
+            F.floor(
+                (F.col("_est_raw") / F.col("n_exact") - F.lit(1.0)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("rel_err"),
+    )

@@ -585,3 +585,45 @@ def test_stream_hist_counts_merge_across_micro_batches(spark, sf_dir, tmp_path):
     )
     want_p95 = sorted(map(tuple, hist_p95_finalize(batch_hist_df, mm).collect()))
     assert got_p95 == want_p95
+
+
+def test_stream_hll_registers_match_batch_across_micro_batches(
+    spark, sf_dir, tmp_path
+):
+    """HLL registers are max-merged state: a maxFilesPerTrigger=1
+    replay over an arbitrary 3-way split must leave registers
+    bit-equal to the batch sketch."""
+    from env_event_stream_spark.operators.sketches import (
+        hll_project,
+        hll_registers,
+    )
+    from env_event_stream_spark.streaming_queries import _run_complete_overwrite
+    from env_event_stream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "split_events_hll")
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = _run_complete_overwrite(
+        hll_registers(
+            hll_project(stream, F.col("user_id"), ["event_type"]),
+            ["event_type"],
+        ),
+        "hll_mb",
+    )
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want = sorted(
+        map(
+            tuple,
+            hll_registers(
+                hll_project(ev, F.col("user_id"), ["event_type"]),
+                ["event_type"],
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
