@@ -103,6 +103,8 @@ HEADLINE = [
     "evt_hll_distinct_users",
     "join_bloom_prefilter",
     "evt_stream_hll_users",
+    "evt_attribution_linear",
+    "evt_user_growth_curve",
 ]
 
 

@@ -962,3 +962,164 @@ def evt_ewma_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(ewma * 10000 + F.lit(0.5)) / 10000).alias("ewma_7d"),
         (ewma * F.lit(1.25) < F.col("cnt")).alias("is_spike"),
     )
+
+
+@query(
+    "evt_attribution_linear",
+    """
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS path_id
+      FROM events),
+    p AS (SELECT user_id, path_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM base WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, path_id, event_type,
+                 row_number() OVER (PARTITION BY user_id, path_id
+                                    ORDER BY ts ASC, event_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY user_id, path_id) AS n_t
+          FROM base WHERE event_type <> 'purchase'),
+    credited AS (
+      SELECT t.event_type AS channel,
+             p.cents // t.n_t
+               + CASE WHEN t.rn <= p.cents % t.n_t THEN 1 ELSE 0 END AS c
+      FROM p JOIN t ON t.user_id = p.user_id AND t.path_id = p.path_id),
+    none_b AS (
+      SELECT '(none)' AS channel, p.cents AS c
+      FROM p LEFT JOIN (SELECT DISTINCT user_id, path_id FROM t) tt
+        ON tt.user_id = p.user_id AND tt.path_id = p.path_id
+      WHERE tt.user_id IS NULL),
+    all_c AS (SELECT * FROM credited UNION ALL SELECT * FROM none_b)
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(c) AS DOUBLE) / 100 AS revenue
+    FROM all_c GROUP BY channel
+    """,
+)
+def evt_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR (even-split) revenue attribution — the multi-touch
+    complement of evt_attribution_last_touch: each purchase's value
+    splits equally across every touch on its conversion path (the
+    touches since the user's previous purchase; pathless purchases
+    bucket to '(none)').
+
+    Money stays INTEGER END-TO-END: purchase value → exact cents via
+    DECIMAL, per-touch share = cents DIV n, and the remainder cents
+    go one each to the EARLIEST touches (rn <= cents % n) — so
+    credit conservation is exact by construction (pytest pins
+    sum(channels) == total revenue to the cent) and no float
+    summation order exists anywhere. Plan: path_id is a running
+    purchase count over the same single user_id window partition the
+    module already pays; the credit join is keyed (user, path)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = ev.withColumn(
+        "path_id",
+        F.count(
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+        ).over(w),
+    )
+    p = base.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "path_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wt = Window.partitionBy("user_id", "path_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("user_id", "path_id")
+    t = base.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "path_id",
+        "event_type",
+        F.row_number().over(wt).alias("rn"),
+        F.count("*").over(wn).alias("n_t"),
+    )
+    credited = p.join(t, ["user_id", "path_id"]).select(
+        F.col("event_type").alias("channel"),
+        (
+            F.expr("cents DIV n_t")
+            + F.when(F.col("rn") <= F.col("cents") % F.col("n_t"), 1).otherwise(0)
+        ).alias("c"),
+    )
+    none_b = (
+        p.join(
+            t.select("user_id", "path_id").distinct(),
+            ["user_id", "path_id"],
+            "left_anti",
+        )
+        .select(F.lit("(none)").alias("channel"), F.col("cents").alias("c"))
+    )
+    return (
+        credited.unionByName(none_b)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            (F.sum("c").cast("double") / 100).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "evt_user_growth_curve",
+    """
+    WITH d AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      FROM events),
+    fs AS (SELECT user_id, min(day_idx) AS first_day FROM d GROUP BY user_id),
+    newu AS (SELECT first_day AS day_idx, count(*) AS n_new
+             FROM fs GROUP BY first_day),
+    act AS (SELECT day_idx, count(DISTINCT user_id) AS n_active
+            FROM d GROUP BY day_idx)
+    SELECT CAST(act.day_idx AS BIGINT) AS day_idx,
+           CAST(coalesce(newu.n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(sum(coalesce(newu.n_new, 0))
+                  OVER (ORDER BY act.day_idx) AS BIGINT) AS cum_users,
+           CAST(act.n_active AS BIGINT) AS n_active
+    FROM act LEFT JOIN newu ON newu.day_idx = act.day_idx
+    """,
+)
+def evt_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: per day, first-time users, the cumulative
+    registered-user count, and that day's actives (the DAU/total
+    ratio dashboards track). first-seen = min day per user (one
+    user_id agg), then everything runs on the |days| grid — the
+    cumulative sum is integer, order-defined by the day ordering."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    )
+    fs = d.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    newu = fs.groupBy(F.col("first_day").alias("day_idx")).agg(
+        F.count("*").alias("n_new")
+    )
+    act = d.groupBy("day_idx").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    wcum = Window.orderBy("day_idx")
+    return (
+        act.join(newu, "day_idx", "left")
+        .select(
+            "day_idx",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            "n_active",
+        )
+        .select(
+            F.col("day_idx").cast("bigint").alias("day_idx"),
+            F.col("n_new").cast("bigint").alias("n_new_users"),
+            F.sum("n_new").over(wcum).cast("bigint").alias("cum_users"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+        )
+    )

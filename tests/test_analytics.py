@@ -203,3 +203,45 @@ def test_rolling_hist_p95_window_mass_and_bounds(spark, sf_dir):
         lo = min(v for _, v in pts)
         hi = max(v for _, v in pts)
         assert lo - 1e-9 <= r.p95_7d_hist <= hi + 1e-9
+
+
+def test_linear_attribution_conserves_revenue_to_the_cent(spark, sf_dir):
+    """Credit conservation: channel revenues must sum to EXACTLY the
+    total purchase revenue (integer cents end-to-end — remainder
+    cents assigned to earliest touches, never lost)."""
+    from decimal import Decimal
+
+    from env_event_stream_spark.catalog import QUERIES
+
+    rows = QUERIES["evt_attribution_linear"](spark, sf_dir).collect()
+    got = sum(Decimal(str(r.revenue)).quantize(Decimal("0.01")) for r in rows)
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .select(F.sum(F.col("value").cast("decimal(12,2)")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert got == want, (got, want)
+
+
+def test_growth_curve_monotone_and_consistent(spark, sf_dir):
+    from env_event_stream_spark.catalog import QUERIES
+
+    rows = sorted(
+        QUERIES["evt_user_growth_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.day_idx,
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        cum += r.n_new_users
+        assert r.cum_users == cum
+        assert r.n_active <= r.cum_users  # can't be active before first seen
+    total_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_users == total_users
