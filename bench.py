@@ -105,6 +105,7 @@ HEADLINE = [
     "evt_stream_hll_users",
     "evt_attribution_linear",
     "evt_user_growth_curve",
+    "doc_pretrain_token_yield",
 ]
 
 

@@ -2674,16 +2674,17 @@ def emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pretrain_pipeline_oracle() -> str:
-    """Lazy oracle for doc_pretrain_pipeline. The naive single-SQL
-    form (recursive label-propagation CTE over an inlined shingle
-    self-join) is correct but DuckDB re-evaluates the inlined CTEs
-    inside the recursion — >15 min at sf0.1 while each piece runs in
-    ~2 s (AS MATERIALIZED hints don't rescue the recursive section on
-    DuckDB 1.0). So the dup-component map and the contamination set
-    are precomputed HERE with the exact same SQL text, stepwise via
-    temp tables, and inlined as VALUES — the driver still receives
-    one plain SQL string and value parity is untouched."""
+def _pretrain_precompute() -> tuple[str, str]:
+    """Shared precompute for the pipeline-family lazy oracles. The
+    naive single-SQL form (recursive label-propagation CTE over an
+    inlined shingle self-join) is correct but DuckDB re-evaluates the
+    inlined CTEs inside the recursion — >15 min at sf0.1 while each
+    piece runs in ~2 s (AS MATERIALIZED hints don't rescue the
+    recursive section on DuckDB 1.0). So the dup-component map and
+    the contamination set are precomputed with the exact same SQL
+    text, stepwise via temp tables, and returned as VALUES subselects
+    — the driver still receives one plain SQL string and value
+    parity is untouched."""
     import duckdb
 
     sf_dir = _oracle_sf_dir()
@@ -2735,12 +2736,19 @@ def _pretrain_pipeline_oracle() -> str:
         body = ", ".join(f"({int(a)})" for (a,) in rows)
         return f"SELECT CAST(c0 AS BIGINT) FROM (VALUES {body}) _v(c0)"
 
+    return _values2(cm_rows), _values1(cont_rows)
+
+
+def _pretrain_pipeline_oracle() -> str:
+    """Lazy oracle for doc_pretrain_pipeline (see
+    _pretrain_precompute for why the recursive pieces are inlined)."""
+    cm_sql, cont_sql = _pretrain_precompute()
     return (
         "WITH "
         + _TOKENS_CTE.lstrip()
         + f""",
-    cm(node, component) AS ({_values2(cm_rows)}),
-    contaminated(doc_id) AS ({_values1(cont_rows)}),
+    cm(node, component) AS ({cm_sql}),
+    contaminated(doc_id) AS ({cont_sql}),
     q AS (SELECT doc_id,"""
         + _PIPELINE_TAIL
     )
@@ -4932,3 +4940,173 @@ def doc_scrub_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_hash"),
         )
     )
+
+
+def _pretrain_token_yield_oracle() -> str:
+    """Lazy oracle for doc_pretrain_token_yield — the same
+    precomputed component/contamination pieces as the pipeline
+    verdict, plus the scrub removal counts (plain SQL, no
+    recursion), rolled up per source."""
+    cm_sql, cont_sql = _pretrain_precompute()
+    return (
+        "WITH "
+        + _TOKENS_CTE.lstrip()
+        + f""",
+    cm(node, component) AS ({cm_sql}),
+    contaminated(doc_id) AS ({cont_sql}),
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                FROM t WHERE len(tk) >= 3)
+          WHERE doc_id % 97 <> 0),
+    ev AS (SELECT DISTINCT
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                 FROM t WHERE len(tk) >= 3)
+           WHERE doc_id % 97 = 0),
+    rm AS (SELECT doc_id, count(*) AS n_removed
+           FROM (SELECT DISTINCT g.doc_id, g.pos + off AS j
+                 FROM g JOIN ev USING (shingle)
+                 CROSS JOIN (SELECT unnest([0, 1, 2]) AS off))
+           GROUP BY doc_id),
+    q AS (SELECT doc_id,"""
+        + _PIPELINE_TAIL.replace(
+            # reuse the verdict tail up to v, then replace the final
+            # per-doc SELECT with ", cls AS (...)" + the per-source
+            # yield rollup (the comma continues the CTE list after v)
+            """    SELECT doc_id, passes_quality, is_dup_loser, is_contaminated,
+           CASE WHEN NOT passes_quality THEN 'quality'
+                WHEN is_dup_loser THEN 'duplicate'
+                WHEN is_contaminated THEN 'contaminated'
+                ELSE 'kept' END AS reason,
+           passes_quality AND NOT is_dup_loser AND NOT is_contaminated
+             AS kept
+    FROM v
+    """,
+            """    , cls AS (
+      SELECT d.source,
+             CASE WHEN NOT v.passes_quality OR v.is_dup_loser
+                    THEN 'dropped'
+                  WHEN v.is_contaminated THEN 'scrubbed'
+                  ELSE 'clean' END AS status,
+             CASE WHEN NOT v.passes_quality OR v.is_dup_loser THEN 0
+                  WHEN v.is_contaminated
+                    THEN len(t.tk) - coalesce(rm.n_removed, 0)
+                  ELSE len(t.tk) END AS tokens_kept
+      FROM v
+      JOIN documents d ON d.doc_id = v.doc_id
+      JOIN t ON t.doc_id = v.doc_id
+      LEFT JOIN rm ON rm.doc_id = v.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN status = 'dropped' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN status = 'scrubbed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scrubbed,
+           CAST(sum(CASE WHEN status = 'clean' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(sum(tokens_kept) AS BIGINT) AS tokens_kept,
+           CAST(sum(CASE WHEN status = 'scrubbed' THEN tokens_kept
+                         ELSE 0 END) AS BIGINT) AS tokens_rescued
+    FROM cls GROUP BY source
+    """,
+        )
+    )
+
+
+@query("doc_pretrain_token_yield", _pretrain_token_yield_oracle)
+def doc_pretrain_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's token yield under SCRUB-instead-of-DROP
+    decontamination (the surgical-cut upgrade the winnowing/span
+    family exists for): per source, how many docs are dropped
+    (quality/dup — unrecoverable), scrubbed (contaminated: only the
+    eval-overlapping 3-gram tokens are cut), or clean, and the final
+    kept-token mass — with `tokens_rescued` making the policy
+    argument concrete: the whole-doc-drop policy loses exactly that
+    many training tokens.
+
+    Pure composition: the verdict IS doc_pretrain_pipeline's
+    DataFrame (same gates, same scale shapes), joined with the scrub
+    removal counts (broadcast eval shingles, hit docs only) and the
+    per-source rollup. Gates evaluate on the ORIGINAL text; the
+    scrub changes yield, not verdicts."""
+    from env_event_stream_spark.queries import QUERIES as _Q
+
+    d = load_table(spark, sf_dir, "documents")
+    verdict = _Q["doc_pretrain_pipeline"](spark, sf_dir)
+
+    tk = tokens(F.col("text"))
+    train = d.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", tk.alias("tk")
+    )
+    grams = train.where(F.size("tk") >= 3).select(
+        "doc_id",
+        F.posexplode(_ngram_array_3(F.col("tk"))).alias("pos", "shingle"),
+    )
+    ev = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.explode(
+                shingles_from_tokens(tokens(F.col("text")), 3)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    rm = (
+        grams.join(F.broadcast(ev), "shingle")
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
+            "pos",
+        )
+        .select("doc_id", (F.col("pos") + F.col("off")).alias("j"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    cls = (
+        verdict.join(train, "doc_id")
+        .join(rm, "doc_id", "left")
+        .select(
+            "source",
+            F.when(
+                ~F.col("passes_quality") | F.col("is_dup_loser"), "dropped"
+            )
+            .when(F.col("is_contaminated"), "scrubbed")
+            .otherwise("clean")
+            .alias("status"),
+            F.when(
+                ~F.col("passes_quality") | F.col("is_dup_loser"), F.lit(0)
+            )
+            .when(
+                F.col("is_contaminated"),
+                F.size("tk") - F.coalesce(F.col("n_removed"), F.lit(0)),
+            )
+            .otherwise(F.size("tk"))
+            .alias("tokens_kept"),
+        )
+    )
+    return cls.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("status") == "dropped", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("status") == "scrubbed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_scrubbed"),
+        F.sum(F.when(F.col("status") == "clean", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum("tokens_kept").cast("bigint").alias("tokens_kept"),
+        F.sum(
+            F.when(F.col("status") == "scrubbed", F.col("tokens_kept")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tokens_rescued"),
+    )
+
+
+def _ngram_array_3(tk):
+    from env_event_stream_spark.functions.text import _ngram_array
+
+    return _ngram_array(tk, 3)

@@ -108,3 +108,21 @@ def test_scrub_matches_python_reference(spark, sf_dir):
         assert r.n_removed >= 3
         expect_hash = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert r.clean_hash == expect_hash, did
+
+
+def test_token_yield_partitions_and_rescue(spark, sf_dir):
+    """Yield report consistency: statuses partition each source's
+    docs; kept-token mass bounds; and the scrub policy rescues a
+    positive token mass on this corpus (there ARE contaminated docs
+    that quality/dup would otherwise keep)."""
+    rows = QUERIES["doc_pretrain_token_yield"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 97 != 0")
+        .count()
+    )
+    for r in rows:
+        assert r.n_dropped + r.n_scrubbed + r.n_clean == r.n_docs
+        assert 0 <= r.tokens_rescued <= r.tokens_kept
+    assert sum(r.tokens_rescued for r in rows) > 0
