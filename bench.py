@@ -106,6 +106,8 @@ HEADLINE = [
     "evt_attribution_linear",
     "evt_user_growth_curve",
     "doc_pretrain_token_yield",
+    "emb_binary_recall_eval",
+    "evt_fold_state_diff",
 ]
 
 

@@ -5110,3 +5110,63 @@ def _ngram_array_3(tk):
     from env_event_stream_spark.functions.text import _ngram_array
 
     return _ngram_array(tk, 3)
+
+
+_bin_recall_oracle = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_bsig_sql("e")} AS bsig FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qv, bsig AS qsig FROM sig
+          WHERE vec_id < 10),
+    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    {_COSINE_SQL.format(a="qv", b="c.e")} AS csim
+             FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
+    ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM ex_s) WHERE rank <= 3),
+    h AS (SELECT query_id, c.vec_id AS neighbor_id, qv, c.e AS cv,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY bit_count(xor(qsig, c.bsig)) ASC,
+                            c.vec_id ASC) AS hrn
+          FROM q JOIN sig c ON query_id <> c.vec_id),
+    s AS (SELECT query_id, neighbor_id,
+                 {_COSINE_SQL.format(a="qv", b="cv")} AS csim
+          FROM h WHERE hrn <= 32),
+    br AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, neighbor_id ASC) AS rank
+             FROM s) WHERE rank <= 3),
+    nb AS (SELECT query_id, count(*) AS n_bin FROM br GROUP BY query_id),
+    nm AS (SELECT ex.query_id, count(br.query_id) AS n_match
+           FROM ex LEFT JOIN br
+             ON ex.query_id = br.query_id
+            AND ex.neighbor_id = br.neighbor_id
+           GROUP BY ex.query_id)
+    SELECT nm.query_id,
+           CAST(coalesce(nb.n_bin, 0) AS BIGINT) AS n_bin,
+           CAST(nm.n_match AS BIGINT) AS n_match,
+           round(nm.n_match / 3.0, 4) AS recall_at_3
+    FROM nm LEFT JOIN nb ON nm.query_id = nb.query_id
+    """
+
+
+@query("emb_binary_recall_eval", _bin_recall_oracle)
+def emb_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the binary-quantize+rescore tier (emb_knn_binary:
+    64-bit Hamming shortlist of 32, exact rerank) against exact
+    brute force — the last missing rung of the pre-rollout recall
+    ladder (LSH / multiprobe / IVF / PQ / OPQ / rerank already
+    measured). BQ's shortlist scans signature bytes at 1/64 the
+    float cost, so its recall-per-byte is the number to compare
+    against PQ's."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    ex = S.knn_exact(
+        q, e, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    ap = S.knn_binary(
+        q, e, id_col="vec_id", vec_col="embedding", k=3, shortlist=32
+    ).select("query_id", "neighbor_id")
+    return _recall_frame(ex, ap, "n_bin")

@@ -1080,3 +1080,110 @@ def evt_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sourcing state diff between two replay cutoffs — the audit
+# view of the fold family (what changed between Tuesday's snapshot
+# and today's?).
+# ---------------------------------------------------------------------------
+
+_DIFF_T1 = "2024-01-15 00:00:00"
+
+
+def _fold_state_sql(alias: str, where: str) -> str:
+    return f"""
+    {alias} AS (
+      WITH ls AS (
+        SELECT user_id, max(ts) AS sts FROM events
+        WHERE event_type = 'signup' AND {where} GROUP BY user_id
+      )
+      SELECT e.user_id,
+             CAST(count(*) AS BIGINT) AS version,
+             round(coalesce(sum(CASE WHEN (ls.sts IS NULL OR e.ts > ls.sts)
+                                     THEN e.value END), 0), 4) AS balance
+      FROM events e LEFT JOIN ls ON e.user_id = ls.user_id
+      WHERE {where}
+      GROUP BY e.user_id)"""
+
+
+@query(
+    "evt_fold_state_diff",
+    "WITH "
+    + _fold_state_sql("a", f"ts <= TIMESTAMP '{_DIFF_T1}'")
+    + ",\n"
+    + _fold_state_sql("b", "TRUE")
+    + """
+    SELECT b.user_id,
+           CAST(a.version AS BIGINT) AS version_a,
+           CAST(b.version AS BIGINT) AS version_b,
+           a.balance AS balance_a,
+           b.balance AS balance_b,
+           CASE WHEN a.user_id IS NULL THEN 'new'
+                WHEN b.version > a.version THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           round(b.balance - coalesce(a.balance, 0), 4) AS delta_balance
+    FROM b LEFT JOIN a ON a.user_id = b.user_id
+    """,
+)
+def evt_fold_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-state DIFF between two replay cutoffs: fold every
+    user's event-sourced state (version + post-signup balance — the
+    evt_live_fold_stream state machine) as of T1 and as of now, and
+    emit per-key new/changed/unchanged + the balance delta — the
+    audit/CDC view an event-sourced system answers with 'replay to
+    T, compare' (reference semantics: getEvents(toTimestamp),
+    src/persistence.ts ts-range scans). Each cutoff is one
+    user_id-keyed fold; the diff is a key-aligned join — at 100 TB
+    the T1 side comes from the snapshot store
+    (sourcing.snapshot_states) instead of a re-fold, same shape."""
+    from env_event_stream_spark.tables import load_events
+
+    def state(upto: str | None) -> DataFrame:
+        ev = load_events(spark, sf_dir, to_ts=upto)
+        ls = (
+            ev.where(F.col("event_type") == "signup")
+            .groupBy("user_id")
+            .agg(F.max("ts").alias("sts"))
+        )
+        return (
+            ev.join(ls, "user_id", "left")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("version"),
+                F.round(
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("sts").isNull()
+                                | (F.col("ts") > F.col("sts")),
+                                F.col("value"),
+                            )
+                        ),
+                        F.lit(0.0),
+                    ),
+                    4,
+                ).alias("balance"),
+            )
+        )
+
+    a = state(_DIFF_T1).select(
+        F.col("user_id").alias("a_uid"),
+        F.col("version").alias("version_a"),
+        F.col("balance").alias("balance_a"),
+    )
+    b = state(None)
+    return b.join(a, b.user_id == a.a_uid, "left").select(
+        "user_id",
+        "version_a",
+        F.col("version").alias("version_b"),
+        "balance_a",
+        F.col("balance").alias("balance_b"),
+        F.when(F.col("a_uid").isNull(), "new")
+        .when(F.col("version") > F.col("version_a"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+        F.round(
+            F.col("balance") - F.coalesce(F.col("balance_a"), F.lit(0.0)), 4
+        ).alias("delta_balance"),
+    )
