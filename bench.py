@@ -108,6 +108,10 @@ HEADLINE = [
     "doc_pretrain_token_yield",
     "emb_binary_recall_eval",
     "evt_fold_state_diff",
+    "evt_cms_user_freq",
+    "evt_kmv_overlap",
+    "dq_profile_lineitem",
+    "graph_triangles_copurchase",
 ]
 
 

