@@ -112,6 +112,7 @@ HEADLINE = [
     "evt_kmv_overlap",
     "dq_profile_lineitem",
     "graph_triangles_copurchase",
+    "evt_stream_cms_users",
 ]
 
 

@@ -1187,3 +1187,71 @@ def evt_fold_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("balance") - F.coalesce(F.col("balance_a"), F.lit(0.0)), 4
         ).alias("delta_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min matview (12th genuinely-streaming oracled
+# entry): live point-frequency estimates with O(d*w) state.
+# ---------------------------------------------------------------------------
+
+
+from env_event_stream_spark.advanced_queries import _cms_oracle_sql
+
+
+# SAME oracle as the batch twin: cell counts are bigint sums —
+# arrival-order and micro-batch independent — so the live cells equal
+# the batch sketch exactly and the estimates agree verbatim.
+@query("evt_stream_cms_users", _cms_oracle_sql())
+def evt_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user frequency estimates served LIVE from a Count-Min
+    sketch (12th genuinely-streaming oracled entry): streaming state
+    is ONLY the d*w = 256 cell counters — whatever the key
+    cardinality — maintained by a streaming count aggregation over
+    the map-side 4x hash projection (complete-mode matview); point
+    lookups are a batch finalization against the frozen cells.
+    Because integer sums are insensitive to arrival order and
+    micro-batch boundaries, the live cells are bit-equal to the
+    batch sketch (evt_cms_user_freq), so this shares the batch
+    twin's FULL value-hash oracle. This is the live per-key
+    rate-limiter/abuse-counter shape at 100 TB: state O(1), merge =
+    +, any key queryable."""
+    from env_event_stream_spark.operators.sketches import CMS_D, cms_col
+    from env_event_stream_spark.tables import load_table
+
+    ev = _read_events_stream(spark, sf_dir).select("user_id")
+    k = F.col("user_id").cast("string")
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), cms_col(k, r).alias("col"))
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.r", "p.col")
+    agg = pairs.groupBy("r", "col").agg(F.count("*").alias("cnt"))
+    cells = spark.read.parquet(_run_complete_overwrite(agg, "cms"))
+
+    from pyspark.sql import Window
+
+    from env_event_stream_spark.operators.sketches import cms_point
+
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+    top = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 20)
+        .drop("_rn")
+    )
+    est = cms_point(cells, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        "user_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("n_exact")).cast("bigint").alias("overest"),
+    )

@@ -627,3 +627,31 @@ def test_stream_hll_registers_match_batch_across_micro_batches(
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_cms_cells_match_batch_across_micro_batches(
+    spark, sf_dir, tmp_path
+):
+    """CMS cells are +-merged state: a maxFilesPerTrigger=1 replay
+    over a 3-way split must leave the 256 cell counters bit-equal to
+    the batch sketch (sum is arrival-order and batch-boundary
+    independent)."""
+    from env_event_stream_spark.operators.sketches import cms_cells
+    from env_event_stream_spark.streaming_queries import _run_complete_overwrite
+    from env_event_stream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    src = str(tmp_path / "split_events_cms")
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = _run_complete_overwrite(
+        cms_cells(stream, F.col("user_id")), "cms_mb"
+    )
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want = sorted(map(tuple, cms_cells(ev, F.col("user_id")).collect()))
+    assert got == want and len(got) > 0
