@@ -113,6 +113,8 @@ HEADLINE = [
     "dq_profile_lineitem",
     "graph_triangles_copurchase",
     "evt_stream_cms_users",
+    "evt_assoc_rules",
+    "join_size_cms_estimate",
 ]
 
 

