@@ -1880,16 +1880,19 @@ def _tri_oracle_sql() -> str:
       SELECT v, count(*) AS d FROM (
         SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e) t
       GROUP BY v),
-    rk AS (
-      SELECT v, row_number() OVER (ORDER BY d, v) AS r FROM deg),
     oe AS (
-      SELECT CASE WHEN rx.r < ry.r THEN rx.r ELSE ry.r END AS lo,
-             CASE WHEN rx.r < ry.r THEN ry.r ELSE rx.r END AS hi
-      FROM e JOIN rk rx ON rx.v = e.x JOIN rk ry ON ry.v = e.y),
+      SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+                  THEN e.x ELSE e.y END AS lo,
+             CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+                  THEN e.y ELSE e.x END AS hi,
+             CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+                  THEN dy.d ELSE dx.d END AS dhi
+      FROM e JOIN deg dx ON dx.v = e.x JOIN deg dy ON dy.v = e.y),
     tri AS (
       SELECT count(*) AS t
       FROM oe e1
-      JOIN oe e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      JOIN oe e2 ON e2.lo = e1.lo
+       AND (e2.dhi > e1.dhi OR (e2.dhi = e1.dhi AND e2.hi > e1.hi))
       JOIN oe e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
     wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
     SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
@@ -1950,28 +1953,36 @@ def graph_triangles_copurchase(
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
-    rk = deg.select(
-        "v",
-        "d",
-        F.row_number()
-        .over(Window.orderBy(F.col("d").asc(), F.col("v").asc()))
-        .alias("r"),
+    # orientation by DIRECT (degree, id) tuple comparison — no global
+    # row_number (a single-partition sort over |V| nodes would be the
+    # one non-scalable stage in the plan); the total order is the
+    # same, so wedge/closure semantics are unchanged
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
     )
-    rx = rk.select(F.col("v").alias("x"), F.col("r").alias("rx"))
-    ry = rk.select(F.col("v").alias("y"), F.col("r").alias("ry"))
     oe = (
-        e.join(rx, "x")
-        .join(ry, "y")
+        e.join(dx, "x")
+        .join(dy, "y")
         .select(
-            F.least("rx", "ry").alias("lo"),
-            F.greatest("rx", "ry").alias("hi"),
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("lo"),
+            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("hi"),
+            F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dhi"),
         )
     )
-    e1 = oe.select(F.col("lo").alias("l1"), F.col("hi").alias("h1"))
-    e2 = oe.select(F.col("lo").alias("l2"), F.col("hi").alias("h2"))
+    e1 = oe.select(
+        F.col("lo").alias("l1"), F.col("hi").alias("h1"), F.col("dhi").alias("dh1")
+    )
+    e2 = oe.select(
+        F.col("lo").alias("l2"), F.col("hi").alias("h2"), F.col("dhi").alias("dh2")
+    )
     e3 = oe.select(F.col("lo").alias("l3"), F.col("hi").alias("h3"))
+    wedge_ord = (F.col("dh2") > F.col("dh1")) | (
+        (F.col("dh2") == F.col("dh1")) & (F.col("h2") > F.col("h1"))
+    )
     tri = (
-        e1.join(e2, (F.col("l2") == F.col("l1")) & (F.col("h2") > F.col("h1")))
+        e1.join(e2, (F.col("l2") == F.col("l1")) & wedge_ord)
         .join(
             e3,
             (F.col("l3") == F.col("h1")) & (F.col("h3") == F.col("h2")),
