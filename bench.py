@@ -115,6 +115,7 @@ HEADLINE = [
     "evt_stream_cms_users",
     "evt_assoc_rules",
     "join_size_cms_estimate",
+    "doc_split_leakage_guard",
 ]
 
 

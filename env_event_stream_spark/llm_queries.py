@@ -5170,3 +5170,158 @@ def emb_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, e, id_col="vec_id", vec_col="embedding", k=3, shortlist=32
     ).select("query_id", "neighbor_id")
     return _recall_frame(ex, ap, "n_bin")
+
+
+# ---------------------------------------------------------------------------
+# Group-aware train/val/test split with a dedup-leakage guard — the
+# eval-hygiene twin of decontamination: a naive per-doc hash split
+# scatters near-duplicate docs across splits (val/test answers leak
+# into train); splitting by DUP-CLUSTER key puts whole components on
+# one side by construction.
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_oracle() -> str:
+    split = (
+        "('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 10"
+    )
+    return (
+        "WITH RECURSIVE "
+        + _JACCARD_CTES.lstrip()
+        + f""",
+    p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p),
+    comp(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+    ),
+    cm AS (SELECT node, min(label) AS component FROM comp GROUP BY node),
+    asg AS (
+      SELECT d.doc_id,
+             {split.format(k="d.doc_id")} AS ns,
+             {split.format(k="coalesce(cm.component, d.doc_id)")} AS gs
+      FROM documents d LEFT JOIN cm ON cm.node = d.doc_id),
+    leaks AS (
+      SELECT sum(CASE WHEN a.ns <> b.ns THEN 1 ELSE 0 END) AS nl,
+             sum(CASE WHEN a.gs <> b.gs THEN 1 ELSE 0 END) AS gl
+      FROM p JOIN asg a ON a.doc_id = p.id_a
+             JOIN asg b ON b.doc_id = p.id_b)
+    SELECT 'naive' AS policy,
+           CAST(sum(CASE WHEN ns <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN ns = 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_val,
+           CAST(sum(CASE WHEN ns = 9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test,
+           CAST((SELECT coalesce(nl, 0) FROM leaks) AS BIGINT)
+             AS leaked_pairs
+    FROM asg
+    UNION ALL
+    SELECT 'grouped',
+           CAST(sum(CASE WHEN gs <= 7 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN gs = 8 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN gs = 9 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST((SELECT coalesce(gl, 0) FROM leaks) AS BIGINT)
+    FROM asg
+    """
+    )
+
+
+@query("doc_split_leakage_guard", _split_leakage_oracle())
+def doc_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split hygiene: an 80/10/10 md5 hash split
+    assigned per-DOCUMENT vs per-DUP-CLUSTER (split key = the
+    connected-component representative from the Jaccard >= 0.5
+    near-dup graph, singletons their own key). Output per policy:
+    split sizes + near-dup pairs whose endpoints landed in different
+    splits. The naive policy leaks (val/test near-copies of train
+    docs inflate eval); the grouped policy leaks ZERO by
+    construction — the invariant pytest pins.
+
+    100 TB shape: reuses the banded near-dup pair generation and the
+    min-label component propagation (both bounded/bucketed — see
+    doc_dup_clusters); split assignment is a row-local md5, and the
+    leakage audit joins the (small) pair list against the assignment
+    map twice on doc_id. Engine-reproducible: re-running on any
+    partitioning yields the identical split."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    from env_event_stream_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+
+    def split(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 10
+        )
+
+    asg = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            split(F.col("doc_id")).alias("ns"),
+            split(F.coalesce(F.col("component"), F.col("doc_id"))).alias(
+                "gs"
+            ),
+        )
+    )
+    aa = asg.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("ns").alias("ns_a"),
+        F.col("gs").alias("gs_a"),
+    )
+    ab = asg.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("ns").alias("ns_b"),
+        F.col("gs").alias("gs_b"),
+    )
+    leaks = (
+        pairs.join(aa, "id_a")
+        .join(ab, "id_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ns_a") != F.col("ns_b"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("nl"),
+            F.coalesce(
+                F.sum(F.when(F.col("gs_a") != F.col("gs_b"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("gl"),
+        )
+    )
+
+    def policy(tag: str, c: str, leak: str) -> DataFrame:
+        return (
+            asg.agg(
+                F.sum(F.when(F.col(c) <= 7, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_train"),
+                F.sum(F.when(F.col(c) == 8, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_val"),
+                F.sum(F.when(F.col(c) == 9, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_test"),
+            )
+            .crossJoin(F.broadcast(leaks.select(F.col(leak))))
+            .select(
+                F.lit(tag).alias("policy"),
+                "n_train",
+                "n_val",
+                "n_test",
+                F.col(leak).cast("bigint").alias("leaked_pairs"),
+            )
+        )
+
+    return policy("naive", "ns", "nl").unionByName(
+        policy("grouped", "gs", "gl")
+    )

@@ -85,3 +85,19 @@ def test_profile_matches_python_recount(spark, sf_dir):
     sd = out["l_shipdate"]
     assert sd.min_str is None and sd.mean_num is None
     assert sd.n_distinct == len({r.l_shipdate for r in rows})
+
+
+def test_grouped_split_never_leaks(spark, sf_dir):
+    """The guarantee the query exists for: zero near-dup pairs cross
+    splits under the cluster-keyed policy, and the naive policy's
+    counts sum to the same corpus size."""
+    from env_event_stream_spark.catalog import QUERIES
+
+    rows = {r.policy: r for r in QUERIES["doc_split_leakage_guard"](spark, sf_dir).collect()}
+    assert set(rows) == {"naive", "grouped"}
+    g, n = rows["grouped"], rows["naive"]
+    assert g.leaked_pairs == 0
+    assert (
+        g.n_train + g.n_val + g.n_test
+        == n.n_train + n.n_val + n.n_test
+    )
