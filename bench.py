@@ -116,6 +116,7 @@ HEADLINE = [
     "evt_assoc_rules",
     "join_size_cms_estimate",
     "doc_split_leakage_guard",
+    "evt_mad_outliers",
 ]
 
 

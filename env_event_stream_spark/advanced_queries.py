@@ -2226,3 +2226,82 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("rel_overest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD — the z-score family member
+# that survives heavy tails (evt_zscore_outliers' mean/stddev are
+# themselves dragged by the outliers they hunt).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, e.value, med.m,
+             abs(e.value - med.m) AS ad
+      FROM events e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(max(d.m) * 10000 + 0.5) / 10000 AS median_value,
+           floor(max(mad.mad) * 10000 + 0.5) / 10000 AS mad,
+           CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON mad.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def evt_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts via median/MAD (|v - median| >
+    3 * 1.4826 * MAD, the normal-consistent robust z threshold) —
+    the heavy-tail-safe twin of evt_zscore_outliers, whose mean and
+    stddev are themselves dragged by the outliers being hunted.
+
+    Exactness: Spark percentile() and DuckDB quantile_cont are
+    bit-identical pre-rounding (pinned by the
+    evt_value_percentiles_by_type family), deviations compare
+    UNROUNDED medians, and only the displayed columns round. Scale
+    shape: two grouped exact percentiles (per-type sort — the exact
+    tier; the mergeable-histogram tier is evt_hist_percentiles_
+    by_type) with the |types|-row median table broadcast back;
+    the outlier flag is row-local."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "m",
+        F.abs(F.col("value") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.floor(F.max("m") * 10000 + F.lit(0.5)) / 10000).alias(
+                "median_value"
+            ),
+            (F.floor(F.max("mad") * 10000 + F.lit(0.5)) / 10000).alias(
+                "mad"
+            ),
+            F.sum(
+                F.when(
+                    F.col("ad") > F.lit(3 * 1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
