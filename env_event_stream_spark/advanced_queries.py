@@ -1774,21 +1774,28 @@ def _profile_oracle_sql() -> str:
         )
     melted = " UNION ALL ".join(parts)
     return f"""
-    WITH m AS ({melted})
+    WITH m AS ({melted}),
+    g AS (
+      SELECT col_name, k,
+             count(*) AS cnt, min(v) AS v,
+             max(has_mean) AS has_mean, max(is_str) AS is_str
+      FROM m GROUP BY col_name, k)
     SELECT col_name,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN k IS NULL THEN cnt ELSE 0 END) AS BIGINT)
              AS n_null,
-           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_distinct,
            min(v) AS min_num,
            max(v) AS max_num,
            CASE WHEN max(has_mean) = 1
-                THEN floor(CAST(sum(v) AS DOUBLE) / count(v) * 10000
-                           + 0.5) / 10000
+                THEN floor(CAST(sum(v * cnt) AS DOUBLE)
+                           / sum(CASE WHEN v IS NOT NULL THEN cnt END)
+                           * 10000 + 0.5) / 10000
            END AS mean_num,
            min(CASE WHEN is_str = 1 THEN k END) AS min_str,
            max(CASE WHEN is_str = 1 THEN k END) AS max_str
-    FROM m GROUP BY col_name
+    FROM g GROUP BY col_name
     """
 
 
@@ -1833,18 +1840,33 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (col_name, k, v, has_mean, is_str)"
     )
     m = li.select(F.expr(stack))
-    return m.groupBy("col_name").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+    # EXPLICIT two-phase: first aggregate on (col, value) — map-side
+    # combinable, value groups carry their count and (constant)
+    # numeric form — then finalize per column. One scan; the implicit
+    # countDistinct form makes Catalyst plan distinct and non-distinct
+    # aggregates as two scan branches.
+    g = m.groupBy("col_name", "k").agg(
+        F.count("*").alias("cnt"),
+        F.min("v").alias("v"),
+        F.max("has_mean").alias("has_mean"),
+        F.max("is_str").alias("is_str"),
+    )
+    return g.groupBy("col_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("n_null"),
-        F.countDistinct("k").cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_distinct"),
         F.min("v").alias("min_num"),
         F.max("v").alias("max_num"),
         F.when(
             F.max("has_mean") == 1,
             F.floor(
-                F.sum("v").cast("double") / F.count("v") * 10000
+                F.sum(F.col("v") * F.col("cnt")).cast("double")
+                / F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")))
+                * 10000
                 + F.lit(0.5)
             )
             / 10000,

@@ -381,3 +381,50 @@ def test_partial_topk_prefilters_before_exchange(spark, sf_dir):
     # the prefilter appears below (after, in tree order) the exchange
     assert plan.index("MapInPandas") > plan.index("Exchange")
     assert "CartesianProduct" not in plan
+
+
+def test_cms_cells_partial_aggregate_before_exchange(spark, sf_dir):
+    """The CMS merge property must BE map-side combine: the cell
+    groupBy's exchange follows a partial_count, so at most d*w rows
+    leave each input partition — never the 4x projected stream."""
+    from env_event_stream_spark.operators.sketches import cms_cells
+    from pyspark.sql import functions as F
+
+    df = cms_cells(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), F.col("user_id")
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pre_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "partial_count" in pre_exchange
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_no_window_no_cartesian(spark, sf_dir):
+    """Degree orientation must not reintroduce the global-rank window
+    (a single-partition sort over |V|), and closure must stay an
+    equi-join."""
+    plan = _plan(spark, sf_dir, "graph_triangles_copurchase")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """The melt must read lineitem ONCE — one FileScan in the final
+    plan (per-column UNION-of-scans, or the double scan Catalyst
+    plans for implicit countDistinct-plus-min/max, are the shapes
+    being avoided), and the (col, value) pre-aggregation must
+    partial-combine before its exchange."""
+    plan = _plan(spark, sf_dir, "dq_profile_lineitem")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "partial_count" in final.split("Exchange hashpartitioning")[-1]
+
+
+def test_kmv_overlap_no_corpus_self_join(spark, sf_dir):
+    """Everything pairwise runs on broadcast sketches; the events
+    table itself appears only in sketch-build and the exact-tier
+    scans, and the union-sketch join is broadcast."""
+    plan = _plan(spark, sf_dir, "evt_kmv_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
