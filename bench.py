@@ -117,6 +117,7 @@ HEADLINE = [
     "join_size_cms_estimate",
     "doc_split_leakage_guard",
     "evt_mad_outliers",
+    "doc_ppjoin_stats",
 ]
 
 

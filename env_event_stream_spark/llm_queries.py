@@ -5325,3 +5325,131 @@ def doc_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return policy("naive", "ns", "nl").unionByName(
         policy("grouped", "gs", "gl")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (AllPairs/PPJoin family,
+# Bayardo et al. WWW'07 / Xiao et al. ICDE'08) — the OTHER
+# candidate-generation strategy next to MinHash banding and the raw
+# inverted index: order each doc's shingles by global rarity and join
+# only on the first |x| - ceil(t|x|) + 1 of them; any pair with
+# J >= t provably shares a prefix shingle.
+# ---------------------------------------------------------------------------
+
+
+def _ppjoin_oracle() -> str:
+    return (
+        "WITH "
+        + _JACCARD_CTES.lstrip()
+        + """,
+    dfc AS (SELECT sh, count(*) AS dfc FROM sh GROUP BY sh),
+    ord AS (
+      SELECT s.doc_id, s.sh, z.n_sh,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.dfc, s.sh) AS rn
+      FROM sh s JOIN dfc d ON d.sh = s.sh
+      JOIN sizes z ON z.doc_id = s.doc_id),
+    pref AS (SELECT doc_id, sh FROM ord
+             WHERE rn <= n_sh - ((n_sh + 1) // 2) + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+             FROM pref a JOIN pref b
+               ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    inv AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM sh a JOIN sh b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    tp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    mt AS (SELECT count(*) AS missed FROM tp
+           LEFT JOIN cand ON cand.ida = tp.id_a AND cand.idb = tp.id_b
+           WHERE cand.ida IS NULL)
+    SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand_prefix,
+           CAST((SELECT count(*) FROM inv) AS BIGINT) AS n_cand_inverted,
+           CAST(mt.missed AS BIGINT) AS n_missed,
+           floor(CAST((SELECT count(*) FROM inv) AS DOUBLE)
+                 / (SELECT count(*) FROM cand) * 10000 + 0.5) / 10000
+             AS cand_reduction
+    FROM mt
+    """
+    )
+
+
+@query("doc_ppjoin_stats", _ppjoin_oracle())
+def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering candidate generation for the exact Jaccard >=
+    0.5 self-join, audited against the raw inverted index: shingles
+    are globally ordered by document frequency (rarest first) and
+    only each doc's first |x| - ceil(0.5|x|) + 1 shingles join —
+    completeness is provable (disjoint prefixes imply J < 0.5) and
+    the n_missed column DEMONSTRATES it on real data, alongside the
+    measured candidate-reduction factor vs joining on every shingle.
+
+    100 TB shape: the prefix join inherits the inverted index's
+    equi-join form but self-selects RARE shingles, so hot-shingle
+    skew is structurally avoided (the frequent shingles that explode
+    the raw join never enter a prefix) — the same effect the df_cap
+    guard approximates, but lossless. The doc-frequency table and
+    per-doc rank ride one shingle aggregation + one doc-partitioned
+    window; the full inverted candidate count here is the eval-tier
+    baseline being avoided."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "text", "doc_id", 3)
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("dfc"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("dfc").asc(), F.col("sh").asc()
+    )
+    ordd = (
+        sh.join(dfc, "sh")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    pref = ordd.where(
+        F.col("rn") <= F.expr("n_sh - ((n_sh + 1) DIV 2) + 1")
+    ).select("doc_id", "sh")
+    pa = pref.select(F.col("doc_id").alias("ida"), "sh")
+    pb = pref.select(F.col("doc_id").alias("idb"), "sh")
+    cand = (
+        pa.join(pb, "sh")
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("ida"), "sh")
+    sb = sh.select(F.col("doc_id").alias("idb"), "sh")
+    inv = (
+        sa.join(sb, "sh")
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    tp = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5).select(
+        F.col("id_a").alias("ida"), F.col("id_b").alias("idb")
+    )
+    missed = tp.join(cand, ["ida", "idb"], "left_anti").agg(
+        F.count("*").alias("n_missed")
+    )
+    n_tp = tp.agg(F.count("*").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count("*").alias("n_cand_prefix"))
+    n_inv = inv.agg(F.count("*").alias("n_cand_inverted"))
+    return (
+        n_tp.crossJoin(n_cand)
+        .crossJoin(n_inv)
+        .crossJoin(missed)
+        .select(
+            F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+            F.col("n_cand_prefix").cast("bigint").alias("n_cand_prefix"),
+            F.col("n_cand_inverted")
+            .cast("bigint")
+            .alias("n_cand_inverted"),
+            F.col("n_missed").cast("bigint").alias("n_missed"),
+            (
+                F.floor(
+                    F.col("n_cand_inverted").cast("double")
+                    / F.col("n_cand_prefix")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("cand_reduction"),
+        )
+    )

@@ -101,3 +101,15 @@ def test_grouped_split_never_leaks(spark, sf_dir):
         g.n_train + g.n_val + g.n_test
         == n.n_train + n.n_val + n.n_test
     )
+
+
+def test_ppjoin_candidates_complete_and_smaller(spark, sf_dir):
+    """Prefix filtering must lose NOTHING (n_missed = 0 — the
+    completeness theorem checked on data) while generating no more
+    candidates than the raw inverted index."""
+    from env_event_stream_spark.catalog import QUERIES
+
+    row = QUERIES["doc_ppjoin_stats"](spark, sf_dir).collect()[0]
+    assert row.n_missed == 0
+    assert row.n_cand_prefix <= row.n_cand_inverted
+    assert row.n_true_pairs <= row.n_cand_prefix
