@@ -1429,12 +1429,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB-dashboard extension (SURVEY §2 contract side).
 # ---------------------------------------------------------------------------
 
-_CMS_ORACLE = None  # built right below; keep literals in one place
-
-
 def _cms_oracle_sql() -> str:
     from env_event_stream_spark.operators.sketches import (
+        cms_col_sql,
         cms_oracle_cells_sql,
+        cms_salt_values_sql,
     )
 
     cells = cms_oracle_cells_sql("events", "user_id")
@@ -1443,14 +1442,12 @@ def _cms_oracle_sql() -> str:
     ex AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
     pos AS (
       SELECT u.user_id, s.r,
-             ('0x' || substr(md5('r' || CAST(s.r AS VARCHAR) || ':'
-                 || CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT
-               % 64 AS col
+             {cms_col_sql("u.user_id")} AS col
       FROM (SELECT DISTINCT user_id FROM events) u
-      CROSS JOIN (VALUES (0), (1), (2), (3)) s(r)),
+      CROSS JOIN (VALUES {cms_salt_values_sql()}) s(r)),
     est AS (
-      SELECT p.user_id, min(c.cnt) AS cms_est
-      FROM pos p JOIN cells c ON c.r = p.r AND c.col = p.col
+      SELECT p.user_id, min(coalesce(c.cnt, 0)) AS cms_est
+      FROM pos p LEFT JOIN cells c ON c.r = p.r AND c.col = p.col
       GROUP BY 1),
     top AS (SELECT user_id, n_exact FROM ex
             ORDER BY n_exact DESC, user_id ASC LIMIT 20)
@@ -1460,6 +1457,28 @@ def _cms_oracle_sql() -> str:
            CAST(e.cms_est - t.n_exact AS BIGINT) AS overest
     FROM top t JOIN est e USING (user_id)
     """
+
+
+def _cms_top20_readout(cells: DataFrame, ex: DataFrame) -> DataFrame:
+    """Shared batch/streaming finalization: top-20 users by exact
+    count with their CMS estimates and overestimate. One definition
+    so the 'streaming equals batch' guarantee can't drift at the
+    source level (evt_stream_cms_users reuses this verbatim)."""
+    from env_event_stream_spark.operators.sketches import cms_point
+
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+    top = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 20)
+        .drop("_rn")
+    )
+    est = cms_point(cells, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        "user_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("n_exact")).cast("bigint").alias("overest"),
+    )
 
 
 @query("evt_cms_user_freq", _cms_oracle_sql())
@@ -1479,27 +1498,12 @@ def evt_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     precisely because the exact per-key groupBy is the thing being
     avoided); the streaming twin (evt_stream_cms_users) keeps the
     identical cells as live state."""
-    from env_event_stream_spark.operators.sketches import (
-        cms_cells,
-        cms_point,
-    )
+    from env_event_stream_spark.operators.sketches import cms_cells
 
     ev = _t(spark, sf_dir, "events")
     cells = cms_cells(ev, F.col("user_id"))
     ex = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
-    w = Window.orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
-    top = (
-        ex.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= 20)
-        .drop("_rn")
-    )
-    est = cms_point(cells, top.select("user_id"), "user_id")
-    return top.join(est, "user_id").select(
-        "user_id",
-        F.col("n_exact").cast("bigint").alias("n_exact"),
-        F.col("cms_est").cast("bigint").alias("cms_est"),
-        (F.col("cms_est") - F.col("n_exact")).cast("bigint").alias("overest"),
-    )
+    return _cms_top20_readout(cells, ex)
 
 
 # ---------------------------------------------------------------------------
@@ -1578,11 +1582,11 @@ def _kmv_oracle_sql() -> str:
            END AS union_est,
            floor(CAST(b.n_both AS DOUBLE) / b.k_union * 10000 + 0.5)
              / 10000 AS jaccard_kmv,
-           CAST(x.n_inter AS BIGINT) AS n_inter_exact
+           CAST(coalesce(x.n_inter, 0) AS BIGINT) AS n_inter_exact
     FROM bo b
     JOIN est e1 ON e1.event_type = b.t1
     JOIN est e2 ON e2.event_type = b.t2
-    JOIN exact x ON x.t1 = b.t1 AND x.t2 = b.t2
+    LEFT JOIN exact x ON x.t1 = b.t1 AND x.t2 = b.t2
     """
 
 
@@ -1705,7 +1709,10 @@ def evt_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         both.join(F.broadcast(e1), "t1")
         .join(F.broadcast(e2), "t2")
-        .join(exact, ["t1", "t2"])
+        # LEFT: a pair with zero exact co-occurrence still has
+        # well-defined sketch estimates — an inner join would
+        # silently drop its whole row
+        .join(exact, ["t1", "t2"], "left")
         .select(
             "t1",
             "t2",
@@ -1721,7 +1728,9 @@ def evt_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 10000
             ).alias("jaccard_kmv"),
-            F.col("n_inter_exact").cast("bigint").alias("n_inter_exact"),
+            F.coalesce(F.col("n_inter_exact"), F.lit(0))
+            .cast("bigint")
+            .alias("n_inter_exact"),
         )
     )
 

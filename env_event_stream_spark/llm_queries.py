@@ -5273,6 +5273,10 @@ def doc_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gs"
             ),
         )
+        # referenced three times below (policy counts + both pair-
+        # endpoint joins); materialize once so the component
+        # propagation upstream doesn't replay per reference
+        .localCheckpoint()
     )
     aa = asg.select(
         F.col("doc_id").alias("id_a"),
@@ -5299,32 +5303,39 @@ def doc_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def policy(tag: str, c: str, leak: str) -> DataFrame:
-        return (
-            asg.agg(
-                F.sum(F.when(F.col(c) <= 7, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_train"),
-                F.sum(F.when(F.col(c) == 8, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_val"),
-                F.sum(F.when(F.col(c) == 9, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_test"),
-            )
-            .crossJoin(F.broadcast(leaks.select(F.col(leak))))
-            .select(
-                F.lit(tag).alias("policy"),
-                "n_train",
-                "n_val",
-                "n_test",
-                F.col(leak).cast("bigint").alias("leaked_pairs"),
-            )
+    # ONE aggregation produces both policies' counters; the two
+    # output rows are an explode of that single row (a union of two
+    # policy branches would embed the whole upstream DAG twice)
+    def bucket_counts(c: str, prefix: str) -> list:
+        return [
+            F.sum(F.when(F.col(c) <= 7, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}_train"),
+            F.sum(F.when(F.col(c) == 8, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}_val"),
+            F.sum(F.when(F.col(c) == 9, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}_test"),
+        ]
+
+    stats = asg.agg(*bucket_counts("ns", "n"), *bucket_counts("gs", "g"))
+    row = stats.crossJoin(F.broadcast(leaks))
+
+    def pol(tag: str, p: str, leak: str):
+        return F.struct(
+            F.lit(tag).alias("policy"),
+            F.col(f"{p}_train").alias("n_train"),
+            F.col(f"{p}_val").alias("n_val"),
+            F.col(f"{p}_test").alias("n_test"),
+            F.col(leak).cast("bigint").alias("leaked_pairs"),
         )
 
-    return policy("naive", "ns", "nl").unionByName(
-        policy("grouped", "gs", "gl")
-    )
+    return row.select(
+        F.explode(
+            F.array(pol("naive", "n", "nl"), pol("grouped", "g", "gl"))
+        ).alias("o")
+    ).select("o.*")
 
 
 # ---------------------------------------------------------------------------

@@ -267,7 +267,13 @@ def cms_cells(df: DataFrame, key) -> DataFrame:
 def cms_point(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     """min-over-rows point estimates for each key in ``keys``: the
     cell table (d*w rows) broadcasts to the key side; no shuffle of
-    the key set beyond its own distinct."""
+    the key set beyond its own distinct. LEFT join + coalesce(0):
+    a key may hash to a cell no sketched row ever touched (the cell
+    table stores only occupied cells), and an empty cell means
+    estimate 0 for that row — an inner join would DROP the key (all
+    cells empty) or inflate the min (some empty) for keys outside
+    the sketched data, breaking 'CMS answers point queries for ANY
+    key'."""
     k = F.col(key_col)
     pos = keys.select(
         key_col,
@@ -283,9 +289,24 @@ def cms_point(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         ).alias("p"),
     ).select(key_col, "p.r", "p.col")
     return (
-        pos.join(F.broadcast(cells), ["r", "col"])
+        pos.join(F.broadcast(cells), ["r", "col"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_salt_values_sql() -> str:
+    """The d-row VALUES list, derived from CMS_D (single source of
+    truth with the Spark side — a hardcoded (0),(1),(2),(3) would
+    silently diverge if CMS_D changed)."""
+    return ", ".join(f"({r})" for r in range(CMS_D))
+
+
+def cms_col_sql(key_sql: str, r_sql: str = "s.r") -> str:
+    """DuckDB spelling of cms_col for the same key/salt."""
+    return (
+        f"('0x' || substr(md5('r' || CAST({r_sql} AS VARCHAR) || ':'"
+        f" || CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT % {CMS_W}"
     )
 
 
@@ -293,11 +314,9 @@ def cms_oracle_cells_sql(source: str, key_sql: str) -> str:
     """DuckDB CTE body replaying the identical cell table."""
     return f"""
       SELECT s.r,
-             ('0x' || substr(md5('r' || CAST(s.r AS VARCHAR) || ':'
-                 || CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT
-               % {CMS_W} AS col,
+             {cms_col_sql(key_sql)} AS col,
              count(*) AS cnt
-      FROM {source} CROSS JOIN (VALUES (0), (1), (2), (3)) s(r)
+      FROM {source} CROSS JOIN (VALUES {cms_salt_values_sql()}) s(r)
       GROUP BY 1, 2"""
 
 

@@ -1215,43 +1215,20 @@ def evt_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin's FULL value-hash oracle. This is the live per-key
     rate-limiter/abuse-counter shape at 100 TB: state O(1), merge =
     +, any key queryable."""
-    from env_event_stream_spark.operators.sketches import CMS_D, cms_col
+    from env_event_stream_spark.advanced_queries import _cms_top20_readout
+    from env_event_stream_spark.operators.sketches import cms_cells
     from env_event_stream_spark.tables import load_table
 
+    # cms_cells works unchanged on a streaming frame (the multi-batch
+    # pytest proves it); the finalization is the batch query's own —
+    # one definition for the sketch build and one for the readout, so
+    # 'streaming equals batch' cannot drift at the source level.
     ev = _read_events_stream(spark, sf_dir).select("user_id")
-    k = F.col("user_id").cast("string")
-    pairs = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(r).alias("r"), cms_col(k, r).alias("col"))
-                    for r in range(CMS_D)
-                ]
-            )
-        ).alias("p")
-    ).select("p.r", "p.col")
-    agg = pairs.groupBy("r", "col").agg(F.count("*").alias("cnt"))
+    agg = cms_cells(ev, F.col("user_id"))
     cells = spark.read.parquet(_run_complete_overwrite(agg, "cms"))
-
-    from pyspark.sql import Window
-
-    from env_event_stream_spark.operators.sketches import cms_point
-
     ex = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("n_exact"))
     )
-    w = Window.orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
-    top = (
-        ex.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= 20)
-        .drop("_rn")
-    )
-    est = cms_point(cells, top.select("user_id"), "user_id")
-    return top.join(est, "user_id").select(
-        "user_id",
-        F.col("n_exact").cast("bigint").alias("n_exact"),
-        F.col("cms_est").cast("bigint").alias("cms_est"),
-        (F.col("cms_est") - F.col("n_exact")).cast("bigint").alias("overest"),
-    )
+    return _cms_top20_readout(cells, ex)
