@@ -118,6 +118,8 @@ HEADLINE = [
     "doc_split_leakage_guard",
     "evt_mad_outliers",
     "doc_ppjoin_stats",
+    "evt_rolling_hll_wau",
+    "doc_source_keywords",
 ]
 
 

@@ -2336,3 +2336,112 @@ def evt_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users via HLL register merge — the
+# mergeability payoff applied to TIME: a rolling COUNT DISTINCT
+# without ever re-scanning the week, by max-merging 7 daily sketches.
+# ---------------------------------------------------------------------------
+
+_WAU_ORACLE = f"""
+    WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    h AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events),
+    b AS (
+      SELECT day,
+             ('0x' || substr(hx, 1, 2))::BIGINT % {_HLL_M} AS bucket,
+             {_rho_sql("substr(hx, 3, 15)")} AS rho
+      FROM h),
+    dregs AS (SELECT day, bucket, max(rho) AS mrho
+              FROM b GROUP BY 1, 2),
+    rolled AS (
+      SELECT g.day, r.bucket, max(r.mrho) AS mrho
+      FROM dd g JOIN dregs r ON r.day BETWEEN g.day - 6 AND g.day
+      GROUP BY 1, 2),
+    z AS (
+      SELECT day,
+             CAST(sum(1::BIGINT << (50 - least(mrho, 50))) AS BIGINT)
+               + ({_HLL_M} - count(*)) * 1125899906842624 AS z_int,
+             {_HLL_M} - count(*) AS v_empty
+      FROM rolled GROUP BY day),
+    ex AS (
+      SELECT g.day, count(DISTINCT u.user_id) AS n_exact
+      FROM dd g
+      JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events) u
+        ON u.day BETWEEN g.day - 6 AND g.day
+      GROUP BY 1),
+    est AS (
+      SELECT z.day, ex.n_exact, z.v_empty,
+             0.7213 / (1.0 + 1.079 / {_HLL_M}.0)
+               * {_HLL_M}.0 * {_HLL_M}.0 * {_POW50} / z.z_int AS raw
+      FROM z JOIN ex USING (day))
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           floor((CASE WHEN raw <= 2.5 * {_HLL_M} AND v_empty > 0
+                       THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v_empty)
+                       ELSE raw END) * 10000 + 0.5) / 10000 AS wau_est
+    FROM est
+    """
+
+
+@query("evt_rolling_hll_wau", _WAU_ORACLE)
+def evt_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day from MERGED daily HLL
+    sketches: each day keeps its 64 max-rho registers; the trailing
+    week's estimate is a per-bucket max over the last 7 days'
+    registers — no re-scan of the week, no distinct over the window.
+    Exact rolling distinct rides along as the accuracy readout
+    (evt_rolling_dau's exact machinery is the thing this sketch
+    makes O(1)-per-day at scale).
+
+    100 TB shape: raw data is touched ONCE (daily registers,
+    map-side max-combine); everything after runs on the
+    |days| x 64 calendar grid — the rolling merge is a range join
+    of the day grid against register rows, scale-invariant like the
+    histogram-percentile trend. This is the dashboard WAU/MAU
+    pattern: persist daily registers, merge any window on demand."""
+    from env_event_stream_spark.operators.sketches import (
+        hll_estimate,
+        hll_project,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    dregs = hll_registers(
+        hll_project(ev, F.col("user_id"), ["day"]), ["day"]
+    )
+    days = ev.select("day").distinct()
+    g = days.select(F.col("day").alias("gday"))
+    rolled = (
+        g.join(
+            F.broadcast(dregs),
+            (F.col("day") <= F.col("gday"))
+            & (F.col("day") >= F.date_sub(F.col("gday"), 6)),
+        )
+        .groupBy(F.col("gday").alias("day"), "bucket")
+        .agg(F.max("mrho").alias("mrho"))
+    )
+    est = hll_estimate(rolled, ["day"])
+    # exact tier: broadcast the DAY GRID (calendar-sized) against the
+    # distinct stream — never the other way around
+    ud = ev.distinct()
+    ex = (
+        ud.join(
+            F.broadcast(g),
+            (F.col("day") <= F.col("gday"))
+            & (F.col("day") >= F.date_sub(F.col("gday"), 6)),
+        )
+        .groupBy(F.col("gday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(ex, "day").select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("hll_est").alias("wau_est"),
+    )

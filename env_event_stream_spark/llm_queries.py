@@ -5464,3 +5464,120 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cand_reduction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-comparative keywords: log-odds ratio with an informed
+# Dirichlet prior (Monroe, Colaresi & Quinn 2008) — "what words make
+# this source DIFFERENT", with shrinkage so rare words don't top the
+# list the way raw TF-IDF lets them.
+# ---------------------------------------------------------------------------
+
+_LOR_ALPHA0 = 1000.0  # total prior mass, split by global frequency
+
+
+def _source_keywords_oracle() -> str:
+    return (
+        "WITH "
+        + _TOKENS_CTE.lstrip()
+        + f""",
+    tok AS (
+      SELECT d.source, u.w
+      FROM t JOIN documents d ON d.doc_id = t.doc_id,
+           unnest(t.tk) AS u(w)
+      WHERE u.w <> ''),
+    sw AS (SELECT source, w, count(*) AS y FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+    gw AS (SELECT w, count(*) AS yg FROM tok GROUP BY 1),
+    gt AS (SELECT count(*) AS ng FROM tok),
+    sc AS (
+      SELECT sw.source, sw.w, sw.y,
+             {_LOR_ALPHA0} * gw.yg / gt.ng AS aw,
+             st.n AS n_s, gt.ng - st.n AS n_r,
+             gw.yg - sw.y AS y_r
+      FROM sw JOIN st USING (source) JOIN gw USING (w) CROSS JOIN gt),
+    z AS (
+      SELECT source, w, y,
+             floor((
+               (ln((y + aw) / (n_s + {_LOR_ALPHA0} - y - aw))
+                - ln((y_r + aw) / (n_r + {_LOR_ALPHA0} - y_r - aw)))
+               / sqrt(1.0 / (y + aw) + 1.0 / (y_r + aw))
+             ) * 10000 + 0.5) / 10000 AS zscore
+      FROM sc)
+    SELECT source, w AS token, CAST(y AS BIGINT) AS n_in_source,
+           zscore
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY zscore DESC, w ASC) AS rn
+          FROM z) q
+    WHERE rn <= 5
+    """
+    )
+
+
+@query("doc_source_keywords", _source_keywords_oracle())
+def doc_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive tokens per source by log-odds z-score with
+    an informed Dirichlet prior (prior mass 1000 split by global
+    frequency): the corpus-comparison operator — unlike TF-IDF's
+    per-doc saliency, this contrasts each source against the REST of
+    the corpus with shrinkage, so a word seen 3 times in one source
+    can't outrank a systematically overused one.
+
+    100 TB shape: one (source, token) count shuffle with map-side
+    combine; source totals and the global token table broadcast back
+    (vocabulary-sized, the same broadcast doc_unigram_logprob
+    defends); ranking windows run per source over rounded scores so
+    both engines rank identical values. ln() is platform libm on
+    both engines — the 4dp rounding absorbs the sub-ulp divergence
+    (same acceptance as the HLL linear-counting branch)."""
+    from env_event_stream_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+    )
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("y"))
+    st = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+    gw = tok.groupBy("w").agg(F.count("*").alias("yg"))
+    gt = tok.agg(F.count("*").alias("ng"))
+    a0 = F.lit(_LOR_ALPHA0)
+    sc = (
+        sw.join(F.broadcast(st), "source")
+        .join(gw, "w")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "w",
+            "y",
+            (a0 * F.col("yg") / F.col("ng")).alias("aw"),
+            F.col("n_s"),
+            (F.col("ng") - F.col("n_s")).alias("n_r"),
+            (F.col("yg") - F.col("y")).alias("y_r"),
+        )
+    )
+    zscore = F.floor(
+        (
+            (
+                F.log((F.col("y") + F.col("aw")) / (F.col("n_s") + a0 - F.col("y") - F.col("aw")))
+                - F.log((F.col("y_r") + F.col("aw")) / (F.col("n_r") + a0 - F.col("y_r") - F.col("aw")))
+            )
+            / F.sqrt(1.0 / (F.col("y") + F.col("aw")) + 1.0 / (F.col("y_r") + F.col("aw")))
+        )
+        * 10000
+        + F.lit(0.5)
+    ) / 10000
+    z = sc.select("source", "w", "y", zscore.alias("zscore"))
+    w5 = Window.partitionBy("source").orderBy(
+        F.col("zscore").desc(), F.col("w").asc()
+    )
+    return (
+        z.withColumn("rn", F.row_number().over(w5))
+        .where(F.col("rn") <= 5)
+        .select(
+            "source",
+            F.col("w").alias("token"),
+            F.col("y").cast("bigint").alias("n_in_source"),
+            "zscore",
+        )
+    )

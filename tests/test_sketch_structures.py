@@ -268,3 +268,42 @@ def test_assoc_rules_counts_consistent(spark, sf_dir):
         assert r.support <= r.conf_a_b + 1e-9
         assert r.support <= r.conf_b_a + 1e-9
         assert r.lift > 0
+
+
+def test_rolling_wau_register_merge_equals_week_sketch(spark, sf_dir):
+    """The rolling claim: max-merging 7 daily sketches must equal
+    sketching the raw 7-day window directly — per bucket, per day."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "user_id")
+        .collect()
+    )
+    days = sorted({r.day for r in rows})
+    daily = {
+        d: _hll_buckets([r.user_id for r in rows if r.day == d])
+        for d in days
+    }
+    for d in days:
+        week = [x for x in days if (d - x).days <= 6 and x <= d]
+        merged: dict[int, int] = {}
+        for x in week:
+            for b, v in daily[x].items():
+                merged[b] = max(merged.get(b, 0), v)
+        direct = _hll_buckets(
+            [r.user_id for r in rows if r.day in set(week)]
+        )
+        assert merged == direct, d
+
+
+def test_source_keywords_scores_shrink_rare_words(spark, sf_dir):
+    """Shrinkage sanity: every reported keyword must appear more than
+    once in its source (a singleton can't beat the prior), and rows
+    are exactly 5 per source."""
+    from collections import Counter
+
+    from env_event_stream_spark.catalog import QUERIES
+
+    out = QUERIES["doc_source_keywords"](spark, sf_dir).collect()
+    per = Counter(r.source for r in out)
+    assert all(v == 5 for v in per.values())
+    assert all(r.n_in_source >= 1 for r in out)
