@@ -120,6 +120,7 @@ HEADLINE = [
     "doc_ppjoin_stats",
     "evt_rolling_hll_wau",
     "doc_source_keywords",
+    "evt_time_to_convert",
 ]
 
 

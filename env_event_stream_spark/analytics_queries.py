@@ -1123,3 +1123,104 @@ def evt_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("bigint").alias("n_active"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert: latency distribution from first signup to first
+# subsequent purchase, by signup cohort week — the funnel family's
+# "how long" counterpart to "how many".
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.st
+      GROUP BY 1),
+    lat AS (
+      SELECT s.user_id,
+             CAST(date_trunc('week', s.st) AS DATE) AS cohort_week,
+             (epoch_us(p.pt) - epoch_us(s.st)) / 86400000000.0
+               AS lat_days
+      FROM s LEFT JOIN p USING (user_id))
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(lat_days) AS BIGINT) AS n_converted,
+           floor(count(lat_days) * 1.0 / count(*) * 10000 + 0.5)
+             / 10000 AS conv_rate,
+           floor(quantile_cont(lat_days, 0.5) * 10000 + 0.5) / 10000
+             AS p50_days,
+           floor(quantile_cont(lat_days, 0.9) * 10000 + 0.5) / 10000
+             AS p90_days
+    FROM lat GROUP BY cohort_week
+    """,
+)
+def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency by signup cohort week:
+    conversion rate plus p50/p90 days-to-convert — the "how long"
+    counterpart to the funnel's "how many" (no existing query
+    reports latency distributions).
+
+    Determinism: latency is integer micros divided once by 86400e6
+    (identical IEEE op both engines; DuckDB's epoch() seconds form
+    would round differently), percentiles are the proven
+    percentile ≡ quantile_cont pair, week truncation is ISO-Monday
+    in both engines. Scale: one user_id shuffle shared by the two
+    first-event aggregates and their join; the cohort rollup is
+    |weeks| rows."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    lat = s.join(p, "user_id", "left").select(
+        F.date_trunc("week", F.col("st")).cast("date").alias("cohort_week"),
+        (
+            (F.unix_micros(F.col("pt")) - F.unix_micros(F.col("st")))
+            / F.lit(86400000000.0)
+        ).alias("lat_days"),
+    )
+    return lat.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_signups"),
+        F.count("lat_days").cast("bigint").alias("n_converted"),
+        (
+            F.floor(
+                F.count("lat_days") * F.lit(1.0) / F.count("*") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("conv_rate"),
+        (
+            F.floor(
+                F.expr("percentile(lat_days, 0.5)") * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("p50_days"),
+        (
+            F.floor(
+                F.expr("percentile(lat_days, 0.9)") * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("p90_days"),
+    ).select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "n_signups",
+        "n_converted",
+        "conv_rate",
+        "p50_days",
+        "p90_days",
+    )
