@@ -121,6 +121,7 @@ HEADLINE = [
     "evt_rolling_hll_wau",
     "doc_source_keywords",
     "evt_time_to_convert",
+    "evt_stream_interval_join",
 ]
 
 

@@ -1232,3 +1232,90 @@ def evt_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_exact"))
     )
     return _cms_top20_readout(cells, ex)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream watermarked interval join as an ORACLED catalog entry
+# (13th genuinely-streaming entry): the one streaming feature that
+# was previously verified only by pytest.
+# ---------------------------------------------------------------------------
+
+
+def _run_append(out: DataFrame, prefix: str) -> str:
+    """Run an append-mode stream (joins, projections) to completion
+    (availableNow) into a parquet sink; executors write, nothing
+    reaches the driver."""
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    sink_dir = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{prefix}: availableNow stream did not finish in 300s")
+    return sink_dir
+
+
+@query(
+    "evt_stream_interval_join",
+    """
+    SELECT CAST(CAST(p.ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.event_id) AS BIGINT)
+             AS n_purchases_matched,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    GROUP BY 1
+    """,
+)
+def evt_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined LIVE to same-user views from the trailing
+    hour — a real watermarked stream-stream interval join
+    (streaming/joins.interval_join) run to completion and oracled
+    against the plain batch range join (13th genuinely-streaming
+    oracled entry; this surface was previously pytest-only). The
+    per-day rollup is a batch finalization over the joined-pairs
+    sink.
+
+    100 TB shape: watermarks + the 1-hour bound let Spark EVICT join
+    state — each side buffers O(window), not O(stream); the join
+    shuffles both sides on user_id once. Timestamp math is integer
+    micros (interval arithmetic exact in both engines)."""
+    from env_event_stream_spark.streaming.joins import interval_join
+
+    ev = _read_events_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    joined = interval_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="pts",
+        right_ts="vts",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 1 HOUR",
+        left_watermark="2 hours",
+        right_watermark="2 hours",
+    ).select(
+        F.col("l.user_id").alias("user_id"), "pts", "pid", "vts"
+    )
+    pairs = spark.read.parquet(_run_append(joined, "ivj"))
+    return pairs.groupBy(
+        F.col("pts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("pid").cast("bigint").alias("n_purchases_matched"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

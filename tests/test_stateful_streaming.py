@@ -655,3 +655,46 @@ def test_stream_cms_cells_match_batch_across_micro_batches(
     got = sorted(map(tuple, spark.read.parquet(sink).collect()))
     want = sorted(map(tuple, cms_cells(ev, F.col("user_id")).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_matches_batch_across_micro_batches(
+    spark, sf_dir, tmp_path
+):
+    """Stream-stream interval join parity under forced multi-batch
+    replay: purchases and views fed one file at a time must produce
+    the same joined pair multiset as the batch range join. The test
+    runs UNWATERMARKED (Spark buffers both sides, exact parity by
+    construction — matches can span micro-batches); the catalog
+    query keeps watermarks, which a single availableNow batch never
+    triggers."""
+    from env_event_stream_spark.streaming.joins import interval_join
+    from env_event_stream_spark.streaming_queries import _run_append
+    from env_event_stream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = str(tmp_path / "split_events_ivj")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def shape(frame):
+        p = frame.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+        )
+        v = frame.where(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("vts")
+        )
+        return interval_join(
+            p, v, keys=["user_id"], left_ts="pts", right_ts="vts"
+        ).select(F.col("l.user_id").alias("user_id"), "pts", "pid", "vts")
+
+    got = sorted(
+        map(tuple, spark.read.parquet(_run_append(shape(stream), "ivj_mb")).collect())
+    )
+    want = sorted(map(tuple, shape(ev).collect()))
+    assert got == want and len(got) > 0
