@@ -122,6 +122,8 @@ HEADLINE = [
     "doc_source_keywords",
     "evt_time_to_convert",
     "evt_stream_interval_join",
+    "emb_knn_pq_residual",
+    "emb_residual_recall_eval",
 ]
 
 

@@ -915,6 +915,7 @@ def pq_encode_arrow(
     vec_col: str,
     keep: list[str],
     with_recon: bool = False,
+    residual_cells: dict | None = None,
 ) -> DataFrame:
     """Arrow/numpy twin of pq_codes (+ pq_recon_error): identical math
     in the identical accumulation order (sequential over the d dims,
@@ -950,6 +951,13 @@ def pq_encode_arrow(
             V = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             ) if n else np.zeros((0, m * d))
+            if residual_cells is not None and n:
+                # residual IVF-PQ: encode v - centroid[cell]
+                # (cell_id must be in the keep columns)
+                C = np.array(
+                    [residual_cells[int(c)] for c in pdf["cell_id"]]
+                )
+                V = V - C
             codes = np.empty((n, m), dtype=np.int32)
             recon = np.zeros(n, dtype=np.float64)
             for i in range(m):
@@ -1031,7 +1039,9 @@ def knn_ivf_pq(
     return _adc_topk(probes, inv, books, k)
 
 
-def _adc_topk(probes: DataFrame, inv, books, k: int) -> DataFrame:
+def _adc_topk(
+    probes: DataFrame, inv, books, k: int, *, with_cell_dot: bool = False
+) -> DataFrame:
     """The ADC scoring tail shared by knn_ivf_pq and
     search_ivfpq_index: per-query m × k LUT of subspace dots, cell_id
     equi-join against the (neighbor_id, cell_id, codes) inverted
@@ -1049,20 +1059,22 @@ def _adc_topk(probes: DataFrame, inv, books, k: int) -> DataFrame:
     lut = F.array(
         *[F.transform(_lit_book(book), _sub_dot(i)) for i, book in enumerate(books)]
     )
-    probes = probes.select("query_id", "cell_id", lut.alias("lut"))
+    pcols = ["query_id", "cell_id"] + (["qc"] if with_cell_dot else [])
+    probes = probes.select(*pcols, lut.alias("lut"))
+    adc_sum = F.aggregate(
+        F.zip_with(
+            F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # residual ADC: <q, x> ~= <q, c_cell> + residual LUT sum (qc
+    # added FIRST — the oracle spells the same `qc + list_sum` order)
+    score = (F.col("qc") + adc_sum) if with_cell_dot else adc_sum
     scored = (
         probes.join(inv, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "adc_score",
-            F.aggregate(
-                F.zip_with(
-                    F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("adc_score", score)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id").asc()
@@ -1528,3 +1540,106 @@ def append_to_ivfpq_index(
     inv.write.mode("append").partitionBy("cell_id").parquet(
         os.path.join(path, "inv")
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (the true faiss IndexIVFPQ semantics): PQ encodes
+# x - centroid(cell(x)) instead of x. Residuals are much smaller in
+# magnitude than raw vectors, so the same 8-byte budget spends its
+# codewords on the part of the vector the coarse quantizer couldn't
+# explain — the standard recall win over raw-vector PQ at equal cost.
+# ADC then scores <q, x> ~= <q, c_cell> + sum_m <q_m, cv_code_m>.
+# ---------------------------------------------------------------------------
+
+
+def residual_assign(X, centroids: list[tuple[int, list[float]]]):
+    """Pure-numpy cosine cell assignment + residual matrix for a
+    sample — the SINGLE implementation shared by the Spark-side
+    residual codebook trainer and the DuckDB-oracle twin, so the
+    trained books are bit-identical. Assignment = first-max cosine
+    with ascending-cell tie-break (the nearest_cells_arrow rule);
+    residual = X - C[assigned]."""
+    import numpy as np
+
+    cent = sorted((int(cid), [float(x) for x in cv]) for cid, cv in centroids)
+    C = np.array([c[1] for c in cent], dtype=np.float64)
+    dim = C.shape[1]
+    ss = np.zeros(len(X), dtype=np.float64)
+    for j in range(dim):
+        ss = ss + X[:, j] * X[:, j]
+    nrm = np.sqrt(ss)
+    cn = np.sqrt((C * C).sum(axis=1))
+    csim = np.empty((len(X), len(cent)), dtype=np.float64)
+    for c in range(len(cent)):
+        acc = np.zeros(len(X), dtype=np.float64)
+        for j in range(dim):
+            acc = acc + X[:, j] * C[c, j]
+        den = nrm * cn[c]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            csim[:, c] = np.where(den == 0.0, -np.inf, acc / den)
+    a = np.argsort(-csim, axis=1, kind="stable")[:, 0]
+    return X - C[a]
+
+
+def train_pq_codebooks_residual(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    sample_cap: int = 4096,
+) -> list[list[list[float]]]:
+    """Residual PQ codebooks: the bounded sample is cell-assigned
+    against the trained centroids, and _pq_kmeans trains on the
+    residuals. Model size and training cost identical to the
+    raw-vector trainer."""
+    X = collect_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col, cap=sample_cap
+    )
+    return _pq_kmeans(residual_assign(X, centroids), m, k, n_iter)
+
+
+def knn_ivf_pq_residual(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 2,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """IVF-PQ ADC over RESIDUAL codes: corpus rows encode
+    (v - centroid[cell]) row-locally (the Arrow encode gains one
+    vectorized subtraction); queries carry <q, c_cell> per probed
+    cell and the ADC score adds it to the residual LUT sum. Same
+    plan shape as knn_ivf_pq — the residual twist adds zero
+    shuffles."""
+    import numpy as np
+
+    cent = _centroid_frame(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=len(centroids),
+        centroids=centroids,
+    )
+    cmap = {int(cid): np.array(cv, dtype=np.float64) for cid, cv in centroids}
+    inv = pq_encode_arrow(
+        nearest_cells_arrow(
+            corpus, cent, id_out="neighbor_id", id_col=id_col,
+            vec_col=vec_col, n_probe=1,
+        ),
+        books,
+        vec_col="v",
+        keep=["neighbor_id", "cell_id"],
+        residual_cells=cmap,
+    )
+    probes = _nearest_cells(
+        queries, cent, id_out="query_id", id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe,
+    ).join(
+        F.broadcast(cent.select("cell_id", "cv")), "cell_id"
+    ).withColumn("qc", dot(F.col("v"), F.col("cv")))
+    return _adc_topk(probes, inv, books, k, with_cell_dot=True)

@@ -238,3 +238,53 @@ def test_rotate_arrow_is_exact_sequential_fold(spark, rng):
                 acc = acc + M[o][j] * float(row[j])
             expect.append(acc)
         assert got[i] == expect
+
+
+def test_residual_arrow_encode_equals_catalyst_on_subtracted(spark, sf_dir):
+    """The residual twist is one subtraction inside the Arrow encode;
+    pin it against the independent Catalyst path: assign cells, build
+    v - centroid explicitly with zip_with, encode with the
+    interpreted pq_codes folds — codes must match the Arrow
+    residual_cells encode row for row."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from env_event_stream_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.train_pq_codebooks(
+        e, id_col="vec_id", vec_col="embedding", m=8, k=16, n_iter=2
+    )
+    cents = S.train_ivf_centroids(
+        e, id_col="vec_id", vec_col="embedding", n_cells=4, n_iter=2
+    )
+    cent = S._centroid_frame(
+        e, id_col="vec_id", vec_col="embedding", n_cells=4, centroids=cents
+    )
+    assigned = S.nearest_cells_arrow(
+        e, cent, id_out="vid", id_col="vec_id", vec_col="embedding",
+        n_probe=1,
+    )
+    got = {
+        r.vid: list(r.codes)
+        for r in S.pq_encode_arrow(
+            assigned,
+            books,
+            vec_col="v",
+            keep=["vid", "cell_id"],
+            residual_cells={
+                int(cid): np.array(cv, dtype=np.float64)
+                for cid, cv in cents
+            },
+        ).collect()
+    }
+    sub = assigned.join(cent.select("cell_id", "cv"), "cell_id").withColumn(
+        "vres", F.zip_with("v", "cv", lambda a, b: a - b)
+    )
+    want = {
+        r.vid: list(r.codes)
+        for r in sub.select(
+            "vid", S.pq_codes(F.col("vres"), books).alias("codes")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
