@@ -353,8 +353,15 @@ def _nearest_cells(
     v = df.select(
         F.col(id_col).alias(id_out), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
+    # try_divide: a zero-norm vector (or centroid) yields NULL, which
+    # csim DESC sorts last — the same position the Arrow twin's -inf
+    # takes. Under ANSI mode a plain `/` would THROW on the degenerate
+    # input instead, silently diverging from the twin.
     scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "csim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+        "csim",
+        F.try_divide(
+            dot(F.col("v"), F.col("cv")), F.col("nrm") * F.col("cn")
+        ),
     )
     w = Window.partitionBy(id_out).orderBy(
         F.col("csim").desc(), F.col("cell_id").asc()

@@ -316,3 +316,45 @@ def test_opq_persisted_index_matches_live_search(spark, sf_dir):
     pers = sorted(map(tuple, emb_knn_opq_persisted(spark, sf_dir).collect()))
     assert live == pers
     assert len(live) == 30
+
+
+def test_nearest_cells_twins_agree_on_zero_norm_vector(spark, sf_dir):
+    """Degenerate-input parity: a zero-norm vector must get the SAME
+    cell assignment from the Catalyst path (try_divide -> NULL,
+    sorts last) and the Arrow path (-inf, sorts last) — under ANSI
+    mode a plain divide would throw on one side only."""
+    from pyspark.sql import functions as F
+
+    from env_event_stream_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first().embedding)
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * dim)], "vec_id bigint, embedding array<double>"
+    )
+    both = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(zero)
+    cents = S.train_ivf_centroids(
+        e, id_col="vec_id", vec_col="embedding", n_cells=4, n_iter=2
+    )
+    cent = S._centroid_frame(
+        both, id_col="vec_id", vec_col="embedding", n_cells=4,
+        centroids=cents,
+    )
+    cat = sorted(
+        (r.vid, r.cell_id)
+        for r in S._nearest_cells(
+            both, cent, id_out="vid", id_col="vec_id",
+            vec_col="embedding", n_probe=1,
+        ).collect()
+    )
+    arr = sorted(
+        (r.vid, r.cell_id)
+        for r in S.nearest_cells_arrow(
+            both, cent, id_out="vid", id_col="vec_id",
+            vec_col="embedding", n_probe=1,
+        ).collect()
+    )
+    assert cat == arr
+    assert dict(cat)[999999] == min(c for c, _ in cents)
