@@ -5571,7 +5571,7 @@ def doc_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     a0 = F.lit(_LOR_ALPHA0)
     sc = (
         sw.join(F.broadcast(st), "source")
-        .join(gw, "w")
+        .join(F.broadcast(gw), "w")
         .crossJoin(F.broadcast(gt))
         .select(
             "source",

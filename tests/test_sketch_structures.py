@@ -306,4 +306,4 @@ def test_source_keywords_scores_shrink_rare_words(spark, sf_dir):
     out = QUERIES["doc_source_keywords"](spark, sf_dir).collect()
     per = Counter(r.source for r in out)
     assert all(v == 5 for v in per.values())
-    assert all(r.n_in_source >= 1 for r in out)
+    assert all(r.n_in_source >= 2 for r in out)
