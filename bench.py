@@ -124,6 +124,7 @@ HEADLINE = [
     "evt_stream_interval_join",
     "emb_knn_pq_residual",
     "emb_residual_recall_eval",
+    "evt_hourly_seasonality",
 ]
 
 

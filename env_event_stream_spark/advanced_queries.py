@@ -2445,3 +2445,86 @@ def evt_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact"),
         F.col("hll_est").alias("wau_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square uniformity test on hour-of-day activity — the
+# distribution-test family member next to the point-outlier tests
+# (z-score, MAD): "is this event type's traffic actually diurnal, or
+# is the heatmap pattern noise?"
+# ---------------------------------------------------------------------------
+
+# chi-square critical value, dof=23, alpha=0.05
+_CHI2_CRIT = 35.1725
+
+
+@query(
+    "evt_hourly_seasonality",
+    f"""
+    WITH h AS (
+      SELECT event_type, hour(ts) AS hr, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             sum(cnt) AS n,
+             sum(cnt * cnt) AS s2
+      FROM h GROUP BY 1),
+    pk AS (
+      SELECT event_type, hr AS peak_hour, cnt AS peak_cnt
+      FROM (SELECT event_type, hr, cnt,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY cnt DESC, hr ASC) AS rn
+            FROM h) q WHERE rn = 1)
+    SELECT s.event_type,
+           CAST(s.n AS BIGINT) AS n,
+           CAST(pk.peak_hour AS BIGINT) AS peak_hour,
+           CAST(pk.peak_cnt AS BIGINT) AS peak_cnt,
+           floor((24.0 * s.s2 / s.n - s.n) * 10000 + 0.5) / 10000
+             AS chi2_uniform,
+           (24.0 * s.s2 / s.n - s.n) > {_CHI2_CRIT} AS is_nonuniform
+    FROM s JOIN pk USING (event_type)
+    """,
+)
+def evt_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: peak hour and a
+    chi-square uniformity test against the flat-traffic null
+    (dof=23, alpha=0.05 critical value inlined) — the DISTRIBUTION
+    test next to the point-outlier family (z-score/MAD): it answers
+    "is this type's diurnal pattern statistically real".
+
+    Exactness trick: the naive chi2 sum Σ(o−e)²/e is a float
+    reduction whose order Spark doesn't fix; algebraically it
+    collapses to 24·Σo²/n − n, where Σo² is an ORDER-INDEPENDENT
+    integer sum (zero-count hours contribute 0 to both forms) — one
+    division and one multiply, bit-identical in both engines. One
+    (type, hour) pre-aggregation; everything after runs on ≤
+    |types|×24 rows."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    s = h.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("hr").asc()
+    )
+    pk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("peak_hour"),
+            F.col("cnt").alias("peak_cnt"),
+        )
+    )
+    chi2 = F.lit(24.0) * F.col("s2") / F.col("n") - F.col("n")
+    return s.join(pk, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("peak_hour").cast("bigint").alias("peak_hour"),
+        F.col("peak_cnt").cast("bigint").alias("peak_cnt"),
+        (F.floor(chi2 * 10000 + F.lit(0.5)) / 10000).alias("chi2_uniform"),
+        (chi2 > F.lit(_CHI2_CRIT)).alias("is_nonuniform"),
+    )

@@ -245,3 +245,37 @@ def test_growth_curve_monotone_and_consistent(spark, sf_dir):
         .count()
     )
     assert rows[-1].cum_users == total_users
+
+
+def test_chi2_identity_matches_naive_formula(spark, sf_dir):
+    """The order-independent 24*S2/n - n collapse must equal the
+    textbook sum over all 24 cells (zero-count hours included),
+    computed in Python where summation order is controlled."""
+    from collections import Counter
+
+    from env_event_stream_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", F.hour("ts").alias("hr"))
+        .collect()
+    )
+    by_type: dict[str, Counter] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, Counter())[r.hr] += 1
+    out = {
+        r.event_type: r
+        for r in QUERIES["evt_hourly_seasonality"](spark, sf_dir).collect()
+    }
+    import math
+
+    for et, cnt in by_type.items():
+        n = sum(cnt.values())
+        e = n / 24.0
+        naive = math.fsum((cnt.get(hh, 0) - e) ** 2 / e for hh in range(24))
+        got = out[et].chi2_uniform  # 4dp-rounded by the query
+        assert abs(got - math.floor(naive * 10000 + 0.5) / 10000) < 1e-9, (
+            et, got, naive,
+        )
+        assert out[et].n == n
