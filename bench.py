@@ -125,6 +125,7 @@ HEADLINE = [
     "emb_knn_pq_residual",
     "emb_residual_recall_eval",
     "evt_hourly_seasonality",
+    "evt_value_drift_ks",
 ]
 
 

@@ -2528,3 +2528,113 @@ def evt_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(chi2 * 10000 + F.lit(0.5)) / 10000).alias("chi2_uniform"),
         (chi2 > F.lit(_CHI2_CRIT)).alias("is_nonuniform"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test: did the value
+# distribution SHIFT between the first week and the rest of the
+# month? The ML-ops drift-detection primitive (chi2 above tests one
+# sample against a fixed null; KS compares two empirical samples).
+# ---------------------------------------------------------------------------
+
+_KS_CUTOFF = "2024-01-08 00:00:00"
+_KS_ALPHA_C = 1.3581  # c(0.05) for the two-sample KS critical value
+
+
+@query(
+    "evt_value_drift_ks",
+    f"""
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '{_KS_CUTOFF}' THEN 1 ELSE 0 END
+               AS ef
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type, value,
+             sum(ef) AS ca_d, sum(1 - ef) AS cb_d
+      FROM tagged GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, value,
+             sum(ca_d) OVER (PARTITION BY event_type ORDER BY value)
+               AS ca,
+             sum(cb_d) OVER (PARTITION BY event_type ORDER BY value)
+               AS cb
+      FROM g),
+    n AS (
+      SELECT event_type, sum(ca_d) AS na, sum(cb_d) AS nb
+      FROM g GROUP BY 1),
+    d AS (
+      SELECT c.event_type,
+             max(abs(c.ca * n.nb - c.cb * n.na)) AS dint
+      FROM c JOIN n USING (event_type) GROUP BY 1)
+    SELECT d.event_type,
+           CAST(n.na AS BIGINT) AS n_early,
+           CAST(n.nb AS BIGINT) AS n_late,
+           floor(CAST(d.dint AS DOUBLE) / (n.na * n.nb) * 10000 + 0.5)
+             / 10000 AS ks_stat,
+           CAST(d.dint AS DOUBLE) / (n.na * n.nb)
+             > {_KS_ALPHA_C} * sqrt((n.na + n.nb)
+                                    / (CAST(n.na AS DOUBLE) * n.nb))
+             AS drifted
+    FROM d JOIN n USING (event_type)
+    """,
+)
+def evt_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per event type: value
+    distribution of the first week vs the rest of the month, with
+    the alpha=0.05 large-sample critical value — the data-drift
+    detector an ML pipeline runs between training snapshots (the
+    chi-square query tests ONE sample against a fixed null; KS
+    compares two empirical samples with no distributional
+    assumption).
+
+    INTEGER-EXACT core: the ECDF gap at each distinct value is
+    |ca*nb - cb*na| over integer cumulative counts — max over an
+    integer column, so no float comparison ever decides the
+    statistic; the single division happens once at the end. Ties
+    are handled correctly by construction (both ECDFs evaluated
+    AFTER each distinct value's full mass). One (type, value)
+    pre-aggregation, one per-type cumulative window, |types|-row
+    output."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    early = F.when(F.col("ts") < F.lit(_KS_CUTOFF).cast("timestamp"), 1).otherwise(0)
+    g = ev.select("event_type", "value", early.alias("e")).groupBy(
+        "event_type", "value"
+    ).agg(
+        F.sum("e").alias("ca_d"),
+        F.sum(F.lit(1) - F.col("e")).alias("cb_d"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "event_type",
+        F.sum("ca_d").over(wc).alias("ca"),
+        F.sum("cb_d").over(wc).alias("cb"),
+    )
+    n = g.groupBy("event_type").agg(
+        F.sum("ca_d").alias("na"), F.sum("cb_d").alias("nb")
+    )
+    d = (
+        c.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            ).alias("dint")
+        )
+    )
+    ks = F.col("dint").cast("double") / (F.col("na") * F.col("nb"))
+    crit = F.lit(_KS_ALPHA_C) * F.sqrt(
+        (F.col("na") + F.col("nb"))
+        / (F.col("na").cast("double") * F.col("nb"))
+    )
+    return d.join(n, "event_type").select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_early"),
+        F.col("nb").cast("bigint").alias("n_late"),
+        (F.floor(ks * 10000 + F.lit(0.5)) / 10000).alias("ks_stat"),
+        (ks > crit).alias("drifted"),
+    )

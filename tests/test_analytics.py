@@ -279,3 +279,42 @@ def test_chi2_identity_matches_naive_formula(spark, sf_dir):
             et, got, naive,
         )
         assert out[et].n == n
+
+
+def test_ks_statistic_matches_scipy_style_reference(spark, sf_dir):
+    """The integer-exact ECDF-gap max must equal the textbook
+    two-sample KS statistic computed directly from sorted samples in
+    Python (ties included)."""
+    from env_event_stream_spark.catalog import QUERIES
+    import datetime as dt
+
+    cutoff = dt.datetime(2024, 1, 8)
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type", "value", "CAST(ts AS TIMESTAMP) AS ts")
+        .collect()
+    )
+    out = {
+        r.event_type: r
+        for r in QUERIES["evt_value_drift_ks"](spark, sf_dir).collect()
+    }
+    import math
+
+    for et in out:
+        a = sorted(r.value for r in rows if r.event_type == et and r.ts < cutoff and r.value is not None)
+        b = sorted(r.value for r in rows if r.event_type == et and r.ts >= cutoff and r.value is not None)
+        pts = sorted(set(a) | set(b))
+        import bisect
+
+        d = max(
+            abs(
+                bisect.bisect_right(a, v) / len(a)
+                - bisect.bisect_right(b, v) / len(b)
+            )
+            for v in pts
+        )
+        got = out[et].ks_stat
+        assert abs(got - math.floor(d * 10000 + 0.5) / 10000) <= 1e-4, (
+            et, got, d,
+        )
+        assert out[et].n_early == len(a) and out[et].n_late == len(b)
