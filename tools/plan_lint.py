@@ -1,0 +1,204 @@
+"""Automated anti-pattern audit of the ENTIRE batch catalog's
+physical plans (the whole-catalog generalization of the per-family
+pins in tests/test_plans.py): for every batch queries() entry, build
+the DataFrame at sf0.01 and inspect the pre-AQE physical plan for
+
+- CartesianProduct / BroadcastNestedLoopJoin — quadratic joins; only
+  legitimate as DOCUMENTED exact tiers and tiny broadcast probes
+  (the allowlist below names each, with why)
+- BatchEvalPython — a row-at-a-time Python UDF in the plan (the slow
+  path this repo bans; Arrow stages show as ArrowEvalPython /
+  MapInPandas / FlatMapGroupsInPandas and are fine)
+- Exchange count — the shuffle budget (SCALING.md documents the
+  per-family expectations)
+
+Streaming entries are skipped: building them RUNS the stream (their
+plan shape is pinned by the streaming pytest suite instead).
+
+Usage: python tools/plan_lint.py [sf_dir]   -> writes PLANLINT.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from env_event_stream_spark.catalog import QUERIES
+from env_event_stream_spark.session import get_spark
+
+# entries whose construction executes a streaming query end-to-end
+STREAMING = {
+    n
+    for n in QUERIES
+    if n.startswith(("evt_stream_", "doc_stream_")) or n == "evt_live_fold_stream"
+}
+
+# (query, marker) -> documented reason a quadratic operator is OK
+NESTED_LOOP_ALLOWED = {
+    # exact KNN tiers: the documented brute-force baselines the ANN
+    # ladder is measured against
+    "emb_knn_topk": "exact-KNN tier: corpus x 10-query broadcast NL join",
+    "emb_knn_pandas": "exact-KNN BLAS twin: same documented tier",
+    "emb_knn_matryoshka": "exact rescore over prefix dims (eval tier)",
+    "emb_knn_binary": "binary-quantized exact sweep (documented tier)",
+    "emb_binary_recall_eval": "exact tier inside the recall eval",
+    "emb_lsh_recall_eval": "exact tier inside the recall eval",
+    "emb_ivf_recall_eval": "exact tier inside the recall eval",
+    "emb_pq_recall_eval": "exact tier inside the recall eval",
+    "emb_opq_recall_eval": "exact tier inside the recall eval",
+    "emb_multiprobe_recall_eval": "exact tier inside the recall eval",
+    "emb_pq_rerank_recall_eval": "exact tier inside the recall eval",
+    "emb_residual_recall_eval": "exact tier inside the recall eval",
+    "emb_knn_pq_rerank": "exact rerank of ADC top-10 candidates",
+    "emb_cosine_dedup": "LSH-bucketed; 1-row/16-plane broadcast probes",
+    "emb_dup_clusters": "same LSH bucket shape as emb_cosine_dedup",
+    "emb_hard_negatives": "anchor-batch broadcast probe (documented)",
+    "emb_semdedup": "cell-scoped pairs; centroid broadcast probe",
+    "emb_centroid_outliers": "8-row centroid broadcast probe",
+    "emb_cluster_sample": "8-row centroid broadcast probe",
+    "emb_knn_lsh": "plane-matrix broadcast probe (16 rows)",
+    "emb_knn_lsh_multiprobe": "plane-matrix broadcast probe",
+    "emb_knn_ivf": "centroid broadcast probe (8 rows)",
+    "emb_knn_ivf_trained": "trained-centroid broadcast probe (10 rows)",
+    "emb_knn_pq_adc": "centroid broadcast probe + LUT broadcast",
+    "emb_knn_pq_trained": "trained-centroid broadcast probe",
+    "emb_knn_pq_residual": "trained-centroid broadcast probe",
+    "emb_knn_opq_adc": "rotation + centroid broadcast probes",
+    "emb_knn_pq_persisted": "persisted-index probe (broadcast model)",
+    "emb_knn_opq_persisted": "persisted-index probe (broadcast model)",
+    "emb_quantize_binary": "per-dim scale row broadcast (1 row)",
+    "emb_quantize_int8": "per-dim scale row broadcast (1 row)",
+    "join_range_price_band": "interval dim broadcast NL join (documented)",
+    "doc_bm25_topk": "1-row corpus-stats broadcast (documented)",
+    "doc_rrf_hybrid": "1-row corpus-stats broadcast (BM25 leg)",
+    "doc_minhash_accuracy": "candidate-bounded true-Jaccard eval join",
+    "evt_kmv_overlap": "5x128-row sketch broadcasts; type-pair grid",
+    "join_size_cms_estimate": "1-row scalar crossJoin (exact readout)",
+    "evt_assoc_rules": "1-row basket-total crossJoin",
+    "graph_triangles_copurchase": "1-row stat frames crossJoined",
+    "doc_ppjoin_stats": "1-row stat frames crossJoined",
+    "doc_split_leakage_guard": "1-row stats x 1-row leaks crossJoin",
+    "evt_exists_probe": "key-list broadcast semi-probe",
+    "topk_orders_global": "scalar threshold broadcast",
+    "evt_mad_outliers": "|types|-row median broadcast",
+    "evt_rolling_hll_wau": "calendar-grid broadcast range join",
+    "evt_time_to_convert": "scalar cutoff comparisons",
+    "agg_median_modal": "scalar modal-count broadcast",
+    "doc_vocab_coverage": "vocab-cut scalar broadcast",
+    "doc_token_budget_recipe": "per-source scalar grid crossJoin",
+    "doc_dsir_sample": "scalar budget crossJoin",
+    "doc_mixture_sample": "mixture-weight grid crossJoin",
+    "doc_pretrain_token_yield": "verdict x removal scalar crossJoin",
+    "tpch_q22_dormant_rich": "scalar AVG subquery broadcast",
+    "tpch_q15_top_supplier": "scalar MAX subquery broadcast",
+    "tpch_q17_small_qty_avg": "decorrelated scalar-avg broadcast",
+    "window_cheapest_supplier_per_part": "min-cost scalar broadcast",
+    "tpch_q14_promo_revenue": "single-row conditional-share agg",
+    "tpch_q8_market_share": "single-row share rollup",
+    "tpch_q19_disjunctive": "disjunctive predicates plan as NL over broadcast dims",
+    "evt_value_drift_ks": "|types|-row totals broadcast",
+    "evt_hourly_seasonality": "|types|-row peak/stat join",
+    "dq_validation_checks": "per-check 1-row frames crossJoined",
+    "evt_retention_count": "1-row cutoff broadcast",
+    "doc_lm_heldout_eval": "vocab/model broadcasts",
+    "doc_unigram_logprob": "vocab broadcast",
+    "doc_bigram_logprob": "prefix-vocab broadcast",
+    "doc_perplexity_buckets": "LM broadcast + tercile thresholds",
+    "doc_quality_classifier": "weight-vector broadcast (1 row)",
+    "doc_quality_classifier_eval": "weight-vector broadcast + 1-row accuracy agg",
+    "doc_decontaminate": "eval-shingle broadcast probe",
+    "doc_contamination_spans": "eval-shingle broadcast probe",
+    "doc_scrub_contamination": "eval-shingle broadcast probe",
+    "doc_exactsubstr_spans": "seed-gram broadcast probe",
+    "doc_winnow_pairs": "bounded fingerprint-bucket join",
+    "doc_winnow_spans": "bounded fingerprint-bucket join",
+    "evt_user_growth_curve": "calendar-grid broadcast",
+    "evt_gap_fill_daily": "calendar-grid broadcast",
+    "evt_power_user_curve": "threshold-grid broadcast",
+    "evt_cms_user_freq": "256-cell sketch broadcast",
+    "dq_profile_lineitem": "none expected",
+    "doc_tfidf_top_terms": "1-row corpus-size (N) broadcast for the IDF term",
+    "doc_token_histogram": "1-row corpus-total broadcast for bucket shares",
+    "doc_phrase_heavy_hitters": "1-row phi-threshold scalar broadcast",
+    "doc_source_keywords": "1-row global-token-total crossJoin",
+    "evt_hist_percentiles_by_type": "|types|-row bin-grid broadcast",
+}
+
+# Python surfaces that are row-based BY DESIGN (the query exists to
+# exercise that exact API) — everything else must be Arrow
+ROW_PYTHON_ALLOWED = {
+    "evt_props_kv_udtf": (
+        "Python UDTF lateral surface (SURVEY U-gap demonstrator); "
+        "the hot-path KV-explode twin is evt_props_key_freq, pure "
+        "Catalyst"
+    ),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("planlint")
+    rows = []
+    bad_python = []
+    bad_cartesian = []
+    for name in sorted(QUERIES):
+        if name in STREAMING:
+            continue
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().sparkPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            rows.append((name, "ERROR", str(exc)[:80]))
+            continue
+        n_ex = plan.count("Exchange ")
+        n_cart = plan.count("CartesianProduct")
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        n_pyrow = plan.count("BatchEvalPython")
+        if n_pyrow and name not in ROW_PYTHON_ALLOWED:
+            bad_python.append(name)
+        if (n_cart or n_bnlj) and name not in NESTED_LOOP_ALLOWED:
+            bad_cartesian.append(name)
+        rows.append(
+            (
+                name,
+                f"ex={n_ex} cart={n_cart} bnlj={n_bnlj} pyrow={n_pyrow}",
+                NESTED_LOOP_ALLOWED.get(name, "")
+                or ROW_PYTHON_ALLOWED.get(name, ""),
+            )
+        )
+        spark.catalog.clearCache()
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "PLANLINT.md"), "w") as f:
+        f.write(
+            "# PLANLINT — whole-catalog physical-plan audit\n\n"
+            f"Generated by `python tools/plan_lint.py` at `{sf_dir}` over "
+            f"{len(rows)} batch catalog entries (streaming entries are "
+            "pinned by the streaming pytest suite instead).\n\n"
+            "Counters: `ex` = Exchange (shuffle) operators, `cart` = "
+            "CartesianProduct, `bnlj` = BroadcastNestedLoopJoin, `pyrow` "
+            "= row-at-a-time Python UDF stages (BatchEvalPython; Arrow "
+            "stages are fine and not counted). Every nonzero cart/bnlj "
+            "must carry an allowlist reason — an empty reason would fail "
+            "tests/test_plan_lint.py.\n\n"
+            f"- row-Python-UDF queries: **{len(bad_python)}** "
+            f"{bad_python}\n"
+            f"- unexplained quadratic joins: **{len(bad_cartesian)}** "
+            f"{bad_cartesian}\n\n"
+            "| query | counters | quadratic-join justification |\n"
+            "|---|---|---|\n"
+        )
+        for name, counters, why in rows:
+            f.write(f"| {name} | {counters} | {why} |\n")
+    print(
+        f"wrote PLANLINT.md: {len(rows)} entries, "
+        f"{len(bad_python)} row-python, {len(bad_cartesian)} unexplained quadratic"
+    )
+    if bad_python or bad_cartesian:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
