@@ -1623,7 +1623,9 @@ def evt_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = ev.select(
         "event_type", kmv_hash(key).alias("h")
     ).distinct()
-    sk = kmv_sketch(keyed, ["event_type"]).select("event_type", "h")
+    # 5x128-row sketch feeds the estimator, the union sketch, and
+    # both membership sides — cache so the distinct+top-k runs once
+    sk = kmv_sketch(keyed, ["event_type"]).select("event_type", "h").cache()
     est = kmv_estimate(sk, ["event_type"])
 
     types = ev.select("event_type").distinct()
@@ -1977,6 +1979,12 @@ def graph_triangles_copurchase(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= _TRI_MIN_SHARED)
         .select("x", "y")
+        # e is referenced by deg, oe and the edge-count stat; without
+        # materialization Catalyst expands each reference into its own
+        # copy of the join+distinct+pair-gen subtree (the lint counted
+        # 285 exchanges in the expanded tree). The edge list is tiny
+        # relative to the input — cut the lineage once here.
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("x").alias("v"))
@@ -2001,6 +2009,7 @@ def graph_triangles_copurchase(
             F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("hi"),
             F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dhi"),
         )
+        .localCheckpoint()  # referenced three times by the wedge join
     )
     e1 = oe.select(
         F.col("lo").alias("l1"), F.col("hi").alias("h1"), F.col("dhi").alias("dh1")

@@ -5430,7 +5430,10 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the full inverted candidate count here is the eval-tier
     baseline being avoided."""
     d = load_table(spark, sf_dir, "documents")
-    sh = D.shingle_table(d, "text", "doc_id", 3)
+    # sh feeds dfc, ord, and both sides of the inverted baseline —
+    # cache it so the tokenize+explode runs once (PLANLINT caught the
+    # expanded tree re-deriving it per reference)
+    sh = D.shingle_table(d, "text", "doc_id", 3).cache()
     dfc = sh.groupBy("sh").agg(F.count("*").alias("dfc"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     w = Window.partitionBy("doc_id").orderBy(
@@ -5451,6 +5454,7 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ida") < F.col("idb"))
         .select("ida", "idb")
         .distinct()
+        .cache()  # counted and anti-joined
     )
     sa = sh.select(F.col("doc_id").alias("ida"), "sh")
     sb = sh.select(F.col("doc_id").alias("idb"), "sh")

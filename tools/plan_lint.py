@@ -148,7 +148,13 @@ def main() -> None:
             continue
         try:
             df = QUERIES[name](spark, sf_dir)
-            plan = df._jdf.queryExecution().sparkPlan().toString()
+            # executedPlan applies the preparation rules (notably
+            # EnsureRequirements, which INSERTS the Exchange nodes —
+            # sparkPlan() predates them and undercounts shuffles to
+            # zero) but does NOT run the job; under AQE its toString
+            # shows the initial physical plan, which is what the
+            # shuffle budget is about.
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
             rows.append((name, "ERROR", str(exc)[:80]))
             continue
