@@ -126,6 +126,7 @@ HEADLINE = [
     "emb_residual_recall_eval",
     "evt_hourly_seasonality",
     "evt_value_drift_ks",
+    "evt_stream_rolling_wau",
 ]
 
 

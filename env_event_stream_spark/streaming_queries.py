@@ -1319,3 +1319,77 @@ def evt_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pid").cast("bigint").alias("n_purchases_matched"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling-WAU matview (14th genuinely-streaming oracled
+# entry): live per-day HLL registers, any trailing window merged on
+# read.
+# ---------------------------------------------------------------------------
+
+
+from env_event_stream_spark.advanced_queries import _WAU_ORACLE
+
+
+# SAME oracle as the batch twin: per-(day, bucket) max-rho registers
+# are arrival-order and micro-batch independent, so the live register
+# table equals the batch one exactly and the merged estimates agree.
+@query("evt_stream_rolling_wau", _WAU_ORACLE)
+def evt_stream_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users served LIVE (14th genuinely-
+    streaming oracled entry): streaming state is the per-(day,
+    bucket) max-rho HLL registers — |days| x 64 integers however
+    many users exist — maintained by a streaming max() aggregation
+    (complete-mode matview). The trailing-week merge + estimate is a
+    batch finalization over the frozen register table (per-bucket
+    max across the last 7 days — the same merge the batch twin
+    pins), so ANY window (7-day, 30-day) can be served from one live
+    register table without re-reading events. Because max is
+    arrival-order independent, the live registers are bit-equal to
+    the batch sketch and this query SHARES the batch twin's full
+    value-hash oracle."""
+    from env_event_stream_spark.operators.sketches import (
+        hll_estimate,
+        hll_project,
+        hll_registers,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    ev = _read_events_stream(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    regs = hll_registers(
+        hll_project(ev, F.col("user_id"), ["day"]), ["day"]
+    )
+    dregs = spark.read.parquet(_run_complete_overwrite(regs, "wau"))
+
+    bev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    days = bev.select("day").distinct()
+    g = days.select(F.col("day").alias("gday"))
+    rolled = (
+        g.join(
+            F.broadcast(dregs),
+            (F.col("day") <= F.col("gday"))
+            & (F.col("day") >= F.date_sub(F.col("gday"), 6)),
+        )
+        .groupBy(F.col("gday").alias("day"), "bucket")
+        .agg(F.max("mrho").alias("mrho"))
+    )
+    est = hll_estimate(rolled, ["day"])
+    ud = bev.distinct()
+    ex = (
+        ud.join(
+            F.broadcast(g),
+            (F.col("day") <= F.col("gday"))
+            & (F.col("day") >= F.date_sub(F.col("gday"), 6)),
+        )
+        .groupBy(F.col("gday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(ex, "day").select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("hll_est").alias("wau_est"),
+    )

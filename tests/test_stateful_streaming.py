@@ -698,3 +698,43 @@ def test_stream_interval_join_matches_batch_across_micro_batches(
     )
     want = sorted(map(tuple, shape(ev).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_daily_hll_registers_match_batch_across_micro_batches(
+    spark, sf_dir, tmp_path
+):
+    """Per-(day, bucket) registers are max-merged state: a
+    maxFilesPerTrigger=1 replay over a 3-way split must leave the
+    day-keyed register table bit-equal to the batch sketch — which is
+    why the rolling-WAU matview can share the batch oracle."""
+    from env_event_stream_spark.operators.sketches import (
+        hll_project,
+        hll_registers,
+    )
+    from env_event_stream_spark.streaming_queries import _run_complete_overwrite
+    from env_event_stream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "CAST(ts AS DATE) AS day", "user_id"
+    )
+    src = str(tmp_path / "split_events_wau")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = _run_complete_overwrite(
+        hll_registers(hll_project(stream, F.col("user_id"), ["day"]), ["day"]),
+        "wau_mb",
+    )
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want = sorted(
+        map(
+            tuple,
+            hll_registers(
+                hll_project(ev, F.col("user_id"), ["day"]), ["day"]
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
