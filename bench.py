@@ -127,6 +127,7 @@ HEADLINE = [
     "evt_hourly_seasonality",
     "evt_value_drift_ks",
     "evt_stream_rolling_wau",
+    "doc_minhash_scurve",
 ]
 
 

@@ -5800,3 +5800,130 @@ def emb_residual_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_res") / 3.0, 4).alias("recall_residual_pq"),
         (F.col("n_res") - F.col("n_raw")).cast("bigint").alias("delta_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding S-curve calibration: measured detection probability
+# P(candidate | true Jaccard in bucket) against the theoretical
+# 1 - (1 - s^r)^b — the chart that justifies the (bands, rows)
+# choice (doc_minhash_accuracy calibrates the ESTIMATE; this
+# calibrates DETECTION).
+# ---------------------------------------------------------------------------
+
+
+def _scurve_theory() -> list[float]:
+    """Theoretical band-collision probability at each bucket
+    midpoint, computed ONCE in Python and inlined as literals on
+    both engines (pow() rounding differences never enter the
+    value-hash)."""
+    out = []
+    for b in range(10):
+        s = b / 10.0 + 0.05
+        out.append(round(1.0 - (1.0 - s**_ROWS) ** _BANDS, 4))
+    return out
+
+
+def _scurve_oracle() -> str:
+    from env_event_stream_spark.operators.dedup import MINHASH_P, minhash_params
+
+    params = minhash_params(_K)
+    sig_cols = ", ".join(
+        f"min(({a} * hv + {b}) % {MINHASH_P}) AS h{s}"
+        for s, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(h{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    theory = " ".join(
+        f"WHEN {i} THEN {v!r}" for i, v in enumerate(_scurve_theory())
+    )
+    return (
+        "WITH "
+        + _JACCARD_CTES
+        + f""",
+hv AS (SELECT doc_id, {_hex32_sql("md5(sh)")} % {MINHASH_P} AS hv FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+u AS (
+  SELECT j.id_a, j.id_b,
+         least(CAST(floor(j.jaccard * 10) AS BIGINT), 9) AS bucket,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS detected
+  FROM jac j
+  LEFT JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard > 0)
+SELECT bucket,
+       floor(bucket * 1.0 / 10 * 10000 + 0.5) / 10000 AS j_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(detected) AS BIGINT) AS n_detected,
+       floor(sum(detected) * 1.0 / count(*) * 10000 + 0.5) / 10000
+         AS obs_rate,
+       CAST(CASE bucket {theory} END AS DOUBLE) AS theory_rate
+FROM u GROUP BY bucket
+"""
+    )
+
+
+@query("doc_minhash_scurve", _scurve_oracle())
+def doc_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured: true-Jaccard pairs bucketed by
+    similarity (0.1-wide bins over the shared-shingle universe), the
+    fraction of each bucket the 4x4 banding actually surfaced as
+    candidates, and the theoretical 1-(1-s^r)^b at the bin midpoint
+    — the calibration chart that justifies (or indicts) the
+    (bands, rows) choice before a 100 TB dedup run. Theory values
+    are Python-computed literals on both sides, so pow() rounding
+    never enters the hash.
+
+    Scale shape: the universe is the candidate-BOUNDED inverted-
+    index pair set (only pairs sharing a shingle — pairs at J=0 have
+    theory ~0 and are the non-event), banding is the linear-ish
+    band-key join, and the bucket rollup is 10 rows."""
+    from env_event_stream_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=1e-9).select(
+        "id_a", "id_b", "jaccard"
+    )
+    cand = D.minhash_band_candidates(
+        d, "text", "doc_id", n=3, bands=_BANDS, rows=_ROWS
+    ).withColumn("detected", F.lit(1))
+    theory = _scurve_theory()
+    tmap = F.element_at(
+        F.array(*[F.lit(v) for v in theory]), F.col("bucket").cast("int") + 1
+    )
+    u = (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .select(
+            F.least(
+                F.floor(F.col("jaccard") * 10).cast("bigint"), F.lit(9)
+            ).alias("bucket"),
+            F.coalesce(F.col("detected"), F.lit(0)).alias("detected"),
+        )
+    )
+    return u.groupBy("bucket").agg(
+        (
+            F.floor(F.col("bucket") * 1.0 / 10 * 10000 + F.lit(0.5)) / 10000
+        ).alias("j_lo"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("detected").cast("bigint").alias("n_detected"),
+        (
+            F.floor(
+                F.sum("detected") * 1.0 / F.count("*") * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("obs_rate"),
+    ).select(
+        "bucket", "j_lo", "n_pairs", "n_detected", "obs_rate",
+        tmap.alias("theory_rate"),
+    )

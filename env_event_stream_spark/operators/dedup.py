@@ -310,7 +310,7 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_candidates(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -318,18 +318,18 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = 4,
     rows: int = 4,
-    threshold: float = 0.4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash LSH near-dup pairs: band the k=bands*rows signature,
-    join docs sharing any band key, then verify candidates with exact
-    Jaccard >= threshold. Candidate generation is linear-ish in corpus
-    size (band-key shuffle), the quadratic step only runs inside
-    colliding buckets."""
+    """Banded-LSH candidate pairs (id_a < id_b, distinct) — the
+    candidate-generation half of minhash_lsh_pairs, exposed so the
+    S-curve calibration can measure detection probability WITHOUT
+    the verification filter. One shingle explode feeds the signature
+    pass (pass ``shingles`` to share it with a verification join —
+    measured ~25% off the end-to-end time at sf0.1)."""
     k = bands * rows
-    # ONE shingle explode feeds BOTH the signature pass and the
-    # verification join (it was computed twice before — measured
-    # ~25% off the end-to-end time at sf0.1).
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    sh = shingles if shingles is not None else shingle_table(
+        df, text_col, id_col, n
+    ).cache()
     sig = minhash_signatures(df, text_col, id_col, n=n, k=k, shingles=sh)
     band_rows = []
     for b in range(bands):
@@ -348,7 +348,7 @@ def minhash_lsh_pairs(
     # self-join — uncached, the whole shingle→signature pipeline would
     # run once per side.
     banded = banded.cache()
-    cand = (
+    return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bk"])
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
@@ -356,6 +356,27 @@ def minhash_lsh_pairs(
             F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs: band the k=bands*rows signature,
+    join docs sharing any band key, then verify candidates with exact
+    Jaccard >= threshold. Candidate generation is linear-ish in corpus
+    size (band-key shuffle), the quadratic step only runs inside
+    colliding buckets."""
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    cand = minhash_band_candidates(
+        df, text_col, id_col, n=n, bands=bands, rows=rows, shingles=sh
     )
     # verify: exact jaccard computed ONLY for candidate pairs — the
     # whole point of LSH is that the quadratic step never touches

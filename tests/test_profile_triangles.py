@@ -113,3 +113,20 @@ def test_ppjoin_candidates_complete_and_smaller(spark, sf_dir):
     assert row.n_missed == 0
     assert row.n_cand_prefix <= row.n_cand_inverted
     assert row.n_true_pairs <= row.n_cand_prefix
+
+
+def test_scurve_high_bucket_detects_and_low_bucket_rarely(spark, sf_dir):
+    """The S-curve's reason to exist: near-dups (J >= 0.9) must be
+    detected at ~the theoretical rate (>= 0.99 at 4x4 banding) and
+    barely-similar pairs must be detected rarely (within 0.15 of the
+    tiny theoretical rate — LSH's whole point is NOT surfacing
+    them)."""
+    from env_event_stream_spark.catalog import QUERIES
+
+    rows = {r.bucket: r for r in QUERIES["doc_minhash_scurve"](spark, sf_dir).collect()}
+    assert rows, "no buckets with data"
+    if 9 in rows:
+        assert rows[9].obs_rate >= 0.99
+    low = [r for b, r in rows.items() if b <= 2]
+    for r in low:
+        assert r.obs_rate <= r.theory_rate + 0.15, (r.bucket, r.obs_rate)
