@@ -128,6 +128,7 @@ HEADLINE = [
     "evt_value_drift_ks",
     "evt_stream_rolling_wau",
     "doc_minhash_scurve",
+    "evt_stream_kmv_users",
 ]
 
 

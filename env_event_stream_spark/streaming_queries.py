@@ -1393,3 +1393,128 @@ def evt_stream_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact"),
         F.col("hll_est").alias("wau_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct matview (15th genuinely-streaming oracled
+# entry) — closes the roadmap note that called it mechanical: the
+# KMV merge ("k smallest of the union") is associative and
+# commutative, so keyed streaming state holding the k smallest
+# hashes is batching-order independent.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_stream_oracle() -> str:
+    from env_event_stream_spark.operators.sketches import KMV_DOMAIN, KMV_K
+
+    scale = (KMV_K - 1) * KMV_DOMAIN
+    return f"""
+    WITH keyed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '@'
+                 || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                 AS rn
+        FROM keyed) q WHERE rn <= {KMV_K}),
+    est AS (
+      SELECT event_type, count(*) AS sk_n, max(h) AS h_k
+      FROM sk GROUP BY 1),
+    ex AS (
+      SELECT event_type, count(*) AS n_exact FROM keyed GROUP BY 1)
+    SELECT est.event_type,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           CASE WHEN est.sk_n < {KMV_K}
+                THEN CAST(est.sk_n AS DOUBLE)
+                ELSE floor({scale!r} / est.h_k * 10000 + 0.5) / 10000
+           END AS kmv_est
+    FROM est JOIN ex USING (event_type)
+    """
+
+
+@query("evt_stream_kmv_users", _kmv_stream_oracle())
+def evt_stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active user-days per event type served LIVE from a
+    KMV sketch (15th genuinely-streaming oracled entry): keyed
+    streaming state is ONLY the k=128 smallest 60-bit hashes per
+    type — whatever the cardinality — merged per micro-batch with
+    "k smallest of the union", which is associative and commutative,
+    so the live sketch is bit-equal to the batch one for ANY arrival
+    order or batching and the estimates share one oracle. The HLL
+    matview twin (evt_stream_hll_users) can only union; THIS state
+    also supports intersection estimates between types on read
+    (evt_kmv_overlap is the batch reader for that)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from env_event_stream_spark.operators.sketches import (
+        KMV_DOMAIN,
+        KMV_K,
+        kmv_hash,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    ev = _read_events_stream(spark, sf_dir)
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    keyed = ev.select("event_type", kmv_hash(key).alias("h"))
+
+    def fn(key_t, pdfs, state):
+        hs: set = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            hs.update(int(x) for x in pdf["h"])
+        merged = sorted(hs)[:KMV_K]
+        state.update((merged,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key_t[0]],
+                "sk_n": [np.int64(len(merged))],
+                "h_k": [np.int64(max(merged))],
+            }
+        )
+
+    out = keyed.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType="event_type string, sk_n bigint, h_k bigint",
+        stateStructType="hashes array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_dir = _run_update_to_latest(out, "kmv")
+    live = _latest_epoch_rows(spark, sink_dir, "event_type").select(
+        "event_type", "sk_n", "h_k"
+    )
+
+    bev = load_table(spark, sf_dir, "events")
+    bkey = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    ex = (
+        bev.select("event_type", bkey.alias("k"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("k").alias("n_exact"))
+    )
+    est = F.when(
+        F.col("sk_n") < KMV_K, F.col("sk_n").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit((KMV_K - 1) * KMV_DOMAIN) / F.col("h_k") * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return live.join(ex, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        est.alias("kmv_est"),
+    )

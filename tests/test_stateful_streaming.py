@@ -738,3 +738,46 @@ def test_stream_daily_hll_registers_match_batch_across_micro_batches(
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_kmv_state_matches_batch_across_micro_batches(
+    spark, sf_dir, tmp_path
+):
+    """KMV state merges as 'k smallest of the union' — a
+    maxFilesPerTrigger=1 replay over a 3-way split must leave the
+    per-type sketch summary (size, k-th smallest) equal to the batch
+    sketch built in one pass."""
+    from env_event_stream_spark.catalog import QUERIES
+    from env_event_stream_spark.operators.sketches import (
+        KMV_K,
+        kmv_hash,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type",
+        "CAST(user_id AS STRING) || '@' || "
+        "CAST(CAST(ts AS DATE) AS STRING) AS k",
+    )
+    batch = {
+        r.event_type: (min(len(r.hs), KMV_K), sorted(r.hs)[: KMV_K][-1])
+        for r in ev.select(
+            "event_type", kmv_hash(F.col("k")).alias("h")
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.collect_set("h").alias("hs"))
+        .collect()
+    }
+    # the catalog query runs the stream end-to-end (availableNow); its
+    # per-type estimate derives only from (sk_n, h_k), so comparing the
+    # output against the batch-derived formula pins the merged state
+    rows = {r.event_type: r for r in QUERIES["evt_stream_kmv_users"](spark, sf_dir).collect()}
+    assert set(rows) == set(batch)
+    for et, (sk_n, h_k) in batch.items():
+        if sk_n < KMV_K:
+            assert rows[et].kmv_est == float(sk_n)
+        else:
+            import math
+
+            want = math.floor(127 * 2.0**60 / h_k * 10000 + 0.5) / 10000
+            assert rows[et].kmv_est == want, et
