@@ -129,6 +129,7 @@ HEADLINE = [
     "evt_stream_rolling_wau",
     "doc_minhash_scurve",
     "evt_stream_kmv_users",
+    "join_stream_size_cms",
 ]
 
 

@@ -1518,3 +1518,89 @@ def evt_stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact"),
         est.alias("kmv_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming join-cardinality estimate (16th genuinely-streaming
+# oracled entry): both sides' CMS cells as live matviews, the
+# inner-product readout is batch — retires the roadmap note that
+# called this a composition of the streaming CMS cells.
+# ---------------------------------------------------------------------------
+
+
+from env_event_stream_spark.advanced_queries import _cms_joinsize_oracle_sql
+
+
+# SAME oracle as the batch twin: cell sums are arrival-order and
+# micro-batch independent, so both live cell tables equal the batch
+# sketches and the min-over-rows inner product agrees verbatim.
+@query("join_stream_size_cms", _cms_joinsize_oracle_sql())
+def join_stream_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|purchases JOIN views on user_id| estimated LIVE from two
+    streaming Count-Min matviews (16th genuinely-streaming oracled
+    entry): each side's 256 cell counters are maintained as their
+    own complete-mode streaming aggregation — the sides NEVER meet
+    while streaming — and the planner-style estimate min_r sum_c
+    A[r,c]*B[r,c] is a 256-row batch readout over the two frozen
+    cell tables. This is how a continuously-running optimizer
+    service keeps join-size estimates fresh at 100 TB: O(d*w)
+    state per stream, any pair of streams comparable on read. The
+    exact join size rides along from the batch table as the
+    accuracy readout; shares the batch twin's full value-hash
+    oracle."""
+    from env_event_stream_spark.operators.sketches import cms_cells
+    from env_event_stream_spark.tables import load_table
+
+    ev = _read_events_stream(spark, sf_dir)
+    ca = spark.read.parquet(
+        _run_complete_overwrite(
+            cms_cells(
+                ev.where(F.col("event_type") == "purchase"),
+                F.col("user_id"),
+            ),
+            "cmsa",
+        )
+    ).withColumnRenamed("cnt", "ca")
+    cb = spark.read.parquet(
+        _run_complete_overwrite(
+            cms_cells(
+                ev.where(F.col("event_type") == "view"), F.col("user_id")
+            ),
+            "cmsb",
+        )
+    ).withColumnRenamed("cnt", "cb")
+    est = (
+        ca.join(cb, ["r", "col"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").alias("join_est"))
+    )
+    bev = load_table(spark, sf_dir, "events")
+    a = (
+        bev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("na"))
+    )
+    b = (
+        bev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("nb"))
+    )
+    ex = a.join(b, "user_id").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("join_exact")
+    )
+    return ex.crossJoin(est).select(
+        F.col("join_exact").cast("bigint").alias("join_exact"),
+        F.col("join_est").cast("bigint").alias("join_est"),
+        (
+            F.floor(
+                (
+                    F.col("join_est").cast("double") / F.col("join_exact")
+                    - F.lit(1.0)
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("rel_overest"),
+    )
