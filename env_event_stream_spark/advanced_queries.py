@@ -2207,30 +2207,15 @@ def _cms_joinsize_oracle_sql() -> str:
     """
 
 
-@query("join_size_cms_estimate", _cms_joinsize_oracle_sql())
-def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-cardinality estimation from Count-Min sketches: the size
-    of purchases-join-views on user_id, estimated as the minimum
-    over hash rows of the cellwise inner product of the two sides'
-    sketches — min_r sum_c A[r,c]*B[r,c] >= |A join B| always (the
-    CMS inner-product guarantee; collisions only add cross terms).
-    The exact join size rides along as the accuracy readout.
-
-    This is what a query planner does before choosing a join
-    strategy at 100 TB: each side streams once into 256 integer
-    cells (map-side combine, nothing keyed ever shuffles), the
-    estimate is a 256-row cell join — the sides never meet. The
-    exact tier is the thing being avoided: a full key-aligned
-    groupBy-join of both sides."""
-    from env_event_stream_spark.operators.sketches import cms_cells
-
-    ev = _t(spark, sf_dir, "events")
-    ca = cms_cells(
-        ev.where(F.col("event_type") == "purchase"), F.col("user_id")
-    ).withColumnRenamed("cnt", "ca")
-    cb = cms_cells(
-        ev.where(F.col("event_type") == "view"), F.col("user_id")
-    ).withColumnRenamed("cnt", "cb")
+def _cms_join_size_readout(
+    ca: DataFrame, cb: DataFrame, ev: DataFrame
+) -> DataFrame:
+    """Shared batch/streaming finalization of the CMS join-size
+    estimate: min-over-rows cellwise inner product of the two cell
+    tables (columns ca / cb), with the exact purchasesxviews join
+    size from ``ev`` as the accuracy readout. One definition so the
+    live twin (join_stream_size_cms) cannot drift from the batch
+    query at the source level."""
     est = (
         ca.join(cb, ["r", "col"])
         .groupBy("r")
@@ -2266,6 +2251,33 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("rel_overest"),
     )
+
+
+@query("join_size_cms_estimate", _cms_joinsize_oracle_sql())
+def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches: the size
+    of purchases-join-views on user_id, estimated as the minimum
+    over hash rows of the cellwise inner product of the two sides'
+    sketches — min_r sum_c A[r,c]*B[r,c] >= |A join B| always (the
+    CMS inner-product guarantee; collisions only add cross terms).
+    The exact join size rides along as the accuracy readout.
+
+    This is what a query planner does before choosing a join
+    strategy at 100 TB: each side streams once into 256 integer
+    cells (map-side combine, nothing keyed ever shuffles), the
+    estimate is a 256-row cell join — the sides never meet. The
+    exact tier is the thing being avoided: a full key-aligned
+    groupBy-join of both sides."""
+    from env_event_stream_spark.operators.sketches import cms_cells
+
+    ev = _t(spark, sf_dir, "events")
+    ca = cms_cells(
+        ev.where(F.col("event_type") == "purchase"), F.col("user_id")
+    ).withColumnRenamed("cnt", "ca")
+    cb = cms_cells(
+        ev.where(F.col("event_type") == "view"), F.col("user_id")
+    ).withColumnRenamed("cnt", "cb")
+    return _cms_join_size_readout(ca, cb, ev)
 
 
 # ---------------------------------------------------------------------------
@@ -2397,6 +2409,41 @@ _WAU_ORACLE = f"""
     """
 
 
+def _rolling_wau_readout(dregs: DataFrame, ev: DataFrame) -> DataFrame:
+    """Shared batch/streaming finalization of the rolling WAU: merge
+    the per-(day, bucket) registers over each trailing 7-day window
+    (per-bucket max on the calendar grid), estimate, and attach the
+    exact rolling distinct from ``ev`` (day, user_id). One
+    definition so the live twin (evt_stream_rolling_wau) cannot
+    drift from the batch query at the source level."""
+    from env_event_stream_spark.operators.sketches import hll_estimate
+
+    days = ev.select("day").distinct()
+    g = days.select(F.col("day").alias("gday"))
+    in_window = (F.col("day") <= F.col("gday")) & (
+        F.col("day") >= F.date_sub(F.col("gday"), 6)
+    )
+    rolled = (
+        g.join(F.broadcast(dregs), in_window)
+        .groupBy(F.col("gday").alias("day"), "bucket")
+        .agg(F.max("mrho").alias("mrho"))
+    )
+    est = hll_estimate(rolled, ["day"])
+    # exact tier: broadcast the DAY GRID (calendar-sized) against the
+    # distinct stream — never the other way around
+    ud = ev.distinct()
+    ex = (
+        ud.join(F.broadcast(g), in_window)
+        .groupBy(F.col("gday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(ex, "day").select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("hll_est").alias("wau_est"),
+    )
+
+
 @query("evt_rolling_hll_wau", _WAU_ORACLE)
 def evt_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day from MERGED daily HLL
@@ -2425,35 +2472,7 @@ def evt_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     dregs = hll_registers(
         hll_project(ev, F.col("user_id"), ["day"]), ["day"]
     )
-    days = ev.select("day").distinct()
-    g = days.select(F.col("day").alias("gday"))
-    rolled = (
-        g.join(
-            F.broadcast(dregs),
-            (F.col("day") <= F.col("gday"))
-            & (F.col("day") >= F.date_sub(F.col("gday"), 6)),
-        )
-        .groupBy(F.col("gday").alias("day"), "bucket")
-        .agg(F.max("mrho").alias("mrho"))
-    )
-    est = hll_estimate(rolled, ["day"])
-    # exact tier: broadcast the DAY GRID (calendar-sized) against the
-    # distinct stream — never the other way around
-    ud = ev.distinct()
-    ex = (
-        ud.join(
-            F.broadcast(g),
-            (F.col("day") <= F.col("gday"))
-            & (F.col("day") >= F.date_sub(F.col("gday"), 6)),
-        )
-        .groupBy(F.col("gday").alias("day"))
-        .agg(F.countDistinct("user_id").alias("n_exact"))
-    )
-    return est.join(ex, "day").select(
-        F.col("day").cast("string").alias("day"),
-        F.col("n_exact").cast("bigint").alias("n_exact"),
-        F.col("hll_est").alias("wau_est"),
-    )
+    return _rolling_wau_readout(dregs, ev)
 
 
 # ---------------------------------------------------------------------------

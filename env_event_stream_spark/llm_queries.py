@@ -143,7 +143,12 @@ def _hex32_sql(h: str, offset: int = 0) -> str:
     return f"({terms})"
 
 
-def _minhash_oracle() -> str:
+def _band_cand_ctes() -> str:
+    """The hv/sig/banded/cand oracle CTE text (MinHash signatures +
+    banded LSH candidate pairs) — THE single SQL copy, consumed by
+    _minhash_oracle, _minhash_accuracy_oracle and _scurve_oracle so
+    the band-key encoding can never drift between them (it mirrors
+    dedup.minhash_band_candidates on the Spark side)."""
     from env_event_stream_spark.operators.dedup import MINHASH_P, minhash_params
 
     params = minhash_params(_K)
@@ -160,10 +165,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(_BANDS)
     )
-    return (
-        "WITH "
-        + _JACCARD_CTES
-        + f""",
+    return f"""
 hv AS (SELECT doc_id, {_hex32_sql("md5(sh)")} % {MINHASH_P} AS hv FROM sh),
 sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
 banded AS ({band_selects}),
@@ -171,7 +173,16 @@ cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
   FROM banded x JOIN banded y
     ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return (
+        "WITH "
+        + _JACCARD_CTES
+        + ","
+        + _band_cand_ctes()
+        + """
 SELECT c.id_a, c.id_b, j.jaccard
 FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
 WHERE j.jaccard >= 0.4
@@ -2394,37 +2405,15 @@ def emb_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_accuracy_oracle() -> str:
-    from env_event_stream_spark.operators.dedup import MINHASH_P, minhash_params
-
-    params = minhash_params(_K)
-    sig_cols = ", ".join(
-        f"min(({a} * hv + {b}) % {MINHASH_P}) AS h{s}"
-        for s, (a, b) in enumerate(params)
-    )
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sig".format(
-            b=b,
-            key=" || ',' || ".join(
-                f"CAST(h{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
-            ),
-        )
-        for b in range(_BANDS)
-    )
     matches = " + ".join(
         f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)" for s in range(_K)
     )
     return (
         "WITH "
         + _JACCARD_CTES
+        + ","
+        + _band_cand_ctes()
         + f""",
-hv AS (SELECT doc_id, {_hex32_sql("md5(sh)")} % {MINHASH_P} AS hv FROM sh),
-sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
-banded AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM banded x JOIN banded y
-    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
-),
 est AS (
   SELECT c.id_a, c.id_b, round(({matches}) / 16.0, 4) AS est_jaccard
   FROM cand c
@@ -5824,37 +5813,15 @@ def _scurve_theory() -> list[float]:
 
 
 def _scurve_oracle() -> str:
-    from env_event_stream_spark.operators.dedup import MINHASH_P, minhash_params
-
-    params = minhash_params(_K)
-    sig_cols = ", ".join(
-        f"min(({a} * hv + {b}) % {MINHASH_P}) AS h{s}"
-        for s, (a, b) in enumerate(params)
-    )
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sig".format(
-            b=b,
-            key=" || ',' || ".join(
-                f"CAST(h{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
-            ),
-        )
-        for b in range(_BANDS)
-    )
     theory = " ".join(
         f"WHEN {i} THEN {v!r}" for i, v in enumerate(_scurve_theory())
     )
     return (
         "WITH "
         + _JACCARD_CTES
+        + ","
+        + _band_cand_ctes()
         + f""",
-hv AS (SELECT doc_id, {_hex32_sql("md5(sh)")} % {MINHASH_P} AS hv FROM sh),
-sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
-banded AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM banded x JOIN banded y
-    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
-),
 u AS (
   SELECT j.id_a, j.id_b,
          least(CAST(floor(j.jaccard * 10) AS BIGINT), 9) AS bucket,
@@ -5892,11 +5859,13 @@ def doc_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from env_event_stream_spark.operators import dedup as D
 
     d = load_table(spark, sf_dir, "documents")
-    truth = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=1e-9).select(
-        "id_a", "id_b", "jaccard"
-    )
+    # ONE shingle explode feeds truth AND candidate generation
+    sh = D.shingle_table(d, "text", "doc_id", 3).cache()
+    truth = D.jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=1e-9, shingles=sh
+    ).select("id_a", "id_b", "jaccard")
     cand = D.minhash_band_candidates(
-        d, "text", "doc_id", n=3, bands=_BANDS, rows=_ROWS
+        d, "text", "doc_id", n=3, bands=_BANDS, rows=_ROWS, shingles=sh
     ).withColumn("detected", F.lit(1))
     theory = _scurve_theory()
     tmap = F.element_at(

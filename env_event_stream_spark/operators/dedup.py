@@ -135,11 +135,18 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via inverted-index join:
     |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded."""
-    sh = shingle_table(df, text_col, id_col, n, df_cap).cache()
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded.
+    Pass an already-cached ``shingles`` table to share the explode
+    with another consumer (the S-curve shares it with banding)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, text_col, id_col, n, df_cap).cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -327,9 +334,10 @@ def minhash_band_candidates(
     pass (pass ``shingles`` to share it with a verification join —
     measured ~25% off the end-to-end time at sf0.1)."""
     k = bands * rows
+    # standalone path: sh feeds only the signature pass, so no cache
     sh = shingles if shingles is not None else shingle_table(
         df, text_col, id_col, n
-    ).cache()
+    )
     sig = minhash_signatures(df, text_col, id_col, n=n, k=k, shingles=sh)
     band_rows = []
     for b in range(bands):

@@ -1349,7 +1349,6 @@ def evt_stream_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch sketch and this query SHARES the batch twin's full
     value-hash oracle."""
     from env_event_stream_spark.operators.sketches import (
-        hll_estimate,
         hll_project,
         hll_registers,
     )
@@ -1363,36 +1362,12 @@ def evt_stream_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dregs = spark.read.parquet(_run_complete_overwrite(regs, "wau"))
 
+    from env_event_stream_spark.advanced_queries import _rolling_wau_readout
+
     bev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("day"), "user_id"
     )
-    days = bev.select("day").distinct()
-    g = days.select(F.col("day").alias("gday"))
-    rolled = (
-        g.join(
-            F.broadcast(dregs),
-            (F.col("day") <= F.col("gday"))
-            & (F.col("day") >= F.date_sub(F.col("gday"), 6)),
-        )
-        .groupBy(F.col("gday").alias("day"), "bucket")
-        .agg(F.max("mrho").alias("mrho"))
-    )
-    est = hll_estimate(rolled, ["day"])
-    ud = bev.distinct()
-    ex = (
-        ud.join(
-            F.broadcast(g),
-            (F.col("day") <= F.col("gday"))
-            & (F.col("day") >= F.date_sub(F.col("gday"), 6)),
-        )
-        .groupBy(F.col("gday").alias("day"))
-        .agg(F.countDistinct("user_id").alias("n_exact"))
-    )
-    return est.join(ex, "day").select(
-        F.col("day").cast("string").alias("day"),
-        F.col("n_exact").cast("bigint").alias("n_exact"),
-        F.col("hll_est").alias("wau_est"),
-    )
+    return _rolling_wau_readout(dregs, bev)
 
 
 # ---------------------------------------------------------------------------
@@ -1402,6 +1377,43 @@ def evt_stream_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # commutative, so keyed streaming state holding the k smallest
 # hashes is batching-order independent.
 # ---------------------------------------------------------------------------
+
+
+def kmv_stream_state(keyed: DataFrame) -> DataFrame:
+    """Per-type KMV sketch as keyed streaming state over a
+    (event_type, h) frame: each micro-batch unions the incoming
+    hashes into the stored k-smallest set and re-truncates — the KMV
+    merge, associative and commutative, so the result is independent
+    of batching (the multi-batch pytest replays a 3-way split
+    through THIS function). Emits (event_type, sk_n, h_k) per batch;
+    latest epoch per type is the live sketch summary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from env_event_stream_spark.operators.sketches import KMV_K
+
+    def fn(key_t, pdfs, state):
+        hs: set = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            hs.update(int(x) for x in pdf["h"])
+        merged = sorted(hs)[:KMV_K]
+        state.update((merged,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key_t[0]],
+                "sk_n": [np.int64(len(merged))],
+                "h_k": [np.int64(max(merged))],
+            }
+        )
+
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType="event_type string, sk_n bigint, h_k bigint",
+        stateStructType="hashes array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def _kmv_stream_oracle() -> str:
@@ -1448,10 +1460,6 @@ def evt_stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     matview twin (evt_stream_hll_users) can only union; THIS state
     also supports intersection estimates between types on read
     (evt_kmv_overlap is the batch reader for that)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     from env_event_stream_spark.operators.sketches import (
         KMV_DOMAIN,
         KMV_K,
@@ -1466,28 +1474,7 @@ def evt_stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").cast("string"),
     )
     keyed = ev.select("event_type", kmv_hash(key).alias("h"))
-
-    def fn(key_t, pdfs, state):
-        hs: set = set(state.get[0]) if state.exists else set()
-        for pdf in pdfs:
-            hs.update(int(x) for x in pdf["h"])
-        merged = sorted(hs)[:KMV_K]
-        state.update((merged,))
-        yield pd.DataFrame(
-            {
-                "event_type": [key_t[0]],
-                "sk_n": [np.int64(len(merged))],
-                "h_k": [np.int64(max(merged))],
-            }
-        )
-
-    out = keyed.groupBy("event_type").applyInPandasWithState(
-        fn,
-        outputStructType="event_type string, sk_n bigint, h_k bigint",
-        stateStructType="hashes array<bigint>",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    out = kmv_stream_state(keyed)
     sink_dir = _run_update_to_latest(out, "kmv")
     live = _latest_epoch_rows(spark, sink_dir, "event_type").select(
         "event_type", "sk_n", "h_k"
@@ -1569,38 +1556,9 @@ def join_stream_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cmsb",
         )
     ).withColumnRenamed("cnt", "cb")
-    est = (
-        ca.join(cb, ["r", "col"])
-        .groupBy("r")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
-        .agg(F.min("dot").alias("join_est"))
+    from env_event_stream_spark.advanced_queries import (
+        _cms_join_size_readout,
     )
+
     bev = load_table(spark, sf_dir, "events")
-    a = (
-        bev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.count("*").alias("na"))
-    )
-    b = (
-        bev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.count("*").alias("nb"))
-    )
-    ex = a.join(b, "user_id").agg(
-        F.sum(F.col("na") * F.col("nb")).alias("join_exact")
-    )
-    return ex.crossJoin(est).select(
-        F.col("join_exact").cast("bigint").alias("join_exact"),
-        F.col("join_est").cast("bigint").alias("join_est"),
-        (
-            F.floor(
-                (
-                    F.col("join_est").cast("double") / F.col("join_exact")
-                    - F.lit(1.0)
-                )
-                * 10000
-                + F.lit(0.5)
-            )
-            / 10000
-        ).alias("rel_overest"),
-    )
+    return _cms_join_size_readout(ca, cb, bev)

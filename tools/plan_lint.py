@@ -32,7 +32,8 @@ from env_event_stream_spark.session import get_spark
 STREAMING = {
     n
     for n in QUERIES
-    if n.startswith(("evt_stream_", "doc_stream_")) or n == "evt_live_fold_stream"
+    if n.startswith(("evt_stream_", "doc_stream_", "join_stream_"))
+    or n == "evt_live_fold_stream"
 }
 
 # (query, marker) -> documented reason a quadratic operator is OK
@@ -158,7 +159,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             rows.append((name, "ERROR", str(exc)[:80]))
             continue
-        n_ex = plan.count("Exchange ")
+        # count only SHUFFLE exchanges: "BroadcastExchange " contains
+        # the substring "Exchange ", which silently inflated the
+        # shuffle counter for every broadcast-joining query
+        n_ex = plan.count("Exchange ") - plan.count("BroadcastExchange ")
         n_cart = plan.count("CartesianProduct")
         n_bnlj = plan.count("BroadcastNestedLoopJoin")
         n_pyrow = plan.count("BatchEvalPython")
