@@ -1140,12 +1140,16 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(s.alias("src"), c.alias("dst"))
     )
     pr = pagerank_int(edges, iterations=_PR_ITERS, unit=_PR_UNIT)
-    w = Window.orderBy(F.col("rank_units").desc(), F.col("node").asc())
-    return (
-        pr.withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .where(F.col("pos") <= 20)
-        .select("node", "odeg", "rank_units", "pos")
-    )
+    # top-20 via TakeOrderedAndProject (per-partition heaps), NOT a
+    # row_number over an unpartitioned Window — that would force a
+    # single-partition sort over all |V| nodes; pos is then assigned
+    # over just the 20 survivors
+    order = [F.col("rank_units").desc(), F.col("node").asc()]
+    top = R.top_k(pr, order, 20)
+    w = Window.orderBy(*order)
+    return top.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    ).select("node", "odeg", "rank_units", "pos")
 
 
 # ---------------------------------------------------------------------------
@@ -1797,12 +1801,15 @@ def _profile_oracle_sql() -> str:
              AS n_null,
            CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_distinct,
-           min(v) AS min_num,
-           max(v) AS max_num,
+           CAST(min(v) AS DOUBLE) AS min_num,
+           CAST(max(v) AS DOUBLE) AS max_num,
            CASE WHEN max(has_mean) = 1
-                THEN floor(CAST(sum(v * cnt) AS DOUBLE)
-                           / sum(CASE WHEN v IS NOT NULL THEN cnt END)
-                           * 10000 + 0.5) / 10000
+                THEN CAST((CAST(sum(v * cnt) * 1000000 AS BIGINT)
+                           + 50 * sum(CASE WHEN v IS NOT NULL
+                                           THEN cnt END))
+                          // (100 * sum(CASE WHEN v IS NOT NULL
+                                             THEN cnt END))
+                          AS DOUBLE) / 10000
            END AS mean_num,
            min(CASE WHEN is_str = 1 THEN k END) AS min_str,
            max(CASE WHEN is_str = 1 THEN k END) AS max_str
@@ -1821,10 +1828,11 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass per column) into one groupBy(col_name). The distinct
     count expands to the standard two-phase (col, value) partial
     distinct, so the per-column hot groups still pre-aggregate
-    map-side; means ride exact DECIMAL sums (order-independent —
-    double summation would flip last digits across partitionings);
-    timestamp min/max profile as epoch-micros, which agree across
-    engines where formatted strings don't."""
+    map-side; means ride exact DECIMAL sums finalized with bigint
+    floor-division (order-independent AND tie-free — a double
+    division's last ulp flipped the 4dp rounding boundary in the r6
+    driver gate); timestamp min/max profile as epoch-micros, which
+    agree across engines where formatted strings don't."""
     li = _t(spark, sf_dir, "lineitem")
     triples = []
     for name, kind in _PROFILE_COLS:
@@ -1870,15 +1878,22 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_distinct"),
-        F.min("v").alias("min_num"),
-        F.max("v").alias("max_num"),
+        F.min("v").cast("double").alias("min_num"),
+        F.max("v").cast("double").alias("max_num"),
+        # INTEGER-EXACT 4dp mean: v carries 6 decimal places, so
+        # sum(v*cnt)*1e6 is an integer; floor(mean*1e4 + 0.5) =
+        # (S6 + 50*nn) DIV (100*nn) entirely in bigint — no double
+        # division whose last ulp can flip the 4dp rounding boundary
+        # across engines (the r6 driver-red on this query; the values
+        # fit bigint through sf>=1, and the 100 TB shape is the same
+        # arithmetic in DECIMAL(38,0))
         F.when(
             F.max("has_mean") == 1,
-            F.floor(
-                F.sum(F.col("v") * F.col("cnt")).cast("double")
-                / F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")))
-                * 10000
-                + F.lit(0.5)
+            F.expr(
+                "CAST((CAST(sum(v * cnt) * 1000000 AS BIGINT)"
+                " + 50 * sum(CASE WHEN v IS NOT NULL THEN cnt END))"
+                " div (100 * sum(CASE WHEN v IS NOT NULL THEN cnt END))"
+                " AS DOUBLE)"
             )
             / 10000,
         ).alias("mean_num"),

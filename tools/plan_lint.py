@@ -119,7 +119,6 @@ NESTED_LOOP_ALLOWED = {
     "evt_gap_fill_daily": "calendar-grid broadcast",
     "evt_power_user_curve": "threshold-grid broadcast",
     "evt_cms_user_freq": "256-cell sketch broadcast",
-    "dq_profile_lineitem": "none expected",
     "doc_tfidf_top_terms": "1-row corpus-size (N) broadcast for the IDF term",
     "doc_token_histogram": "1-row corpus-total broadcast for bucket shares",
     "doc_phrase_heavy_hitters": "1-row phi-threshold scalar broadcast",
@@ -159,10 +158,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             rows.append((name, "ERROR", str(exc)[:80]))
             continue
-        # count only SHUFFLE exchanges: "BroadcastExchange " contains
-        # the substring "Exchange ", which silently inflated the
-        # shuffle counter for every broadcast-joining query
-        n_ex = plan.count("Exchange ") - plan.count("BroadcastExchange ")
+        # count only SHUFFLE exchanges: "BroadcastExchange " and
+        # "ReusedExchange " both contain the substring "Exchange ",
+        # which silently inflated the shuffle counter for every
+        # broadcast-joining / exchange-reusing query
+        n_ex = (
+            plan.count("Exchange ")
+            - plan.count("BroadcastExchange ")
+            - plan.count("ReusedExchange ")
+        )
         n_cart = plan.count("CartesianProduct")
         n_bnlj = plan.count("BroadcastNestedLoopJoin")
         n_pyrow = plan.count("BatchEvalPython")
