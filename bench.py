@@ -130,6 +130,11 @@ HEADLINE = [
     "doc_minhash_scurve",
     "evt_stream_kmv_users",
     "join_stream_size_cms",
+    # round-7 additions
+    "evt_holt_trend_daily",
+    "evt_cusum_changepoint",
+    "er_customer_entities",
+    "emb_mmr_diversify",
 ]
 
 

@@ -1224,3 +1224,376 @@ def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_days",
         "p90_days",
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend) over daily volume
+# per type — the trend-aware sibling of evt_ewma_daily_by_type (whose
+# single-state EWMA cannot separate a level shift from a slope).
+# ---------------------------------------------------------------------------
+
+
+def _holt_weights(horizon: int = 7) -> list[tuple[float, float]]:
+    """Exact dyadic lag weights of Holt's recurrence at
+    alpha = beta = 1/2, truncated at `horizon` days.
+
+    The recurrence  l_t = a*y_t + (1-a)(l_{t-1} + b_{t-1}),
+                    b_t = B(l_t - l_{t-1}) + (1-B) b_{t-1}
+    is linear, so the state is a weighted sum of past observations:
+    s_t = sum_k A^k c y_{t-k} with A = [[1/2, 1/2], [-1/4, 3/4]],
+    c = [1/2, 1/4]. With dyadic a/B every A^k c entry is a dyadic
+    rational (denominator 4^k) — an EXACT double — so the truncated
+    weighted sum is a fixed-order 7-term expression whose pre-round
+    value is bit-identical on any engine (the evt_ewma_daily_by_type
+    determinism argument, extended to a 2-state recurrence)."""
+    from fractions import Fraction as Fr
+
+    A = [[Fr(1, 2), Fr(1, 2)], [Fr(-1, 4), Fr(3, 4)]]
+    v = [Fr(1, 2), Fr(1, 4)]
+    out = []
+    for _ in range(horizon):
+        out.append((float(v[0]), float(v[1])))
+        v = [
+            A[0][0] * v[0] + A[0][1] * v[1],
+            A[1][0] * v[0] + A[1][1] * v[1],
+        ]
+    return out
+
+
+_HOLT_W = _holt_weights()
+
+
+def _holt_oracle_sql() -> str:
+    terms_l, terms_b = [], []
+    for k, (lw, bw) in enumerate(_HOLT_W):
+        y = "cnt" if k == 0 else f"c{k}"
+        terms_l.append(f"{y} * CAST({lw!r} AS DOUBLE)")
+        terms_b.append(f"{y} * CAST({bw!r} AS DOUBLE)")
+    level = " + ".join(terms_l)
+    trend = " + ".join(terms_b)
+    lags = ", ".join(
+        f"lag(cnt, {k}) OVER w AS c{k}" for k in range(1, len(_HOLT_W))
+    )
+    notnull = " AND ".join(
+        f"c{k} IS NOT NULL" for k in range(1, len(_HOLT_W))
+    )
+    return f"""
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day_idx, cnt, {lags}
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day_idx))
+    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(cnt AS BIGINT) AS n_events,
+           floor(({level}) * 10000 + 0.5) / 10000 AS level_7d,
+           floor(({trend}) * 10000 + 0.5) / 10000 AS trend_7d,
+           floor((({level}) + ({trend})) * 10000 + 0.5) / 10000
+             AS forecast_next,
+           ({trend}) > 0 AS trend_up
+    FROM l WHERE {notnull}
+    """
+
+
+@query("evt_holt_trend_daily", _holt_oracle_sql())
+def evt_holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing (alpha = beta = 1/2, 7-day
+    truncated impulse response) of daily volume per event type, plus
+    the one-step forecast l_t + b_t and a trend-direction flag —
+    what a capacity dashboard actually wants from a volume series
+    (EWMA tells you WHERE the series is; Holt also tells you WHERE
+    IT'S GOING).
+
+    Determinism: _holt_weights() derives the lag weights as exact
+    dyadic rationals, the weighted sum is a fixed-order 7-term
+    expression over integer counts, and rows emit only once the full
+    7-day window exists (no cold-start renormalization to diverge
+    on). Plan: one map-side-combinable daily count, one window over
+    the |types| x |days| calendar grid — corpus-size-invariant, the
+    same 100 TB shape as the EWMA."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    l = d.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        *[
+            F.lag("cnt", k).over(w).alias(f"c{k}")
+            for k in range(1, len(_HOLT_W))
+        ],
+    ).where(
+        F.lit(True)
+        & F.expr(
+            " AND ".join(
+                f"c{k} IS NOT NULL" for k in range(1, len(_HOLT_W))
+            )
+        )
+    )
+    level = F.col("cnt") * F.lit(_HOLT_W[0][0])
+    trend = F.col("cnt") * F.lit(_HOLT_W[0][1])
+    for k in range(1, len(_HOLT_W)):
+        level = level + F.col(f"c{k}") * F.lit(_HOLT_W[k][0])
+        trend = trend + F.col(f"c{k}") * F.lit(_HOLT_W[k][1])
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return l.select(
+        "event_type",
+        "day_idx",
+        F.col("cnt").cast("bigint").alias("n_events"),
+        r4(level).alias("level_7d"),
+        r4(trend).alias("trend_7d"),
+        r4(level + trend).alias("forecast_next"),
+        (trend > 0).alias("trend_up"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the same daily series — the
+# sequential drift detector (Page 1954) that catches slow shifts the
+# EWMA spike flag and z-score outliers both miss.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_cusum_changepoint",
+    """
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    ref AS (SELECT event_type, count(*) AS n_days, sum(cnt) AS total
+            FROM d GROUP BY event_type),
+    p AS (
+      SELECT d.event_type, d.day_idx, d.cnt, ref.total,
+             sum(ref.n_days * d.cnt - ref.total)
+               OVER (PARTITION BY d.event_type ORDER BY d.day_idx
+                     ROWS UNBOUNDED PRECEDING) AS pref
+      FROM d JOIN ref ON ref.event_type = d.event_type),
+    s AS (
+      SELECT event_type, day_idx, cnt, total,
+             pref - least(0, min(pref)
+               OVER (PARTITION BY event_type ORDER BY day_idx
+                     ROWS UNBOUNDED PRECEDING)) AS cus_pos,
+             greatest(0, max(pref)
+               OVER (PARTITION BY event_type ORDER BY day_idx
+                     ROWS UNBOUNDED PRECEDING)) - pref AS cus_neg
+      FROM p)
+    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(cnt AS BIGINT) AS n_events,
+           CAST(cus_pos AS BIGINT) AS cusum_pos,
+           CAST(cus_neg AS BIGINT) AS cusum_neg,
+           cus_pos > 2 * total AS alarm_pos,
+           cus_neg > 2 * total AS alarm_neg
+    FROM s
+    """,
+)
+def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector over daily volume per type:
+    alarm when the cumulative deviation from the series' own mean
+    exceeds two mean-days of traffic — the sequential changepoint
+    test for SLOW drifts that per-day spike rules can't see.
+
+    INTEGER-EXACT via the prefix-sum identity: the recurrence
+    S_t = max(0, S_{t-1} + dev_t) equals P_t - min(0, min_{j<=t} P_j)
+    for prefix sums P of dev — so the sequential detector becomes a
+    cumulative sum + running min, two stock window functions, no
+    recursion. Deviations are scaled integers (n_days*cnt - total:
+    mean-centering WITHOUT a division), so every value is exact
+    bigint arithmetic — order-independent across engines and
+    partitionings, fully value-hash oracled. Plan: one daily-count
+    aggregation, a |types|-row reference join, windows over the
+    calendar grid — corpus-size-invariant."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.count("*").alias("cnt"))
+    ref = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("cnt").alias("total")
+    )
+    p = d.join(F.broadcast(ref), "event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = F.sum(
+        F.col("n_days") * F.col("cnt") - F.col("total")
+    ).over(wcum)
+    s = p.select(
+        "event_type", "day_idx", "cnt", "total", pref.alias("pref")
+    )
+    cus_pos = F.col("pref") - F.least(
+        F.lit(0), F.min("pref").over(wcum)
+    )
+    cus_neg = F.greatest(F.lit(0), F.max("pref").over(wcum)) - F.col(
+        "pref"
+    )
+    return s.select(
+        "event_type",
+        "day_idx",
+        F.col("cnt").cast("bigint").alias("n_events"),
+        cus_pos.cast("bigint").alias("cusum_pos"),
+        cus_neg.cast("bigint").alias("cusum_neg"),
+        (cus_pos > 2 * F.col("total")).alias("alarm_pos"),
+        (cus_neg > 2 * F.col("total")).alias("alarm_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution on the customer dimension — blocking + Fellegi-
+# Sunter-style attribute-weighted agreement scores + transitive
+# clusters. Distinct semantics from the document dedup family: match
+# evidence is a WEIGHTED VOTE ACROSS TYPED FIELDS (name edit
+# distance, balance proximity), not one text-similarity measure.
+# ---------------------------------------------------------------------------
+
+_ER_SQL_SCORE = """
+        CASE WHEN lev <= 1 THEN 4 WHEN lev <= 2 THEN 2 ELSE -2 END
+        + CASE WHEN dbal <= 50 THEN 3 WHEN dbal <= 250 THEN 1
+               ELSE -3 END"""
+_ER_MATCH = 5  # strong name + near balance, or the converse
+
+
+@query(
+    "er_customer_entities",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 500) AS BIGINT) AS band, c_acctbal
+      FROM customer),
+    pr AS (
+      SELECT a.c_custkey AS k1, c.c_custkey AS k2,
+             levenshtein(a.c_name, c.c_name) AS lev,
+             abs(a.c_acctbal - c.c_acctbal) AS dbal
+      FROM b a JOIN b c
+        ON a.c_nationkey = c.c_nationkey
+       AND a.c_mktsegment = c.c_mktsegment
+       AND a.band = c.band AND a.c_custkey < c.c_custkey),
+    m AS (
+      SELECT k1, k2, ({_ER_SQL_SCORE}) AS score
+      FROM pr WHERE ({_ER_SQL_SCORE}) >= {_ER_MATCH}),
+    edges AS (SELECT k1 AS u, k2 AS v FROM m
+              UNION SELECT k2, k1 FROM m),
+    comp(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node),
+    cm AS (SELECT node, min(label) AS component FROM comp GROUP BY node),
+    es AS (
+      SELECT cm.component, count(*) AS n_edges,
+             sum(m.score) AS score_sum, max(m.score) AS max_score
+      FROM m JOIN cm ON cm.node = m.k1 GROUP BY cm.component)
+    SELECT CAST(cm.component AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(any_value(es.n_edges) AS BIGINT) AS n_edges,
+           CAST(any_value(es.max_score) AS BIGINT) AS max_score,
+           floor(CAST(any_value(es.score_sum) AS DOUBLE)
+                 / any_value(es.n_edges) * 10000 + 0.5) / 10000
+             AS mean_score
+    FROM cm JOIN es ON es.component = cm.component
+    GROUP BY cm.component
+    """,
+)
+def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clusters over customers: candidate pairs
+    from standard blocking (nation x market segment x 500-unit
+    balance band), scored with integer Fellegi-Sunter agreement
+    weights per field (name edit distance: +4 strong / +2 moderate /
+    -2 disagree; account balance proximity: +3 / +1 / -3), matched at
+    score >= 5, then transitive closure (min-label connected
+    components) and a per-cluster rollup.
+
+    INTEGER scores sidestep float-threshold ties entirely — the
+    match set is exact on any engine. 100 TB shape: blocking keys
+    bound every candidate block by construction (balance BANDS make
+    the blow-up cap explicit — a block is one nation x segment x
+    band), pair scoring is row-local levenshtein inside the block
+    join, and the component propagation (operators/graph.py) is
+    match-set-sized, tiny relative to the dimension. The one
+    deliberate semantic: candidates must share the band, so a pair
+    straddling a band boundary is unmatchable — the documented
+    recall/cost trade every blocking scheme makes."""
+    from env_event_stream_spark.operators.graph import (
+        connected_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    b = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).cast("bigint").alias("band"),
+        "c_acctbal",
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pr = a.join(
+        c,
+        (F.col("a.c_nationkey") == F.col("c.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("c.c_mktsegment"))
+        & (F.col("a.band") == F.col("c.band"))
+        & (F.col("a.c_custkey") < F.col("c.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("k1"),
+        F.col("c.c_custkey").alias("k2"),
+        F.levenshtein(F.col("a.c_name"), F.col("c.c_name")).alias("lev"),
+        F.abs(F.col("a.c_acctbal") - F.col("c.c_acctbal")).alias("dbal"),
+    )
+    name_w = (
+        F.when(F.col("lev") <= 1, 4)
+        .when(F.col("lev") <= 2, 2)
+        .otherwise(-2)
+    )
+    bal_w = (
+        F.when(F.col("dbal") <= 50, 3)
+        .when(F.col("dbal") <= 250, 1)
+        .otherwise(-3)
+    )
+    m = (
+        pr.withColumn("score", name_w + bal_w)
+        .where(F.col("score") >= _ER_MATCH)
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(m, "k1", "k2")
+    es = (
+        m.join(comp, m.k1 == comp.node)
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum("score").alias("score_sum"),
+            F.max("score").alias("max_score"),
+        )
+    )
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .join(es, "component")
+        .select(
+            F.col("component").cast("bigint").alias("cluster_id"),
+            F.col("n_members").cast("bigint"),
+            F.col("n_edges").cast("bigint"),
+            F.col("max_score").cast("bigint"),
+            (
+                F.floor(
+                    F.col("score_sum").cast("double")
+                    / F.col("n_edges")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("mean_score"),
+        )
+    )

@@ -354,3 +354,253 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (Carbonell & Goldstein '98) — the rung
+# ABOVE plain top-k: relevance alone returns near-duplicate clusters
+# (this corpus deliberately contains them); MMR trades relevance
+# against redundancy with the selected set.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 30  # relevance candidate pool per query
+_MMR_K = 10  # results selected per query
+_MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) penalizes redundancy
+_MMR_QUERY_MOD = 100  # probe queries: vec_id % 100 == 0
+
+
+def _r6(x: float) -> float:
+    """floor(x*1e6 + 0.5)/1e6 in pure Python — the engine's tie-free
+    6dp rounding, same IEEE ops, no round() tie semantics."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _seq_cosine(a: list[float], b: list[float]) -> float | None:
+    """Sequential-fold cosine matching functions/vectors.py exactly:
+    dot = left fold of (+, a[i]*b[i]); cos = d / (na * nb); None for
+    zero vectors (the Catalyst helper's null contract)."""
+    import math
+
+    d = na = nb = 0.0
+    for x, y in zip(a, b):
+        d = d + x * y
+        na = na + x * x
+        nb = nb + y * y
+    na, nb = math.sqrt(na), math.sqrt(nb)
+    if not (na > 0.0 and nb > 0.0):
+        return None
+    return d / (na * nb)
+
+
+def _mmr_select(
+    rel: dict[int, float], sim: dict[tuple[int, int], float]
+) -> list[tuple[int, int, float, float]]:
+    """Engine-side greedy: (pos, id, rel, mmr) rows; linear scan with
+    running best, id order so the smallest id wins exact-mmr ties."""
+    import math
+
+    remaining = sorted(rel)
+    sel: list[int] = []
+    out = []
+    while remaining and len(sel) < _MMR_K:
+        best_c, best_mmr = None, None
+        for c in remaining:
+            red = max((sim[(c, s)] for s in sel), default=0.0)
+            mmr = _MMR_LAMBDA * rel[c] - (1 - _MMR_LAMBDA) * red
+            if best_mmr is None or mmr > best_mmr:
+                best_c, best_mmr = c, mmr
+        sel.append(best_c)
+        remaining.remove(best_c)
+        out.append(
+            (
+                len(sel),
+                best_c,
+                rel[best_c],
+                math.floor(best_mmr * 1e6 + 0.5) / 1e6,
+            )
+        )
+    return out
+
+
+def _mmr_select_oracle(
+    rel: dict[int, float], sim: dict[tuple[int, int], float]
+) -> list[tuple[int, int, float, float]]:
+    """Oracle-side greedy: sort-based argmax on ((mmr, -id)) — a
+    DELIBERATELY different implementation of the same contract
+    (tests/test_trend_er_mmr.py fuzzes the two against each other)."""
+    import math
+
+    remaining, sel = sorted(rel), []
+    out = []
+    while remaining and len(sel) < _MMR_K:
+        scored = sorted(
+            (
+                (
+                    _MMR_LAMBDA * rel[c]
+                    - (1 - _MMR_LAMBDA)
+                    * max((sim[(c, s)] for s in sel), default=0.0),
+                    -c,
+                ),
+                c,
+            )
+            for c in remaining
+        )
+        mmr, c = scored[-1][0][0], scored[-1][1]
+        sel.append(c)
+        remaining.remove(c)
+        out.append(
+            (len(sel), c, rel[c], math.floor(mmr * 1e6 + 0.5) / 1e6)
+        )
+    return out
+
+
+def _mmr_oracle() -> str:
+    """Lazy oracle: an INDEPENDENT pure-Python MMR (pyarrow read +
+    sequential-fold cosines + sort-based greedy), inlined as VALUES —
+    the doc_bpe_learn_merges precedent: when the algorithm is
+    inherently sequential, the oracle is a second implementation of
+    the same exact contract, not the same code re-run."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from env_event_stream_spark.llm_queries import _oracle_sf_dir
+
+    t = pq.read_table(
+        _oracle_sf_dir().rstrip("/") + "/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    ids = t.column("vec_id").to_pylist()
+    vecs = [
+        [float(x) for x in v] for v in t.column("embedding").to_pylist()
+    ]
+    byid = dict(zip(ids, vecs))
+    rows = []
+    for qid in sorted(i for i in ids if i % _MMR_QUERY_MOD == 0):
+        qv = byid[qid]
+        rel = {}
+        for cid in ids:
+            if cid == qid:
+                continue
+            c = _seq_cosine(qv, byid[cid])
+            if c is not None:
+                rel[cid] = _r6(c)
+        pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
+        sim = {}
+        for i in pool:
+            for j in pool:
+                if i != j:
+                    s = _seq_cosine(byid[i], byid[j])
+                    sim[(i, j)] = _r6(s) if s is not None else 0.0
+        pool_rel = {i: rel[i] for i in pool}
+        for pos, vid, r, m in _mmr_select_oracle(pool_rel, sim):
+            rows.append((qid, pos, vid, r, m))
+    vals = ", ".join(
+        f"({q}, {p}, {v}, CAST({r!r} AS DOUBLE), CAST({m!r} AS DOUBLE))"
+        for q, p, v, r, m in rows
+    )
+    return f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(vec_id AS BIGINT) AS vec_id, rel, mmr
+    FROM (VALUES {vals}) AS t(query_id, pos, vec_id, rel, mmr)
+    """
+
+
+@query("emb_mmr_diversify", _mmr_oracle)
+def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking: per probe query (vec_id % 100 == 0), take the
+    top-30 cosine pool, then greedily select 10 maximizing
+    0.7*relevance - 0.3*max-similarity-to-already-selected — the
+    diversity-aware result page / dedup-aware retrieval rung of the
+    ANN ladder (a near-dup cluster contributes ONE result instead of
+    filling the page).
+
+    Split by nature of the work: ALL vector math is Catalyst
+    (broadcast query probe onto the corpus for relevance, pool x pool
+    self-join for pairwise sims — both whole-stage-codegen'd
+    sequential-fold cosines, 6dp tie-free rounded), while the
+    inherently sequential greedy runs in one applyInPandas over the
+    ~900 PRECOMPUTED scalars per query — Python never touches a
+    vector, and groups parallelize across queries. 100 TB shape:
+    relevance pass = the brute-force kNN shape (swap in the IVF probe
+    for a real corpus); the greedy is O(K * pool) per query over
+    KB-sized state. Determinism: greedy decisions compare doubles
+    built from 6dp-rounded inputs with id tie-breaks — bit-identical
+    to the oracle's independent sort-based implementation."""
+    import pandas as pd
+
+    from env_event_stream_spark.llm_queries import _SPARK_TRAIN_DIRS
+
+    _SPARK_TRAIN_DIRS.add(sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("cv")
+    )
+    q = v.where(F.col("vec_id") % _MMR_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("cv").alias("qv")
+    )
+    from env_event_stream_spark.functions.vectors import cosine
+
+    rel_raw = cosine(F.col("qv"), F.col("cv"))
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("rel_raw", rel_raw)
+        .where(F.col("rel_raw").isNotNull())
+        .withColumn(
+            "rel", F.floor(F.col("rel_raw") * 1e6 + F.lit(0.5)) / 1e6
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MMR_POOL)
+        .select("qid", "vec_id", "cv", "rel")
+    )
+    p1, p2 = pool.alias("p1"), pool.alias("p2")
+    pairs = p1.join(
+        p2,
+        (F.col("p1.qid") == F.col("p2.qid"))
+        & (F.col("p1.vec_id") != F.col("p2.vec_id")),
+    ).select(
+        F.col("p1.qid").alias("qid"),
+        F.col("p1.vec_id").alias("a"),
+        F.col("p2.vec_id").alias("b"),
+        F.col("p1.rel").alias("a_rel"),
+        (
+            F.floor(
+                F.coalesce(
+                    cosine(F.col("p1.cv"), F.col("p2.cv")), F.lit(0.0)
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("sim"),
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["qid"].iloc[0])
+        rel = {}
+        sim = {}
+        for a, b, ar, s in zip(
+            pdf["a"], pdf["b"], pdf["a_rel"], pdf["sim"]
+        ):
+            rel[int(a)] = float(ar)
+            sim[(int(a), int(b))] = float(s)
+        out = [
+            (qid, pos, vid, r, m)
+            for pos, vid, r, m in _mmr_select(rel, sim)
+        ]
+        return pd.DataFrame(
+            out, columns=["query_id", "pos", "vec_id", "rel", "mmr"]
+        )
+
+    return pairs.groupBy("qid").applyInPandas(
+        greedy,
+        "query_id bigint, pos bigint, vec_id bigint, rel double, mmr double",
+    )

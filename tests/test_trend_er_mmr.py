@@ -1,0 +1,270 @@
+"""Round-7 operators: Holt trend smoothing (truncated dyadic weights
+vs the literal recurrence), CUSUM (prefix-sum identity vs the
+sequential max(0, .) recurrence), entity resolution (engine clusters
+vs an independent pandas + union-find replay), and MMR (the two
+deliberately different greedy implementations fuzzed against each
+other, plus structural properties of the engine output)."""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction as Fr
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from env_event_stream_spark.analytics_queries import (
+    _HOLT_W,
+    evt_cusum_changepoint,
+    evt_holt_trend_daily,
+    er_customer_entities,
+)
+from env_event_stream_spark.retrieval_queries import (
+    _MMR_K,
+    _mmr_select,
+    _mmr_select_oracle,
+    emb_mmr_diversify,
+)
+
+
+# ---------------------------------------------------------------------------
+# Holt
+# ---------------------------------------------------------------------------
+
+
+def _holt_recurrence(ys):
+    """The literal Holt recurrence (alpha=beta=1/2) from zero initial
+    state, in exact rational arithmetic."""
+    l = b = Fr(0)
+    for y in ys:
+        l_new = Fr(1, 2) * y + Fr(1, 2) * (l + b)
+        b = Fr(1, 2) * (l_new - l) + Fr(1, 2) * b
+        l = l_new
+    return l, b
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=7, max_size=7))
+@settings(max_examples=50, deadline=None)
+def test_holt_weights_equal_recurrence_on_full_window(ys):
+    # truncated weighted sum over exactly 7 observations == the
+    # recurrence run from zero state over those 7 observations
+    l_ref, b_ref = _holt_recurrence(ys)
+    lw = sum(Fr(_HOLT_W[k][0]) * ys[-1 - k] for k in range(7))
+    bw = sum(Fr(_HOLT_W[k][1]) * ys[-1 - k] for k in range(7))
+    assert (lw, bw) == (l_ref, b_ref)
+
+
+def test_holt_query_matches_python_recompute(spark, sf_dir):
+    got = {
+        (r["event_type"], r["day_idx"]): r
+        for r in evt_holt_trend_daily(spark, sf_dir).collect()
+    }
+    from env_event_stream_spark.tables import load_table
+
+    daily = {
+        (r["event_type"], r["d"]): r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got, "holt emitted no rows at test sf"
+    types = {t for t, _ in daily}
+    for t in types:
+        days = sorted(d for tt, d in daily if tt == t)
+        for d in days:
+            window = [(t, d - k) in daily for k in range(7)]
+            if not all(window):
+                assert (t, d) not in got
+                continue
+            ys = [daily[(t, d - k)] for k in range(7)]
+            level = ys[0] * _HOLT_W[0][0]
+            trend = ys[0] * _HOLT_W[0][1]
+            for k in range(1, 7):
+                level = level + ys[k] * _HOLT_W[k][0]
+                trend = trend + ys[k] * _HOLT_W[k][1]
+            row = got[(t, d)]
+            assert row["level_7d"] == math.floor(level * 1e4 + 0.5) / 1e4
+            assert row["trend_7d"] == math.floor(trend * 1e4 + 0.5) / 1e4
+            assert row["trend_up"] == (trend > 0)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_cusum_prefix_identity_equals_sequential_recurrence(xs):
+    n, total = len(xs), sum(xs)
+    devs = [n * x - total for x in xs]
+    # sequential reference
+    sp = sn = 0
+    seq = []
+    for d in devs:
+        sp = max(0, sp + d)
+        sn = max(0, sn - d)
+        seq.append((sp, sn))
+    # the query's identity
+    pref = 0
+    rmin = rmax = 0
+    for d, (ep, en) in zip(devs, seq):
+        pref += d
+        rmin = min(rmin, pref)
+        rmax = max(rmax, pref)
+        assert pref - min(0, rmin) == ep
+        assert max(0, rmax) - pref == en
+
+
+def test_cusum_query_matches_sequential_recompute(spark, sf_dir):
+    rows = evt_cusum_changepoint(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["day_idx"])
+        n = len(rs)
+        total = sum(r["n_events"] for r in rs)
+        sp = sn = 0
+        for r in rs:
+            d = n * r["n_events"] - total
+            sp = max(0, sp + d)
+            sn = max(0, sn - d)
+            assert r["cusum_pos"] == sp and r["cusum_neg"] == sn
+            assert r["alarm_pos"] == (sp > 2 * total)
+            assert r["alarm_neg"] == (sn > 2 * total)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_er_clusters_match_union_find_replay(spark, sf_dir):
+    got = {
+        r["cluster_id"]: (
+            r["n_members"],
+            r["n_edges"],
+            r["max_score"],
+            r["mean_score"],
+        )
+        for r in er_customer_entities(spark, sf_dir).collect()
+    }
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    c["band"] = (c.c_acctbal / 500).apply(math.floor)
+    edges = []
+    blocks = c.groupby(["c_nationkey", "c_mktsegment", "band"])
+    for _, g in blocks:
+        recs = g.sort_values("c_custkey").to_dict("records")
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i], recs[j]
+                lev = _lev(a["c_name"], b["c_name"])
+                dbal = abs(a["c_acctbal"] - b["c_acctbal"])
+                score = (4 if lev <= 1 else 2 if lev <= 2 else -2) + (
+                    3 if dbal <= 50 else 1 if dbal <= 250 else -3
+                )
+                if score >= 5:
+                    edges.append((a["c_custkey"], b["c_custkey"], score))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v, _ in edges:
+        parent[find(u)] = find(v)
+    members: dict[int, set] = {}
+    escore: dict[int, list] = {}
+    for u, v, s in edges:
+        root = find(u)
+        members.setdefault(root, set()).update((u, v))
+        escore.setdefault(root, []).append(s)
+    expected = {}
+    for root, mem in members.items():
+        cid = min(mem)
+        ss = escore[root]
+        expected[cid] = (
+            len(mem),
+            len(ss),
+            max(ss),
+            math.floor(sum(ss) / len(ss) * 1e4 + 0.5) / 1e4,
+        )
+    assert got == expected
+    assert expected, "no ER clusters at test sf — scoring degenerated"
+
+
+# ---------------------------------------------------------------------------
+# MMR
+# ---------------------------------------------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_mmr_two_implementations_agree(data):
+    n = data.draw(st.integers(2, 14))
+    ids = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, 99), min_size=n, max_size=n, unique=True
+            )
+        )
+    )
+    # coarse grids force exact-mmr ties, exercising the id tie-break
+    rel = {
+        i: data.draw(st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]))
+        for i in ids
+    }
+    sim = {}
+    for i in ids:
+        for j in ids:
+            if i != j:
+                s = data.draw(st.sampled_from([0.0, 0.5, 1.0]))
+                sim[(i, j)] = s
+                sim[(j, i)] = s
+    assert _mmr_select(rel, sim) == _mmr_select_oracle(rel, sim)
+
+
+def test_mmr_engine_output_structure(spark, sf_dir):
+    rows = emb_mmr_diversify(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _MMR_K
+        ids = [r["vec_id"] for r in rs]
+        assert len(set(ids)) == len(ids) and qid not in ids
+        # first pick is pure relevance: its mmr = lambda * rel
+        first = rs[0]
+        assert first["mmr"] == math.floor(0.7 * first["rel"] * 1e6 + 0.5) / 1e6
+        assert first["rel"] == max(r["rel"] for r in rs)

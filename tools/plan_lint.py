@@ -56,6 +56,7 @@ NESTED_LOOP_ALLOWED = {
     "emb_cosine_dedup": "LSH-bucketed; 1-row/16-plane broadcast probes",
     "emb_dup_clusters": "same LSH bucket shape as emb_cosine_dedup",
     "emb_hard_negatives": "anchor-batch broadcast probe (documented)",
+    "emb_mmr_diversify": "probe-query broadcast onto the corpus (kNN tier)",
     "emb_semdedup": "cell-scoped pairs; centroid broadcast probe",
     "emb_centroid_outliers": "8-row centroid broadcast probe",
     "emb_cluster_sample": "8-row centroid broadcast probe",
