@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +58,32 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+# Streaming-state partition count for the availableNow runs below.
+# Stateful operators (stream-stream joins, applyInPandasWithState,
+# windowed aggs) instantiate one state store PER shuffle partition
+# PER stateful operator PER micro-batch — at the bench's data volume
+# the batch-oriented 32-partition default is pure commit overhead
+# (measured: the interval join drops 13.2s -> 3.1s at 8). Every
+# streaming result here is keyed state, independent of partition
+# count; on a real cluster this is the per-job knob you'd size to
+# state volume, not a semantics change.
+_STREAM_PARTS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+
+
+@contextmanager
+def _stream_shuffle_parts(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions to _STREAM_PARTS for one
+    availableNow run (the conf is read at stream start; restored
+    after termination so batch queries keep the session default)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, _STREAM_PARTS)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _run_update_to_latest(out: DataFrame, prefix: str) -> str:
     """Run an update-mode stateful stream to completion (availableNow),
     appending each micro-batch's rows + epoch to a parquet sink — the
@@ -71,16 +98,19 @@ def _run_update_to_latest(out: DataFrame, prefix: str) -> str:
             sink_dir
         )
 
-    q = (
-        out.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"{prefix}: availableNow stream did not finish in 300s")
+    with _stream_shuffle_parts(out.sparkSession):
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"{prefix}: availableNow stream did not finish in 300s"
+            )
     return sink_dir
 
 
@@ -105,16 +135,19 @@ def _run_complete_overwrite(agg: DataFrame, prefix: str) -> str:
     def sink(df: DataFrame, _epoch: int) -> None:
         df.write.mode("overwrite").parquet(sink_dir)
 
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"{prefix}: availableNow stream did not finish in 300s")
+    with _stream_shuffle_parts(agg.sparkSession):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"{prefix}: availableNow stream did not finish in 300s"
+            )
     return sink_dir
 
 
@@ -1247,17 +1280,20 @@ def _run_append(out: DataFrame, prefix: str) -> str:
     reaches the driver."""
     ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
     sink_dir = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
-    q = (
-        out.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", sink_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"{prefix}: availableNow stream did not finish in 300s")
+    with _stream_shuffle_parts(out.sparkSession):
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"{prefix}: availableNow stream did not finish in 300s"
+            )
     return sink_dir
 
 
