@@ -135,6 +135,9 @@ HEADLINE = [
     "evt_cusum_changepoint",
     "er_customer_entities",
     "emb_mmr_diversify",
+    "evt_cep_pattern",
+    "doc_classifier_calibration",
+    "doc_source_psi",
 ]
 
 

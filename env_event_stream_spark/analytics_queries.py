@@ -1597,3 +1597,95 @@ def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP sequence-pattern matching (the MATCH_RECOGNIZE / Flink-CEP
+# surface): regex over each user-day's ordered event-type sequence.
+# Distinct from the funnel family: the pattern is an arbitrary
+# regular expression with negation-by-alphabet (here "view, then any
+# clicks/signups but NO error, then purchase"), counted with
+# AFTER MATCH SKIP PAST LAST ROW semantics — not a fixed stage list.
+# ---------------------------------------------------------------------------
+
+_CEP_PATTERN = "v[cs]*p"  # view -> (click|signup)* -> purchase
+
+
+@query(
+    "evt_cep_pattern",
+    f"""
+    WITH s AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                          WHEN 'signup' THEN 's' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, day,
+           CAST(len(seq) AS BIGINT) AS n_seq_events,
+           CAST(len(regexp_extract_all(seq, '{_CEP_PATTERN}'))
+             AS BIGINT) AS n_matches,
+           CAST(coalesce(list_sum(list_transform(
+                  regexp_extract_all(seq, '{_CEP_PATTERN}'),
+                  x -> len(x))), 0) AS BIGINT) AS n_matched_events
+    FROM s
+    WHERE len(regexp_extract_all(seq, '{_CEP_PATTERN}')) >= 1
+    """,
+)
+def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matches per user-day: the
+    event-type sequence (ordered by ts, event_id) rendered as an
+    initials string, matched against 'v[cs]*p' — a view leading to a
+    purchase through any clicks/signups but NO intervening error or
+    second view. Counting is non-overlapping left-to-right — exactly
+    MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW.
+
+    Why regex-over-sequence and not more windows: the pattern
+    alphabet makes negation ('no error inside the match') and Kleene
+    repetition declarative — shapes the windowed funnel family can't
+    express without one window per stage. Cross-engine safety: the
+    pattern uses only literal character classes (no \\s, no anchors
+    — the recorded Java-vs-RE2 divergence zones), and both engines
+    count non-overlapping matches identically. 100 TB shape:
+    sequences are DAY-BOUNDED per user (the CEP state bound), built
+    in one user-day shuffle via sort_array(collect_list) — no window
+    cascade, no cross-day state; the regex scan is row-local."""
+    ev = _t(spark, sf_dir, "events")
+    ini = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "signup", "s")
+    )
+    s = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.struct(
+                F.col("ts"), F.col("event_id"), ini.alias("ini")
+            ).alias("st"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("st")), lambda x: x["ini"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    matches = F.expr(f"regexp_extract_all(seq, '{_CEP_PATTERN}', 0)")
+    return s.select(
+        "user_id",
+        "day",
+        F.length("seq").cast("bigint").alias("n_seq_events"),
+        F.size(matches).cast("bigint").alias("n_matches"),
+        F.aggregate(
+            matches, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        .cast("bigint")
+        .alias("n_matched_events"),
+    ).where(F.col("n_matches") >= 1)

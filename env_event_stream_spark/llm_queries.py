@@ -3924,14 +3924,9 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _qc_score_frame(spark, sf_dir)
 
 
-def _qc_eval_oracle() -> str:
-    return (
-        "WITH "
-        + _TOKENS_CTE.lstrip()
-        + ","
-        + _qc_score_ctes()
-        + """,
-    pred AS (SELECT doc_id, z >= 0 AS p FROM s),
+# Gopher-rule label CTEs (the classifier's training labels), shared
+# by the eval confusion matrix and the calibration table oracles.
+_QC_LABEL_CTES = """
     m AS (SELECT t.doc_id,
                  len(tk) AS n_tokens,
                  list_sum(list_transform(tk, x -> len(x))) * 1.0
@@ -3946,7 +3941,19 @@ def _qc_eval_oracle() -> str:
                    coalesce(n_tokens BETWEEN 10 AND 100000, false)
                      AND coalesce(mwl BETWEEN 2 AND 12, false)
                      AND coalesce(ar >= 0.55, false) AND hs AS y
-            FROM m)
+            FROM m)"""
+
+
+def _qc_eval_oracle() -> str:
+    return (
+        "WITH "
+        + _TOKENS_CTE.lstrip()
+        + ","
+        + _qc_score_ctes()
+        + """,
+    pred AS (SELECT doc_id, z >= 0 AS p FROM s),"""
+        + _QC_LABEL_CTES
+        + """
     SELECT CAST(count(*) FILTER (y AND p) AS BIGINT) AS tp,
            CAST(count(*) FILTER (NOT y AND p) AS BIGINT) AS fp,
            CAST(count(*) FILTER (y AND NOT p) AS BIGINT) AS fn,
@@ -5895,4 +5902,187 @@ def doc_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "bucket", "j_lo", "n_pairs", "n_detected", "obs_rate",
         tmap.alias("theory_rate"),
+    )
+
+
+def _qc_calibration_oracle() -> str:
+    return (
+        "WITH "
+        + _TOKENS_CTE.lstrip()
+        + ","
+        + _qc_score_ctes()
+        + """,
+    pred AS (SELECT doc_id, round(z, 6) AS logit FROM s),"""
+        + _QC_LABEL_CTES
+        + """,
+    b AS (SELECT d.source, p.doc_id, p.logit, lab.y,
+                 ntile(10) OVER (PARTITION BY d.source
+                                 ORDER BY p.logit ASC, p.doc_id ASC)
+                   AS decile
+          FROM pred p JOIN lab USING (doc_id)
+          JOIN documents d ON d.doc_id = p.doc_id)
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (y) AS BIGINT) AS n_pos,
+           CAST((count(*) FILTER (y) * 20000 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 10000 AS pos_rate,
+           CAST(round(sum(CAST(logit AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS sum_logit,
+           min(logit) AS min_logit,
+           max(logit) AS max_logit
+    FROM b GROUP BY 1, 2
+    """
+    )
+
+
+@query("doc_classifier_calibration", _qc_calibration_oracle)
+def doc_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability table for the learned quality filter: per source,
+    documents split into logit DECILES (ntile(10) ordered by logit
+    with doc_id tie-break — equal-count bins, since the logit
+    distribution is heavily concentrated and fixed-width bins
+    degenerate to two rows), each decile reporting how often the
+    Gopher label is actually positive. A well-calibrated filter
+    shows pos_rate rising monotonically across deciles — the
+    standard pre-rollout check that a score cutoff MEANS what its
+    probability claims; binning the LOGIT keeps the table free of
+    cross-engine exp().
+
+    Determinism: pos_rate is the dq_profile integer floor-division
+    (counts are ints — no float ratio near a rounding boundary);
+    sum_logit rides a DECIMAL(18,6) sum of the 6dp logits (the
+    perplexity-bucket precedent — order-independent where a double
+    sum is not). Scale: the ntile sorts WITHIN source partitions
+    (the doc_perplexity_buckets shape); for a trillion-doc source
+    swap in broadcast cut-points from approx quantiles, documented
+    there. Output is |sources| x 10 — corpus-invariant."""
+    preds = _qc_score_frame(spark, sf_dir).select("doc_id", "logit")
+    g = doc_gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("y")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = preds.join(g, "doc_id").join(src, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("logit").asc(), F.col("doc_id").asc()
+    )
+    j = j.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    npos = F.sum(F.col("y").cast("bigint"))
+    n = F.count("*")
+    return j.groupBy("source", "decile").agg(
+        n.cast("bigint").alias("n_docs"),
+        npos.cast("bigint").alias("n_pos"),
+        (
+            F.expr(
+                "CAST((sum(CAST(y AS BIGINT)) * 20000 + count(*))"
+                " div (2 * count(*)) AS DOUBLE)"
+            )
+            / 10000
+        ).alias("pos_rate"),
+        F.round(
+            F.sum(F.col("logit").cast("decimal(18,6)")), 4
+        )
+        .cast("double")
+        .alias("sum_logit"),
+        F.min("logit").alias("min_logit"),
+        F.max("logit").alias("max_logit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI source-drift monitor: which sources' length profiles diverge
+# from the corpus mix — the standard population-stability-index
+# check a data pipeline runs when a new crawl snapshot lands.
+# ---------------------------------------------------------------------------
+
+# fixed token-count bucket edges; bucket k = first edge > n_tokens
+_PSI_EDGES = (10, 20, 50, 100, 200, 500, 1000)
+_PSI_NB = len(_PSI_EDGES) + 1
+
+
+def _psi_bucket_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} < {e} THEN {k}"
+        for k, e in enumerate(_PSI_EDGES)
+    )
+    return f"CASE {branches} ELSE {len(_PSI_EDGES)} END"
+
+
+def _psi_oracle() -> str:
+    b = _psi_bucket_sql("len(tk)")
+    src_counts = ", ".join(
+        f"count(*) FILTER (bk = {k}) AS c{k}" for k in range(_PSI_NB)
+    )
+    tot_counts = ", ".join(
+        f"sum(c{k}) AS t{k}" for k in range(_PSI_NB)
+    )
+    terms = " + ".join(
+        f"(((c{k} + 1.0) / (n + {_PSI_NB})) - ((t{k} + 1.0) / (tn + {_PSI_NB})))"
+        f" * ln(((c{k} + 1.0) / (n + {_PSI_NB})) / ((t{k} + 1.0) / (tn + {_PSI_NB})))"
+        for k in range(_PSI_NB)
+    )
+    return (
+        "WITH "
+        + _TOKENS_CTE.lstrip()
+        + f""",
+    bk AS (SELECT d.source, {b} AS bk
+           FROM t JOIN documents d ON d.doc_id = t.doc_id),
+    s AS (SELECT source, count(*) AS n, {src_counts}
+          FROM bk GROUP BY source),
+    c AS (SELECT sum(n) AS tn, {tot_counts} FROM s)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           floor(({terms}) * 10000 + 0.5) / 10000 AS psi,
+           floor(({terms}) * 10000 + 0.5) / 10000 > 0.2 AS drifted
+    FROM s CROSS JOIN c
+    """
+    )
+
+
+@query("doc_source_psi", _psi_oracle())
+def doc_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of each source's token-count
+    distribution against the pooled corpus: 8 fixed length buckets,
+    add-one smoothing, PSI = sum (p-q) ln(p/q); drifted at the
+    classic 0.2 threshold. The monitoring query that catches a
+    source whose new snapshot suddenly ships fragments or
+    concatenated pages before it poisons the training mix.
+
+    Determinism: bucket counts are integers, and the PSI is a
+    FIXED-ORDER 8-term expression over them (the BM25 precedent) —
+    both engines evaluate the identical IEEE sequence, so the 4dp
+    floor is tie-free. 100 TB shape: one row-local bucket pass, one
+    |sources|-row aggregate, corpus totals re-aggregated FROM the
+    per-source rows (the corpus is scanned once) and crossJoined
+    back as a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.col("text")))
+    bucket = F.lit(len(_PSI_EDGES))
+    for k, e in reversed(list(enumerate(_PSI_EDGES))):
+        bucket = F.when(nt < e, k).otherwise(bucket)
+    bk = d.select("source", bucket.alias("bk"))
+    s = bk.groupBy("source").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((F.col("bk") == k).cast("bigint")).alias(f"c{k}")
+            for k in range(_PSI_NB)
+        ],
+    )
+    c = s.agg(
+        F.sum("n").alias("tn"),
+        *[F.sum(f"c{k}").alias(f"t{k}") for k in range(_PSI_NB)],
+    )
+    j = s.crossJoin(F.broadcast(c))
+    psi = None
+    for k in range(_PSI_NB):
+        p = (F.col(f"c{k}") + 1.0) / (F.col("n") + _PSI_NB)
+        q = (F.col(f"t{k}") + 1.0) / (F.col("tn") + _PSI_NB)
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    psi4 = F.floor(psi * 10000 + F.lit(0.5)) / 10000
+    return j.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        psi4.alias("psi"),
+        (psi4 > 0.2).alias("drifted"),
     )

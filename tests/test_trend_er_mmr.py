@@ -268,3 +268,124 @@ def test_mmr_engine_output_structure(spark, sf_dir):
         first = rs[0]
         assert first["mmr"] == math.floor(0.7 * first["rel"] * 1e6 + 0.5) / 1e6
         assert first["rel"] == max(r["rel"] for r in rs)
+
+
+# ---------------------------------------------------------------------------
+# CEP / calibration / PSI (round-7 second batch)
+# ---------------------------------------------------------------------------
+
+
+def test_cep_matches_python_regex_replay(spark, sf_dir):
+    import re
+
+    from env_event_stream_spark.analytics_queries import (
+        _CEP_PATTERN,
+        evt_cep_pattern,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    got = {
+        (r["user_id"], r["day"]): (
+            r["n_seq_events"],
+            r["n_matches"],
+            r["n_matched_events"],
+        )
+        for r in evt_cep_pattern(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        .collect()
+    )
+    ini = {"view": "v", "click": "c", "purchase": "p", "error": "e",
+           "signup": "s"}
+    seqs: dict[tuple, list] = {}
+    for r in ev:
+        seqs.setdefault((r["user_id"], r["day"]), []).append(
+            (r["ts"], r["event_id"], ini[r["event_type"]])
+        )
+    expected = {}
+    for key, rows in seqs.items():
+        seq = "".join(x[2] for x in sorted(rows))
+        m = re.findall(_CEP_PATTERN, seq)
+        if m:
+            expected[key] = (len(seq), len(m), sum(len(x) for x in m))
+    assert got == expected
+    assert expected, "no CEP matches at test sf"
+
+
+def test_calibration_deciles_consistent(spark, sf_dir):
+    from env_event_stream_spark.llm_queries import (
+        doc_classifier_calibration,
+    )
+
+    rows = doc_classifier_calibration(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["decile"])
+        assert [r["decile"] for r in rs] == list(
+            range(1, len(rs) + 1)
+        )
+        # ntile balance: counts differ by at most 1
+        ns = [r["n_docs"] for r in rs]
+        assert max(ns) - min(ns) <= 1
+        for r in rs:
+            assert 0 <= r["n_pos"] <= r["n_docs"]
+            expect = (
+                (r["n_pos"] * 20000 + r["n_docs"])
+                // (2 * r["n_docs"])
+            ) / 10000
+            assert r["pos_rate"] == expect
+            assert r["min_logit"] <= r["max_logit"]
+        # deciles ordered by logit: max of decile k <= min of k+1
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_logit"] <= b["min_logit"]
+
+
+def test_psi_matches_python_recompute(spark, sf_dir):
+    from env_event_stream_spark.llm_queries import (
+        _PSI_EDGES,
+        _PSI_NB,
+        doc_source_psi,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    got = {
+        r["source"]: (r["n_docs"], r["psi"], r["drifted"])
+        for r in doc_source_psi(spark, sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    JAVA_WS = " \t\n\x0b\f\r"
+    counts: dict[str, list] = {}
+    for r in docs:
+        toks = [t for t in r["text"].strip(JAVA_WS).split() if t]
+        n = len(toks)
+        k = next(
+            (i for i, e in enumerate(_PSI_EDGES) if n < e),
+            len(_PSI_EDGES),
+        )
+        counts.setdefault(r["source"], [0] * _PSI_NB)[k] += 1
+    tot = [sum(c[k] for c in counts.values()) for k in range(_PSI_NB)]
+    tn = sum(tot)
+    for src, cs in counts.items():
+        n = sum(cs)
+        psi = 0.0
+        for k in range(_PSI_NB):
+            p = (cs[k] + 1.0) / (n + _PSI_NB)
+            q = (tot[k] + 1.0) / (tn + _PSI_NB)
+            psi = psi + (p - q) * math.log(p / q)
+        psi4 = math.floor(psi * 10000 + 0.5) / 10000
+        assert got[src] == (n, psi4, psi4 > 0.2), src
