@@ -138,6 +138,7 @@ HEADLINE = [
     "evt_cep_pattern",
     "doc_classifier_calibration",
     "doc_source_psi",
+    "emb_mmr_diversity_eval",
 ]
 
 

@@ -509,6 +509,63 @@ def _mmr_oracle() -> str:
     """
 
 
+def _mmr_pool_pairs(spark: SparkSession, sf_dir: str):
+    """(pool, pairs) for the MMR family: per probe query the top-30
+    relevance pool with ranks, and the pool x pool pairwise-sim
+    table — all vector math Catalyst-side, 6dp tie-free rounded (see
+    emb_mmr_diversify's determinism notes)."""
+    from env_event_stream_spark.functions.vectors import cosine
+    from env_event_stream_spark.llm_queries import _SPARK_TRAIN_DIRS
+
+    _SPARK_TRAIN_DIRS.add(sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("cv")
+    )
+    q = v.where(F.col("vec_id") % _MMR_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("cv").alias("qv")
+    )
+    rel_raw = cosine(F.col("qv"), F.col("cv"))
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("rel_raw", rel_raw)
+        .where(F.col("rel_raw").isNotNull())
+        .withColumn(
+            "rel", F.floor(F.col("rel_raw") * 1e6 + F.lit(0.5)) / 1e6
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MMR_POOL)
+        .select("qid", "vec_id", "cv", "rel", "rn")
+    )
+    p1, p2 = pool.alias("p1"), pool.alias("p2")
+    pairs = p1.join(
+        p2,
+        (F.col("p1.qid") == F.col("p2.qid"))
+        & (F.col("p1.vec_id") != F.col("p2.vec_id")),
+    ).select(
+        F.col("p1.qid").alias("qid"),
+        F.col("p1.vec_id").alias("a"),
+        F.col("p2.vec_id").alias("b"),
+        F.col("p1.rel").alias("a_rel"),
+        (
+            F.floor(
+                F.coalesce(
+                    cosine(F.col("p1.cv"), F.col("p2.cv")), F.lit(0.0)
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("sim"),
+    )
+    return pool, pairs
+
+
 @query("emb_mmr_diversify", _mmr_oracle)
 def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR re-ranking: per probe query (vec_id % 100 == 0), take the
@@ -532,56 +589,7 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the oracle's independent sort-based implementation."""
     import pandas as pd
 
-    from env_event_stream_spark.llm_queries import _SPARK_TRAIN_DIRS
-
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", as_double(F.col("embedding")).alias("cv")
-    )
-    q = v.where(F.col("vec_id") % _MMR_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("cv").alias("qv")
-    )
-    from env_event_stream_spark.functions.vectors import cosine
-
-    rel_raw = cosine(F.col("qv"), F.col("cv"))
-    scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .withColumn("rel_raw", rel_raw)
-        .where(F.col("rel_raw").isNotNull())
-        .withColumn(
-            "rel", F.floor(F.col("rel_raw") * 1e6 + F.lit(0.5)) / 1e6
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("rel").desc(), F.col("vec_id").asc()
-    )
-    pool = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _MMR_POOL)
-        .select("qid", "vec_id", "cv", "rel")
-    )
-    p1, p2 = pool.alias("p1"), pool.alias("p2")
-    pairs = p1.join(
-        p2,
-        (F.col("p1.qid") == F.col("p2.qid"))
-        & (F.col("p1.vec_id") != F.col("p2.vec_id")),
-    ).select(
-        F.col("p1.qid").alias("qid"),
-        F.col("p1.vec_id").alias("a"),
-        F.col("p2.vec_id").alias("b"),
-        F.col("p1.rel").alias("a_rel"),
-        (
-            F.floor(
-                F.coalesce(
-                    cosine(F.col("p1.cv"), F.col("p2.cv")), F.lit(0.0)
-                )
-                * 1e6
-                + F.lit(0.5)
-            )
-            / 1e6
-        ).alias("sim"),
-    )
+    pool, pairs = _mmr_pool_pairs(spark, sf_dir)
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
@@ -603,4 +611,161 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("qid").applyInPandas(
         greedy,
         "query_id bigint, pos bigint, vec_id bigint, rel double, mmr double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR eval twin (the recall-ladder discipline: every re-ranking rung
+# ships with a measured justification): how much intra-list
+# redundancy does MMR actually remove, and what does it cost in
+# relevance, vs the plain top-k page at the same k.
+# ---------------------------------------------------------------------------
+
+
+def _avg6_to_4dp(vals: list[float], n: int) -> float:
+    """DECIMAL(18,6)-sum / n -> floor 4dp, in pure Python with the
+    engine's exact op order: 6dp values summed as integer micros
+    (exact), correctly-rounded to double, one IEEE division, tie-free
+    floor."""
+    import math
+    from fractions import Fraction
+
+    s6 = sum(int(math.floor(v * 1e6 + 0.5)) for v in vals)
+    d = float(Fraction(s6, 10**6))
+    return math.floor(d / n * 1e4 + 0.5) / 1e4
+
+
+def _mmr_eval_oracle() -> str:
+    """Independent pure-Python twin of emb_mmr_diversity_eval (same
+    contract as _mmr_oracle, single VALUES row)."""
+    import pyarrow.parquet as pq
+
+    from env_event_stream_spark.llm_queries import _oracle_sf_dir
+
+    t = pq.read_table(
+        _oracle_sf_dir().rstrip("/") + "/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    ids = t.column("vec_id").to_pylist()
+    byid = {
+        i: [float(x) for x in v]
+        for i, v in zip(ids, t.column("embedding").to_pylist())
+    }
+    rel_all, sim_all, mmr_all, top_all = [], {}, {}, {}
+    nq = 0
+    for qid in sorted(i for i in ids if i % _MMR_QUERY_MOD == 0):
+        nq += 1
+        rel = {}
+        for cid in ids:
+            if cid == qid:
+                continue
+            c = _seq_cosine(byid[qid], byid[cid])
+            if c is not None:
+                rel[cid] = _r6(c)
+        pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
+        sim = {}
+        for i in pool:
+            for j in pool:
+                if i != j:
+                    s = _seq_cosine(byid[i], byid[j])
+                    sim[(i, j)] = _r6(s) if s is not None else 0.0
+        pool_rel = {i: rel[i] for i in pool}
+        mmr_all[qid] = [
+            vid for _, vid, _, _ in _mmr_select_oracle(pool_rel, sim)
+        ]
+        top_all[qid] = pool[:_MMR_K]
+        rel_all.append(rel)
+        sim_all[qid] = sim
+    rel_top, rel_mmr, sim_top, sim_mmr = [], [], [], []
+    for k, qid in enumerate(
+        sorted(i for i in ids if i % _MMR_QUERY_MOD == 0)
+    ):
+        rel = rel_all[k]
+        sim = sim_all[qid]
+        rel_top += [rel[i] for i in top_all[qid]]
+        rel_mmr += [rel[i] for i in mmr_all[qid]]
+        sim_top += [
+            sim[(i, j)] for i in top_all[qid] for j in top_all[qid] if i != j
+        ]
+        sim_mmr += [
+            sim[(i, j)] for i in mmr_all[qid] for j in mmr_all[qid] if i != j
+        ]
+    art = _avg6_to_4dp(rel_top, len(rel_top))
+    arm = _avg6_to_4dp(rel_mmr, len(rel_mmr))
+    ast_ = _avg6_to_4dp(sim_top, len(sim_top))
+    asm = _avg6_to_4dp(sim_mmr, len(sim_mmr))
+    return f"""
+    SELECT CAST({nq} AS BIGINT) AS n_queries,
+           CAST({art!r} AS DOUBLE) AS avg_rel_topk,
+           CAST({arm!r} AS DOUBLE) AS avg_rel_mmr,
+           CAST({ast_!r} AS DOUBLE) AS avg_pairsim_topk,
+           CAST({asm!r} AS DOUBLE) AS avg_pairsim_mmr,
+           CAST({ast_!r} AS DOUBLE) - CAST({asm!r} AS DOUBLE)
+             AS redundancy_removed
+    """
+
+
+@query("emb_mmr_diversity_eval", _mmr_eval_oracle)
+def emb_mmr_diversity_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MEASURED justification for the MMR rung: mean intra-list
+    pairwise similarity and mean relevance of the plain top-10 page
+    vs the MMR-10 page, over all probe queries. redundancy_removed
+    is what the re-ranking buys; avg_rel_topk - avg_rel_mmr is what
+    it costs — the eval twin every re-ranking stage needs before a
+    rollout (the emb_*_recall_eval discipline applied to diversity).
+
+    All similarities come from the SAME 6dp-rounded pool/pairs frames
+    as the ranking itself; averages ride DECIMAL(18,6) sums (order-
+    independent) finalized by one double division and a tie-free 4dp
+    floor. Scale: pools are O(queries x 30), the metric joins touch
+    nothing corpus-sized."""
+    pool, pairs = _mmr_pool_pairs(spark, sf_dir)
+    sel_mmr = emb_mmr_diversify(spark, sf_dir).select(
+        F.col("query_id").alias("qid"), "vec_id"
+    )
+    sel_top = pool.where(F.col("rn") <= _MMR_K).select("qid", "vec_id")
+
+    def avg4(col):
+        return F.floor(
+            F.sum(col.cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+            * 1e4
+            + F.lit(0.5)
+        ) / 1e4
+
+    def rel_row(sel, name):
+        return (
+            pool.join(sel, ["qid", "vec_id"])
+            .agg(avg4(F.col("rel")).alias(name))
+        )
+
+    def sim_row(sel, name):
+        pa = sel.select("qid", F.col("vec_id").alias("a"))
+        pb = sel.select("qid", F.col("vec_id").alias("b"))
+        return (
+            pairs.join(pa, ["qid", "a"])
+            .join(pb, ["qid", "b"])
+            .agg(avg4(F.col("sim")).alias(name))
+        )
+
+    nq = sel_top.agg(
+        F.countDistinct("qid").cast("bigint").alias("n_queries")
+    )
+    out = (
+        nq.crossJoin(rel_row(sel_top, "avg_rel_topk"))
+        .crossJoin(rel_row(sel_mmr, "avg_rel_mmr"))
+        .crossJoin(sim_row(sel_top, "avg_pairsim_topk"))
+        .crossJoin(sim_row(sel_mmr, "avg_pairsim_mmr"))
+    )
+    return out.select(
+        "n_queries",
+        "avg_rel_topk",
+        "avg_rel_mmr",
+        "avg_pairsim_topk",
+        "avg_pairsim_mmr",
+        (F.col("avg_pairsim_topk") - F.col("avg_pairsim_mmr")).alias(
+            "redundancy_removed"
+        ),
     )

@@ -389,3 +389,21 @@ def test_psi_matches_python_recompute(spark, sf_dir):
             psi = psi + (p - q) * math.log(p / q)
         psi4 = math.floor(psi * 10000 + 0.5) / 10000
         assert got[src] == (n, psi4, psi4 > 0.2), src
+
+
+def test_mmr_diversity_eval_consistent(spark, sf_dir):
+    from env_event_stream_spark.retrieval_queries import (
+        emb_mmr_diversity_eval,
+    )
+
+    r = emb_mmr_diversity_eval(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_queries"] >= 1
+    # MMR can only trade relevance away, never gain it
+    assert row["avg_rel_mmr"] <= row["avg_rel_topk"]
+    # and must not INCREASE redundancy vs the plain page
+    assert row["avg_pairsim_mmr"] <= row["avg_pairsim_topk"]
+    assert row["redundancy_removed"] == (
+        row["avg_pairsim_topk"] - row["avg_pairsim_mmr"]
+    )
