@@ -1884,18 +1884,35 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sum(v*cnt)*1e6 is an integer; floor(mean*1e4 + 0.5) =
         # (S6 + 50*nn) DIV (100*nn) entirely in bigint — no double
         # division whose last ulp can flip the 4dp rounding boundary
-        # across engines (the r6 driver-red on this query; the values
-        # fit bigint through sf>=1, and the 100 TB shape is the same
-        # arithmetic in DECIMAL(38,0))
+        # across engines (the r6 driver-red on this query).
+        # Domain bound made LOUD, not silent: sum(v*cnt)*1e6 must fit
+        # int64 (holds comfortably at the oracle SFs; the largest
+        # column here crosses 2^63 around TPC-H sf~1) — assert_true
+        # fails the query on overflow exactly as DuckDB's HUGEINT->
+        # BIGINT cast does on the oracle side, instead of wrapping.
+        # (Spark's `div` coerces DECIMAL operands to bigint, so a
+        # DECIMAL(38,0) wide path isn't available without losing the
+        # exact-floor contract; at a true 100 TB profile this term
+        # is the one to re-derive over HUGEINT-capable arithmetic.)
         F.when(
             F.max("has_mean") == 1,
-            F.expr(
-                "CAST((CAST(sum(v * cnt) * 1000000 AS BIGINT)"
-                " + 50 * sum(CASE WHEN v IS NOT NULL THEN cnt END))"
-                " div (100 * sum(CASE WHEN v IS NOT NULL THEN cnt END))"
-                " AS DOUBLE)"
-            )
-            / 10000,
+            F.when(
+                F.assert_true(
+                    F.expr(
+                        "CAST(CAST(sum(v * cnt) * 1000000 AS BIGINT)"
+                        " AS DECIMAL(38, 0))"
+                        " = CAST(sum(v * cnt) * 1000000 AS DECIMAL(38, 0))"
+                    ),
+                    F.lit("dq_profile mean overflow: sum*1e6 > int64"),
+                ).isNull(),
+                F.expr(
+                    "CAST((CAST(sum(v * cnt) * 1000000 AS BIGINT)"
+                    " + 50 * sum(CASE WHEN v IS NOT NULL THEN cnt END))"
+                    " div (100 * sum(CASE WHEN v IS NOT NULL THEN cnt END))"
+                    " AS DOUBLE)"
+                )
+                / 10000,
+            ),
         ).alias("mean_num"),
         F.min(F.when(F.col("is_str") == 1, F.col("k"))).alias("min_str"),
         F.max(F.when(F.col("is_str") == 1, F.col("k"))).alias("max_str"),

@@ -1619,7 +1619,7 @@ _CEP_PATTERN = "v[cs]*p"  # view -> (click|signup)* -> purchase
              string_agg(CASE event_type
                           WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
                           WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
-                          WHEN 'signup' THEN 's' END,
+                          WHEN 'signup' THEN 's' ELSE 'x' END,
                         '' ORDER BY ts, event_id) AS seq
       FROM events GROUP BY 1, 2)
     SELECT user_id, day,
@@ -1652,12 +1652,16 @@ def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one user-day shuffle via sort_array(collect_list) — no window
     cascade, no cross-day state; the regex scan is row-local."""
     ev = _t(spark, sf_dir, "events")
+    # unknown types map to 'x' — they break any in-progress match
+    # (not in the pattern alphabet) but keep their sequence position,
+    # instead of being silently dropped from the string
     ini = (
         F.when(F.col("event_type") == "view", "v")
         .when(F.col("event_type") == "click", "c")
         .when(F.col("event_type") == "purchase", "p")
         .when(F.col("event_type") == "error", "e")
         .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
     )
     s = (
         ev.select(

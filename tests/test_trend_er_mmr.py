@@ -308,7 +308,7 @@ def test_cep_matches_python_regex_replay(spark, sf_dir):
     seqs: dict[tuple, list] = {}
     for r in ev:
         seqs.setdefault((r["user_id"], r["day"]), []).append(
-            (r["ts"], r["event_id"], ini[r["event_type"]])
+            (r["ts"], r["event_id"], ini.get(r["event_type"], "x"))
         )
     expected = {}
     for key, rows in seqs.items():
