@@ -225,3 +225,33 @@ def test_topic_scan_prunes_partitions(pbroker):
     assert "PartitionFilters: [isnotnull(topic" in plan or "topic#" in plan.split(
         "PartitionFilters: ["
     )[1].split("]")[0]
+
+
+def test_stream_shuffle_parts_scoped_and_restored(spark, sf_dir):
+    """The availableNow runners scope shuffle partitions to the
+    streaming-state size and MUST restore the session default after
+    — a leaked override would silently shrink every later batch
+    query's parallelism."""
+    from env_event_stream_spark import streaming_queries as SQ
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    seen = {}
+
+    from contextlib import contextmanager
+
+    orig = SQ._stream_shuffle_parts
+
+    @contextmanager
+    def spy(s):
+        with orig(s):
+            seen["during"] = s.conf.get(key)
+            yield
+
+    SQ._stream_shuffle_parts = spy
+    try:
+        SQ.evt_stream_tumbling_counts(spark, sf_dir).count()
+    finally:
+        SQ._stream_shuffle_parts = orig
+    assert seen["during"] == SQ._STREAM_PARTS
+    assert spark.conf.get(key) == before
