@@ -876,6 +876,19 @@ def evt_rolling_p95_hist_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day_idx, cnt): the per-type daily-volume grid all
+    three time-series detectors (EWMA, Holt, CUSUM) run on — one
+    map-side-combinable aggregation, day_idx anchored at 2024-01-01."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.count("*").alias("cnt"))
+
+
 @query(
     "evt_ewma_daily_by_type",
     """
@@ -932,13 +945,7 @@ def evt_ewma_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     days renormalize over the lags that exist. Plan: one map-side-
     combinable daily count, then windows over the |types|×|days|
     grid — calendar-sized, corpus-size-invariant."""
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
-        .cast("bigint")
-        .alias("day_idx"),
-    ).agg(F.count("*").alias("cnt"))
+    d = _daily_counts_by_type(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day_idx")
     l = d.select(
         "event_type",
@@ -1272,11 +1279,12 @@ def _holt_oracle_sql() -> str:
     level = " + ".join(terms_l)
     trend = " + ".join(terms_b)
     lags = ", ".join(
-        f"lag(cnt, {k}) OVER w AS c{k}" for k in range(1, len(_HOLT_W))
+        [f"lag(cnt, {k}) OVER w AS c{k}" for k in range(1, len(_HOLT_W))]
+        + [f"lag(day_idx, {len(_HOLT_W) - 1}) OVER w AS d6"]
     )
-    notnull = " AND ".join(
-        f"c{k} IS NOT NULL" for k in range(1, len(_HOLT_W))
-    )
+    # calendar contiguity, not row contiguity: day_idx values are
+    # strictly increasing integers, so this forces 7 CONSECUTIVE days
+    guard = f"d6 = day_idx - {len(_HOLT_W) - 1}"
     return f"""
     WITH d AS (
       SELECT event_type,
@@ -1294,7 +1302,7 @@ def _holt_oracle_sql() -> str:
            floor((({level}) + ({trend})) * 10000 + 0.5) / 10000
              AS forecast_next,
            ({trend}) > 0 AS trend_up
-    FROM l WHERE {notnull}
+    FROM l WHERE {guard}
     """
 
 
@@ -1314,30 +1322,22 @@ def evt_holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     on). Plan: one map-side-combinable daily count, one window over
     the |types| x |days| calendar grid — corpus-size-invariant, the
     same 100 TB shape as the EWMA."""
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
-        .cast("bigint")
-        .alias("day_idx"),
-    ).agg(F.count("*").alias("cnt"))
+    d = _daily_counts_by_type(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day_idx")
+    # the contiguity guard is CALENDAR-based, not row-based: lag()
+    # alone would splice across a zero-event day (day_idx values are
+    # strictly increasing integers, so lag(day_idx,6) == day_idx-6
+    # forces the 7 rows to be 7 CONSECUTIVE days)
     l = d.select(
         "event_type",
         "day_idx",
         "cnt",
+        F.lag("day_idx", len(_HOLT_W) - 1).over(w).alias("d6"),
         *[
             F.lag("cnt", k).over(w).alias(f"c{k}")
             for k in range(1, len(_HOLT_W))
         ],
-    ).where(
-        F.lit(True)
-        & F.expr(
-            " AND ".join(
-                f"c{k} IS NOT NULL" for k in range(1, len(_HOLT_W))
-            )
-        )
-    )
+    ).where(F.col("d6") == F.col("day_idx") - (len(_HOLT_W) - 1))
     level = F.col("cnt") * F.lit(_HOLT_W[0][0])
     trend = F.col("cnt") * F.lit(_HOLT_W[0][1])
     for k in range(1, len(_HOLT_W)):
@@ -1413,13 +1413,7 @@ def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings, fully value-hash oracled. Plan: one daily-count
     aggregation, a |types|-row reference join, windows over the
     calendar grid — corpus-size-invariant."""
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
-        .cast("bigint")
-        .alias("day_idx"),
-    ).agg(F.count("*").alias("cnt"))
+    d = _daily_counts_by_type(spark, sf_dir)
     ref = d.groupBy("event_type").agg(
         F.count("*").alias("n_days"), F.sum("cnt").alias("total")
     )

@@ -542,6 +542,11 @@ def _mmr_pool_pairs(spark: SparkSession, sf_dir: str):
         .where(F.col("rn") <= _MMR_POOL)
         .select("qid", "vec_id", "cv", "rel", "rn")
     )
+    # materialize ONCE: pool feeds the greedy, the eval's metric
+    # joins, and the pairs self-join below — without the checkpoint
+    # the broadcast corpus-x-probe relevance scan replays per
+    # reference (emb_mmr_diversity_eval's plan held ~6 copies of it)
+    pool = pool.localCheckpoint(eager=True)
     p1, p2 = pool.alias("p1"), pool.alias("p2")
     pairs = p1.join(
         p2,
@@ -562,7 +567,7 @@ def _mmr_pool_pairs(spark: SparkSession, sf_dir: str):
             )
             / 1e6
         ).alias("sim"),
-    )
+    ).localCheckpoint(eager=True)
     return pool, pairs
 
 
@@ -587,9 +592,21 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB-sized state. Determinism: greedy decisions compare doubles
     built from 6dp-rounded inputs with id tie-breaks — bit-identical
     to the oracle's independent sort-based implementation."""
+    pool, pairs = _mmr_pool_pairs(spark, sf_dir)
+    return _mmr_greedy_df(pool, pairs)
+
+
+def _mmr_greedy_df(pool: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The sequential greedy as one applyInPandas over precomputed
+    scalars. Groups come from pool LEFT-joined to pairs, so a probe
+    whose pool has a single member still reaches the greedy (a pure
+    pairs grouping would silently drop it while the Python oracle
+    emits its one selection — a hash divergence on degenerate data)."""
     import pandas as pd
 
-    pool, pairs = _mmr_pool_pairs(spark, sf_dir)
+    rows = pool.select(
+        "qid", F.col("vec_id").alias("a"), F.col("rel").alias("a_rel")
+    ).join(pairs.select("qid", "a", "b", "sim"), ["qid", "a"], "left")
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
@@ -599,7 +616,8 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf["a"], pdf["b"], pdf["a_rel"], pdf["sim"]
         ):
             rel[int(a)] = float(ar)
-            sim[(int(a), int(b))] = float(s)
+            if not pd.isna(b):
+                sim[(int(a), int(b))] = float(s)
         out = [
             (qid, pos, vid, r, m)
             for pos, vid, r, m in _mmr_select(rel, sim)
@@ -608,7 +626,7 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             out, columns=["query_id", "pos", "vec_id", "rel", "mmr"]
         )
 
-    return pairs.groupBy("qid").applyInPandas(
+    return rows.groupBy("qid").applyInPandas(
         greedy,
         "query_id bigint, pos bigint, vec_id bigint, rel double, mmr double",
     )
@@ -722,7 +740,7 @@ def emb_mmr_diversity_eval(
     floor. Scale: pools are O(queries x 30), the metric joins touch
     nothing corpus-sized."""
     pool, pairs = _mmr_pool_pairs(spark, sf_dir)
-    sel_mmr = emb_mmr_diversify(spark, sf_dir).select(
+    sel_mmr = _mmr_greedy_df(pool, pairs).select(
         F.col("query_id").alias("qid"), "vec_id"
     )
     sel_top = pool.where(F.col("rn") <= _MMR_K).select("qid", "vec_id")

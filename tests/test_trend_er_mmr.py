@@ -400,10 +400,13 @@ def test_mmr_diversity_eval_consistent(spark, sf_dir):
     assert len(r) == 1
     row = r[0]
     assert row["n_queries"] >= 1
-    # MMR can only trade relevance away, never gain it
+    # MMR can only trade relevance away, never gain it (a true
+    # invariant: top-k maximizes mean rel over any same-size subset
+    # of the pool). Mean pairwise similarity usually drops too, but
+    # the greedy only bounds MAX-sim-to-selected per step — the mean
+    # comparison is a data property, not an invariant, so it is NOT
+    # asserted here.
     assert row["avg_rel_mmr"] <= row["avg_rel_topk"]
-    # and must not INCREASE redundancy vs the plain page
-    assert row["avg_pairsim_mmr"] <= row["avg_pairsim_topk"]
     assert row["redundancy_removed"] == (
         row["avg_pairsim_topk"] - row["avg_pairsim_mmr"]
     )
