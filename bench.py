@@ -139,6 +139,7 @@ HEADLINE = [
     "doc_classifier_calibration",
     "doc_source_psi",
     "emb_mmr_diversity_eval",
+    "join_scd2_point_in_time",
 ]
 
 

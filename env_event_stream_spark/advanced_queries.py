@@ -1929,9 +1929,9 @@ _TRI_DF_CAP = 25  # parts with more distinct buyers are stop-parts
 _TRI_MIN_SHARED = 2  # edge requires >= 2 shared parts
 
 
-def _tri_oracle_sql() -> str:
-    return f"""
-    WITH cp AS (
+def _copurchase_edge_ctes() -> str:
+    """The cp/ok/e CTEs shared by the graph-family oracles."""
+    return f"""cp AS (
       SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     ok AS (SELECT pk FROM cp GROUP BY pk
@@ -1940,7 +1940,12 @@ def _tri_oracle_sql() -> str:
       SELECT a.ck AS x, b.ck AS y
       FROM cp a JOIN cp b ON a.pk = b.pk AND a.ck < b.ck
       WHERE a.pk IN (SELECT pk FROM ok)
-      GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SHARED}),
+      GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SHARED})"""
+
+
+def _tri_oracle_sql() -> str:
+    return f"""
+    WITH {_copurchase_edge_ctes()},
     deg AS (
       SELECT v, count(*) AS d FROM (
         SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e) t
@@ -1970,6 +1975,40 @@ def _tri_oracle_sql() -> str:
     """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (x, y) co-purchase edge list shared by the graph family
+    (triangles, k-core): customers joined when they bought >=
+    _TRI_MIN_SHARED shared parts, parts capped at _TRI_DF_CAP
+    distinct buyers (the hot-key guard), x < y canonical order,
+    localCheckpointed — the edge list is tiny relative to the input
+    and every consumer references it repeatedly."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    ok = (
+        cp.groupBy("pk")
+        .agg(F.count("*").alias("nb"))
+        .where(F.col("nb") <= _TRI_DF_CAP)
+        .select("pk")
+    )
+    cpo = cp.join(ok, "pk")
+    a = cpo.select("pk", F.col("ck").alias("x"))
+    b = cpo.select("pk", F.col("ck").alias("y"))
+    return (
+        a.join(b, ["pk"])
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= _TRI_MIN_SHARED)
+        .select("x", "y")
+        .localCheckpoint()
+    )
+
+
 @query("graph_triangles_copurchase", _tri_oracle_sql())
 def graph_triangles_copurchase(
     spark: SparkSession, sf_dir: str
@@ -1988,36 +2027,11 @@ def graph_triangles_copurchase(
     degree). Wedges close via one self-join on the (hi, hi) edge
     key. Orientation ranks come from one degree aggregation; the
     global count is a single-row result."""
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    cp = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
-        .distinct()
-    )
-    ok = (
-        cp.groupBy("pk")
-        .agg(F.count("*").alias("nb"))
-        .where(F.col("nb") <= _TRI_DF_CAP)
-        .select("pk")
-    )
-    cpo = cp.join(ok, "pk")
-    a = cpo.select("pk", F.col("ck").alias("x"))
-    b = cpo.select("pk", F.col("ck").alias("y"))
-    e = (
-        a.join(b, ["pk"])
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("shared"))
-        .where(F.col("shared") >= _TRI_MIN_SHARED)
-        .select("x", "y")
-        # e is referenced by deg, oe and the edge-count stat; without
-        # materialization Catalyst expands each reference into its own
-        # copy of the join+distinct+pair-gen subtree (the lint counted
-        # 285 exchanges in the expanded tree). The edge list is tiny
-        # relative to the input — cut the lineage once here.
-        .localCheckpoint()
-    )
+    # shared, checkpointed edge list (see _copurchase_edges: without
+    # materialization Catalyst expands each reference into its own
+    # copy of the join+distinct+pair-gen subtree — the lint once
+    # counted 285 exchanges in the expanded tree)
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("x").alias("v"))
         .unionAll(e.select(F.col("y").alias("v")))
@@ -2698,3 +2712,96 @@ def evt_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(ks * 10000 + F.lit(0.5)) / 10000).alias("ks_stat"),
         (ks > crit).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (third graph-analytics rung): the density
+# ladder of the co-purchase graph — which cohesive buyer groups
+# survive as the degree threshold rises.
+# ---------------------------------------------------------------------------
+
+_KCORE_KS = (2, 3, 4, 5, 6)
+
+
+def _kcore_oracle() -> str:
+    """Lazy oracle: the edge list is computed by DuckDB with the SAME
+    cp/ok/e CTEs as the triangles oracle, then peeled in pure Python
+    (Matula-Beck, deliberately independent of the Spark anti-join
+    loop), and the per-k core sizes are inlined as VALUES."""
+    import duckdb
+
+    from env_event_stream_spark.llm_queries import _oracle_sf_dir
+
+    sf_dir = _oracle_sf_dir().rstrip("/")
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    edges = con.execute(
+        f"WITH {_copurchase_edge_ctes()} SELECT x, y FROM e"
+    ).fetchall()
+    rows = []
+    for k in _KCORE_KS:
+        e = set(edges)
+        while True:
+            deg: dict[int, int] = {}
+            for x, y in e:
+                deg[x] = deg.get(x, 0) + 1
+                deg[y] = deg.get(y, 0) + 1
+            bad = {v for v, d in deg.items() if d < k}
+            if not bad:
+                break
+            e = {(x, y) for x, y in e if x not in bad and y not in bad}
+        nodes = {v for xy in e for v in xy}
+        rows.append((k, len(nodes), len(e)))
+    vals = ", ".join(f"({k}, {n}, {m})" for k, n, m in rows)
+    return f"""
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM (VALUES {vals}) AS t(k, n_nodes, n_edges)
+    """
+
+
+@query("graph_kcore_copurchase", _kcore_oracle)
+def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core sizes of the co-purchase graph for k = 2..6: peel
+    nodes of degree < k to fixpoint (operators/graph.k_core) and
+    report surviving nodes/edges per k — the standard graph-density
+    ladder (community cores, influence seeding, fraud rings) next to
+    PageRank (importance) and triangles (local clustering).
+
+    100 TB shape: each peeling round is one degree aggregation + two
+    anti-joins on a SHRINKING checkpointed edge list — no global
+    sort, no driver-side graph; rounds = peeling depth. The oracle
+    re-derives the edge list in DuckDB (same CTEs as the triangles
+    oracle) and peels it in pure Python — an independent
+    implementation of the same fixpoint, VALUES-inlined."""
+    from env_event_stream_spark.operators.graph import k_core
+
+    e = _copurchase_edges(spark, sf_dir)
+    out = []
+    core = e
+    for k in _KCORE_KS:
+        # the (k+1)-core is a subgraph of the k-core: peel each k
+        # from the PREVIOUS core, not the full edge list — most of
+        # the graph is removed once, at the smallest k
+        core = k_core(core, k)
+        stats = (
+            core.select(F.col("x").alias("v"))
+            .unionAll(core.select(F.col("y").alias("v")))
+            .agg(
+                F.countDistinct("v").alias("n_nodes"),
+                (F.count("*") / 2).cast("bigint").alias("n_edges"),
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("k"), "n_nodes", "n_edges"
+            )
+        )
+        out.append(stats)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -1687,3 +1687,112 @@ def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_matched_events"),
     ).where(F.col("n_matches") >= 1)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal-table) join: facts enriched against the
+# SCD2 dimension AS OF fact time — the lookup the SCD2 build exists
+# to serve, exercised end-to-end: purchases joined into the validity
+# interval of the user's state at purchase time.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_scd2_point_in_time",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    runs AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type AS status
+      FROM o WHERE prev IS NULL OR prev <> event_type
+    ),
+    scd AS (
+      SELECT user_id, status, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from ASC, event_id ASC)
+               AS valid_to
+      FROM runs
+    ),
+    p AS (SELECT user_id, ts AS pts, event_id, value
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT coalesce(s.status, '(none)') AS status_at_purchase,
+             p.user_id, p.value
+      FROM p LEFT JOIN scd s
+        ON s.user_id = p.user_id
+       AND p.pts >= s.valid_from
+       AND (s.valid_to IS NULL OR p.pts < s.valid_to))
+    SELECT status_at_purchase,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM j GROUP BY 1
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases enriched with the user's state AS OF purchase time:
+    the SCD2 history (built over the non-purchase event stream, the
+    evt_scd2_status_history shape) looked up with the point-in-time
+    interval join every temporal warehouse serves — fact.ts lands in
+    exactly one [valid_from, valid_to) per user by construction, so
+    the join is key-equi + interval, never one-to-many. Purchases
+    before any state ('(none)') stay visible via the left join
+    instead of silently dropping. Rollup: purchases / buyers /
+    DECIMAL revenue per state-at-purchase.
+
+    100 TB shape: both sides shuffle once on user_id (the SCD2 build
+    already runs on that partitioning, so the interval join reuses
+    the exchange); the dimension is O(changes), facts stream past it
+    sorted; the rollup is |states|-sized."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    o = ev.where(F.col("event_type") != "purchase").withColumn(
+        "prev", F.lag("event_type").over(w)
+    )
+    runs = o.where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.col("event_type").alias("status"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from").asc(), F.col("event_id").asc()
+    )
+    scd = runs.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    j = p.join(
+        scd,
+        (p.user_id == scd.user_id)
+        & (F.col("pts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("pts") < F.col("valid_to"))),
+        "left",
+    ).select(
+        F.coalesce(F.col("status"), F.lit("(none)")).alias(
+            "status_at_purchase"
+        ),
+        p.user_id.alias("uid"),
+        "value",
+    )
+    return j.groupBy("status_at_purchase").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.countDistinct("uid").cast("bigint").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -144,3 +144,40 @@ def pagerank_int(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "odeg", F.col("r").alias("rank_units"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "x",
+    dst: str = "y",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core subgraph (edge list) — iteratively peel nodes with
+    degree < k until fixpoint (Matula & Beck). Each round is one
+    degree aggregation + two anti-joins on the SHRINKING edge list
+    (k-core peeling only ever removes), localCheckpointed so the
+    lineage stays flat; rounds needed = peeling depth, small on
+    co-purchase-like graphs. Raises if max_iter rounds don't
+    converge (pathological long chains — raise max_iter)."""
+    e = edges.select(
+        F.col(src).alias("x"), F.col(dst).alias("y")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("x").alias("v"))
+            .unionAll(e.select(F.col("y").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        bad = deg.where(F.col("d") < k).select("v")
+        if bad.limit(1).count() == 0:
+            return e
+        e = (
+            e.join(bad.withColumnRenamed("v", "x"), "x", "left_anti")
+            .join(bad.withColumnRenamed("v", "y"), "y", "left_anti")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core(k={k}) did not converge in {max_iter} rounds")

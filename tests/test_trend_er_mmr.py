@@ -410,3 +410,103 @@ def test_mmr_diversity_eval_consistent(spark, sf_dir):
     assert row["redundancy_removed"] == (
         row["avg_pairsim_topk"] - row["avg_pairsim_mmr"]
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core / point-in-time join (round-7 third batch)
+# ---------------------------------------------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=15, deadline=None)
+def test_kcore_operator_matches_python_peel(spark, data):
+    from env_event_stream_spark.operators.graph import k_core
+
+    n_edges = data.draw(st.integers(1, 25))
+    raw = {
+        tuple(
+            sorted(
+                data.draw(
+                    st.tuples(st.integers(0, 11), st.integers(0, 11))
+                )
+            )
+        )
+        for _ in range(n_edges)
+    }
+    edges = [(x, y) for x, y in raw if x != y]
+    if not edges:
+        edges = [(0, 1)]
+    k = data.draw(st.integers(1, 4))
+    df = spark.createDataFrame(edges, "x bigint, y bigint")
+    got = {(r["x"], r["y"]) for r in k_core(df, k).collect()}
+    e = set(edges)
+    while True:
+        deg: dict = {}
+        for x, y in e:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            break
+        e = {(x, y) for x, y in e if x not in bad and y not in bad}
+    assert got == e
+
+
+def test_scd2_point_in_time_matches_python_replay(spark, sf_dir):
+    from env_event_stream_spark.analytics_queries import (
+        join_scd2_point_in_time,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    got = {
+        r["status_at_purchase"]: (
+            r["n_purchases"],
+            r["n_users"],
+            r["total_value"],
+        )
+        for r in join_scd2_point_in_time(spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    from decimal import Decimal
+
+    # per user: ordered non-purchase runs -> intervals
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    agg: dict = {}
+    for uid, rows in by_user.items():
+        runs = []  # (valid_from, status)
+        prev = None
+        for r in rows:
+            if r["event_type"] == "purchase":
+                continue
+            if prev != r["event_type"]:
+                runs.append((r["ts"], r["event_type"]))
+            prev = r["event_type"]
+        for r in rows:
+            if r["event_type"] != "purchase":
+                continue
+            status = "(none)"
+            for i, (vf, st_) in enumerate(runs):
+                vt = runs[i + 1][0] if i + 1 < len(runs) else None
+                if r["ts"] >= vf and (vt is None or r["ts"] < vt):
+                    status = st_
+                    break
+            n, users, total = agg.get(status, (0, set(), Decimal(0)))
+            users = set(users)
+            users.add(uid)
+            agg[status] = (
+                n + 1,
+                users,
+                total + Decimal(repr(r["value"])).quantize(Decimal("0.01")),
+            )
+    expected = {
+        s: (n, len(users), float(total))
+        for s, (n, users, total) in agg.items()
+    }
+    assert got == expected
