@@ -140,6 +140,7 @@ HEADLINE = [
     "doc_source_psi",
     "emb_mmr_diversity_eval",
     "join_scd2_point_in_time",
+    "evt_ab_test_conversion",
 ]
 
 

@@ -1796,3 +1796,139 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: hash-split arms, conversion rates, and the
+# 2x2 chi-square test — the experimentation primitive the rest of
+# the product-analytics family (funnels, cohorts, attribution)
+# ultimately feeds.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_ab_test_conversion",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             CASE WHEN min(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) IS NOT NULL
+                   AND min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END)
+                       < min(CASE WHEN event_type = 'view'
+                                  THEN epoch_us(ts) END) + 86400000000
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT
+        sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS a,
+        sum(CASE WHEN arm = 0 THEN 1 - conv ELSE 0 END) AS b,
+        sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS cc,
+        sum(CASE WHEN arm = 1 THEN 1 - conv ELSE 0 END) AS d
+      FROM u),
+    s AS (
+      SELECT *,
+        CASE WHEN (a + b) * (cc + d) * (a + cc) * (b + d) > 0
+             THEN floor(CAST(a + b + cc + d AS DOUBLE)
+                 * CAST((a * d - b * cc) * (a * d - b * cc) AS DOUBLE)
+                 / CAST((a + b) * (cc + d) * (a + cc) * (b + d) AS DOUBLE)
+                 * 10000 + 0.5) / 10000
+        END AS chi2
+      FROM c)
+    SELECT CAST(a + b AS BIGINT) AS n_control,
+           CAST(cc + d AS BIGINT) AS n_treatment,
+           CAST(a AS BIGINT) AS conv_control,
+           CAST(cc AS BIGINT) AS conv_treatment,
+           CASE WHEN a + b > 0 THEN
+             CAST((a * 20000 + (a + b)) // (2 * (a + b)) AS DOUBLE) / 10000
+           END AS rate_control,
+           CASE WHEN cc + d > 0 THEN
+             CAST((cc * 20000 + (cc + d)) // (2 * (cc + d)) AS DOUBLE) / 10000
+           END AS rate_treatment,
+           chi2,
+           chi2 > 3.8415 AS significant
+    FROM s
+    """,
+)
+def evt_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout over a deterministic md5 hash split of users into
+    two arms (the engine-reproducible assignment discipline every
+    sampling op here uses — re-runs, engines and partitionings all
+    agree on who is in which arm), conversion = first purchase
+    within 1 day of the first view (~0.7 on this data; "any purchase
+    ever" saturates): per-arm sizes, conversion rates, the 2x2
+    chi-square statistic n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) and
+    significance at alpha = 0.05 (3.8415 = chi2_0.95, 1 dof); a
+    degenerate margin (empty arm / all-converted) yields NULL chi2
+    on both engines instead of a division error.
+
+    Determinism: the four cells are integers off ONE user-grouped
+    aggregation; (ad-bc)^2 and the margin product are computed in
+    bigint (exact) and the statistic is two fixed-order IEEE ops —
+    no summation-order exposure anywhere; rates use the integer
+    floor-division. 100 TB shape: one user_id shuffle, then a
+    4-scalar reduction; the readout is a single row."""
+    ev = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10)
+        .cast("bigint") % 2
+    )
+    # conversion = first purchase lands within 1 day of the first
+    # view (integer-micros comparison — the epoch-arithmetic
+    # invariant); "any purchase ever" saturates to 100% on this data
+    mv = F.min(
+        F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    )
+    mp = F.min(
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+    )
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            mv.isNotNull() & (mp < mv + F.lit(86400000000)), 1
+        )
+        .otherwise(0)
+        .alias("conv")
+    ).select(arm.alias("arm"), "conv")
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("arm") == 0, 1 - F.col("conv")).otherwise(0)).alias("b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("cc"),
+        F.sum(F.when(F.col("arm") == 1, 1 - F.col("conv")).otherwise(0)).alias("d"),
+    )
+    a, b, cc, d = F.col("a"), F.col("b"), F.col("cc"), F.col("d")
+    x2 = ((a * d - b * cc) * (a * d - b * cc)).cast("double")
+    den_i = (a + b) * (cc + d) * (a + cc) * (b + d)
+    chi2 = F.when(
+        den_i > 0,
+        F.floor(
+            (a + b + cc + d).cast("double")
+            * x2
+            / den_i.cast("double")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000,
+    )
+    return c.select(
+        (a + b).cast("bigint").alias("n_control"),
+        (cc + d).cast("bigint").alias("n_treatment"),
+        a.cast("bigint").alias("conv_control"),
+        cc.cast("bigint").alias("conv_treatment"),
+        F.when(
+            a + b > 0,
+            F.expr("CAST((a * 20000 + (a + b)) div (2 * (a + b)) AS DOUBLE)")
+            / 10000,
+        ).alias("rate_control"),
+        F.when(
+            cc + d > 0,
+            F.expr(
+                "CAST((cc * 20000 + (cc + d)) div (2 * (cc + d)) AS DOUBLE)"
+            )
+            / 10000,
+        ).alias("rate_treatment"),
+        chi2.alias("chi2"),
+        (chi2 > 3.8415).alias("significant"),
+    )

@@ -510,3 +510,62 @@ def test_scd2_point_in_time_matches_python_replay(spark, sf_dir):
         for s, (n, users, total) in agg.items()
     }
     assert got == expected
+
+
+def test_ab_test_matches_python_replay(spark, sf_dir):
+    import hashlib
+
+    from env_event_stream_spark.analytics_queries import (
+        evt_ab_test_conversion,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    row = evt_ab_test_conversion(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    import datetime as dt
+
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    cells = {(0, 0): 0, (0, 1): 0, (1, 0): 0, (1, 1): 0}
+    for uid, rows in by_user.items():
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+        mv = min(
+            (r["ts"] for r in rows if r["event_type"] == "view"),
+            default=None,
+        )
+        mp = min(
+            (r["ts"] for r in rows if r["event_type"] == "purchase"),
+            default=None,
+        )
+        conv = int(
+            mv is not None
+            and mp is not None
+            and mp < mv + dt.timedelta(days=1)
+        )
+        cells[(arm, conv)] += 1
+    a, b = cells[(0, 1)], cells[(0, 0)]
+    cc, d = cells[(1, 1)], cells[(1, 0)]
+    assert (
+        row["n_control"],
+        row["n_treatment"],
+        row["conv_control"],
+        row["conv_treatment"],
+    ) == (a + b, cc + d, a, cc)
+    den = (a + b) * (cc + d) * (a + cc) * (b + d)
+    if den > 0:
+        chi2 = math.floor(
+            float(a + b + cc + d)
+            * float((a * d - b * cc) ** 2)
+            / float(den)
+            * 10000
+            + 0.5
+        ) / 10000
+        assert row["chi2"] == chi2
+        assert row["significant"] == (chi2 > 3.8415)
+    else:
+        assert row["chi2"] is None
