@@ -141,6 +141,7 @@ HEADLINE = [
     "emb_mmr_diversity_eval",
     "join_scd2_point_in_time",
     "evt_ab_test_conversion",
+    "evt_holt_backtest",
 ]
 
 

@@ -1932,3 +1932,93 @@ def evt_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > 3.8415).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt backtest (the forecast family's eval twin): one-step-ahead
+# absolute error of the Holt forecast vs the naive last-value
+# baseline — the honesty check every forecasting rung needs (a trend
+# model that can't beat persistence has no business in the rollout).
+# ---------------------------------------------------------------------------
+
+
+def _holt_backtest_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    h AS (SELECT event_type, day_idx, n_events, forecast_next
+          FROM ({_holt_oracle_sql()}) t),
+    j AS (
+      SELECT h.event_type,
+             abs(h.forecast_next - d.cnt) AS err_holt,
+             abs(h.n_events - d.cnt) AS err_naive
+      FROM h JOIN d ON d.event_type = h.event_type
+                   AND d.day_idx = h.day_idx + 1)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           floor(CAST(sum(CAST(err_holt AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS mae_holt,
+           floor(CAST(sum(CAST(err_naive AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS mae_naive,
+           floor(CAST(sum(CAST(err_holt AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000
+             < floor(CAST(sum(CAST(err_naive AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS holt_wins
+    FROM j GROUP BY event_type
+    """
+
+
+@query("evt_holt_backtest", _holt_backtest_oracle())
+def evt_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of the Holt forecast per event type:
+    forecast_next at day d is scored against the ACTUAL count at
+    day d+1 (only where d+1 exists in the grid), MAE compared to the
+    naive last-value baseline |y_d - y_{d+1}|. holt_wins reports the
+    verdict honestly per type — the emb_residual_recall_eval
+    discipline (an eval that is allowed to refuse to justify its
+    rung) applied to forecasting.
+
+    Determinism: errors ride DECIMAL(18,4) sums (|forecast - y| has
+    at most 4 decimals — forecast is 4dp by construction, y is
+    integer), finalized by one double division and the tie-free 4dp
+    floor. Plan: the Holt grid joined to itself shifted one day —
+    calendar-sized, corpus-invariant."""
+    d = _daily_counts_by_type(spark, sf_dir)
+    h = evt_holt_trend_daily(spark, sf_dir).select(
+        "event_type", "day_idx", "n_events", "forecast_next"
+    )
+    nxt = d.select(
+        "event_type",
+        (F.col("day_idx") - 1).alias("day_idx"),
+        F.col("cnt").alias("next_cnt"),
+    )
+    j = h.join(nxt, ["event_type", "day_idx"]).select(
+        "event_type",
+        F.abs(F.col("forecast_next") - F.col("next_cnt")).alias("err_holt"),
+        F.abs(F.col("n_events") - F.col("next_cnt")).alias("err_naive"),
+    )
+
+    def mae4(col):
+        return F.floor(
+            F.sum(col.cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+            * 10000
+            + F.lit(0.5)
+        ) / 10000
+
+    out = j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_scored"),
+        mae4(F.col("err_holt")).alias("mae_holt"),
+        mae4(F.col("err_naive")).alias("mae_naive"),
+    )
+    return out.select(
+        "event_type",
+        "n_scored",
+        "mae_holt",
+        "mae_naive",
+        (F.col("mae_holt") < F.col("mae_naive")).alias("holt_wins"),
+    )

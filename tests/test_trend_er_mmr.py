@@ -569,3 +569,46 @@ def test_ab_test_matches_python_replay(spark, sf_dir):
         assert row["significant"] == (chi2 > 3.8415)
     else:
         assert row["chi2"] is None
+
+
+def test_holt_backtest_matches_python_recompute(spark, sf_dir):
+    from decimal import Decimal
+
+    from env_event_stream_spark.analytics_queries import (
+        _daily_counts_by_type,
+        evt_holt_backtest,
+        evt_holt_trend_daily,
+    )
+
+    got = {
+        r["event_type"]: (
+            r["n_scored"],
+            r["mae_holt"],
+            r["mae_naive"],
+            r["holt_wins"],
+        )
+        for r in evt_holt_backtest(spark, sf_dir).collect()
+    }
+    daily = {
+        (r["event_type"], r["day_idx"]): r["cnt"]
+        for r in _daily_counts_by_type(spark, sf_dir).collect()
+    }
+    holt = evt_holt_trend_daily(spark, sf_dir).collect()
+    agg: dict = {}
+    for r in holt:
+        nxt = daily.get((r["event_type"], r["day_idx"] + 1))
+        if nxt is None:
+            continue
+        eh = abs(
+            Decimal(repr(r["forecast_next"])).quantize(Decimal("0.0001"))
+            - nxt
+        )
+        en = Decimal(abs(r["n_events"] - nxt))
+        n, sh, sn = agg.get(r["event_type"], (0, Decimal(0), Decimal(0)))
+        agg[r["event_type"]] = (n + 1, sh + eh, sn + en)
+    expected = {}
+    for t, (n, sh, sn) in agg.items():
+        mh = math.floor(float(sh) / n * 10000 + 0.5) / 10000
+        mn = math.floor(float(sn) / n * 10000 + 0.5) / 10000
+        expected[t] = (n, mh, mn, mh < mn)
+    assert got == expected
