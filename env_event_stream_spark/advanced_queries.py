@@ -2787,8 +2787,9 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in _KCORE_KS:
         # the (k+1)-core is a subgraph of the k-core: peel each k
         # from the PREVIOUS core, not the full edge list — most of
-        # the graph is removed once, at the smallest k
-        core = k_core(core, k)
+        # the graph is removed once, at the smallest k; inputs are
+        # already checkpointed (_copurchase_edges / the prior core)
+        core = k_core(core, k, checkpoint_input=False)
         stats = (
             core.select(F.col("x").alias("v"))
             .unionAll(core.select(F.col("y").alias("v")))

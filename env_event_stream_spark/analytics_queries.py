@@ -1809,18 +1809,19 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "evt_ab_test_conversion",
     """
-    WITH u AS (
+    WITH w AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS mv
+      FROM events),
+    u AS (
       SELECT user_id,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
                % 2 AS arm,
-             CASE WHEN min(CASE WHEN event_type = 'view'
-                                THEN epoch_us(ts) END) IS NOT NULL
-                   AND min(CASE WHEN event_type = 'purchase'
-                                THEN epoch_us(ts) END)
-                       < min(CASE WHEN event_type = 'view'
-                                  THEN epoch_us(ts) END) + 86400000000
-                  THEN 1 ELSE 0 END AS conv
-      FROM events GROUP BY user_id),
+             max(CASE WHEN event_type = 'purchase' AND mv IS NOT NULL
+                       AND us >= mv AND us < mv + 86400000000
+                      THEN 1 ELSE 0 END) AS conv
+      FROM w GROUP BY user_id),
     c AS (
       SELECT
         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS a,
@@ -1830,10 +1831,12 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u),
     s AS (
       SELECT *,
-        CASE WHEN (a + b) * (cc + d) * (a + cc) * (b + d) > 0
+        CASE WHEN a + b > 0 AND cc + d > 0 AND a + cc > 0 AND b + d > 0
              THEN floor(CAST(a + b + cc + d AS DOUBLE)
-                 * CAST((a * d - b * cc) * (a * d - b * cc) AS DOUBLE)
-                 / CAST((a + b) * (cc + d) * (a + cc) * (b + d) AS DOUBLE)
+                 * ((CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * cc)
+                    * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * cc))
+                 / (CAST(a + b AS DOUBLE) * CAST(cc + d AS DOUBLE)
+                    * CAST(a + cc AS DOUBLE) * CAST(b + d AS DOUBLE))
                  * 10000 + 0.5) / 10000
         END AS chi2
       FROM c)
@@ -1856,13 +1859,15 @@ def evt_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B readout over a deterministic md5 hash split of users into
     two arms (the engine-reproducible assignment discipline every
     sampling op here uses — re-runs, engines and partitionings all
-    agree on who is in which arm), conversion = first purchase
-    within 1 day of the first view (~0.7 on this data; "any purchase
-    ever" saturates): per-arm sizes, conversion rates, the 2x2
-    chi-square statistic n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) and
-    significance at alpha = 0.05 (3.8415 = chi2_0.95, 1 dof); a
-    degenerate margin (empty arm / all-converted) yields NULL chi2
-    on both engines instead of a division error.
+    agree on who is in which arm), conversion = any purchase inside
+    [first view, first view + 1 day) — post-EXPOSURE only (~0.4 on
+    this data; pre-exposure purchases and "any purchase ever" both
+    contaminate the readout): per-arm sizes, conversion rates, the
+    2x2 chi-square statistic n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    and significance at alpha = 0.05 (3.8415 = chi2_0.95, 1 dof); a
+    degenerate margin yields NULL chi2 on both engines instead of a
+    division error, and the statistic is computed in fixed-order
+    DOUBLE so no bigint product can wrap at scale.
 
     Determinism: the four cells are integers off ONE user-grouped
     aggregation; (ad-bc)^2 and the margin product are computed in
@@ -1876,21 +1881,31 @@ def evt_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                16, 10)
         .cast("bigint") % 2
     )
-    # conversion = first purchase lands within 1 day of the first
-    # view (integer-micros comparison — the epoch-arithmetic
-    # invariant); "any purchase ever" saturates to 100% on this data
+    # conversion = ANY purchase inside [first view, first view + 1
+    # day) — purchases BEFORE the first exposure must not count
+    # (review-pass catch: "first purchase < mv + 1d" alone classified
+    # 73/150 users converted via pre-exposure purchases); the
+    # exposure time rides a per-user window min, integer micros
+    wuser = Window.partitionBy("user_id")
     mv = F.min(
         F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    ).over(wuser)
+    w = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        mv.alias("mv"),
     )
-    mp = F.min(
-        F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
-    )
-    u = ev.groupBy("user_id").agg(
-        F.when(
-            mv.isNotNull() & (mp < mv + F.lit(86400000000)), 1
-        )
-        .otherwise(0)
-        .alias("conv")
+    u = w.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("mv").isNotNull()
+                & (F.col("us") >= F.col("mv"))
+                & (F.col("us") < F.col("mv") + F.lit(86400000000)),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
     ).select(arm.alias("arm"), "conv")
     c = u.agg(
         F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("a"),
@@ -1899,15 +1914,23 @@ def evt_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, 1 - F.col("conv")).otherwise(0)).alias("d"),
     )
     a, b, cc, d = F.col("a"), F.col("b"), F.col("cc"), F.col("d")
-    x2 = ((a * d - b * cc) * (a * d - b * cc)).cast("double")
-    den_i = (a + b) * (cc + d) * (a + cc) * (b + d)
+    # chi2 entirely in DOUBLE with one fixed operand order — bigint
+    # products (ad-bc)^2 and the margin product wrap past n ~ 1e5
+    # users while DuckDB's HUGEINT would not (review-pass catch);
+    # identical IEEE sequences on both engines keep the hash exact,
+    # and doubles never overflow
+    diff = a.cast("double") * d - b.cast("double") * cc
+    x2 = diff * diff
+    den = (
+        (a + b).cast("double")
+        * (cc + d).cast("double")
+        * (a + cc).cast("double")
+        * (b + d).cast("double")
+    )
     chi2 = F.when(
-        den_i > 0,
+        (a + b > 0) & (cc + d > 0) & (a + cc > 0) & (b + d > 0),
         F.floor(
-            (a + b + cc + d).cast("double")
-            * x2
-            / den_i.cast("double")
-            * 10000
+            (a + b + cc + d).cast("double") * x2 / den * 10000
             + F.lit(0.5)
         )
         / 10000,

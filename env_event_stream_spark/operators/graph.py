@@ -153,17 +153,22 @@ def k_core(
     dst: str = "y",
     *,
     max_iter: int = 30,
+    checkpoint_input: bool = True,
 ) -> DataFrame:
     """The k-core subgraph (edge list) — iteratively peel nodes with
     degree < k until fixpoint (Matula & Beck). Each round is one
-    degree aggregation + two anti-joins on the SHRINKING edge list
-    (k-core peeling only ever removes), localCheckpointed so the
-    lineage stays flat; rounds needed = peeling depth, small on
-    co-purchase-like graphs. Raises if max_iter rounds don't
-    converge (pathological long chains — raise max_iter)."""
-    e = edges.select(
-        F.col(src).alias("x"), F.col(dst).alias("y")
-    ).localCheckpoint(eager=True)
+    degree aggregation (materialized ONCE per round — the emptiness
+    probe and both anti-joins read the same checkpointed bad-vertex
+    frame, not three re-executions of the degree subtree) + two
+    anti-joins on the SHRINKING edge list, localCheckpointed so the
+    lineage stays flat; rounds needed = peeling depth. Pass
+    checkpoint_input=False when the caller's edge list is already
+    materialized (e.g. chaining cores at increasing k) to skip a
+    redundant job. Raises if max_iter rounds don't converge
+    (pathological long chains — raise max_iter)."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    if checkpoint_input:
+        e = e.localCheckpoint(eager=True)
     for _ in range(max_iter):
         deg = (
             e.select(F.col("x").alias("v"))
@@ -171,7 +176,11 @@ def k_core(
             .groupBy("v")
             .agg(F.count("*").alias("d"))
         )
-        bad = deg.where(F.col("d") < k).select("v")
+        bad = (
+            deg.where(F.col("d") < k)
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
         if bad.limit(1).count() == 0:
             return e
         e = (

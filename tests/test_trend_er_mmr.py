@@ -538,14 +538,13 @@ def test_ab_test_matches_python_replay(spark, sf_dir):
             (r["ts"] for r in rows if r["event_type"] == "view"),
             default=None,
         )
-        mp = min(
-            (r["ts"] for r in rows if r["event_type"] == "purchase"),
-            default=None,
-        )
         conv = int(
             mv is not None
-            and mp is not None
-            and mp < mv + dt.timedelta(days=1)
+            and any(
+                r["event_type"] == "purchase"
+                and mv <= r["ts"] < mv + dt.timedelta(days=1)
+                for r in rows
+            )
         )
         cells[(arm, conv)] += 1
     a, b = cells[(0, 1)], cells[(0, 0)]
