@@ -456,35 +456,35 @@ def _mmr_select_oracle(
     return out
 
 
-def _mmr_oracle() -> str:
-    """Lazy oracle: an INDEPENDENT pure-Python MMR (pyarrow read +
-    sequential-fold cosines + sort-based greedy), inlined as VALUES —
-    the doc_bpe_learn_merges precedent: when the algorithm is
-    inherently sequential, the oracle is a second implementation of
-    the same exact contract, not the same code re-run."""
-    import math
+_MMR_ORACLE_CACHE: dict[str, dict] = {}
 
+
+def _mmr_oracle_state(sf_dir: str) -> dict:
+    """Per-sf_dir memo of the oracle-side pure-Python MMR pipeline
+    (rel maps, pool pair sims, top-k and MMR selections) — both lazy
+    oracles (_mmr_oracle, _mmr_eval_oracle) read it, so the driver's
+    oracle_sql() resolution computes the O(n^2) cosine pass once
+    (the trained-model memoization precedent)."""
+    if sf_dir in _MMR_ORACLE_CACHE:
+        return _MMR_ORACLE_CACHE[sf_dir]
     import pyarrow.parquet as pq
 
-    from env_event_stream_spark.llm_queries import _oracle_sf_dir
-
     t = pq.read_table(
-        _oracle_sf_dir().rstrip("/") + "/embeddings.parquet",
+        sf_dir.rstrip("/") + "/embeddings.parquet",
         columns=["vec_id", "embedding"],
     )
     ids = t.column("vec_id").to_pylist()
-    vecs = [
-        [float(x) for x in v] for v in t.column("embedding").to_pylist()
-    ]
-    byid = dict(zip(ids, vecs))
-    rows = []
+    byid = {
+        i: [float(x) for x in v]
+        for i, v in zip(ids, t.column("embedding").to_pylist())
+    }
+    state = {"qids": [], "rel": {}, "sim": {}, "top": {}, "mmr": {}}
     for qid in sorted(i for i in ids if i % _MMR_QUERY_MOD == 0):
-        qv = byid[qid]
         rel = {}
         for cid in ids:
             if cid == qid:
                 continue
-            c = _seq_cosine(qv, byid[cid])
+            c = _seq_cosine(byid[qid], byid[cid])
             if c is not None:
                 rel[cid] = _r6(c)
         pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
@@ -492,10 +492,30 @@ def _mmr_oracle() -> str:
         for i in pool:
             for j in pool:
                 if i != j:
-                    s = _seq_cosine(byid[i], byid[j])
-                    sim[(i, j)] = _r6(s) if s is not None else 0.0
+                    c = _seq_cosine(byid[i], byid[j])
+                    sim[(i, j)] = _r6(c) if c is not None else 0.0
         pool_rel = {i: rel[i] for i in pool}
-        for pos, vid, r, m in _mmr_select_oracle(pool_rel, sim):
+        state["qids"].append(qid)
+        state["rel"][qid] = rel
+        state["sim"][qid] = sim
+        state["top"][qid] = pool[:_MMR_K]
+        state["mmr"][qid] = _mmr_select_oracle(pool_rel, sim)
+    _MMR_ORACLE_CACHE[sf_dir] = state
+    return state
+
+
+def _mmr_oracle() -> str:
+    """Lazy oracle: an INDEPENDENT pure-Python MMR (pyarrow read +
+    sequential-fold cosines + sort-based greedy), inlined as VALUES —
+    the doc_bpe_learn_merges precedent: when the algorithm is
+    inherently sequential, the oracle is a second implementation of
+    the same exact contract, not the same code re-run."""
+    from env_event_stream_spark.llm_queries import _oracle_sf_dir
+
+    st = _mmr_oracle_state(_oracle_sf_dir())
+    rows = []
+    for qid in st["qids"]:
+        for pos, vid, r, m in st["mmr"][qid]:
             rows.append((qid, pos, vid, r, m))
     vals = ", ".join(
         f"({q}, {p}, {v}, CAST({r!r} AS DOUBLE), CAST({m!r} AS DOUBLE))"
@@ -655,59 +675,21 @@ def _avg6_to_4dp(vals: list[float], n: int) -> float:
 
 def _mmr_eval_oracle() -> str:
     """Independent pure-Python twin of emb_mmr_diversity_eval (same
-    contract as _mmr_oracle, single VALUES row)."""
-    import pyarrow.parquet as pq
-
+    contract as _mmr_oracle, single VALUES row; shares the memoized
+    oracle pipeline state)."""
     from env_event_stream_spark.llm_queries import _oracle_sf_dir
 
-    t = pq.read_table(
-        _oracle_sf_dir().rstrip("/") + "/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-    )
-    ids = t.column("vec_id").to_pylist()
-    byid = {
-        i: [float(x) for x in v]
-        for i, v in zip(ids, t.column("embedding").to_pylist())
-    }
-    rel_all, sim_all, mmr_all, top_all = [], {}, {}, {}
-    nq = 0
-    for qid in sorted(i for i in ids if i % _MMR_QUERY_MOD == 0):
-        nq += 1
-        rel = {}
-        for cid in ids:
-            if cid == qid:
-                continue
-            c = _seq_cosine(byid[qid], byid[cid])
-            if c is not None:
-                rel[cid] = _r6(c)
-        pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
-        sim = {}
-        for i in pool:
-            for j in pool:
-                if i != j:
-                    s = _seq_cosine(byid[i], byid[j])
-                    sim[(i, j)] = _r6(s) if s is not None else 0.0
-        pool_rel = {i: rel[i] for i in pool}
-        mmr_all[qid] = [
-            vid for _, vid, _, _ in _mmr_select_oracle(pool_rel, sim)
-        ]
-        top_all[qid] = pool[:_MMR_K]
-        rel_all.append(rel)
-        sim_all[qid] = sim
+    st = _mmr_oracle_state(_oracle_sf_dir())
     rel_top, rel_mmr, sim_top, sim_mmr = [], [], [], []
-    for k, qid in enumerate(
-        sorted(i for i in ids if i % _MMR_QUERY_MOD == 0)
-    ):
-        rel = rel_all[k]
-        sim = sim_all[qid]
-        rel_top += [rel[i] for i in top_all[qid]]
-        rel_mmr += [rel[i] for i in mmr_all[qid]]
-        sim_top += [
-            sim[(i, j)] for i in top_all[qid] for j in top_all[qid] if i != j
-        ]
-        sim_mmr += [
-            sim[(i, j)] for i in mmr_all[qid] for j in mmr_all[qid] if i != j
-        ]
+    for qid in st["qids"]:
+        rel, sim = st["rel"][qid], st["sim"][qid]
+        top = st["top"][qid]
+        sel = [vid for _, vid, _, _ in st["mmr"][qid]]
+        rel_top += [rel[i] for i in top]
+        rel_mmr += [rel[i] for i in sel]
+        sim_top += [sim[(i, j)] for i in top for j in top if i != j]
+        sim_mmr += [sim[(i, j)] for i in sel for j in sel if i != j]
+    nq = len(st["qids"])
     art = _avg6_to_4dp(rel_top, len(rel_top))
     arm = _avg6_to_4dp(rel_mmr, len(rel_mmr))
     ast_ = _avg6_to_4dp(sim_top, len(sim_top))
