@@ -109,6 +109,17 @@ def counts() -> int:
                     f"NEXT.md: says '{m.group(0)}', bench.py HEADLINE has "
                     f"{len(_bench.HEADLINE)}"
                 )
+        # every HEADLINE name must resolve to a registered query:
+        # bench.py skips unknown names SILENTLY (a typo would shrink
+        # the suite and read as a speedup in cross-round deltas)
+        ghosts = [n for n in _bench.HEADLINE if n not in QUERIES]
+        if ghosts:
+            bad.append(f"bench.py HEADLINE names not in catalog: {ghosts}")
+        dupes = sorted(
+            {n for n in _bench.HEADLINE if _bench.HEADLINE.count(n) > 1}
+        )
+        if dupes:
+            bad.append(f"bench.py HEADLINE duplicate names: {dupes}")
     except Exception as exc:  # a broken bench.py IS drift — never green
         bad.append(f"headline gate could not run: {exc!r}")
 
