@@ -142,6 +142,7 @@ HEADLINE = [
     "join_scd2_point_in_time",
     "evt_ab_test_conversion",
     "evt_holt_backtest",
+    "evt_transition_eval",
 ]
 
 

@@ -2806,3 +2806,95 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Cross-table referential integrity audit — the DQ rung dq_profile
+# (single-table stats) and dq_validation (row constraints) don't
+# cover: does every foreign key land? First question against any
+# newly-landed star-schema drop.
+# ---------------------------------------------------------------------------
+
+_RI_CHECKS: list[tuple[str, str, str, str, str]] = [
+    # (name, fact table, fk col, dim table, pk col)
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for name, fact, fk, dim, pk in _RI_CHECKS:
+        parts.append(f"""
+    SELECT '{name}' AS fk_name,
+           CAST((SELECT count(*) FROM {fact}) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM {fact} f
+                 WHERE f.{fk} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {dim} d
+                                   WHERE d.{pk} = f.{fk})) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT count(*) FROM {fact} WHERE {fk} IS NULL)
+             AS BIGINT) AS n_null_fk""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+    SELECT fk_name, n_rows, n_orphans, n_null_fk,
+           n_orphans = 0 AND n_null_fk = 0 AS ok
+    FROM ({body}) t
+    """
+
+
+@query("dq_referential_integrity", _ri_oracle())
+def dq_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential-integrity audit of the whole star: for each FK
+    edge (lineitem->orders/part/supplier, orders->customer,
+    customer/supplier->nation, nation->region) the orphan count
+    (non-null FK with no matching dimension row, via LEFT ANTI join)
+    and the null-FK count, with a per-edge ok verdict — the
+    cross-TABLE data-quality rung next to dq_profile (single-table
+    stats) and dq_validation_checks (row constraints).
+
+    100 TB shape: each check is one anti-join — dimension sides
+    broadcast (nation/region/supplier/customer at any realistic
+    scale), the lineitem->orders edge shuffles on orderkey once; all
+    counts are map-side-combinable; output is |edges| rows. Orphans
+    report as data, not as a failure — the audit's job is to measure
+    the breakage, not to crash on it."""
+    rows = []
+    for name, fact, fk, dim, pk in _RI_CHECKS:
+        f = _t(spark, sf_dir, fact)
+        d = _t(spark, sf_dir, dim).select(F.col(pk).alias("_pk"))
+        nn = f.where(F.col(fk).isNotNull())
+        orphans = nn.join(
+            F.broadcast(d), nn[fk] == F.col("_pk"), "left_anti"
+        )
+        rows.append(
+            f.agg(
+                F.lit(name).alias("fk_name"),
+                F.count("*").cast("bigint").alias("n_rows"),
+            ).crossJoin(
+                orphans.agg(
+                    F.count("*").cast("bigint").alias("n_orphans")
+                )
+            ).crossJoin(
+                f.where(F.col(fk).isNull()).agg(
+                    F.count("*").cast("bigint").alias("n_null_fk")
+                )
+            )
+        )
+    res = rows[0]
+    for df in rows[1:]:
+        res = res.unionByName(df)
+    return res.select(
+        "fk_name",
+        "n_rows",
+        "n_orphans",
+        "n_null_fk",
+        ((F.col("n_orphans") == 0) & (F.col("n_null_fk") == 0)).alias("ok"),
+    )

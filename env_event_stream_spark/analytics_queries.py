@@ -2045,3 +2045,126 @@ def evt_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mae_naive",
         (F.col("mae_holt") < F.col("mae_naive")).alias("holt_wins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-event prediction eval (the transition matrix's eval twin):
+# does the first-order Markov model actually predict the next event
+# better than the majority-class baseline, on held-out transitions?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "evt_transition_eval",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    t AS (SELECT user_id, event_type AS prev, next_type, rn, n_ev
+          FROM s WHERE next_type IS NOT NULL),
+    train AS (SELECT prev, next_type FROM t WHERE rn * 5 <= (n_ev - 1) * 4),
+    test AS (SELECT prev, next_type FROM t WHERE rn * 5 > (n_ev - 1) * 4),
+    tc AS (SELECT prev, next_type, count(*) AS c
+           FROM train GROUP BY prev, next_type),
+    pred AS (
+      SELECT prev, next_type AS predicted
+      FROM (SELECT prev, next_type,
+                   row_number() OVER (PARTITION BY prev
+                                      ORDER BY c DESC, next_type ASC) AS r
+            FROM tc) x WHERE r = 1),
+    base AS (
+      SELECT next_type AS majority
+      FROM (SELECT next_type, row_number() OVER
+                     (ORDER BY count(*) DESC, next_type ASC) AS r
+            FROM train GROUP BY next_type) x WHERE r = 1)
+    SELECT test.prev,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN test.next_type = pred.predicted
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((sum(CASE WHEN test.next_type = pred.predicted
+                          THEN 1 ELSE 0 END) * 20000 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 10000 AS accuracy,
+           CAST((sum(CASE WHEN test.next_type = base.majority
+                          THEN 1 ELSE 0 END) * 20000 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 10000
+             AS baseline_accuracy
+    FROM test JOIN pred ON pred.prev = test.prev CROSS JOIN base
+    GROUP BY test.prev
+    """,
+)
+def evt_transition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out eval of first-order Markov next-event prediction:
+    each user's first ~80% of transitions train the global transition
+    counts, the rest are scored — per previous-type: test size,
+    correct argmax predictions, accuracy, and the majority-class
+    baseline accuracy. The evt_transition_matrix family's honesty
+    check (a transition model that can't beat the global majority
+    class isn't modeling sequence structure).
+
+    Determinism: the train/test split is positional integer
+    arithmetic (rn*5 <= (n_ev-1)*4 — no floats, no sampling), the
+    argmax is count-desc with lexicographic tie-break, accuracies
+    ride the integer floor-division. One user_id shuffle builds the
+    transitions; train counts are |types|^2; everything downstream is
+    grid-sized."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_ev"),
+    ).where(F.col("next_type").isNotNull())
+    train = s.where(F.col("rn") * 5 <= (F.col("n_ev") - 1) * 4)
+    test = s.where(F.col("rn") * 5 > (F.col("n_ev") - 1) * 4)
+    tc = train.groupBy("prev", "next_type").agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("prev").orderBy(
+        F.col("c").desc(), F.col("next_type").asc()
+    )
+    pred = (
+        tc.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") == 1)
+        .select("prev", F.col("next_type").alias("predicted"))
+    )
+    base = (
+        train.groupBy("next_type")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("next_type").asc())
+        .limit(1)
+        .select(F.col("next_type").alias("majority"))
+    )
+    j = (
+        test.join(F.broadcast(pred), "prev")
+        .crossJoin(F.broadcast(base))
+    )
+    correct = F.sum(
+        F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0)
+    )
+    base_correct = F.sum(
+        F.when(F.col("next_type") == F.col("majority"), 1).otherwise(0)
+    )
+    return j.groupBy("prev").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        correct.cast("bigint").alias("n_correct"),
+        (
+            F.expr(
+                "CAST((sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)"
+                " * 20000 + count(*)) div (2 * count(*)) AS DOUBLE)"
+            )
+            / 10000
+        ).alias("accuracy"),
+        (
+            F.expr(
+                "CAST((sum(CASE WHEN next_type = majority THEN 1 ELSE 0 END)"
+                " * 20000 + count(*)) div (2 * count(*)) AS DOUBLE)"
+            )
+            / 10000
+        ).alias("baseline_accuracy"),
+    )

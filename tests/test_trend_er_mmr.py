@@ -611,3 +611,80 @@ def test_holt_backtest_matches_python_recompute(spark, sf_dir):
         mn = math.floor(float(sn) / n * 10000 + 0.5) / 10000
         expected[t] = (n, mh, mn, mh < mn)
     assert got == expected
+
+
+def test_referential_integrity_all_green_on_testdata(spark, sf_dir):
+    from env_event_stream_spark.advanced_queries import (
+        _RI_CHECKS,
+        dq_referential_integrity,
+    )
+
+    rows = {r["fk_name"]: r for r in
+            dq_referential_integrity(spark, sf_dir).collect()}
+    assert set(rows) == {c[0] for c in _RI_CHECKS}
+    for name, r in rows.items():
+        assert r["n_rows"] > 0, name
+        # the generated star is referentially sound — any orphan here
+        # means the anti-join is wrong (or the data generator broke)
+        assert r["n_orphans"] == 0 and r["n_null_fk"] == 0, name
+        assert r["ok"] is True
+
+
+def test_transition_eval_matches_python_replay(spark, sf_dir):
+    from collections import Counter
+
+    from env_event_stream_spark.analytics_queries import (
+        evt_transition_eval,
+    )
+    from env_event_stream_spark.tables import load_table
+
+    got = {
+        r["prev"]: (
+            r["n_test"],
+            r["n_correct"],
+            r["accuracy"],
+            r["baseline_accuracy"],
+        )
+        for r in evt_transition_eval(spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r["event_type"])
+    train, test = [], []
+    for types in by_user.values():
+        trans = list(zip(types, types[1:]))
+        n = len(trans)
+        for rn, t in enumerate(trans, start=1):
+            (train if rn * 5 <= n * 4 else test).append(t)
+    tc = Counter(train)
+    pred = {}
+    for (p, nx), c in tc.items():
+        cur = pred.get(p)
+        # argmax by count desc, lexicographic next ASC on ties
+        if cur is None or c > cur[1] or (c == cur[1] and nx < cur[0]):
+            pred[p] = (nx, c)
+    nxc = Counter(nx for _, nx in train)
+    majority = sorted(nxc, key=lambda t: (-nxc[t], t))[0]
+    agg: dict = {}
+    for p, nx in test:
+        n, c, b = agg.get(p, (0, 0, 0))
+        agg[p] = (
+            n + 1,
+            c + (nx == pred[p][0]),
+            b + (nx == majority),
+        )
+    expected = {}
+    for p, (n, c, b) in agg.items():
+        expected[p] = (
+            n,
+            c,
+            ((c * 20000 + n) // (2 * n)) / 10000,
+            ((b * 20000 + n) // (2 * n)) / 10000,
+        )
+    assert got == expected

@@ -106,6 +106,8 @@ NESTED_LOOP_ALLOWED = {
     "evt_value_drift_ks": "|types|-row totals broadcast",
     "evt_hourly_seasonality": "|types|-row peak/stat join",
     "dq_validation_checks": "per-check 1-row frames crossJoined",
+    "dq_referential_integrity": "per-edge 1-row stat frames crossJoined",
+    "evt_transition_eval": "1-row majority-baseline broadcast",
     "evt_retention_count": "1-row cutoff broadcast",
     "doc_lm_heldout_eval": "vocab/model broadcasts",
     "doc_unigram_logprob": "vocab broadcast",
