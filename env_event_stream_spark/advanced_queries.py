@@ -1885,6 +1885,15 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (S6 + 50*nn) DIV (100*nn) entirely in bigint — no double
         # division whose last ulp can flip the 4dp rounding boundary
         # across engines (the r6 driver-red on this query).
+        # NON-NEGATIVE DOMAIN ASSUMPTION: Spark `div` and DuckDB `//`
+        # both truncate toward ZERO, not floor, so the identity only
+        # equals floor(mean*1e4 + 0.5) when the numerator is >= 0 —
+        # true for every column in _PROFILE_COLS (quantities, prices,
+        # keys, dates). If a signed column is ever added, the formula
+        # needs the sign-aware adjustment (subtract 1 when the
+        # truncated quotient is negative with a nonzero remainder) on
+        # BOTH engines; the engines still agree with each other today,
+        # so the hash gate would not catch the contract drift.
         # Domain bound made LOUD, not silent: sum(v*cnt)*1e6 must fit
         # int64 (holds comfortably at the oracle SFs; the largest
         # column here crosses 2^63 around TPC-H sf~1) — assert_true
@@ -2815,21 +2824,28 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # newly-landed star-schema drop.
 # ---------------------------------------------------------------------------
 
-_RI_CHECKS: list[tuple[str, str, str, str, str]] = [
-    # (name, fact table, fk col, dim table, pk col)
-    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
-    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+_RI_CHECKS: list[tuple[str, str, str, str, str, bool]] = [
+    # (name, fact table, fk col, dim table, pk col, broadcast_dim)
+    # broadcast_dim is a SCALE judgment, not a local-speed one: only
+    # dimensions that stay bounded as the fact tables grow (nation,
+    # region, supplier, part — catalog-sized) may be pinned as
+    # broadcast.  orders and customer scale WITH the facts (billions
+    # of keys at 100 TB), so those edges take the shuffled left-anti
+    # join on the key — AQE may still choose a broadcast at tiny SFs,
+    # but the plan must not REQUIRE one.
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey", False),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", True),
 ]
 
 
 def _ri_oracle() -> str:
     parts = []
-    for name, fact, fk, dim, pk in _RI_CHECKS:
+    for name, fact, fk, dim, pk, _bcast in _RI_CHECKS:
         parts.append(f"""
     SELECT '{name}' AS fk_name,
            CAST((SELECT count(*) FROM {fact}) AS BIGINT) AS n_rows,
@@ -2860,20 +2876,24 @@ def dq_referential_integrity(
     cross-TABLE data-quality rung next to dq_profile (single-table
     stats) and dq_validation_checks (row constraints).
 
-    100 TB shape: each check is one anti-join — dimension sides
-    broadcast (nation/region/supplier/customer at any realistic
-    scale), the lineitem->orders edge shuffles on orderkey once; all
+    100 TB shape: each check is one anti-join — BOUNDED dimension
+    sides (nation/region/supplier/part) are pinned broadcast via the
+    per-edge flag in _RI_CHECKS, while fact-scaled "dimensions"
+    (orders on the lineitem edge, customer on the orders edge) take
+    the shuffled left-anti join on the key — a forced broadcast of an
+    orders-sized key set would OOM at 100× even though it is fastest
+    locally (AQE is still free to pick broadcast at tiny SFs); all
     counts are map-side-combinable; output is |edges| rows. Orphans
     report as data, not as a failure — the audit's job is to measure
     the breakage, not to crash on it."""
     rows = []
-    for name, fact, fk, dim, pk in _RI_CHECKS:
+    for name, fact, fk, dim, pk, bcast in _RI_CHECKS:
         f = _t(spark, sf_dir, fact)
         d = _t(spark, sf_dir, dim).select(F.col(pk).alias("_pk"))
+        if bcast:
+            d = F.broadcast(d)
         nn = f.where(F.col(fk).isNotNull())
-        orphans = nn.join(
-            F.broadcast(d), nn[fk] == F.col("_pk"), "left_anti"
-        )
+        orphans = nn.join(d, nn[fk] == F.col("_pk"), "left_anti")
         rows.append(
             f.agg(
                 F.lit(name).alias("fk_name"),

@@ -74,7 +74,16 @@ _STREAM_PARTS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
 def _stream_shuffle_parts(spark: SparkSession):
     """Scope spark.sql.shuffle.partitions to _STREAM_PARTS for one
     availableNow run (the conf is read at stream start; restored
-    after termination so batch queries keep the session default)."""
+    after termination so batch queries keep the session default).
+
+    SERIAL-EXECUTION ASSUMPTION: this mutates session-global conf for
+    the duration of the run — a batch query executed CONCURRENTLY on
+    the same SparkSession (another thread, a parallel bench) would
+    silently run with _STREAM_PARTS shuffle partitions, and nested
+    stream runs would restore a stale value. The catalog runner and
+    bench execute strictly serially; if a parallel harness ever
+    arrives, move this override to a per-query cloned session
+    (spark.newSession()) instead of the shared conf."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     spark.conf.set(key, _STREAM_PARTS)
