@@ -1690,6 +1690,281 @@ def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TIME-WINDOWED CEP: the same v[cs]*p pattern, but with the
+# MATCH_RECOGNIZE WITHIN / Flink-CEP `within` constraint the string-
+# regex formulation above cannot express (the initials string loses
+# timestamps): the closing purchase must land within 10 minutes of
+# the anchoring view. This needs a windowed automaton over the
+# (initial, ts) sequence — a genuinely new operator shape, run as one
+# Arrow stage over day-bounded per-user sequences.
+# ---------------------------------------------------------------------------
+
+_CEP_WITHIN_US = 600 * 1_000_000  # WITHIN 10 minutes, in microseconds
+
+
+def _cep_timed_scan(
+    seq: str, ts_us: list, within_us: int | None
+) -> tuple[int, int, int | None]:
+    """ENGINE-side windowed automaton (pointer loop — deliberately a
+    different formulation than the oracle's regex-based scanner, the
+    _mmr_select two-independent-implementations discipline; the two
+    are fuzz-pinned against each other in tests/test_trend_er_mmr.py).
+
+    Contract over the (initial, ts) sequence, sorted by (ts,
+    event_id): scan left to right; at each 'v' attempt a match —
+    consume (c|s)* while still inside the window, then require 'p'
+    with ts_p - ts_v <= within_us. A completed match SKIPs PAST LAST
+    ROW (MATCH_RECOGNIZE default); a failed or timed-out attempt
+    advances ONE position (regex left-to-right semantics — an inner
+    'v' may anchor the next attempt). within_us=None is the untimed
+    pattern, identical to non-overlapping regex counting.
+
+    Returns (n_matches, n_matched_events, max_span_us)."""
+    n = len(seq)
+    i = 0
+    n_matches = 0
+    n_matched = 0
+    max_span: int | None = None
+    while i < n:
+        if seq[i] != "v":
+            i += 1
+            continue
+        j = i + 1
+        while (
+            j < n
+            and seq[j] in ("c", "s")
+            and (within_us is None or ts_us[j] - ts_us[i] <= within_us)
+        ):
+            j += 1
+        if (
+            j < n
+            and seq[j] == "p"
+            and (within_us is None or ts_us[j] - ts_us[i] <= within_us)
+        ):
+            n_matches += 1
+            n_matched += j - i + 1
+            span = int(ts_us[j] - ts_us[i])
+            if max_span is None or span > max_span:
+                max_span = span
+            i = j + 1
+        else:
+            i += 1
+    return n_matches, n_matched, max_span
+
+
+def _cep_regex_scan(
+    seq: str, ts_us: list, within_us: int | None
+) -> tuple[int, int, int | None]:
+    """ORACLE-side scanner: re.match at each candidate position +
+    span time check (equivalent because the pattern's closer 'p' is
+    not in the repetition class, and events are ts-sorted — a
+    truncated c/s run implies the closer is out-of-window too)."""
+    import re
+
+    pat = re.compile(_CEP_PATTERN)
+    i = 0
+    n_matches = 0
+    n_matched = 0
+    max_span: int | None = None
+    while i < len(seq):
+        m = pat.match(seq, i)
+        if m is not None and (
+            within_us is None
+            or ts_us[m.end() - 1] - ts_us[i] <= within_us
+        ):
+            n_matches += 1
+            n_matched += m.end() - i
+            span = int(ts_us[m.end() - 1] - ts_us[i])
+            if max_span is None or span > max_span:
+                max_span = span
+            i = m.end()
+        else:
+            i += 1
+    return n_matches, n_matched, max_span
+
+
+_CEP_INI = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "error": "e",
+    "signup": "s",
+}
+
+
+def _cep_within_oracle() -> str:
+    """Lazy oracle: an INDEPENDENT pure-Python replay (pyarrow read +
+    regex-based windowed scanner), inlined as VALUES — the
+    _mmr_oracle precedent for inherently sequential operators."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from env_event_stream_spark.llm_queries import _oracle_sf_dir
+
+    path = _oracle_sf_dir().rstrip("/") + "/events.parquet"
+    t = pq.read_table(
+        path, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    ts_col = t.column("ts")
+    if pa.types.is_integer(ts_col.type):  # raw epoch NANOS encoding
+        us = [v // 1000 for v in ts_col.to_pylist()]
+    else:
+        us = ts_col.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+    groups: dict = {}
+    for eid, u, ty, ts in zip(
+        t.column("event_id").to_pylist(),
+        t.column("user_id").to_pylist(),
+        t.column("event_type").to_pylist(),
+        us,
+    ):
+        day = str(dt.date(1970, 1, 1) + dt.timedelta(days=ts // 86_400_000_000))
+        groups.setdefault((u, day), []).append(
+            (ts, eid, _CEP_INI.get(ty, "x"))
+        )
+    rows = []
+    for (u, day), evs in groups.items():
+        evs.sort()
+        seq = "".join(e[2] for e in evs)
+        ts_l = [e[0] for e in evs]
+        nu, _, _ = _cep_regex_scan(seq, ts_l, None)
+        if nu < 1:
+            continue
+        nt, nev, span = _cep_regex_scan(seq, ts_l, _CEP_WITHIN_US)
+        rows.append((u, day, len(seq), nt, nu, nev, span))
+    vals = ", ".join(
+        f"({u}, '{d}', {ns}, {nt}, {nu}, {nev}, "
+        + ("NULL" if span is None else str(span // 1000))
+        + ")"
+        for u, d, ns, nt, nu, nev, span in sorted(rows)
+    )
+    return f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id, day,
+           CAST(n_seq_events AS BIGINT) AS n_seq_events,
+           CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(n_matches_untimed AS BIGINT) AS n_matches_untimed,
+           CAST(n_matched_events AS BIGINT) AS n_matched_events,
+           CAST(max_span_ms AS BIGINT) AS max_span_ms
+    FROM (VALUES {vals}) AS t(user_id, day, n_seq_events, n_matches,
+                              n_matches_untimed, n_matched_events,
+                              max_span_ms)
+    """
+
+
+@query("evt_cep_within", _cep_within_oracle)
+def evt_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed CEP: v[cs]*p with the purchase WITHIN 10 minutes
+    of the anchoring view — MATCH_RECOGNIZE's WITHIN / Flink-CEP's
+    `within(Time.minutes(10))`, the constraint evt_cep_pattern's
+    string-regex formulation cannot see (initials strings lose
+    timestamps). Per user-day: timed match count, the untimed count
+    for the delta (how many funnels exist vs how many CONVERT fast),
+    events consumed by timed matches, and the longest timed span.
+
+    Plan: ONE user-day shuffle builds the sorted (initial, ts)
+    sequence via sort_array(collect_list(struct)) — day-bounded
+    per-user state, the CEP bound; the windowed automaton then runs
+    row-local in ONE Arrow mapInPandas stage over (seq string, ts
+    array) pairs (Python never sees individual events — each row is
+    a whole user-day). 100 TB shape: state is bounded by a user-day's
+    events, no cross-day carryover, no window cascade; the Arrow
+    stage is embarrassingly parallel. Determinism: all arithmetic is
+    integer microseconds; spans report as integer ms (span DIV 1000,
+    exact); matcher semantics are pinned by a hypothesis fuzz against
+    the oracle's independent regex-based scanner."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    ini = F.col("event_type")
+    expr = None
+    for k, v in _CEP_INI.items():
+        expr = (
+            F.when(ini == k, v) if expr is None else expr.when(ini == k, v)
+        )
+    ini_c = expr.otherwise("x")
+    s = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id"),
+                ini_c.alias("ini"),
+            ).alias("st"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.array_sort(F.collect_list("st")).alias("sts"))
+        .select(
+            "user_id",
+            "day",
+            F.array_join(
+                F.transform(F.col("sts"), lambda x: x["ini"]), ""
+            ).alias("seq"),
+            F.transform(F.col("sts"), lambda x: x["ts_us"]).alias("tss"),
+        )
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for u, day, seq, tss in zip(
+                pdf["user_id"], pdf["day"], pdf["seq"], pdf["tss"]
+            ):
+                nu, _, _ = _cep_timed_scan(seq, tss, None)
+                if nu < 1:
+                    continue
+                nt, nev, span = _cep_timed_scan(
+                    seq, tss, _CEP_WITHIN_US
+                )
+                out.append(
+                    (
+                        int(u),
+                        day,
+                        len(seq),
+                        nt,
+                        nu,
+                        nev,
+                        None if span is None else span // 1000,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "day",
+                    "n_seq_events",
+                    "n_matches",
+                    "n_matches_untimed",
+                    "n_matched_events",
+                    "max_span_ms",
+                ],
+            ).astype(
+                # explicit dtypes so an all-filtered (empty) batch
+                # still carries an Arrow-convertible schema, and the
+                # nullable span column stays integral, never float
+                {
+                    "user_id": "int64",
+                    "day": "string",
+                    "n_seq_events": "int64",
+                    "n_matches": "int64",
+                    "n_matches_untimed": "int64",
+                    "n_matched_events": "int64",
+                    "max_span_ms": "Int64",
+                }
+            )
+
+    return s.mapInPandas(
+        scan,
+        "user_id bigint, day string, n_seq_events bigint,"
+        " n_matches bigint, n_matches_untimed bigint,"
+        " n_matched_events bigint, max_span_ms bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Point-in-time (temporal-table) join: facts enriched against the
 # SCD2 dimension AS OF fact time — the lookup the SCD2 build exists
 # to serve, exercised end-to-end: purchases joined into the validity

@@ -320,6 +320,69 @@ def test_cep_matches_python_regex_replay(spark, sf_dir):
     assert expected, "no CEP matches at test sf"
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("vcpesx"),
+            st.integers(0, 3_000_000_000),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.sampled_from([None, 0, 1, 500_000_000, 600_000_000]),
+)
+@settings(max_examples=300, deadline=None)
+def test_cep_timed_two_scanners_agree(evs, within):
+    # the engine's pointer-loop automaton vs the oracle's regex-based
+    # scanner — two deliberately independent implementations of the
+    # windowed-CEP contract, on random sequences incl. pathological
+    # windows (0 = only simultaneous events match; None = untimed)
+    from env_event_stream_spark.analytics_queries import (
+        _cep_regex_scan,
+        _cep_timed_scan,
+    )
+
+    evs = sorted(evs, key=lambda e: e[1])
+    seq = "".join(e[0] for e in evs)
+    ts = [e[1] for e in evs]
+    assert _cep_timed_scan(seq, ts, within) == _cep_regex_scan(
+        seq, ts, within
+    )
+
+
+def test_cep_within_consistent_with_untimed_pattern(spark, sf_dir):
+    # the untimed counter inside evt_cep_within must reproduce
+    # evt_cep_pattern's n_matches exactly (same pattern, same
+    # sequences), and every timed quantity is bounded by its untimed
+    # counterpart; spans respect the 10-minute window
+    from env_event_stream_spark.analytics_queries import (
+        _CEP_WITHIN_US,
+        evt_cep_pattern,
+        evt_cep_within,
+    )
+
+    timed = {
+        (r["user_id"], r["day"]): r
+        for r in evt_cep_within(spark, sf_dir).collect()
+    }
+    untimed = {
+        (r["user_id"], r["day"]): r
+        for r in evt_cep_pattern(spark, sf_dir).collect()
+    }
+    assert set(timed) == set(untimed)
+    saw_converted = False
+    for key, t in timed.items():
+        assert t["n_matches_untimed"] == untimed[key]["n_matches"]
+        assert t["n_seq_events"] == untimed[key]["n_seq_events"]
+        assert 0 <= t["n_matches"] <= t["n_matches_untimed"]
+        if t["n_matches"] == 0:
+            assert t["max_span_ms"] is None
+        else:
+            assert 0 <= t["max_span_ms"] <= _CEP_WITHIN_US // 1000
+            saw_converted = True
+    assert saw_converted, "no timed matches at test sf"
+
+
 def test_calibration_deciles_consistent(spark, sf_dir):
     from env_event_stream_spark.llm_queries import (
         doc_classifier_calibration,
