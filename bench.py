@@ -143,7 +143,56 @@ HEADLINE = [
     "evt_ab_test_conversion",
     "evt_holt_backtest",
     "evt_transition_eval",
+    # round-8 catch-up (r8 shipped these but never appended them —
+    # VERDICT r8 item 3)
+    "evt_cep_within",
+    "dq_referential_integrity",
+    # round-9 additions
+    "evt_holt_winters_daily",
+    "evt_hw_backtest",
+    "evt_cep_skip_modes",
+    "evt_cep_error_burst",
 ]
+
+# Rotating tail (VERDICT r8 task 4): the suite outgrew the driver
+# timeout budget (110 queries ≈ 170 s and append-only means it only
+# grows), so the expensive EVAL/AUDIT queries — fixed-cost measurement
+# queries over code paths that rarely change round-to-round — rotate:
+# each bench run times one alternating half, and BENCH_FULL.json
+# carries the other half's most recent timing forward (flagged in
+# "carried"). Every OPERATOR query stays in the always-run core so
+# per-round judge deltas on real code paths never skip a round.
+# The rotation index is len(BENCH_r*.json) % 2 — it advances exactly
+# once per round (the driver commits one BENCH_r file per round), so
+# repeated local runs within a round time the SAME half.
+ROTATING = [
+    "graph_pagerank_custsupp",
+    "doc_split_leakage_guard",
+    "doc_pretrain_token_yield",
+    "emb_mmr_diversity_eval",
+    "emb_opq_recall_eval",
+    "graph_triangles_copurchase",
+    "emb_multiprobe_recall_eval",
+    "doc_minhash_scurve",
+    "emb_residual_recall_eval",
+    "doc_exactsubstr_spans",
+    "doc_winnow_pairs",
+    "emb_knn_pq_rerank",
+    "emb_lsh_recall_eval",
+    "er_customer_entities",
+    "doc_winnow_spans",
+    "emb_binary_recall_eval",
+    "doc_phrase_heavy_hitters",
+    "doc_ppjoin_stats",
+]
+
+# Two-pass timing (VERDICT r8 task 2): the run-to-run jitter band
+# (157→168→179 s for identical code) exceeds a round's real delta, so
+# the slowest queries get a SECOND timed run in-session; BENCH_FULL
+# records both ("queries" = first, "steady" = second). The headline
+# metric stays the FIRST-pass total — steady numbers are for judge
+# per-query deltas, not the suite total.
+TWO_PASS_COUNT = 10
 
 
 def main() -> None:
@@ -165,26 +214,58 @@ def main() -> None:
         lambda it: (b for b in it), "x int"
     ).count()
 
-    timings: dict[str, float | None] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
+    here = os.path.dirname(os.path.abspath(__file__))
+    import glob as _glob
+
+    rotation = len(_glob.glob(os.path.join(here, "BENCH_r*.json"))) % 2
+    run_rotating = set(ROTATING[rotation::2])
+    skip_rotating = [n for n in ROTATING if n not in run_rotating]
+
+    def time_query(name: str) -> float | None:
         # One query crashing must not zero the whole suite (rounds 3-4
         # lost all bench data to a single AnalysisException): record
         # null for the failure, keep timing the rest.
         t0 = time.time()
         try:
-            df = qs[name](spark, sf_dir)
-            df.count()
-            timings[name] = round(time.time() - t0, 3)
+            qs[name](spark, sf_dir).count()
+            took = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = None
+            took = None
         # drop cached tables a query left behind (e.g. the shared
         # shingle/band tables in the dedup suite) OFF the clock, so
         # one query's cache pressure doesn't bill the next — this is
         # what made doc_minhash_pairs ~2x slower in-suite than cold.
         spark.catalog.clearCache()
+        return took
+
+    timings: dict[str, float | None] = {}
+    for name in HEADLINE:
+        if name not in qs or name in set(skip_rotating):
+            continue
+        timings[name] = time_query(name)
+
+    # second pass over the slowest queries of THIS run (jitter
+    # separation — see TWO_PASS_COUNT comment)
+    slowest = sorted(
+        ((k, v) for k, v in timings.items() if v is not None),
+        key=lambda kv: -kv[1],
+    )[:TWO_PASS_COUNT]
+    steady = {name: time_query(name) for name, _ in slowest}
+
+    # skipped rotating queries keep their most recent timing in
+    # BENCH_FULL (flagged, NOT in the total) so every headline query
+    # has a number somewhere every round
+    carried: dict[str, float | None] = {}
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+            prev = json.load(f)
+        for name in skip_rotating:
+            carried[name] = prev.get("queries", {}).get(name) or prev.get(
+                "carried", {}
+            ).get(name)
+    except (OSError, ValueError):
+        pass
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     failed = sorted(k for k, v in timings.items() if v is None)
@@ -196,6 +277,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "steady": steady,
+        "rotation": rotation,
+        "carried": carried,
         "failed": failed,
         "sf": sf,
     }
@@ -224,6 +308,7 @@ def main() -> None:
         key=lambda kv: -kv[1],
     )
     compact = dict(full)
+    compact.pop("carried", None)  # full artifact only — char budget
     for keep in range(len(by_slow), -1, -1):
         qdict = dict(by_slow[:keep])
         compact["queries"] = qdict

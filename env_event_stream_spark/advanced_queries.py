@@ -2827,15 +2827,17 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RI_CHECKS: list[tuple[str, str, str, str, str, bool]] = [
     # (name, fact table, fk col, dim table, pk col, broadcast_dim)
     # broadcast_dim is a SCALE judgment, not a local-speed one: only
-    # dimensions that stay bounded as the fact tables grow (nation,
-    # region, supplier, part — catalog-sized) may be pinned as
-    # broadcast.  orders and customer scale WITH the facts (billions
-    # of keys at 100 TB), so those edges take the shuffled left-anti
-    # join on the key — AQE may still choose a broadcast at tiny SFs,
-    # but the plan must not REQUIRE one.
+    # dimensions whose cardinality is FIXED regardless of SF (nation
+    # = 25 rows, region = 5 rows) may be pinned as broadcast.  Every
+    # other table here scales linearly with SF — part is 200k*SF,
+    # supplier 10k*SF, customer 150k*SF, orders 1.5M*SF — so at
+    # 100 TB each is a multi-GB+ key set and a forced broadcast is an
+    # OOM; those edges take the shuffled left-anti join on the key.
+    # AQE may still choose a broadcast at tiny SFs, but the plan must
+    # not REQUIRE one.
     ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
-    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
-    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", False),
     ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey", False),
     ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
     ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),

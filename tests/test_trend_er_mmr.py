@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from env_event_stream_spark.analytics_queries import (
     _HOLT_W,
+    _HW_W,
     evt_cusum_changepoint,
     evt_holt_trend_daily,
     er_customer_entities,
@@ -94,6 +95,80 @@ def test_holt_query_matches_python_recompute(spark, sf_dir):
             assert row["level_7d"] == math.floor(level * 1e4 + 0.5) / 1e4
             assert row["trend_7d"] == math.floor(trend * 1e4 + 0.5) / 1e4
             assert row["trend_up"] == (trend > 0)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters (seasonal)
+# ---------------------------------------------------------------------------
+
+
+def _hw_recurrence(ys):
+    """The literal additive Holt-Winters recurrence (alpha = beta =
+    gamma = 1/2, m = 7) with the CLASSICAL initialization over the
+    window's first week, exact rationals over exactly 14
+    observations. Returns (l, b, s_t, s_{t-6})."""
+    m = 7
+    assert len(ys) == 2 * m
+    w1 = Fr(sum(ys[:m]), m)
+    b = (Fr(sum(ys[m:]), m) - w1) / m
+    l = w1 + 3 * b  # level AT t = 6
+    seas: list[Fr] = [
+        Fr(1, 2) * (ys[i] - (l + (i - 6) * b))
+        + Fr(1, 2) * (ys[i + m] - (l + (i + 1) * b))
+        for i in range(m)
+    ]
+    for t in range(m, 2 * m):
+        s_m = seas[t - m]
+        l_new = Fr(1, 2) * (ys[t] - s_m) + Fr(1, 2) * (l + b)
+        b = Fr(1, 2) * (l_new - l) + Fr(1, 2) * b
+        seas.append(Fr(1, 2) * (ys[t] - l_new) + Fr(1, 2) * s_m)
+        l = l_new
+    return l, b, seas[-1], seas[m]
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=14, max_size=14))
+@settings(max_examples=50, deadline=None)
+def test_hw_weights_equal_recurrence_on_full_window(ys):
+    # the integer lag weights over their common denominator replay
+    # the classically-initialized recurrence EXACTLY — all four
+    # channels (level, trend, s_t, s_{t-6})
+    ref = _hw_recurrence(ys)
+    got = tuple(
+        sum(Fr(nums[k], den) * ys[-1 - k] for k in range(14))
+        for den, nums in _HW_W
+    )
+    assert got == ref
+
+
+def test_hw_constant_and_linear_series_are_exact():
+    # the classical init's reason to exist: gain exactly 1 on a
+    # constant series, trend exact on a linear ramp (the zero-init
+    # truncated impulse response fails both with a +27% bias)
+    l, b, s, s6 = _hw_recurrence([500] * 14)
+    assert (l, b, s, s6) == (500, 0, 0, 0)
+    ys = [100 + 7 * t for t in range(14)]
+    l, b, s, s6 = _hw_recurrence(ys)
+    assert b == 7 and s == 0 and s6 == 0
+    assert l + b == ys[-1] + 7  # one-step forecast continues the ramp
+
+
+def test_hw_seasonal_forecast_wins_on_planted_weekly_cycle():
+    # the honest-negative backtest (evt_hw_backtest: hw loses on the
+    # cycle-free synthetic corpus) needs its positive control: on a
+    # series WITH a weekly cycle the seasonal forecast must beat both
+    # plain Holt and naive persistence
+    ys = [1000 + (500 if t % 7 == 3 else 0) + 3 * t for t in range(35)]
+    err_hw = err_holt = err_naive = Fr(0)
+    for t in range(14, len(ys)):  # forecast y_t from the prior 14 days
+        win = ys[t - 14 : t]
+        l, b, _, s6 = _hw_recurrence(win)
+        lh = sum(Fr(_HOLT_W[k][0]) * win[-1 - k] for k in range(7))
+        bh = sum(Fr(_HOLT_W[k][1]) * win[-1 - k] for k in range(7))
+        err_hw += abs(l + b + s6 - ys[t])
+        err_holt += abs(lh + bh - ys[t])
+        err_naive += abs(Fr(win[-1] - ys[t]))
+    assert err_hw < err_holt
+    assert err_hw < err_naive
 
 
 # ---------------------------------------------------------------------------
@@ -348,6 +423,72 @@ def test_cep_timed_two_scanners_agree(evs, within):
     assert _cep_timed_scan(seq, ts, within) == _cep_regex_scan(
         seq, ts, within
     )
+    # ... and in AFTER MATCH SKIP TO NEXT ROW mode (overlapping)
+    got_next = _cep_timed_scan(seq, ts, within, skip_to_next=True)
+    assert got_next == _cep_regex_scan(seq, ts, within, skip_to_next=True)
+    # overlap monotonicity: every skip-past match's anchor also
+    # completes under skip-to-next, so the overlapping count dominates
+    assert got_next[0] >= _cep_timed_scan(seq, ts, within)[0]
+
+
+def test_cep_skip_modes_consistent_with_within(spark, sf_dir):
+    # m_skip_past must reproduce evt_cep_within's timed n_matches on
+    # every common user-day (same pattern, same window, same
+    # sequences), and the emitted user-day set must be a superset
+    # (an overlapping match exists wherever a non-overlapping one does)
+    from env_event_stream_spark.analytics_queries import (
+        evt_cep_skip_modes,
+        evt_cep_within,
+    )
+
+    modes = {
+        (r["user_id"], r["day"]): r
+        for r in evt_cep_skip_modes(spark, sf_dir).collect()
+    }
+    within = {
+        (r["user_id"], r["day"]): r
+        for r in evt_cep_within(spark, sf_dir).collect()
+    }
+    assert modes, "no skip-mode rows at test sf"
+    timed_within = {
+        k: r for k, r in within.items() if r["n_matches"] >= 1
+    }
+    assert set(timed_within) <= set(modes)
+    for k, r in modes.items():
+        assert r["m_skip_next"] >= r["m_skip_past"]
+        if k in timed_within:
+            assert r["m_skip_past"] == timed_within[k]["n_matches"]
+        else:
+            assert r["m_skip_past"] == 0
+
+
+def test_cep_error_burst_runs_are_maximal_and_flagged(spark, sf_dir):
+    from env_event_stream_spark.analytics_queries import (
+        _CEP_BURST_ALERT_RUN,
+        _CEP_BURST_MIN_RUN,
+        _CEP_BURST_WITHIN_MS,
+        evt_cep_error_burst,
+    )
+
+    rows = evt_cep_error_burst(spark, sf_dir).collect()
+    assert rows, "no error runs at test sf"
+    for r in rows:
+        assert r["run_len"] >= _CEP_BURST_MIN_RUN
+        assert r["span_ms"] >= 0
+        assert r["is_burst"] == (
+            r["run_len"] >= _CEP_BURST_ALERT_RUN
+            and r["span_ms"] <= _CEP_BURST_WITHIN_MS
+        )
+    # maximality: two runs of the same user-day can't be adjacent
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault((r["user_id"], r["day"]), []).append(
+            (r["start_pos"], r["run_len"])
+        )
+    for runs in by_day.values():
+        runs.sort()
+        for (p1, l1), (p2, _) in zip(runs, runs[1:]):
+            assert p1 + l1 < p2  # a non-error event separates them
 
 
 def test_cep_within_consistent_with_untimed_pattern(spark, sf_dir):
