@@ -152,6 +152,7 @@ HEADLINE = [
     "evt_hw_backtest",
     "evt_cep_skip_modes",
     "evt_cep_error_burst",
+    "doc_lcs_pairs",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -4851,6 +4851,148 @@ def doc_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LCS_SEED = 24  # char-seed width == the reporting floor (byte-exact)
+_LCS_DF_CAP = 64  # hot-gram guard: drop seeds shared by > 64 docs
+
+
+def _lcs_pairs_oracle() -> str:
+    """Lazy VALUES oracle: pyarrow-read the docs, regenerate the
+    SAME candidate pairs (char-24-gram seeds, df-capped), then solve
+    each pair with the INDEPENDENT binary-search/substring-set
+    algorithm (operators/suffix.lcs_bisect) — no automaton code on
+    this side."""
+    import collections
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from env_event_stream_spark.operators.suffix import lcs_bisect
+
+    t = pq.read_table(
+        _oracle_sf_dir().rstrip("/") + "/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = dict(zip(ids, t.column("text").to_pylist()))
+    idx: dict = collections.defaultdict(set)
+    for d, x in texts.items():
+        for i in range(len(x) - _LCS_SEED + 1):
+            idx[x[i : i + _LCS_SEED]].add(d)
+    pairs = set()
+    for s in idx.values():
+        if 1 < len(s) <= _LCS_DF_CAP:
+            pairs.update(itertools.combinations(sorted(s), 2))
+    rows = []
+    for ia, ib in sorted(pairs):
+        ln, sa, sb = lcs_bisect(texts[ia], texts[ib])
+        rows.append((ia, ib, ln, sa, sb))
+    if not rows:
+        return """
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS BIGINT) AS lcs_len,
+           CAST(NULL AS BIGINT) AS start_a,
+           CAST(NULL AS BIGINT) AS start_b
+    WHERE FALSE
+    """
+    vals = ", ".join(f"({a}, {b}, {ln}, {sa}, {sb})" for a, b, ln, sa, sb in rows)
+    return f"""
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(lcs_len AS BIGINT) AS lcs_len,
+           CAST(start_a AS BIGINT) AS start_a,
+           CAST(start_b AS BIGINT) AS start_b
+    FROM (VALUES {vals}) AS t(id_a, id_b, lcs_len, start_a, start_b)
+    """
+
+
+@query("doc_lcs_pairs", _lcs_pairs_oracle)
+def doc_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-exact longest common substring per candidate doc pair —
+    the suffix-automaton rung doc_exactsubstr_spans' docstring defers
+    to: no token floor, no seed-width granularity; the reported
+    length is the true character-level LCS with deterministic
+    positions (smallest start_b, then the substring's first
+    occurrence in a — the operators/suffix contract).
+
+    Candidate generation is EXACT by construction: any pair with a
+    common substring of >= 24 chars shares a char-24-gram, so the
+    seed join proposes every reportable pair (completeness holds
+    modulo the df-cap, which drops grams shared by > 64 docs — 0
+    such grams in this corpus, measured; at 100 TB the cap is the
+    same deliberate recall-vs-skew trade as operators/dedup.py and
+    is stated rather than silent). Per pair, the suffix automaton of
+    one text is built once and the other streamed through it —
+    O(|a|+|b|) per pair instead of the O(|a|*|b|) DP, the
+    asymptotics that survive book-length documents.
+
+    Plan: gram explode is JVM-side (sequence + transform +
+    substring), df computed with one groupBy; pairs bound every
+    downstream stage (texts join back on doc_id, then ONE Arrow
+    mapInPandas row per pair). Oracle: independent binary-search +
+    substring-set solver over the same pairs, VALUES-inlined; the
+    two algorithms are fuzz-pinned in tests/test_suffix_lcs.py."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.where(F.length("text") >= _LCS_SEED)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {_LCS_SEED - 1}),"
+                    f" i -> substring(text, i, {_LCS_SEED}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    cold = g.groupBy("gram").agg(
+        F.count("*").alias("_df")
+    ).where((F.col("_df") > 1) & (F.col("_df") <= _LCS_DF_CAP))
+    gc = g.join(cold.select("gram"), "gram")
+    pairs = (
+        gc.select(F.col("doc_id").alias("id_a"), "gram")
+        .join(gc.select(F.col("doc_id").alias("id_b"), "gram"), "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    withtext = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")),
+            "id_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")),
+            "id_b",
+        )
+    )
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from env_event_stream_spark.operators.suffix import (
+            suffix_automaton_lcs,
+        )
+
+        for pdf in batches:
+            out = []
+            for ia, ib, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["ta"], pdf["tb"]
+            ):
+                ln, sa, sb = suffix_automaton_lcs(ta, tb)
+                out.append((int(ia), int(ib), ln, sa, sb))
+            yield pd.DataFrame(
+                out, columns=["id_a", "id_b", "lcs_len", "start_a", "start_b"]
+            ).astype("int64")
+
+    return withtext.mapInPandas(
+        solve,
+        "id_a bigint, id_b bigint, lcs_len bigint,"
+        " start_a bigint, start_b bigint",
+    )
+
+
 @query(
     "doc_scrub_contamination",
     "WITH "
