@@ -4924,39 +4924,55 @@ def doc_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|a|+|b|) per pair instead of the O(|a|*|b|) DP, the
     asymptotics that survive book-length documents.
 
-    Plan: gram explode is JVM-side (sequence + transform +
-    substring), df computed with one groupBy; pairs bound every
-    downstream stage (texts join back on doc_id, then ONE Arrow
-    mapInPandas row per pair). Oracle: independent binary-search +
-    substring-set solver over the same pairs, VALUES-inlined; the
-    two algorithms are fuzz-pinned in tests/test_suffix_lcs.py."""
+    Plan: the corpus is exploded to grams ONCE (JVM-side sequence +
+    transform + substring); a single groupBy(gram) collects the
+    per-gram doc set, applies the df window (2..cap), and emits the
+    C(df,2) pairs JVM-side via nested array transforms — no
+    gram-keyed self-join, no second scan of the corpus (the first
+    formulation scanned/exploded the corpus three times: cold-filter
+    + both join sides; this one-scan re-plan plus the two gated
+    repartitions below took the sf0.1 wall 13.2s -> 2.5s steady —
+    the inflating explode and the Arrow stage were both running on
+    ONE task at small SF). Pairs then bound every
+    downstream stage (two doc_id joins pull the texts, then ONE
+    Arrow mapInPandas row per pair). Oracle: independent
+    binary-search + substring-set solver over the same pairs,
+    VALUES-inlined; the two algorithms are fuzz-pinned in
+    tests/test_suffix_lcs.py."""
     from typing import Iterator
 
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
-    g = (
-        d.where(F.length("text") >= _LCS_SEED)
-        .select(
-            "doc_id",
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Small-SF parquet is ONE file, so the gram explode (the 270x
+    # row-inflating stage) would run on one task; spread it first.
+    # Gated on actual input parallelism: at 100 TB the scan arrives
+    # in thousands of splits and this shuffle must NOT happen.
+    src = d.repartition(n_parts) if d.rdd.getNumPartitions() < n_parts else d
+    g = src.where(F.length("text") >= _LCS_SEED).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_LCS_SEED - 1}),"
+                f" i -> substring(text, i, {_LCS_SEED}))"
+            )
+        ).alias("gram"),
+    )
+    byg = g.groupBy("gram").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    ).where((F.size("ids") >= 2) & (F.size("ids") <= _LCS_DF_CAP))
+    pairs = (
+        byg.select(
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, length(text) - {_LCS_SEED - 1}),"
-                    f" i -> substring(text, i, {_LCS_SEED}))"
+                    "flatten(transform(ids, (a, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " b -> struct(a AS id_a, b AS id_b))))"
                 )
-            ).alias("gram"),
+            ).alias("p")
         )
-        .distinct()
-    )
-    cold = g.groupBy("gram").agg(
-        F.count("*").alias("_df")
-    ).where((F.col("_df") > 1) & (F.col("_df") <= _LCS_DF_CAP))
-    gc = g.join(cold.select("gram"), "gram")
-    pairs = (
-        gc.select(F.col("doc_id").alias("id_a"), "gram")
-        .join(gc.select(F.col("doc_id").alias("id_b"), "gram"), "gram")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     withtext = (
@@ -4968,6 +4984,10 @@ def doc_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")),
             "id_b",
         )
+        # AQE coalesces the byte-small pair table to ONE partition,
+        # which would serialize the Arrow automaton stage; spread the
+        # (pair-bounded, never corpus-sized) rows across the workers
+        .repartition(n_parts, "id_a")
     )
 
     def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
