@@ -153,6 +153,8 @@ HEADLINE = [
     "evt_cep_skip_modes",
     "evt_cep_error_burst",
     "doc_lcs_pairs",
+    "emb_whiten_stats",
+    "emb_whiten_labelknn_eval",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -1311,6 +1311,52 @@ def train_opq(
     return _opq_train(X, m, k, pq_iter, opq_iter)
 
 
+def _whiten_train(X, eps: float = 1e-6):
+    """Deterministic PCA-whitening trainer: (mu, W) such that
+    y = W·(x - mu) has identity covariance on the training sample
+    (up to eps regularization). Eigendecomposition of the sample
+    covariance via numpy's symmetric eigh, eigenvalues sorted
+    DESCENDING with a stable argsort, rows of W = Vᵀ scaled by
+    1/sqrt(eig + eps). Shared verbatim by the Spark path
+    (train_whitening) and the DuckDB-oracle path (llm_queries
+    rebuilds the sample with pyarrow) — identical float64 sample +
+    the same LAPACK = bit-identical (mu, W), the _pq_kmeans/_opq_train
+    contract. mu and W are rounded to 9dp so the shipped literals are
+    self-consistent on both sides. The model is dim + dim² floats no
+    matter the corpus size; training is driver-side on the bounded
+    collect_sample_matrix sample."""
+    import numpy as np
+
+    n = X.shape[0]
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    C = (Xc.T @ Xc) / n
+    evals, V = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(-evals, kind="stable")
+    evals, V = evals[order], V[:, order]
+    W = (V / np.sqrt(evals + eps)).T  # row d = PC_d / sqrt(eig_d)
+    return (
+        [round(float(x), 9) for x in mu],
+        [[round(float(x), 9) for x in row] for row in W],
+    )
+
+
+def train_whitening(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    eps: float = 1e-6,
+) -> tuple[list[float], list[list[float]]]:
+    """(mu, W) from the sample_cap lowest-id vectors — the same
+    bounded TakeOrdered sample every trainer here uses."""
+    X = collect_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col, cap=sample_cap
+    )
+    return _whiten_train(X, eps)
+
+
 def rotate_arrow(
     df: DataFrame, R: list[list[float]], *, vec_col: str, keep: list[str]
 ) -> DataFrame:
