@@ -155,6 +155,7 @@ HEADLINE = [
     "doc_lcs_pairs",
     "emb_whiten_stats",
     "emb_whiten_labelknn_eval",
+    "evt_stream_error_burst",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

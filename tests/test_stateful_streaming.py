@@ -788,3 +788,77 @@ def test_stream_kmv_state_matches_batch_across_micro_batches(
         .collect()
     }
     assert live == batch and len(live) > 0
+
+
+def test_stream_error_burst_runs_continue_across_batches(spark, tmp_path):
+    """The burst detector's run state survives the checkpoint: a
+    2-error run from batch 1 is EXTENDED by batch 2's error, and the
+    3-in-5-minutes check spans the batch boundary via the recovered
+    prev2 timestamp; a slow 3-run in batch 2 alone must NOT flag."""
+    import datetime as dt
+
+    from env_event_stream_spark.streaming_queries import (
+        stream_error_burst,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string, value double"
+    )
+
+    def write(spec):
+        rows = [
+            (uid, dt.datetime(2024, 1, 1, h, m, 0), eid, et, None)
+            for (uid, h, m, eid, et) in spec
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_error_burst(stream)
+        got: dict = {}
+
+        def sink(df, _epoch):
+            for r in df.collect():
+                got[r.ukey] = r
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # batch 1: user 1 errors at 9:00 and 9:02 (run of 2, no burst
+    # yet); user 2 errors at 9:00 then views at 9:01 (run reset)
+    write(
+        [(1, 9, 0, 1, "error"), (1, 9, 2, 2, "error"),
+         (2, 9, 0, 3, "error"), (2, 9, 1, 4, "view")]
+    )
+    r1 = run()
+    k1, k2 = "1|2024-01-01", "2|2024-01-01"
+    assert r1[k1].max_run_len == 2 and r1[k1].burst == 0
+    assert r1[k1].n_runs_ge2 == 1
+    assert r1[k2].max_run_len == 1 and r1[k2].n_runs_ge2 == 0
+
+    # batch 2: user 1's error at 9:04 extends the RECOVERED run to 3
+    # — span vs the error two back (9:00, from checkpointed prev2) is
+    # 4 min <= 5 min, so the burst flags across the batch boundary;
+    # user 2 runs 3 errors spread over 10 min — long run, NO burst
+    write(
+        [(1, 9, 4, 5, "error"),
+         (2, 9, 30, 6, "error"), (2, 9, 31, 7, "error"),
+         (2, 9, 40, 8, "error")]
+    )
+    r2 = run()
+    assert r2[k1].max_run_len == 3 and r2[k1].burst == 1
+    assert r2[k1].n_runs_ge2 == 1
+    assert r2[k2].max_run_len == 3 and r2[k2].burst == 0
+    assert r2[k2].n_runs_ge2 == 1
