@@ -2445,26 +2445,36 @@ _CEP_BURST_WITHIN_MS = 300_000  # ... within 5 minutes
       SELECT *, pos - row_number() OVER (
                PARTITION BY user_id, day ORDER BY pos) AS isl
       FROM s WHERE event_type = 'error'),
+    w3 AS (
+      SELECT *, us - lag(us, {_CEP_BURST_ALERT_RUN - 1}) OVER (
+               PARTITION BY user_id, day, isl ORDER BY pos) AS span3
+      FROM e),
     r AS (
       SELECT user_id, day, min(pos) AS start_pos,
              count(*) AS run_len,
-             (max(us) - min(us)) // 1000 AS span_ms
-      FROM e GROUP BY user_id, day, isl)
+             (max(us) - min(us)) // 1000 AS span_ms,
+             max(CASE WHEN span3 IS NOT NULL
+                       AND span3 <= {_CEP_BURST_WITHIN_MS} * 1000
+                      THEN 1 ELSE 0 END) AS hasb
+      FROM w3 GROUP BY user_id, day, isl)
     SELECT CAST(user_id AS BIGINT) AS user_id, day,
            CAST(start_pos AS BIGINT) AS start_pos,
            CAST(run_len AS BIGINT) AS run_len,
            CAST(span_ms AS BIGINT) AS span_ms,
-           run_len >= {_CEP_BURST_ALERT_RUN}
-             AND span_ms <= {_CEP_BURST_WITHIN_MS} AS is_burst
+           hasb = 1 AS is_burst
     FROM r WHERE run_len >= {_CEP_BURST_MIN_RUN}
     """,
 )
 def evt_cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second CEP pattern template: error bursts — maximal runs of
     CONSECUTIVE 'error' events inside a user-day ('e+' with maximal
-    munch), flagged as an alert when >= 3 errors land within 5
-    minutes (the ops-alert shape: repeated failures with nothing
-    else in between).
+    munch), flagged as an alert when ANY 3 consecutive errors land
+    within 5 minutes — the sliding lag(us, 2) window INSIDE the run,
+    not the full-run span, so a long sustained failure run still
+    flags (review-pass catch: the full-run-span formulation missed
+    exactly those, and contradicted the streaming twin
+    evt_stream_error_burst, which shares this check — the two now
+    agree user-day-for-user-day by construction, pytest-pinned).
 
     The operator lesson, stated deliberately: an anchor-free
     maximal-Kleene pattern needs NO automaton — it degenerates to
@@ -2497,12 +2507,22 @@ def evt_cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("user_id", "day").orderBy("pos")
         ),
     )
-    r = e.groupBy("user_id", "day", "isl").agg(
+    wisl = Window.partitionBy("user_id", "day", "isl").orderBy("pos")
+    w3 = e.withColumn(
+        "span3",
+        F.col("us") - F.lag("us", _CEP_BURST_ALERT_RUN - 1).over(wisl),
+    )
+    r = w3.groupBy("user_id", "day", "isl").agg(
         F.min("pos").alias("start_pos"),
         F.count("*").alias("run_len"),
         ((F.max("us") - F.min("us")) / F.lit(1000))
         .cast("bigint")
         .alias("span_ms"),
+        F.max(
+            F.when(
+                F.col("span3") <= _CEP_BURST_WITHIN_MS * 1000, 1
+            ).otherwise(0)
+        ).alias("hasb"),
     )
     return r.where(F.col("run_len") >= _CEP_BURST_MIN_RUN).select(
         F.col("user_id").cast("bigint").alias("user_id"),
@@ -2510,10 +2530,7 @@ def evt_cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_pos").cast("bigint").alias("start_pos"),
         F.col("run_len").cast("bigint").alias("run_len"),
         "span_ms",
-        (
-            (F.col("run_len") >= _CEP_BURST_ALERT_RUN)
-            & (F.col("span_ms") <= _CEP_BURST_WITHIN_MS)
-        ).alias("is_burst"),
+        (F.col("hasb") == 1).alias("is_burst"),
     )
 
 

@@ -1189,15 +1189,31 @@ def _whiten_stats_oracle() -> str:
     """
 
 
+@_functools.lru_cache(maxsize=8)
+def _whiten_spark_cached(sf_dir: str) -> tuple:
+    """One whitening training per sf_dir per process, REGISTERED in
+    _SPARK_TRAIN_DIRS so the lazy oracles resolve the same sf_dir the
+    engine trained at (the _pq_books_spark_cached contract — without
+    the registration an sf0.1 engine run would silently pair with an
+    sf0.01-trained oracle model and red-herring the hash gate)."""
+    from env_event_stream_spark.session import get_spark
+
+    _SPARK_TRAIN_DIRS.add(sf_dir)
+    e = load_table(get_spark("whiten-train"), sf_dir, "embeddings")
+    mu, W = S.train_whitening(e, sample_cap=_WHITEN_CAP)
+    return tuple(mu), tuple(tuple(r) for r in W)
+
+
 def _whitened_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, ev raw DOUBLE array, wv whitened array):
     center in Catalyst (zip_with against the mu literal — exact
     elementwise IEEE both engines), rotate in ONE Arrow stage
     (rotate_arrow's sequential fold == the oracle's
     list_dot_product). Row-local at any scale; the trained (mu, W)
-    is dim + dim² literals."""
+    is dim + dim² literals, trained once per process per sf_dir."""
     e = load_table(spark, sf_dir, "embeddings")
-    mu, W = S.train_whitening(e, sample_cap=_WHITEN_CAP)
+    mu_t, W_t = _whiten_spark_cached(sf_dir)
+    mu, W = list(mu_t), [list(r) for r in W_t]
     mu_arr = F.array(*[F.lit(float(v)) for v in mu])
     base = e.select(
         "vec_id",

@@ -475,10 +475,15 @@ def test_cep_error_burst_runs_are_maximal_and_flagged(spark, sf_dir):
     for r in rows:
         assert r["run_len"] >= _CEP_BURST_MIN_RUN
         assert r["span_ms"] >= 0
-        assert r["is_burst"] == (
-            r["run_len"] >= _CEP_BURST_ALERT_RUN
-            and r["span_ms"] <= _CEP_BURST_WITHIN_MS
-        )
+        # is_burst = ANY 3 consecutive errors within the window, so:
+        # impossible below the alert run length; for a run of exactly
+        # 3 the only window IS the run; a fast long run always flags
+        if r["run_len"] < _CEP_BURST_ALERT_RUN:
+            assert not r["is_burst"]
+        elif r["run_len"] == _CEP_BURST_ALERT_RUN:
+            assert r["is_burst"] == (r["span_ms"] <= _CEP_BURST_WITHIN_MS)
+        elif r["span_ms"] <= _CEP_BURST_WITHIN_MS:
+            assert r["is_burst"]
     # maximality: two runs of the same user-day can't be adjacent
     by_day: dict = {}
     for r in rows:
@@ -489,6 +494,33 @@ def test_cep_error_burst_runs_are_maximal_and_flagged(spark, sf_dir):
         runs.sort()
         for (p1, l1), (p2, _) in zip(runs, runs[1:]):
             assert p1 + l1 < p2  # a non-error event separates them
+
+
+def test_cep_error_burst_agrees_with_streaming_twin(spark, sf_dir):
+    # the batch islands report and the live detector implement ONE
+    # contract (any 3 consecutive errors within 5 min): aggregated
+    # per user-day they must agree exactly
+    from env_event_stream_spark.analytics_queries import (
+        evt_cep_error_burst,
+    )
+    from env_event_stream_spark.streaming_queries import (
+        evt_stream_error_burst,
+    )
+
+    batch: dict = {}
+    for r in evt_cep_error_burst(spark, sf_dir).collect():
+        k = (r["user_id"], r["day"])
+        n, mx, b = batch.get(k, (0, 0, False))
+        batch[k] = (n + 1, max(mx, r["run_len"]), b or r["is_burst"])
+    live = {
+        (r["user_id"], r["day"]): (
+            r["n_runs_ge2"],
+            r["max_run_len"],
+            r["any_burst"],
+        )
+        for r in evt_stream_error_burst(spark, sf_dir).collect()
+    }
+    assert batch and batch == live
 
 
 def test_cep_within_consistent_with_untimed_pattern(spark, sf_dir):
