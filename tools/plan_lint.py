@@ -58,6 +58,8 @@ NESTED_LOOP_ALLOWED = {
     "emb_hard_negatives": "anchor-batch broadcast probe (documented)",
     "emb_mmr_diversify": "probe-query broadcast onto the corpus (kNN tier)",
     "emb_mmr_diversity_eval": "probe broadcast + 1-row metric crossJoins",
+    "emb_whiten_labelknn_eval": "50-probe broadcast NL join (exact-KNN"
+    " eval tier, corpus scanned once for both rankings)",
     "doc_source_psi": "1-row corpus-totals broadcast for the PSI reference",
     "doc_classifier_calibration": "weight-vector broadcast (1 row)",
     "emb_semdedup": "cell-scoped pairs; centroid broadcast probe",
