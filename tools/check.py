@@ -120,6 +120,19 @@ def counts() -> int:
         )
         if dupes:
             bad.append(f"bench.py HEADLINE duplicate names: {dupes}")
+        # ROTATING must be a duplicate-free subset of HEADLINE: a
+        # typo'd name would silently never be skipped (no rotation
+        # saving) and never carry, defeating the protocol
+        rot_ghosts = [
+            n for n in _bench.ROTATING if n not in _bench.HEADLINE
+        ]
+        if rot_ghosts:
+            bad.append(f"bench.py ROTATING names not in HEADLINE: {rot_ghosts}")
+        rot_dupes = sorted(
+            {n for n in _bench.ROTATING if _bench.ROTATING.count(n) > 1}
+        )
+        if rot_dupes:
+            bad.append(f"bench.py ROTATING duplicate names: {rot_dupes}")
     except Exception as exc:  # a broken bench.py IS drift — never green
         bad.append(f"headline gate could not run: {exc!r}")
 
