@@ -496,6 +496,56 @@ def test_cep_error_burst_runs_are_maximal_and_flagged(spark, sf_dir):
             assert p1 + l1 < p2  # a non-error event separates them
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["error", "view"]),
+            st.integers(0, 900_000_000),  # us within a day, 15-min span
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_burst_fold_matches_islands_replay(evs):
+    # the streaming fold (sequential, O(1) state) vs an independent
+    # islands replay (split into maximal error runs, sliding
+    # 3-window check) — the same two-implementations discipline the
+    # sf-data consistency test pins, but on adversarial sequences:
+    # simultaneous events, runs at the sequence edges, exact-boundary
+    # spans (the within check is <=)
+    from env_event_stream_spark.streaming_queries import (
+        _BURST_WITHIN_US,
+        fold_burst_run,
+    )
+
+    evs = sorted(evs, key=lambda e: e[1])
+    s = [0, -1, -1, 0, 0, 0]
+    for etype, us in evs:
+        fold_burst_run(s, etype, us)
+    # independent replay: maximal runs, then window checks
+    runs: list[list[int]] = []
+    cur: list[int] = []
+    for etype, us in evs:
+        if etype == "error":
+            cur.append(us)
+        elif cur:
+            runs.append(cur)
+            cur = []
+    if cur:
+        runs.append(cur)
+    n_runs2 = sum(1 for r in runs if len(r) >= 2)
+    max_run = max((len(r) for r in runs), default=0)
+    burst = any(
+        r[k] - r[k - 2] <= _BURST_WITHIN_US
+        for r in runs
+        for k in range(2, len(r))
+    )
+    assert s[3] == n_runs2
+    assert s[4] == max_run
+    assert bool(s[5]) == burst
+
+
 def test_cep_error_burst_agrees_with_streaming_twin(spark, sf_dir):
     # the batch islands report and the live detector implement ONE
     # contract (any 3 consecutive errors within 5 min): aggregated

@@ -84,3 +84,31 @@ def test_whiten_labelknn_eval_invariants(spark, sf_dir):
     for r in rows:
         for c in ("hits_raw", "hits_white", "n_common"):
             assert 0 <= r[c] <= 3
+
+
+def test_whiten_train_degenerate_samples_stay_finite():
+    """Rank-deficient and constant samples must not produce NaN/inf:
+    zero-variance directions hit the eps floor (gain 1/sqrt(eps), a
+    large but FINITE scale on axes where centered data is exactly 0,
+    so whitened coords stay 0), and duplicated rows (rank 1) whiten
+    without blowup."""
+    from env_event_stream_spark.operators.similarity import _whiten_train
+
+    # constant sample: covariance is exactly 0
+    Xc = np.full((50, 8), 3.25)
+    mu, W = _whiten_train(Xc)
+    Wm, mum = np.array(W), np.array(mu)
+    assert np.isfinite(Wm).all() and np.isfinite(mum).all()
+    Y = (Xc - mum) @ Wm.T
+    assert np.abs(Y).max() == 0.0
+
+    # rank-1 sample: one informative direction, 7 null ones
+    rng = np.random.RandomState(3)
+    base = rng.randn(50, 1) @ rng.randn(1, 8)
+    mu, W = _whiten_train(base)
+    Wm, mum = np.array(W), np.array(mu)
+    assert np.isfinite(Wm).all()
+    Y = (base - mum) @ Wm.T
+    assert np.isfinite(Y).all()
+    # the informative direction still whitens to unit-ish variance
+    assert 0.5 < Y[:, 0].var() < 1.5
