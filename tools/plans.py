@@ -74,6 +74,26 @@ PICKS = [
     ("join_size_cms_estimate", "sketch-composition cardinality "
      "estimate: each side streams once into cells; the 256-row cell "
      "join replaces any key-aligned meeting of the sides"),
+    # round-9 families
+    ("evt_cep_within", "windowed CEP automaton: ONE user-day exchange "
+     "builds the sorted (initial, ts) sequences (ObjectHashAggregate "
+     "of collect_list), then a single Arrow MapInPandas stage — the "
+     "automaton itself never shuffles"),
+    ("evt_cep_error_burst", "anchor-free CEP template degenerates to "
+     "gaps-and-islands: two window functions + grouped agg, "
+     "whole-stage codegen end to end, no Python stage at all"),
+    ("doc_lcs_pairs", "byte-exact LCS: one gram explode scan, ONE "
+     "groupBy(gram) emits candidate pairs JVM-side (no gram "
+     "self-join), pair-bounded text joins feed a single Arrow "
+     "suffix-automaton stage; note the gated repartitions that keep "
+     "small-SF inputs parallel"),
+    ("evt_holt_winters_daily", "seasonal smoothing on the calendar "
+     "grid: map-side-combined daily counts, one window over "
+     "|types|x|days|, the 14-lag integer weighted sums are pure "
+     "codegen projections"),
+    ("emb_whiten_stats", "whitening verification: one Arrow rotate "
+     "(model is dim+dim^2 literals), posexplode to micro-unit pairs, "
+     "64-key groupBy with partial_sum map-side combine"),
 ]
 
 
