@@ -1667,6 +1667,103 @@ def evt_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hw_residual_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    hw AS (SELECT event_type, day_idx, forecast_next
+           FROM ({_hw_oracle_sql()}) t),
+    j AS (
+      SELECT hw.event_type, d.day_idx, d.cnt AS actual,
+             hw.forecast_next,
+             d.cnt - hw.forecast_next AS resid
+      FROM hw JOIN d ON d.event_type = hw.event_type
+                    AND d.day_idx = hw.day_idx + 1),
+    med AS (SELECT event_type, quantile_cont(resid, 0.5) AS m
+            FROM j GROUP BY 1),
+    dev AS (SELECT j.*, med.m, abs(j.resid - med.m) AS ad
+            FROM j JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.event_type, CAST(d.day_idx AS BIGINT) AS day_idx,
+           CAST(d.actual AS BIGINT) AS actual,
+           d.forecast_next AS forecast,
+           floor(d.resid * 10000 + 0.5) / 10000 AS resid,
+           floor(d.m * 10000 + 0.5) / 10000 AS median_resid,
+           floor(mad.mad * 10000 + 0.5) / 10000 AS mad_resid,
+           d.ad > 3 * 1.4826 * mad.mad AS is_anomaly
+    FROM dev d JOIN mad ON mad.event_type = d.event_type
+    """
+
+
+@query("evt_hw_residual_anomaly", _hw_residual_oracle)
+def evt_hw_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALLY-ADJUSTED anomaly detection: median/MAD robust
+    outliers over the Holt-Winters one-step forecast RESIDUALS
+    (actual next-day count minus forecast_next) — the rung
+    evt_mad_outliers cannot be: it sees raw dailies, where a normal
+    Monday peak looks like an outlier against the weekly mean; here
+    the level + trend + weekday-seasonal structure is subtracted
+    FIRST and only what the model cannot explain is scored. Emits the
+    full scored grid (one row per type-day with a forecast), so the
+    flag's context — residual, per-type robust center and spread — is
+    auditable next to each verdict.
+
+    Determinism: forecast_next is 4dp-exact and actual is integer, so
+    resid is an exact double on both engines; Spark percentile() ==
+    DuckDB quantile_cont bit-for-bit pre-rounding (the
+    evt_value_percentiles_by_type pinning), deviations compare
+    UNROUNDED values, and the anomaly flag uses the same strict
+    inequality + literal spelling as evt_mad_outliers. Only display
+    columns round (tie-free 4dp floor). Plan: the HW grid joins the
+    day-shifted daily counts (calendar-sized), then two grouped exact
+    percentiles with the |types|-row results broadcast back — the
+    evt_mad_outliers shape over a corpus-size-INVARIANT frame (the
+    daily grid), so the exact-percentile sort is never a scale risk
+    here. Reference analog: none (src/broker.ts stops at delivery
+    counters); §2.11 time-series extension surface."""
+    d = _daily_counts_by_type(spark, sf_dir)
+    hw = evt_holt_winters_daily(spark, sf_dir).select(
+        "event_type", "day_idx", "forecast_next"
+    )
+    nxt = d.select(
+        "event_type",
+        (F.col("day_idx") - 1).alias("day_idx"),
+        F.col("cnt").alias("actual"),
+    )
+    j = hw.join(nxt, ["event_type", "day_idx"]).select(
+        "event_type",
+        (F.col("day_idx") + 1).alias("day_idx"),
+        "actual",
+        F.col("forecast_next").alias("forecast"),
+        (F.col("actual") - F.col("forecast_next")).alias("resid"),
+    )
+    med = j.groupBy("event_type").agg(
+        F.expr("percentile(resid, 0.5)").alias("m")
+    )
+    dev = j.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("resid") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        F.col("actual").cast("bigint").alias("actual"),
+        "forecast",
+        r4(F.col("resid")).alias("resid"),
+        r4(F.col("m")).alias("median_resid"),
+        r4(F.col("mad")).alias("mad_resid"),
+        (F.col("ad") > F.lit(3 * 1.4826) * F.col("mad")).alias("is_anomaly"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CUSUM changepoint detection over the same daily series — the
 # sequential drift detector (Page 1954) that catches slow shifts the

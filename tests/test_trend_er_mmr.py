@@ -171,6 +171,43 @@ def test_hw_seasonal_forecast_wins_on_planted_weekly_cycle():
     assert err_hw < err_naive
 
 
+def test_hw_residual_anomaly_consistent_with_forecast(spark, sf_dir):
+    # the seasonal-adjusted outlier rung must score exactly the
+    # (forecast day + 1, actual) pairs the HW grid can forecast, with
+    # resid = actual - forecast at 4dp and per-type constant
+    # median/MAD columns; the flag must agree with its own displayed
+    # columns up to display rounding
+    from env_event_stream_spark.analytics_queries import (
+        evt_holt_winters_daily,
+        evt_hw_residual_anomaly,
+    )
+
+    hw = {
+        (r["event_type"], r["day_idx"]): r["forecast_next"]
+        for r in evt_holt_winters_daily(spark, sf_dir).collect()
+    }
+    rows = evt_hw_residual_anomaly(spark, sf_dir).collect()
+    assert rows, "no scored days at test sf"
+    per_type: dict = {}
+    for r in rows:
+        key = (r["event_type"], r["day_idx"] - 1)
+        assert key in hw, "scored a day without a prior-day forecast"
+        assert r["forecast"] == hw[key]
+        assert (
+            abs(r["resid"] - (r["actual"] - r["forecast"])) < 2e-4
+        )
+        mm = per_type.setdefault(
+            r["event_type"], (r["median_resid"], r["mad_resid"])
+        )
+        assert mm == (r["median_resid"], r["mad_resid"])
+        gap = abs(r["resid"] - r["median_resid"])
+        thr = 3 * 1.4826 * r["mad_resid"]
+        if r["is_anomaly"]:
+            assert gap > thr - 2e-3
+        else:
+            assert gap < thr + 2e-3
+
+
 # ---------------------------------------------------------------------------
 # CUSUM
 # ---------------------------------------------------------------------------
