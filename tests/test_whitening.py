@@ -112,3 +112,19 @@ def test_whiten_train_degenerate_samples_stay_finite():
     assert np.isfinite(Y).all()
     # the informative direction still whitens to unit-ish variance
     assert 0.5 < Y[:, 0].var() < 1.5
+
+
+def test_whiten_ivf_eval_invariants(spark, sf_dir):
+    # every probe query scored in both spaces; counts bounded by k=3;
+    # the displayed ratios are exactly n/3 at 4dp
+    from env_event_stream_spark.llm_queries import emb_whiten_ivf_eval
+
+    rows = emb_whiten_ivf_eval(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_match_raw"] <= 3
+        assert 0 <= r["n_match_white"] <= 3
+        assert abs(r["recall_raw"] - round(r["n_match_raw"] / 3.0, 4)) < 1e-9
+        assert (
+            abs(r["recall_white"] - round(r["n_match_white"] / 3.0, 4)) < 1e-9
+        )
