@@ -5267,12 +5267,14 @@ _LCS_SEED = 24  # char-seed width == the reporting floor (byte-exact)
 _LCS_DF_CAP = 64  # hot-gram guard: drop seeds shared by > 64 docs
 
 
-def _lcs_pairs_oracle() -> str:
-    """Lazy VALUES oracle: pyarrow-read the docs, regenerate the
-    SAME candidate pairs (char-24-gram seeds, df-capped), then solve
-    each pair with the INDEPENDENT binary-search/substring-set
-    algorithm (operators/suffix.lcs_bisect) — no automaton code on
-    this side."""
+@_functools.lru_cache(maxsize=8)
+def _lcs_oracle_solved(sf_dir: str) -> tuple:
+    """Oracle-side LCS substrate, shared by the pairs and scrub
+    oracles: pyarrow-read the docs at ``sf_dir``, regenerate the SAME
+    candidate pairs (char-24-gram seeds, df-capped), then solve each
+    pair with the INDEPENDENT binary-search/substring-set algorithm
+    (operators/suffix.lcs_bisect) — no automaton code on this side.
+    Returns ({doc_id: text}, ((id_a, id_b, ln, sa, sb), ...))."""
     import collections
     import itertools
 
@@ -5281,7 +5283,7 @@ def _lcs_pairs_oracle() -> str:
     from env_event_stream_spark.operators.suffix import lcs_bisect
 
     t = pq.read_table(
-        _oracle_sf_dir().rstrip("/") + "/documents.parquet",
+        sf_dir.rstrip("/") + "/documents.parquet",
         columns=["doc_id", "text"],
     )
     ids = t.column("doc_id").to_pylist()
@@ -5298,6 +5300,12 @@ def _lcs_pairs_oracle() -> str:
     for ia, ib in sorted(pairs):
         ln, sa, sb = lcs_bisect(texts[ia], texts[ib])
         rows.append((ia, ib, ln, sa, sb))
+    return texts, tuple(rows)
+
+
+def _lcs_pairs_oracle() -> str:
+    """Lazy VALUES oracle over the shared _lcs_oracle_solved rows."""
+    _, rows = _lcs_oracle_solved(_oracle_sf_dir())
     if not rows:
         return """
     SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
@@ -5422,6 +5430,132 @@ def doc_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         solve,
         "id_a bigint, id_b bigint, lcs_len bigint,"
         " start_a bigint, start_b bigint",
+    )
+
+
+def _lcs_scrub_oracle() -> str:
+    """Lazy VALUES oracle: independent Python scrub over the shared
+    bisect-solved pair spans — interval merge + cut + md5, no Spark
+    and no automaton code on this side."""
+    import hashlib
+
+    texts, rows = _lcs_oracle_solved(_oracle_sf_dir())
+    spans: dict = {}
+    for ia, ib, ln, sa, sb in rows:
+        spans.setdefault(ib, []).append((sb, sb + ln))
+    out = []
+    for d in sorted(spans):
+        merged: list = []
+        for s, e in sorted(spans[d]):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        txt = texts[d]
+        kept = []
+        pos = removed = 0
+        for s, e in merged:
+            kept.append(txt[pos:s])
+            removed += e - s
+            pos = e
+        kept.append(txt[pos:])
+        clean = "".join(kept)
+        out.append(
+            (
+                d,
+                len(txt),
+                len(merged),
+                removed,
+                hashlib.md5(clean.encode("utf-8")).hexdigest(),
+            )
+        )
+    if not out:
+        return """
+    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_chars,
+           CAST(NULL AS BIGINT) AS n_spans, CAST(NULL AS BIGINT) AS n_removed,
+           CAST(NULL AS VARCHAR) AS clean_hash
+    WHERE FALSE
+    """
+    vals = ", ".join(
+        f"({d}, {nc}, {ns}, {nr}, '{h}')" for d, nc, ns, nr, h in out
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           clean_hash
+    FROM (VALUES {vals}) AS t(doc_id, n_chars, n_spans, n_removed,
+                              clean_hash)
+    """
+
+
+@query("doc_lcs_scrub", _lcs_scrub_oracle)
+def doc_lcs_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. train-train CUT, byte-exact tier: for every doc
+    that repeats another doc's text verbatim (a doc_lcs_pairs span —
+    true character-level LCS >= 24), cut the shared span from the
+    LATER doc (id_b — the earlier copy survives, the keep-first
+    policy of doc_dedup_survivors) and emit the scrubbed doc's shape:
+    char count, merged-span count, chars removed, and md5 of the
+    reassembled clean text (the hash pins exact reassembly order —
+    the column a downstream writer materializes; the
+    doc_scrub_contamination discipline, applied to train-train
+    overlap instead of eval contamination).
+
+    A doc repeating several earlier docs carries several spans, which
+    may overlap — spans are MERGED declaratively first (sort by
+    start, running max(end) over the preceding rows, island break
+    where start > max-so-far; one window + one groupBy), then ONE
+    pass of aggregate() folds the doc's disjoint intervals into the
+    kept text JVM-side: no Python in the cut, no per-span explode of
+    the text. Scale: every stage after doc_lcs_pairs is keyed by
+    doc_id and bounded by the PAIR table, never the corpus — the
+    clean 100 TB majority is never touched (the decontamination
+    scale argument). Oracle: independent Python interval-merge + cut
+    over the independently-solved bisect spans, VALUES-inlined."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = doc_lcs_pairs(spark, sf_dir)
+    spans = pairs.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("lcs_len")).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    pmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = spans.withColumn(
+        "new_isl",
+        F.when(F.col("s") > F.coalesce(pmax, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = marked.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"),
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("n_removed"),
+    )
+    cut = ivs.join(d.select("doc_id", "text"), "doc_id")
+    clean = F.expr(
+        "aggregate(ivs,"
+        " struct(CAST(0 AS INT) AS pos, '' AS acc),"
+        " (st, iv) -> struct(CAST(iv.e AS INT) AS pos,"
+        "   concat(st.acc, substring(text, st.pos + 1,"
+        "                            CAST(iv.s AS INT) - st.pos)) AS acc),"
+        " st -> concat(st.acc, substring(text, st.pos + 1,"
+        "                                length(text) - st.pos)))"
+    )
+    return cut.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        "n_spans",
+        "n_removed",
+        F.md5(clean).alias("clean_hash"),
     )
 
 

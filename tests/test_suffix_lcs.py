@@ -69,3 +69,64 @@ def test_lcs_pairs_rows_check_against_texts(spark, sf_dir):
         assert a[r["start_a"] : r["start_a"] + ln] == sub
         # byte-exact maximality, independently re-derived
         assert lcs_bisect(a, b)[0] == ln
+
+
+def test_lcs_scrub_reassembles_engine_spans(spark, sf_dir):
+    # the JVM-side interval-merge + aggregate() cut must equal an
+    # independent Python scrub over the ENGINE's own pair spans —
+    # pins the declarative reassembly (the part the VALUES oracle
+    # shares a span source with) against a second implementation
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from env_event_stream_spark.llm_queries import (
+        doc_lcs_pairs,
+        doc_lcs_scrub,
+    )
+
+    spans: dict = {}
+    for r in doc_lcs_pairs(spark, sf_dir).collect():
+        spans.setdefault(r["id_b"], []).append(
+            (r["start_b"], r["start_b"] + r["lcs_len"])
+        )
+    assert spans, "no LCS pairs at test sf"
+    t = pq.read_table(
+        sf_dir.rstrip("/") + "/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    texts = dict(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    want = {}
+    for d, ss in spans.items():
+        merged: list = []
+        for s, e in sorted(ss):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        txt = texts[d]
+        clean = ""
+        pos = removed = 0
+        for s, e in merged:
+            clean += txt[pos:s]
+            removed += e - s
+            pos = e
+        clean += txt[pos:]
+        want[d] = (
+            len(txt),
+            len(merged),
+            removed,
+            hashlib.md5(clean.encode("utf-8")).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_chars"],
+            r["n_spans"],
+            r["n_removed"],
+            r["clean_hash"],
+        )
+        for r in doc_lcs_scrub(spark, sf_dir).collect()
+    }
+    assert got == want
