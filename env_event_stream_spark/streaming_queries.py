@@ -1111,6 +1111,231 @@ def evt_stream_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming CEP funnel matview (18th genuinely-streaming oracled
+# entry): the timed v[cs]*p conversion pattern as keyed state — the
+# live twin of the batch windowed automaton (evt_cep_within).
+# ---------------------------------------------------------------------------
+
+
+def fold_cep_funnel(s: list, ini: str, us: int) -> list:
+    """Per-(user, day) incremental fold of the timed v[cs]*p scan
+    (WITHIN 10 min, AFTER MATCH SKIP PAST LAST ROW) over compact
+    state [anchor_us, cs_len, n_matches, n_matched_events,
+    max_span_us, n_events] (-1 sentinels for absent anchor/span).
+
+    The single-anchor state is EXACTLY the batch pointer scan
+    (_cep_timed_scan): the pattern's repetition class excludes 'v',
+    so an inner view both kills the outer attempt and anchors the
+    next one — at most one attempt is ever open, and the CEP state
+    bound is 2 scalars + 4 counters per key, no event buffer. An
+    event outside the anchor's window kills the attempt FIRST and
+    may then re-anchor (the batch scan's advance-one-position
+    semantics); an in-window purchase completes the match and
+    consumes its rows. Fuzz-pinned against the batch automaton in
+    tests/test_trend_er_mmr.py."""
+    from env_event_stream_spark.analytics_queries import _CEP_WITHIN_US
+
+    s[5] += 1
+    if s[0] >= 0:
+        if us - s[0] > _CEP_WITHIN_US:
+            s[0] = -1
+            s[1] = 0
+        elif ini == "p":
+            s[2] += 1
+            s[3] += s[1] + 2
+            span = us - s[0]
+            if span > s[4]:
+                s[4] = span
+            s[0] = -1
+            s[1] = 0
+            return s
+        elif ini in ("c", "s"):
+            s[1] += 1
+            return s
+        else:
+            s[0] = -1
+            s[1] = 0
+    if ini == "v":
+        s[0] = us
+        s[1] = 0
+    return s
+
+
+def cep_funnel_state_fn(key, pdfs, state):
+    """One hash-bucket of (user, day) funnel states (the
+    burst_state_fn bucketing pattern): state rides parallel arrays
+    over the bucket's keys; every micro-batch folds its rows in
+    (ts, event_id) order and re-emits the bucket's aggregates."""
+    import pandas as pd
+
+    if state.exists:
+        ukeys, anc, alen, nm, nme, msp, nev = state.get
+        st = {
+            u: [int(a), int(b), int(c), int(d), int(e), int(f)]
+            for u, a, b, c, d, e, f in zip(
+                ukeys, anc, alen, nm, nme, msp, nev
+            )
+        }
+    else:
+        st = {}
+    rows = pd.concat(list(pdfs))
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for u, ini, us in zip(rows["ukey"], rows["ini"], rows["us"]):
+            s = st.get(u)
+            if s is None:
+                s = [-1, 0, 0, 0, -1, 0]
+                st[u] = s
+            fold_cep_funnel(s, ini, int(us))
+    keys = list(st.keys())
+    state.update(
+        (
+            keys,
+            [st[u][0] for u in keys],
+            [st[u][1] for u in keys],
+            [st[u][2] for u in keys],
+            [st[u][3] for u in keys],
+            [st[u][4] for u in keys],
+            [st[u][5] for u in keys],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "ukey": keys,
+            "n_matches": [st[u][2] for u in keys],
+            "n_matched_events": [st[u][3] for u in keys],
+            "max_span_us": [st[u][4] for u in keys],
+            "n_seq_events": [st[u][5] for u in keys],
+        }
+    )
+
+
+def stream_cep_funnel(ev: DataFrame) -> DataFrame:
+    """The stream-side funnel pipeline (shared by the catalog query
+    and the forced multi-batch pytest): initials mapping, (user, day)
+    composite key, 64-way hash bucketing, one applyInPandasWithState
+    emitting the per-key match aggregates every micro-batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from env_event_stream_spark.analytics_queries import _CEP_INI
+
+    ini = F.col("event_type")
+    expr = None
+    for k, v in _CEP_INI.items():
+        expr = (
+            F.when(ini == k, v) if expr is None else expr.when(ini == k, v)
+        )
+    keyed = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            expr.otherwise("x").alias("ini"),
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .withColumn(
+            "ukey",
+            F.concat_ws(
+                "|", F.col("user_id").cast("string"), F.col("day")
+            ),
+        )
+        .withColumn("bucket", F.pmod(F.hash("ukey"), F.lit(64)))
+    )
+    return keyed.select(
+        "bucket", "ukey", "ts", "event_id", "ini", "us"
+    ).groupBy("bucket").applyInPandasWithState(
+        cep_funnel_state_fn,
+        outputStructType=(
+            "ukey string, n_matches bigint, n_matched_events bigint,"
+            " max_span_us bigint, n_seq_events bigint"
+        ),
+        stateStructType=(
+            "ukeys array<string>, anc array<bigint>, alen array<bigint>,"
+            " nm array<bigint>, nme array<bigint>, msp array<bigint>,"
+            " nev array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _stream_cep_funnel_oracle() -> str:
+    """Lazy VALUES oracle: the independent regex-based windowed
+    scanner (_cep_regex_scan) replayed per user-day — the same
+    independent-algorithm substrate as the batch evt_cep_within
+    oracle, filtered to TIMED matches (this matview's emit gate)."""
+    from env_event_stream_spark.analytics_queries import (
+        _CEP_WITHIN_US,
+        _cep_regex_scan,
+        _cep_user_days,
+    )
+
+    rows = []
+    for (u, day), (seq, ts_l) in _cep_user_days().items():
+        nt, nev, span = _cep_regex_scan(seq, ts_l, _CEP_WITHIN_US)
+        if nt < 1:
+            continue
+        rows.append((u, day, len(seq), nt, nev, span // 1000))
+    if not rows:
+        return """
+    SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS day,
+           CAST(NULL AS BIGINT) AS n_seq_events,
+           CAST(NULL AS BIGINT) AS n_matches,
+           CAST(NULL AS BIGINT) AS n_matched_events,
+           CAST(NULL AS BIGINT) AS max_span_ms
+    WHERE FALSE
+    """
+    vals = ", ".join(
+        f"({u}, '{d}', {ns}, {nt}, {nev}, {sp})"
+        for u, d, ns, nt, nev, sp in sorted(rows)
+    )
+    return f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id, day,
+           CAST(n_seq_events AS BIGINT) AS n_seq_events,
+           CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(n_matched_events AS BIGINT) AS n_matched_events,
+           CAST(max_span_ms AS BIGINT) AS max_span_ms
+    FROM (VALUES {vals}) AS t(user_id, day, n_seq_events, n_matches,
+                              n_matched_events, max_span_ms)
+    """
+
+
+@query("evt_stream_cep_funnel", _stream_cep_funnel_oracle)
+def evt_stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE timed-funnel CEP matview (18th genuinely-streaming
+    oracled entry): per (user, day), how many v[cs]*p conversions
+    completed WITHIN 10 minutes, the events they consumed, and the
+    longest anchor-to-purchase span — evt_cep_within's windowed
+    automaton maintained as keyed streaming state, answering "is
+    this user converting RIGHT NOW" as events arrive instead of
+    after the day closes.
+
+    The state-size argument is the operator's point: because the
+    pattern's repetition class excludes the anchor, the incremental
+    fold needs ONE open attempt (anchor ts + run length) plus four
+    counters per key — no event buffer, no regex over a growing
+    string; day keys retire naturally. Keys hash-bucket 64 ways (the
+    burst/MG pattern) so the Arrow state fn pays 64 group
+    round-trips per micro-batch, not one per user-day. Oracled
+    against the INDEPENDENT regex-based scanner (VALUES replay);
+    fold == batch pointer automaton is fuzz-pinned, and cross-batch
+    attempt continuation is pinned by a forced multi-batch pytest."""
+    out = stream_cep_funnel(_read_events_stream(spark, sf_dir))
+    sink_dir = _run_update_to_latest(out, "cepfunnel")
+    res = _latest_epoch_rows(spark, sink_dir, "ukey")
+    sp = F.split(F.col("ukey"), "\\|")
+    return res.where(F.col("n_matches") >= 1).select(
+        sp.getItem(0).cast("bigint").alias("user_id"),
+        sp.getItem(1).alias("day"),
+        F.col("n_seq_events").cast("bigint").alias("n_seq_events"),
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.col("n_matched_events").cast("bigint").alias("n_matched_events"),
+        (F.col("max_span_us") / 1000).cast("bigint").alias("max_span_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming histogram-percentile matview (10th genuinely-streaming
 # oracled entry): the mergeable sketch family's live form.
 # ---------------------------------------------------------------------------

@@ -862,3 +862,77 @@ def test_stream_error_burst_runs_continue_across_batches(spark, tmp_path):
     assert r2[k1].n_runs_ge2 == 1
     assert r2[k2].max_run_len == 3 and r2[k2].burst == 0
     assert r2[k2].n_runs_ge2 == 1
+
+
+def test_stream_cep_funnel_anchor_spans_batches(spark, tmp_path):
+    """The funnel attempt survives the checkpoint: a view anchored in
+    batch 1 converts via batch 2's purchase (span measured across the
+    boundary from the recovered anchor ts); an out-of-window purchase
+    must NOT convert, and a view after the match re-anchors without
+    double-counting."""
+    import datetime as dt
+
+    from env_event_stream_spark.streaming_queries import (
+        stream_cep_funnel,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string, value double"
+    )
+
+    def write(spec):
+        rows = [
+            (uid, dt.datetime(2024, 1, 1, h, m, 0), eid, et, None)
+            for (uid, h, m, eid, et) in spec
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_cep_funnel(stream)
+        got: dict = {}
+
+        def sink(df, _epoch):
+            for r in df.collect():
+                got[r.ukey] = r
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # batch 1: user 1 view@9:00 (anchor) + click@9:02 (run alive);
+    # user 2 view@9:00 (anchor, will time out)
+    write(
+        [(1, 9, 0, 1, "view"), (1, 9, 2, 2, "click"),
+         (2, 9, 0, 3, "view")]
+    )
+    r1 = run()
+    k1, k2 = "1|2024-01-01", "2|2024-01-01"
+    assert r1[k1].n_matches == 0 and r1[k1].n_seq_events == 2
+    assert r1[k2].n_matches == 0
+
+    # batch 2: user 1 purchase@9:05 — 5 min from the RECOVERED anchor,
+    # inside the 10-min window: match of 3 events, span 300000 ms;
+    # the view@9:06 then re-anchors but never converts. user 2
+    # purchase@9:30 is 30 min from the anchor — no match.
+    write(
+        [(1, 9, 5, 4, "purchase"), (1, 9, 6, 5, "view"),
+         (2, 9, 30, 6, "purchase")]
+    )
+    r2 = run()
+    assert r2[k1].n_matches == 1
+    assert r2[k1].n_matched_events == 3
+    assert r2[k1].max_span_us == 300_000_000
+    assert r2[k1].n_seq_events == 4
+    assert r2[k2].n_matches == 0 and r2[k2].n_seq_events == 2

@@ -468,6 +468,41 @@ def test_cep_timed_two_scanners_agree(evs, within):
     assert got_next[0] >= _cep_timed_scan(seq, ts, within)[0]
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("vcpesx"),
+            st.integers(0, 3_000_000_000),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cep_funnel_fold_equals_batch_automaton(evs):
+    # the streaming single-anchor fold replayed event-by-event must
+    # reproduce the batch pointer automaton exactly (matches, events
+    # consumed, max span) at the production window — the third
+    # independent implementation of the windowed-CEP contract
+    from env_event_stream_spark.analytics_queries import (
+        _CEP_WITHIN_US,
+        _cep_timed_scan,
+    )
+    from env_event_stream_spark.streaming_queries import fold_cep_funnel
+
+    evs = sorted(evs, key=lambda e: e[1])
+    seq = "".join(e[0] for e in evs)
+    ts = [e[1] for e in evs]
+    s = [-1, 0, 0, 0, -1, 0]
+    for ini, us in zip(seq, ts):
+        fold_cep_funnel(s, ini, us)
+    nm, nme, msp = _cep_timed_scan(seq, ts, _CEP_WITHIN_US)
+    assert s[2] == nm
+    assert s[3] == nme
+    assert s[4] == (-1 if msp is None else msp)
+    assert s[5] == len(seq)
+
+
 def test_cep_skip_modes_consistent_with_within(spark, sf_dir):
     # m_skip_past must reproduce evt_cep_within's timed n_matches on
     # every common user-day (same pattern, same window, same
