@@ -156,6 +156,11 @@ HEADLINE = [
     "emb_whiten_stats",
     "emb_whiten_labelknn_eval",
     "evt_stream_error_burst",
+    # round-9 second-session additions
+    "evt_hw_residual_anomaly",
+    "doc_lcs_scrub",
+    "emb_whiten_ivf_eval",
+    "evt_stream_cep_funnel",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver
