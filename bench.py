@@ -161,6 +161,8 @@ HEADLINE = [
     "doc_lcs_scrub",
     "emb_whiten_ivf_eval",
     "evt_stream_cep_funnel",
+    "evt_stream_hw_forecast",
+    "emb_ivf_cell_stats",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

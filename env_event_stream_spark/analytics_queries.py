@@ -1511,8 +1511,16 @@ def evt_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-size-invariant, the same 100 TB shape as EWMA/Holt/CUSUM.
     Reference analog: none (src/broker.ts stops at delivery
     counters); this is the §2.11 time-series extension surface."""
+    return hw_finalize_daily(_daily_counts_by_type(spark, sf_dir))
+
+
+def hw_finalize_daily(d: DataFrame) -> DataFrame:
+    """The Holt-Winters readout over a (event_type, day_idx, cnt)
+    daily grid — shared source-level by the batch query above and the
+    streaming matview twin (evt_stream_hw_forecast), so "streaming
+    equals batch" holds by construction once the grids agree."""
     h = 14
-    d = _daily_counts_by_type(spark, sf_dir).where(
+    d = d.where(
         F.assert_true(
             F.col("cnt") < F.lit(_HW_MAX_CNT),
             F.lit("evt_holt_winters_daily: daily count > 2^38 — "

@@ -2758,6 +2758,69 @@ def emb_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_frame(ex, ap, "n_ivf")
 
 
+@query(
+    "emb_ivf_cell_stats",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < 8),
+    cscored AS (SELECT v.vec_id, c.cell_id,
+                       {_COSINE_SQL.format(a="v.e", b="c.cv")} AS csim
+                FROM v CROSS JOIN cent c),
+    cassign AS (SELECT vec_id, cell_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY csim DESC, cell_id ASC) AS rn
+                FROM cscored),
+    c AS (SELECT cell_id, count(*) AS n FROM cassign
+          WHERE rn = 1 GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT cell_id, CAST(n AS BIGINT) AS n_vectors,
+           CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(n * 8 * 10000 // total AS BIGINT) AS load_x10000,
+           row_number() OVER (ORDER BY n DESC, cell_id ASC) = 1
+             AS is_hottest
+    FROM c, t
+    """,
+)
+def emb_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list BALANCE audit (the emb_knn_ivf
+    configuration: stand-in centroids vec_id < 8, nearest-cell
+    assignment): per cell, its vector count, corpus share in integer
+    ppm, and load factor ×10⁴ (10000 = perfectly balanced; the
+    faiss `imbalance_factor` readout). This is the pre-rollout scale
+    gate the ANN recall ladder doesn't cover: at 100 TB a hot cell
+    IS a hot partition in every probe equi-join — nprobe queries
+    landing on a cell holding 5× its share pay 5× the rerank — and
+    the fix (re-train centroids, split hot cells) has to be decided
+    from THIS table before the index is built, not after the join
+    skews. Integer DIV everywhere, hottest-cell flag tie-broken on
+    cell_id; one Arrow assignment pass + an 8-key groupBy with the
+    1-row total broadcast back — corpus scanned once, no shuffle
+    beyond the 8-row aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = S._centroid_frame(
+        e, id_col="vec_id", vec_col="embedding", n_cells=8, centroids=None
+    )
+    inv = S.nearest_cells_arrow(
+        e, cent, id_out="vid", id_col="vec_id", vec_col="embedding",
+        n_probe=1,
+    )
+    c = inv.groupBy("cell_id").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("cell_id").asc())
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "cell_id",
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.expr("n * 1000000 DIV total").cast("bigint").alias("share_ppm"),
+            F.expr("n * 8 * 10000 DIV total")
+            .cast("bigint")
+            .alias("load_x10000"),
+            (F.row_number().over(w) == 1).alias("is_hottest"),
+        )
+    )
+
+
 def _pq_recall_oracle() -> str:
     vals = _pq_cb_values(_pq_books_for_oracle())
     cos = _COSINE_SQL

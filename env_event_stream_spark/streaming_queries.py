@@ -1336,6 +1336,61 @@ def evt_stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming Holt-Winters forecast matview (19th genuinely-streaming
+# oracled entry): the live form of the time-series family — the
+# daily-count grid as streaming aggregation state, the seasonal
+# forecast as a shared batch readout over the frozen grid.
+# ---------------------------------------------------------------------------
+
+
+def hw_grid_stream_agg(ev: DataFrame) -> DataFrame:
+    """The streaming (event_type, day_idx) daily-count aggregation,
+    shared by the catalog query and the multi-batch pytest — counts
+    merge by + across micro-batches, so the live grid is bit-equal
+    to the batch _daily_counts_by_type for any arrival order."""
+    return ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.count("*").alias("cnt"))
+
+
+def _hw_oracle_for_stream() -> str:
+    from env_event_stream_spark.analytics_queries import _hw_oracle_sql
+
+    return _hw_oracle_sql()
+
+
+@query("evt_stream_hw_forecast", _hw_oracle_for_stream)
+def evt_stream_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Holt-Winters forecast matview (19th genuinely-streaming
+    oracled entry): the per-type daily-volume grid maintained as a
+    complete-mode streaming aggregation — state is the |types| ×
+    |days| calendar of counts, O(1) per event, merge = + so the live
+    grid is bit-equal to batch for any arrival order — with the
+    seasonal forecast readout (hw_finalize_daily: integer lag
+    weights, contiguity guard, 4dp floor) applied over the frozen
+    grid, SHARED source-level with the batch evt_holt_winters_daily,
+    whose full value-hash oracle this query also shares. The
+    capacity-planning matview: "what does tomorrow look like" that
+    updates as events arrive, for the cost of a counter per type-day.
+
+    Production note: the readout runs per refresh over the
+    calendar-sized grid (corpus-size-invariant), the
+    hist_p95/rolling-WAU frozen-state pattern — the 14-lag window
+    never enters streaming state. Cross-batch count merging is
+    pinned by a forced multi-batch pytest."""
+    from env_event_stream_spark.analytics_queries import hw_finalize_daily
+
+    ev = _read_events_stream(spark, sf_dir)
+    grid = spark.read.parquet(
+        _run_complete_overwrite(hw_grid_stream_agg(ev), "hwgrid")
+    )
+    return hw_finalize_daily(grid)
+
+
+# ---------------------------------------------------------------------------
 # Streaming histogram-percentile matview (10th genuinely-streaming
 # oracled entry): the mergeable sketch family's live form.
 # ---------------------------------------------------------------------------

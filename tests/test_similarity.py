@@ -358,3 +358,22 @@ def test_nearest_cells_twins_agree_on_zero_norm_vector(spark, sf_dir):
     )
     assert cat == arr
     assert dict(cat)[999999] == min(c for c, _ in cents)
+
+
+def test_ivf_cell_stats_partition_of_corpus(spark, sf_dir):
+    # the audit must PARTITION the corpus: cells disjointly cover all
+    # vectors, shares sum to ~1e6 ppm (floor loss < n_cells), exactly
+    # one hottest flag, load factor consistent with share
+    from env_event_stream_spark.llm_queries import emb_ivf_cell_stats
+    from env_event_stream_spark.tables import load_table
+
+    rows = emb_ivf_cell_stats(spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    tot_ppm = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) < tot_ppm <= 1_000_000
+    assert sum(1 for r in rows if r["is_hottest"]) == 1
+    hottest = max(rows, key=lambda r: (r["n_vectors"], -r["cell_id"]))
+    assert hottest["is_hottest"]
+    for r in rows:
+        assert r["load_x10000"] == r["n_vectors"] * 8 * 10000 // n_corpus

@@ -936,3 +936,56 @@ def test_stream_cep_funnel_anchor_spans_batches(spark, tmp_path):
     assert r2[k1].max_span_us == 300_000_000
     assert r2[k1].n_seq_events == 4
     assert r2[k2].n_matches == 0 and r2[k2].n_seq_events == 2
+
+
+def test_stream_hw_grid_merges_across_batches(spark, tmp_path):
+    """The live daily-count grid must MERGE counts across
+    micro-batches (streaming agg state), not recount per batch: a
+    type-day split across two appends sums to one cell."""
+    import datetime as dt
+
+    from env_event_stream_spark.streaming_queries import (
+        hw_grid_stream_agg,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string, value double"
+    )
+
+    def write(spec):
+        rows = [
+            (1, dt.datetime(2024, 1, 1 + d, 9, 0, 0), eid, et, None)
+            for (d, eid, et) in spec
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = hw_grid_stream_agg(stream)
+
+        def out(df, _epoch):
+            df.write.mode("overwrite").parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(out)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.event_type, r.day_idx): r.cnt
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    write([(0, 1, "view"), (0, 2, "view"), (0, 3, "view")])
+    assert run() == {("view", 0): 3}
+    write([(0, 4, "view"), (0, 5, "view"), (1, 6, "click")])
+    assert run() == {("view", 0): 5, ("click", 1): 1}
