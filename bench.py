@@ -163,6 +163,7 @@ HEADLINE = [
     "evt_stream_cep_funnel",
     "evt_stream_hw_forecast",
     "emb_ivf_cell_stats",
+    "evt_stream_cusum",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

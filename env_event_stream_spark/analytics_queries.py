@@ -1779,9 +1779,7 @@ def evt_hw_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "evt_cusum_changepoint",
-    """
+_CUSUM_ORACLE_SQL = """
     WITH d AS (
       SELECT event_type,
              datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -1812,8 +1810,10 @@ def evt_hw_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
            cus_pos > 2 * total AS alarm_pos,
            cus_neg > 2 * total AS alarm_neg
     FROM s
-    """,
-)
+    """
+
+
+@query("evt_cusum_changepoint", _CUSUM_ORACLE_SQL)
 def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM drift detector over daily volume per type:
     alarm when the cumulative deviation from the series' own mean
@@ -1830,7 +1830,13 @@ def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings, fully value-hash oracled. Plan: one daily-count
     aggregation, a |types|-row reference join, windows over the
     calendar grid — corpus-size-invariant."""
-    d = _daily_counts_by_type(spark, sf_dir)
+    return cusum_finalize_daily(_daily_counts_by_type(spark, sf_dir))
+
+
+def cusum_finalize_daily(d: DataFrame) -> DataFrame:
+    """The CUSUM readout over a (event_type, day_idx, cnt) daily grid
+    — shared source-level by the batch query above and the streaming
+    matview twin (evt_stream_cusum), the hw_finalize_daily pattern."""
     ref = d.groupBy("event_type").agg(
         F.count("*").alias("n_days"), F.sum("cnt").alias("total")
     )

@@ -1390,6 +1390,43 @@ def evt_stream_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hw_finalize_daily(grid)
 
 
+def _cusum_oracle_for_stream() -> str:
+    from env_event_stream_spark.analytics_queries import _CUSUM_ORACLE_SQL
+
+    return _CUSUM_ORACLE_SQL
+
+
+@query("evt_stream_cusum", _cusum_oracle_for_stream)
+def evt_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE CUSUM drift monitor (20th genuinely-streaming oracled
+    entry): the same complete-mode daily-count grid as
+    evt_stream_hw_forecast (one streaming aggregation shape serves
+    the whole time-series family — forecast, changepoint, and by
+    extension EWMA/MAD), with the two-sided CUSUM readout
+    (cusum_finalize_daily: integer prefix-sum identity, running
+    min/max windows) applied over the frozen grid, shared
+    source-level with the batch evt_cusum_changepoint and sharing
+    its full value-hash oracle. The ops matview: "has traffic
+    drifted from its mean" updating as events arrive.
+
+    Note the contrast with the per-event CEP matviews: here
+    streaming state is only the count grid (merge = +, arrival-order
+    free, exact), and ALL sequential structure lives in the
+    deterministic batch readout — the cheapest possible live form
+    for any detector defined on daily aggregates. Cross-batch count
+    merging is pinned by the shared hw_grid_stream_agg's forced
+    multi-batch pytest."""
+    from env_event_stream_spark.analytics_queries import (
+        cusum_finalize_daily,
+    )
+
+    ev = _read_events_stream(spark, sf_dir)
+    grid = spark.read.parquet(
+        _run_complete_overwrite(hw_grid_stream_agg(ev), "cusumgrid")
+    )
+    return cusum_finalize_daily(grid)
+
+
 # ---------------------------------------------------------------------------
 # Streaming histogram-percentile matview (10th genuinely-streaming
 # oracled entry): the mergeable sketch family's live form.

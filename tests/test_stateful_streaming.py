@@ -989,3 +989,18 @@ def test_stream_hw_grid_merges_across_batches(spark, tmp_path):
     assert run() == {("view", 0): 3}
     write([(0, 4, "view"), (0, 5, "view"), (1, 6, "click")])
     assert run() == {("view", 0): 5, ("click", 1): 1}
+
+
+def test_stream_cusum_equals_batch(spark, sf_dir):
+    """The live CUSUM must reproduce the batch detector row-for-row:
+    streaming state is only the count grid (merge = +, exact), so
+    the full frame — not just aggregates — must agree."""
+    from env_event_stream_spark.analytics_queries import (
+        evt_cusum_changepoint,
+    )
+    from env_event_stream_spark.streaming_queries import evt_stream_cusum
+
+    batch = {tuple(r) for r in evt_cusum_changepoint(spark, sf_dir).collect()}
+    live = {tuple(r) for r in evt_stream_cusum(spark, sf_dir).collect()}
+    assert batch == live
+    assert batch, "no daily grid at test sf"
