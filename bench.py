@@ -164,6 +164,11 @@ HEADLINE = [
     "evt_stream_hw_forecast",
     "emb_ivf_cell_stats",
     "evt_stream_cusum",
+    # round-9 third-session additions
+    "evt_acf_daily",
+    "evt_spearman_daily",
+    "evt_mannwhitney_shift",
+    "evt_stream_acf",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -3124,3 +3124,401 @@ def evt_transition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("baseline_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank / correlation statistics tier: ACF (is there a weekly cycle?),
+# Spearman cross-type correlation, and the Mann-Whitney U shift test —
+# the diagnostics that JUSTIFY the forecasting family's model choices
+# (the HW backtest said "no planted cycle"; evt_acf_daily measures it)
+# and the nonparametric two-sample test the KS rung doesn't cover.
+# ---------------------------------------------------------------------------
+
+
+_ACF_ORACLE_SQL = r"""
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day_idx) AS dmin, max(day_idx) AS dmax,
+                 max(day_idx) - min(day_idx) + 1 AS n, sum(cnt) AS s
+          FROM d GROUP BY event_type),
+    grid AS (SELECT b.event_type, gs.day_idx, b.n, b.s
+             FROM b, LATERAL (
+               SELECT unnest(generate_series(b.dmin, b.dmax)) AS day_idx
+             ) gs),
+    g AS (SELECT grid.event_type, grid.day_idx,
+                 grid.n * coalesce(d.cnt, 0) - grid.s AS c
+          FROM grid LEFT JOIN d
+            ON d.event_type = grid.event_type
+           AND d.day_idx = grid.day_idx),
+    den AS (SELECT event_type, count(*) AS n_days, sum(c * c) AS den
+            FROM g GROUP BY event_type),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag_k),
+    num AS (SELECT a.event_type, l.lag_k, sum(a.c * f.c) AS num
+            FROM g a
+            CROSS JOIN lags l
+            JOIN g f ON f.event_type = a.event_type
+                    AND f.day_idx = a.day_idx + l.lag_k
+            GROUP BY 1, 2)
+    SELECT num.event_type, CAST(num.lag_k AS BIGINT) AS lag_k,
+           CAST(den.n_days AS BIGINT) AS n_days,
+           CASE WHEN den.den = 0 THEN NULL
+                WHEN num.num >= 0
+                  THEN CAST((1000 * num.num) // den.den AS BIGINT)
+                ELSE -CAST((1000 * (-num.num)) // den.den AS BIGINT)
+           END AS acf_milli
+    FROM num JOIN den ON den.event_type = num.event_type
+    """
+
+
+@query("evt_acf_daily", _ACF_ORACLE_SQL)
+def evt_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily volume per type at lags 1-7 —
+    the diagnostic that DECIDES whether the seasonal rung is worth
+    running: a weekly cycle shows as acf(7) >> acf(1..6); this
+    synthetic stream's flat ACF is exactly why evt_hw_backtest's
+    verdict came back MIXED. Series are zero-filled over each type's
+    own min..max calendar (ACF needs regular spacing; the raw grid
+    omits empty days).
+
+    INTEGER-EXACT: centered values are pre-scaled by n (c_t = n*x_t -
+    S: mean-centering WITHOUT division, the CUSUM trick), so every
+    lag-k numerator and the variance denominator are order-free
+    bigint sums; the readout is one nonneg floor division per (type,
+    lag) with the sign extracted first (Spark `div` truncates toward
+    zero, DuckDB `//` floors — they agree only on nonneg operands).
+    Overflow is LOUD: assert_true bounds the per-type denominator at
+    2^52 so 1000*num stays in int64 (|num_k| <= den by
+    Cauchy-Schwarz); DuckDB's checked bigint arithmetic errors on its
+    own. Plan: one map-side-combinable daily count, a 7-row broadcast
+    lag table, equi-joins on (type, day+k) over the calendar grid —
+    corpus-size-invariant, the EWMA/Holt/CUSUM 100 TB shape.
+    Reference analog: none (src/broker.ts stops at delivery
+    counters); §2.11 time-series extension surface."""
+    return acf_finalize_daily(_daily_counts_by_type(spark, sf_dir))
+
+
+def acf_finalize_daily(d: DataFrame) -> DataFrame:
+    """The ACF readout over a (event_type, day_idx, cnt) daily grid —
+    shared source-level by the batch query above and the streaming
+    matview twin (evt_stream_acf), the hw/cusum_finalize_daily
+    pattern: once the grids agree, live == batch by construction."""
+    b = (
+        d.groupBy("event_type")
+        .agg(
+            F.min("day_idx").alias("dmin"),
+            F.max("day_idx").alias("dmax"),
+            F.sum("cnt").alias("s"),
+        )
+        .withColumn("n", F.col("dmax") - F.col("dmin") + 1)
+    )
+    grid = b.select(
+        "event_type",
+        "n",
+        "s",
+        F.explode(F.sequence("dmin", "dmax")).alias("day_idx"),
+    )
+    g = grid.join(d, ["event_type", "day_idx"], "left").select(
+        "event_type",
+        "day_idx",
+        (
+            F.col("n") * F.coalesce(F.col("cnt"), F.lit(0)) - F.col("s")
+        ).alias("c"),
+    )
+    den = (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.col("c") * F.col("c")).alias("den"),
+        )
+        .where(
+            F.assert_true(
+                F.col("den") < F.lit(2**52),
+                F.lit(
+                    "evt_acf_daily: variance sum >= 2^52 — 1000*num "
+                    "would overflow int64; pre-scale daily counts"
+                ),
+            ).isNull()
+        )
+    )
+    lags = d.sparkSession.range(1, 8).select(F.col("id").alias("lag_k"))
+    f2 = g.select(
+        F.col("event_type").alias("et2"),
+        F.col("day_idx").alias("f_day"),
+        F.col("c").alias("fc"),
+    )
+    num = (
+        g.crossJoin(F.broadcast(lags))
+        .join(
+            f2,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("f_day") == F.col("day_idx") + F.col("lag_k")),
+        )
+        .groupBy("event_type", "lag_k")
+        .agg(F.sum(F.col("c") * F.col("fc")).alias("num"))
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.expr(
+            "CASE WHEN den = 0 THEN NULL "
+            "WHEN num >= 0 THEN CAST((1000 * num) div den AS BIGINT) "
+            "ELSE -CAST((1000 * -num) div den AS BIGINT) END"
+        ).alias("acf_milli"),
+    )
+
+
+_SPEARMAN_ORACLE_SQL = r"""
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    cal AS (SELECT min(day_idx) AS dmin, max(day_idx) AS dmax FROM d),
+    et AS (SELECT DISTINCT event_type FROM d),
+    grid AS (SELECT et.event_type, gs.day_idx
+             FROM et, cal, LATERAL (
+               SELECT unnest(generate_series(cal.dmin, cal.dmax))
+                 AS day_idx) gs),
+    s AS (SELECT grid.event_type, grid.day_idx, coalesce(d.cnt, 0) AS cnt
+          FROM grid LEFT JOIN d ON d.event_type = grid.event_type
+                                AND d.day_idx = grid.day_idx),
+    v AS (SELECT event_type, cnt, count(*) AS m FROM s GROUP BY 1, 2),
+    rv AS (SELECT event_type, cnt, m,
+                  2 * (sum(m) OVER (PARTITION BY event_type ORDER BY cnt)
+                       - m) + m + 1 AS dr
+           FROM v),
+    r AS (SELECT s.event_type, s.day_idx, rv.dr
+          FROM s JOIN rv ON rv.event_type = s.event_type
+                        AND rv.cnt = s.cnt),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS n, sum(a.dr) AS sa, sum(b.dr) AS sb,
+                 sum(a.dr * a.dr) AS saa, sum(b.dr * b.dr) AS sbb,
+                 sum(a.dr * b.dr) AS sab
+          FROM r a JOIN r b ON b.day_idx = a.day_idx
+                           AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN (n * saa - sa * sa) = 0 OR (n * sbb - sb * sb) = 0
+                THEN NULL
+                ELSE floor((CAST(n * sab - sa * sb AS DOUBLE)
+                     / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                            * CAST(n * sbb - sb * sb AS DOUBLE)))
+                     * 10000 + 0.5) / 10000
+           END AS rho
+    FROM p
+    """
+
+
+@query("evt_spearman_daily", _SPEARMAN_ORACLE_SQL)
+def evt_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every PAIR of event types'
+    daily-volume series on the shared zero-filled calendar — "do
+    purchases move with views?", robust to the heavy-tailed daily
+    counts a Pearson-on-raw would be dominated by. Ties use average
+    ranks, so rho is computed as Pearson over ranks (the 6*sum(d^2)
+    shortcut is exact only tie-free).
+
+    DOUBLED integer ranks (2*avg_rank is always integral when ties
+    average) keep every sum — sa, saa, sab — an exact order-free
+    bigint; rho is ONE fixed-order double expression over six exact
+    integers, written with identical text on both engines (sqrt of an
+    exact product, one division, the tie-free 4dp floor). Zero
+    variance (a constant series) yields NULL, not a crash. Plan:
+    the |types| x |days| calendar grid self-joined on day — both
+    sides corpus-size-invariant; ranks come from a per-type window
+    over DISTINCT daily counts. Reference analog: none; §2.11
+    time-series extension surface."""
+    d = _daily_counts_by_type(spark, sf_dir)
+    cal = d.agg(
+        F.min("day_idx").alias("dmin"), F.max("day_idx").alias("dmax")
+    )
+    et = d.select("event_type").distinct()
+    grid = et.crossJoin(F.broadcast(cal)).select(
+        "event_type",
+        F.explode(F.sequence("dmin", "dmax")).alias("day_idx"),
+    )
+    s = grid.join(d, ["event_type", "day_idx"], "left").select(
+        "event_type",
+        "day_idx",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+    )
+    v = s.groupBy("event_type", "cnt").agg(F.count("*").alias("m"))
+    wv = Window.partitionBy("event_type").orderBy("cnt")
+    rv = v.select(
+        "event_type",
+        "cnt",
+        (
+            F.lit(2) * (F.sum("m").over(wv) - F.col("m"))
+            + F.col("m")
+            + F.lit(1)
+        ).alias("dr"),
+    )
+    r = s.join(rv, ["event_type", "cnt"]).select(
+        "event_type", "day_idx", "dr"
+    )
+    rb = r.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day_idx").alias("day_b"),
+        F.col("dr").alias("drb"),
+    )
+    p = (
+        r.withColumnRenamed("event_type", "type_a")
+        .join(
+            rb,
+            (F.col("day_idx") == F.col("day_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dr").alias("sa"),
+            F.sum("drb").alias("sb"),
+            F.sum(F.col("dr") * F.col("dr")).alias("saa"),
+            F.sum(F.col("drb") * F.col("drb")).alias("sbb"),
+            F.sum(F.col("dr") * F.col("drb")).alias("sab"),
+        )
+    )
+    return p.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "CASE WHEN (n * saa - sa * sa) = 0 OR (n * sbb - sb * sb) = 0 "
+            "THEN NULL "
+            "ELSE floor((CAST(n * sab - sa * sb AS DOUBLE) "
+            "/ sqrt(CAST(n * saa - sa * sa AS DOUBLE) "
+            "* CAST(n * sbb - sb * sb AS DOUBLE))) "
+            "* 10000 + 0.5) / 10000 END"
+        ).alias("rho"),
+    )
+
+
+_MW_Z_EXPR = (
+    "CASE WHEN n1 = 0 OR n = n1 OR n < 2 "
+    "OR ties = n * n * n - n THEN NULL "
+    "ELSE floor((CAST(r1d - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE) "
+    "/ (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0 "
+    "* (CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))))) "
+    "* 10000 + 0.5) / 10000 END"
+)
+
+
+_MW_ORACLE_SQL = f"""
+    WITH v AS (SELECT value, count(*) AS m FROM events GROUP BY value),
+    rv AS (SELECT value, m,
+                  2 * (sum(m) OVER (ORDER BY value) - m) + m + 1 AS dr
+           FROM v),
+    tot AS (SELECT sum(m) AS n, sum(m * m * m - m) AS ties FROM v),
+    t AS (SELECT event_type, value, count(*) AS c1
+          FROM events GROUP BY 1, 2),
+    agg AS (SELECT t.event_type, sum(t.c1) AS n1,
+                   sum(t.c1 * rv.dr) AS r1d
+            FROM t JOIN rv ON rv.value = t.value GROUP BY 1),
+    z AS (SELECT event_type, n1, n - n1 AS n2,
+                 r1d - n1 * (n1 + 1) AS u_doubled,
+                 {_MW_Z_EXPR} AS zval
+          FROM agg CROSS JOIN tot)
+    SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(u_doubled AS BIGINT) AS u_doubled, zval AS z,
+           CASE WHEN zval IS NULL THEN NULL
+                ELSE abs(zval) > 1.96 END AS shifted
+    FROM z
+    """
+
+
+@query("evt_mannwhitney_shift", _MW_ORACLE_SQL)
+def evt_mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) shift test: does each event
+    type's `value` distribution sit HIGHER or LOWER than the pooled
+    rest? The nonparametric two-sample location test the KS rung
+    (evt_value_drift_ks: max ECDF gap = shape change) doesn't cover —
+    U is powered for median shifts, KS for any-shape divergence;
+    together they're the standard drift pair. One-vs-rest per type
+    needs only ONE global ranking, because each type's pooled
+    comparison set is the whole table.
+
+    DOUBLED average ranks over DISTINCT values (2*avg_rank = 2*
+    cum_before + tie_count + 1 is always integral) make the rank sum
+    R1 and U exact order-free bigints; the tie-corrected normal
+    z-score is ONE fixed-order double expression over exact integers
+    (identical text on both engines, tie-free 4dp floor), NULL on
+    degenerate margins (empty group, all-one-group, all ties) rather
+    than a divide-by-zero. Overflow is LOUD: assert_true bounds n at
+    2^31 (r1d <= 2n^2) and tie-group sizes at 2^20 (m^3); DuckDB's
+    checked bigint arithmetic errors on its own. Plan: the ranking
+    window runs over DISTINCT values (value-domain-sized, not
+    row-count-sized — the evt_value_percentiles exact-tier argument);
+    everything else is two map-side-combinable aggregations and a
+    value-keyed equi-join. At 100 TB the value domain is the bound to
+    watch — quantize or block-rank if it approaches row scale.
+    Reference analog: none; §2.11 statistics extension surface."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.groupBy("value").agg(F.count("*").alias("m")).where(
+        F.assert_true(
+            F.col("m") < F.lit(2**20),
+            F.lit(
+                "evt_mannwhitney_shift: tie group > 2^20 — m^3 in the "
+                "tie correction would overflow int64"
+            ),
+        ).isNull()
+    )
+    wv = Window.orderBy("value")
+    rv = v.select(
+        "value",
+        (
+            F.lit(2) * (F.sum("m").over(wv) - F.col("m"))
+            + F.col("m")
+            + F.lit(1)
+        ).alias("dr"),
+    )
+    tot = v.agg(
+        F.sum("m").alias("n"),
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        ).alias("ties"),
+    ).where(
+        F.assert_true(
+            F.col("n") < F.lit(2**31),
+            F.lit(
+                "evt_mannwhitney_shift: n >= 2^31 — doubled rank sums "
+                "would overflow int64; block-rank at this scale"
+            ),
+        ).isNull()
+    )
+    t = ev.groupBy("event_type", "value").agg(F.count("*").alias("c1"))
+    agg = (
+        t.join(rv, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c1").alias("n1"),
+            F.sum(F.col("c1") * F.col("dr")).alias("r1d"),
+        )
+    )
+    z = agg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        (F.col("r1d") - F.col("n1") * (F.col("n1") + 1)).alias(
+            "u_doubled"
+        ),
+        F.expr(_MW_Z_EXPR).alias("zval"),
+    )
+    return z.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("u_doubled").cast("bigint").alias("u_doubled"),
+        F.col("zval").alias("z"),
+        F.when(
+            F.col("zval").isNull(), F.lit(None).cast("boolean")
+        )
+        .otherwise(F.abs(F.col("zval")) > F.lit(1.96))
+        .alias("shifted"),
+    )

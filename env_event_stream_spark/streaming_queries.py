@@ -1427,6 +1427,43 @@ def evt_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_finalize_daily(grid)
 
 
+def _acf_oracle_for_stream() -> str:
+    from env_event_stream_spark.analytics_queries import _ACF_ORACLE_SQL
+
+    return _ACF_ORACLE_SQL
+
+
+@query("evt_stream_acf", _acf_oracle_for_stream)
+def evt_stream_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE autocorrelation diagnostic (21st genuinely-streaming
+    oracled entry): the same complete-mode daily-count grid as
+    evt_stream_hw_forecast / evt_stream_cusum — one streaming
+    aggregation shape now serves forecast, changepoint, AND the
+    model-selection diagnostic — with the lag-1..7 ACF readout
+    (acf_finalize_daily: pre-scaled integer centering, bigint lag
+    products, sign-extracted floor division) applied over the frozen
+    grid, shared source-level with the batch evt_acf_daily and
+    sharing its full value-hash oracle. The ops question it answers
+    live: "has a weekly cycle EMERGED?" — the signal that should
+    flip the forecasting matview from Holt to Holt-Winters.
+
+    Streaming state stays the count grid alone (merge = +,
+    arrival-order free, exact); the zero-fill, the 7-row lag table,
+    and every division live in the deterministic batch readout —
+    the cheapest live form for a detector defined on daily
+    aggregates. Cross-batch count merging is pinned by the shared
+    hw_grid_stream_agg's forced multi-batch pytest."""
+    from env_event_stream_spark.analytics_queries import (
+        acf_finalize_daily,
+    )
+
+    ev = _read_events_stream(spark, sf_dir)
+    grid = spark.read.parquet(
+        _run_complete_overwrite(hw_grid_stream_agg(ev), "acfgrid")
+    )
+    return acf_finalize_daily(grid)
+
+
 # ---------------------------------------------------------------------------
 # Streaming histogram-percentile matview (10th genuinely-streaming
 # oracled entry): the mergeable sketch family's live form.

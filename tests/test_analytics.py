@@ -318,3 +318,169 @@ def test_ks_statistic_matches_scipy_style_reference(spark, sf_dir):
             et, got, d,
         )
         assert out[et].n_early == len(a) and out[et].n_late == len(b)
+
+
+def test_acf_matches_integer_reference_and_planted_cycle(spark, sf_dir):
+    """acf_milli must equal the exact integer-arithmetic sample ACF
+    computed in Python over the zero-filled daily series; and on a
+    planted period-7 series the lag-7 coefficient must dominate all
+    shorter lags (the diagnostic's whole purpose)."""
+    from collections import Counter
+
+    from env_event_stream_spark.analytics_queries import (
+        acf_finalize_daily,
+    )
+    from env_event_stream_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        .collect()
+    )
+    series: dict[str, Counter] = {}
+    for r in rows:
+        series.setdefault(r.event_type, Counter())[r.day] += 1
+    got = {
+        (r.event_type, r.lag_k): (r.acf_milli, r.n_days)
+        for r in QUERIES["evt_acf_daily"](spark, sf_dir).collect()
+    }
+    for et, cnt in series.items():
+        lo, hi = min(cnt), max(cnt)
+        xs = [cnt.get(d, 0) for d in range(lo, hi + 1)]
+        n, s = len(xs), sum(xs)
+        c = [n * x - s for x in xs]
+        den = sum(v * v for v in c)
+        for k in range(1, 8):
+            if k >= n:
+                assert (et, k) not in got
+                continue
+            num = sum(c[i] * c[i + k] for i in range(n - k))
+            if den == 0:
+                want = None
+            elif num >= 0:
+                want = (1000 * num) // den
+            else:
+                want = -((1000 * -num) // den)
+            assert got[(et, k)] == (want, n), (et, k, got[(et, k)], want)
+
+    # planted weekly cycle: 42 days of [100,0,0,0,0,0,0] repeating
+    planted = spark.createDataFrame(
+        [("x", d, 100 if d % 7 == 0 else 1) for d in range(42)],
+        "event_type string, day_idx long, cnt long",
+    )
+    out = {
+        r.lag_k: r.acf_milli
+        for r in acf_finalize_daily(planted).collect()
+    }
+    assert out[7] > 800
+    assert all(out[k] < out[7] - 500 for k in range(1, 7))
+
+
+def test_spearman_matches_fraction_reference(spark, sf_dir):
+    """rho must equal Pearson-over-average-ranks computed exactly in
+    Python (fractions for the sums, one float sqrt at the end)."""
+    import math
+    from collections import Counter
+
+    from env_event_stream_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        .collect()
+    )
+    series: dict[str, Counter] = {}
+    days = []
+    for r in rows:
+        series.setdefault(r.event_type, Counter())[r.day] += 1
+        days.append(r.day)
+    lo, hi = min(days), max(days)
+
+    def doubled_ranks(xs):
+        byv = Counter(xs)
+        cum, dr = 0, {}
+        for v in sorted(byv):
+            m = byv[v]
+            dr[v] = 2 * cum + m + 1
+            cum += m
+        return [dr[x] for x in xs]
+
+    got = {
+        (r.type_a, r.type_b): r.rho
+        for r in QUERIES["evt_spearman_daily"](spark, sf_dir).collect()
+    }
+    types = sorted(series)
+    for i, ta in enumerate(types):
+        xa = [series[ta].get(d, 0) for d in range(lo, hi + 1)]
+        ra = doubled_ranks(xa)
+        for tb in types[i + 1:]:
+            xb = [series[tb].get(d, 0) for d in range(lo, hi + 1)]
+            rb = doubled_ranks(xb)
+            n = len(ra)
+            sa, sb = sum(ra), sum(rb)
+            saa = sum(v * v for v in ra)
+            sbb = sum(v * v for v in rb)
+            sab = sum(a * b for a, b in zip(ra, rb))
+            da, db = n * saa - sa * sa, n * sbb - sb * sb
+            if da == 0 or db == 0:
+                assert got[(ta, tb)] is None
+                continue
+            rho = (n * sab - sa * sb) / math.sqrt(float(da) * float(db))
+            want = math.floor(rho * 10000 + 0.5) / 10000
+            assert abs(got[(ta, tb)] - want) < 1e-12, (ta, tb)
+
+
+def test_mannwhitney_matches_direct_reference(spark, sf_dir):
+    """U (doubled) and the tie-corrected z must equal a direct
+    textbook rank-sum computation in Python over the same rows."""
+    import math
+    from collections import Counter
+
+    from env_event_stream_spark.catalog import QUERIES
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    byv = Counter(r.value for r in rows)
+    cum, dr = 0, {}
+    for v in sorted(byv):
+        m = byv[v]
+        dr[v] = 2 * cum + m + 1
+        cum += m
+    n = len(rows)
+    ties = sum(m**3 - m for m in byv.values())
+    got = {
+        r.event_type: r
+        for r in QUERIES["evt_mannwhitney_shift"](spark, sf_dir).collect()
+    }
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(r.value)
+    for et, vals in groups.items():
+        n1 = len(vals)
+        r1d = sum(dr[v] for v in vals)
+        ud = r1d - n1 * (n1 + 1)
+        g = got[et]
+        assert g.u_doubled == ud and g.n1 == n1 and g.n2 == n - n1
+        if n1 == 0 or n1 == n or n < 2 or ties == n**3 - n:
+            assert g.z is None
+            continue
+        var = n1 * (n - n1) / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))
+        z = (ud - n1 * (n - n1)) / (2.0 * math.sqrt(var))
+        want = math.floor(z * 10000 + 0.5) / 10000
+        assert abs(g.z - want) < 1e-12, (et, g.z, want)
+        assert g.shifted == (abs(want) > 1.96)
