@@ -169,6 +169,8 @@ HEADLINE = [
     "evt_spearman_daily",
     "evt_mannwhitney_shift",
     "evt_stream_acf",
+    "dq_key_skew",
+    "evt_compaction_plan",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

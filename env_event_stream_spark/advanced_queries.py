@@ -2920,3 +2920,255 @@ def dq_referential_integrity(
         "n_null_fk",
         ((F.col("n_orphans") == 0) & (F.col("n_null_fk") == 0)).alias("ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ rung 4: join-key skew audit — the pre-join scale gate. At 100 TB
+# a hot join key IS a straggler shuffle partition; this is the audit
+# that tells you which edges need salting (operators/relational.py's
+# salted join) or AQE skew handling BEFORE the job runs.
+# ---------------------------------------------------------------------------
+
+
+_SKEW_EDGES = [
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+]
+
+
+def _key_skew_oracle() -> str:
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT '{edge}' AS edge, CAST({col} AS VARCHAR) AS key FROM {tbl}"
+        for edge, tbl, col in _SKEW_EDGES
+    )
+    return f"""
+    WITH k AS (
+      {stacked}),
+    c AS (SELECT edge, key, count(*) AS cnt FROM k GROUP BY 1, 2),
+    mx AS (SELECT edge, sum(cnt) AS n_rows, count(*) AS n_keys,
+                  max(cnt) AS top_cnt
+           FROM c GROUP BY 1),
+    h AS (SELECT c.edge,
+                 min(CASE WHEN c.cnt = mx.top_cnt THEN c.key END)
+                   AS top_key,
+                 sum(CASE WHEN c.cnt > (100 * mx.n_rows) // mx.n_keys
+                          THEN 1 ELSE 0 END) AS hot_keys,
+                 sum(CASE WHEN c.cnt > (100 * mx.n_rows) // mx.n_keys
+                          THEN c.cnt ELSE 0 END) AS hot_rows
+          FROM c JOIN mx ON mx.edge = c.edge GROUP BY 1)
+    SELECT mx.edge, CAST(mx.n_rows AS BIGINT) AS n_rows,
+           CAST(mx.n_keys AS BIGINT) AS n_keys,
+           h.top_key, CAST(mx.top_cnt AS BIGINT) AS top_cnt,
+           CAST((mx.top_cnt * 1000000) // mx.n_rows AS BIGINT)
+             AS top_share_ppm,
+           CAST((mx.top_cnt * 1000 * mx.n_keys) // mx.n_rows AS BIGINT)
+             AS skew_milli,
+           CAST(h.hot_keys AS BIGINT) AS hot_keys,
+           CAST((h.hot_rows * 1000000) // mx.n_rows AS BIGINT)
+             AS hot_share_ppm
+    FROM mx JOIN h ON h.edge = mx.edge
+    """
+
+
+@query("dq_key_skew", _key_skew_oracle)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit over the star's FK edges (plus one
+    grouping key): per edge, the heaviest key and its row share,
+    skew_milli = heaviest-key load over perfectly-uniform load
+    (1000 = uniform), and the count + row share of "hot" keys
+    carrying >100x the mean — the numbers that decide salting/AQE
+    skew-join BEFORE a 100 TB shuffle runs. The DQ family's fourth
+    rung: dq_profile (columns), dq_validation_checks (rows),
+    dq_referential_integrity (cross-table), dq_key_skew (shuffle
+    health).
+
+    Deliberately NO global sort and NO per-edge top-k window: n_keys
+    per edge can be billions, so everything reduces to TWO grouped
+    aggregations over the per-key count table — max/sum/count, then
+    conditional sums against the 6-row per-edge stats broadcast back.
+    top_key ties break by lexicographic min (keys audit as strings so
+    heterogeneous edge types stack into one scan). The hot threshold
+    compares cnt > (100*n_rows) DIV n_keys — floor-division form so
+    no product ever exceeds 100*n_rows. All metrics integer floor
+    divisions on nonneg operands (Spark div == DuckDB //); overflow
+    LOUD via assert_true(top_cnt * n_keys < 2^52) on the skew ratio.
+    Reference analog: none (src/broker.ts has no relational tier);
+    §2.11 ops extension surface, same family as SCALING.md's probes."""
+    frames = []
+    for edge, tbl, col in _SKEW_EDGES:
+        frames.append(
+            _t(spark, sf_dir, tbl).select(
+                F.lit(edge).alias("edge"),
+                F.col(col).cast("string").alias("key"),
+            )
+        )
+    k = frames[0]
+    for fdf in frames[1:]:
+        k = k.unionByName(fdf)
+    c = k.groupBy("edge", "key").agg(F.count("*").alias("cnt"))
+    mx = (
+        c.groupBy("edge")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .where(
+            F.assert_true(
+                F.col("top_cnt") * F.col("n_keys") < F.lit(2**52),
+                F.lit(
+                    "dq_key_skew: top_cnt * n_keys >= 2^52 — skew_milli "
+                    "would overflow int64; rescale the ratio"
+                ),
+            ).isNull()
+        )
+    )
+    h = (
+        c.join(F.broadcast(mx), "edge")
+        .groupBy("edge")
+        .agg(
+            F.min(
+                F.when(F.col("cnt") == F.col("top_cnt"), F.col("key"))
+            ).alias("top_key"),
+            F.sum(
+                F.when(
+                    F.col("cnt")
+                    > F.expr("(100 * n_rows) div n_keys"),
+                    1,
+                ).otherwise(0)
+            ).alias("hot_keys"),
+            F.sum(
+                F.when(
+                    F.col("cnt")
+                    > F.expr("(100 * n_rows) div n_keys"),
+                    F.col("cnt"),
+                ).otherwise(0)
+            ).alias("hot_rows"),
+        )
+    )
+    return mx.join(h, "edge").select(
+        "edge",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        "top_key",
+        F.col("top_cnt").cast("bigint").alias("top_cnt"),
+        F.expr("CAST((top_cnt * 1000000) div n_rows AS BIGINT)").alias(
+            "top_share_ppm"
+        ),
+        F.expr(
+            "CAST((top_cnt * 1000 * n_keys) div n_rows AS BIGINT)"
+        ).alias("skew_milli"),
+        F.col("hot_keys").cast("bigint").alias("hot_keys"),
+        F.expr("CAST((hot_rows * 1000000) div n_rows AS BIGINT)").alias(
+            "hot_share_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layout rung 2 (beside evt_zorder_key): the small-file compaction
+# PLANNER — S2/S5's compact() decides WHAT to rewrite; this query is
+# the manifest-level plan that bounds the rewrite (which segments go
+# into which target-size output file), the Delta/Iceberg OPTIMIZE
+# bin-packing shape.
+# ---------------------------------------------------------------------------
+
+
+_COMPACTION_TARGET = 65536  # bytes per output bin at test scale
+
+
+_COMPACTION_ORACLE_SQL = f"""
+    WITH seg AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             sum(48 + coalesce(length(props), 0)) AS seg_bytes,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    o AS (SELECT *,
+                 coalesce(sum(seg_bytes) OVER (
+                   ORDER BY day_idx, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM seg),
+    binned AS (SELECT *, cum_before // {_COMPACTION_TARGET} AS bin_id
+               FROM o)
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(min(day_idx) AS BIGINT) AS first_day,
+           CAST(max(day_idx) AS BIGINT) AS last_day,
+           CAST(sum(seg_bytes) AS BIGINT) AS bin_bytes,
+           CAST((sum(seg_bytes) * 1000) // {_COMPACTION_TARGET}
+             AS BIGINT) AS fill_milli
+    FROM binned GROUP BY bin_id
+    """
+
+
+@query("evt_compaction_plan", _COMPACTION_ORACLE_SQL)
+def evt_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction bin-packing plan: per-(type, day) segment byte
+    sizes (the event store's append granularity,
+    storage/event_store.py compact()'s input) packed into target-size
+    output bins by cumulative-sum binning in time order — the
+    OPTIMIZE planner's deterministic SQL form. Each output row is one
+    planned file: segment count, event count, day span, bytes, and
+    fill vs target in milli-units. Time-ordered packing (not
+    first-fit-decreasing) is deliberate: compacted files stay
+    time-clustered, so ts-range scan pruning (P1) survives the
+    rewrite.
+
+    Cumulative binning is one window over the SEGMENT MANIFEST —
+    metadata-sized (100 TB / 128 MB ≈ 800k rows), not data-sized, so
+    the single-partition ordered window is a planner-side cost by
+    construction (the same argument as driver-side collects of
+    bounded manifests, without leaving the engine). All arithmetic is
+    integer; bins may legitimately skip ids (a jumbo segment swallows
+    whole target multiples) and undershoot fill when the previous
+    segment overshot — byte conservation and in-order contiguity are
+    the invariants (pytest). Reference analog: compact(topic) in
+    SURVEY §2 S2/S5; this is its planning twin."""
+    ev = _t(spark, sf_dir, "events")
+    seg = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(
+        F.sum(
+            F.lit(48) + F.coalesce(F.length("props"), F.lit(0))
+        ).alias("seg_bytes"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.orderBy("day_idx", "event_type").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    o = seg.withColumn(
+        "cum_before", F.coalesce(F.sum("seg_bytes").over(w), F.lit(0))
+    )
+    binned = o.withColumn(
+        "bin_id", F.expr(f"cum_before div {_COMPACTION_TARGET}")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.min("day_idx").cast("bigint").alias("first_day"),
+        F.max("day_idx").cast("bigint").alias("last_day"),
+        F.sum("seg_bytes").cast("bigint").alias("bin_bytes"),
+        F.expr(
+            f"CAST((sum(seg_bytes) * 1000) div {_COMPACTION_TARGET} "
+            "AS BIGINT)"
+        ).alias("fill_milli"),
+    ).select(
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        "n_segments",
+        "n_events",
+        "first_day",
+        "last_day",
+        "bin_bytes",
+        "fill_milli",
+    )

@@ -484,3 +484,95 @@ def test_mannwhitney_matches_direct_reference(spark, sf_dir):
         want = math.floor(z * 10000 + 0.5) / 10000
         assert abs(g.z - want) < 1e-12, (et, g.z, want)
         assert g.shifted == (abs(want) > 1.96)
+
+
+def test_key_skew_matches_counter_reference(spark, sf_dir):
+    """The two events edges must match a direct Counter recompute —
+    shares, hot-key threshold, and the lexicographic-min top key."""
+    from collections import Counter
+
+    from env_event_stream_spark.catalog import QUERIES
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    got = {
+        r.edge: r for r in QUERIES["dq_key_skew"](spark, sf_dir).collect()
+    }
+    assert len(got) == 6
+    for edge, vals in (
+        ("events.user_id", [str(r.user_id) for r in rows]),
+        ("events.event_type", [r.event_type for r in rows]),
+    ):
+        c = Counter(vals)
+        n_rows, n_keys = len(vals), len(c)
+        top_cnt = max(c.values())
+        top_key = min(k for k, v in c.items() if v == top_cnt)
+        thr = (100 * n_rows) // n_keys
+        hot = {k: v for k, v in c.items() if v > thr}
+        g = got[edge]
+        assert (g.n_rows, g.n_keys, g.top_cnt, g.top_key) == (
+            n_rows, n_keys, top_cnt, top_key,
+        )
+        assert g.top_share_ppm == (top_cnt * 1000000) // n_rows
+        assert g.skew_milli == (top_cnt * 1000 * n_keys) // n_rows
+        assert g.hot_keys == len(hot)
+        assert g.hot_share_ppm == (sum(hot.values()) * 1000000) // n_rows
+    # the grouping-key edge is maximally skew-benign in key count
+    assert got["events.event_type"].n_keys < got["events.user_id"].n_keys
+
+
+def test_compaction_plan_conserves_bytes_and_stays_in_order(spark, sf_dir):
+    """Byte/event conservation vs a direct recompute, in-order
+    contiguity of each bin's segments, and monotone day spans."""
+    from collections import defaultdict
+
+    from env_event_stream_spark.catalog import QUERIES
+    from env_event_stream_spark.advanced_queries import (
+        _COMPACTION_TARGET,
+    )
+    from pyspark.sql import functions as F
+
+    seg = defaultdict(lambda: [0, 0])
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+            F.coalesce(F.length("props"), F.lit(0)).alias("plen"),
+        )
+        .collect()
+    ):
+        s = seg[(r.day, r.event_type)]
+        s[0] += 48 + r.plen
+        s[1] += 1
+    order = sorted(seg)
+    # replay the cumulative binning
+    cum, want = 0, defaultdict(lambda: [0, 0, 0, []])
+    for key in order:
+        b, n = seg[key]
+        bin_id = cum // _COMPACTION_TARGET
+        w = want[bin_id]
+        w[0] += 1
+        w[1] += n
+        w[2] += b
+        w[3].append(key[0])
+        cum += b
+    out = QUERIES["evt_compaction_plan"](spark, sf_dir).collect()
+    assert sum(r.bin_bytes for r in out) == cum
+    assert {r.bin_id for r in out} == set(want)
+    prev_last = None
+    for r in sorted(out, key=lambda r: r.bin_id):
+        wb = want[r.bin_id]
+        assert (r.n_segments, r.n_events, r.bin_bytes) == (
+            wb[0], wb[1], wb[2],
+        )
+        assert r.first_day == min(wb[3]) and r.last_day == max(wb[3])
+        assert r.fill_milli == (r.bin_bytes * 1000) // _COMPACTION_TARGET
+        if prev_last is not None:
+            assert r.first_day >= prev_last  # time-clustered packing
+        prev_last = r.last_day
