@@ -171,6 +171,8 @@ HEADLINE = [
     "evt_stream_acf",
     "dq_key_skew",
     "evt_compaction_plan",
+    "doc_pmi_collocations",
+    "doc_textrank_keywords",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -6857,3 +6857,250 @@ def doc_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi4.alias("psi"),
         (psi4 > 0.2).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (PMI lift) + TextRank keywords: the phrase/
+# keyword extraction pair a pretraining corpus audit runs beside
+# TF-IDF (per-doc saliency) and log-odds (per-source) — PMI finds the
+# corpus's multiword units, TextRank its central vocabulary.
+# ---------------------------------------------------------------------------
+
+
+_PMI_MINSUP = 5
+_PMI_TOPK = 50
+
+
+_PMI_ORACLE_SQL = rf"""
+    WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+               FROM documents),
+    pairs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                     i -> tk[i] || ' ' || tk[i+1])) AS bg
+              FROM t),
+    c2 AS (SELECT bg, count(*) AS c_pair FROM pairs GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w, count(*) AS c_w1
+           FROM pairs GROUP BY 1),
+    cr AS (SELECT split_part(bg, ' ', 2) AS w, count(*) AS c_w2
+           FROM pairs GROUP BY 1),
+    n AS (SELECT count(*) AS n_pairs FROM pairs),
+    scored AS (
+      SELECT split_part(c2.bg, ' ', 1) AS w1,
+             split_part(c2.bg, ' ', 2) AS w2,
+             c2.c_pair, c1.c_w1, cr.c_w2,
+             (n.n_pairs * c2.c_pair * 1000) // (c1.c_w1 * cr.c_w2)
+               AS lift_milli
+      FROM c2
+      CROSS JOIN n
+      JOIN c1 ON c1.w = split_part(c2.bg, ' ', 1)
+      JOIN cr ON cr.w = split_part(c2.bg, ' ', 2)
+      WHERE c2.c_pair >= {_PMI_MINSUP})
+    SELECT w1, w2, CAST(c_pair AS BIGINT) AS c_pair,
+           CAST(c_w1 AS BIGINT) AS c_w1, CAST(c_w2 AS BIGINT) AS c_w2,
+           CAST(lift_milli AS BIGINT) AS lift_milli
+    FROM scored
+    ORDER BY lift_milli DESC, w1 ASC, w2 ASC
+    LIMIT {_PMI_TOPK}
+    """
+
+
+@query("doc_pmi_collocations", _PMI_ORACLE_SQL)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI lift over the bigram event
+    space: lift = N·c(w1,w2) / (c(w1,·)·c(·,w2)), the monotone
+    integer form of pointwise mutual information (PMI = log lift) —
+    the corpus's multiword units ("new york"-shaped), which BPE merge
+    learning consumes bottom-up and this query surfaces top-down.
+    Support >= 5 is the standard PMI noise floor (hapax pairs get
+    unbounded lift).
+
+    INTEGER-EXACT ranking: lift_milli = (N·c_pair·1000) DIV
+    (c_w1·c_w2) — all bigint, no log, nonneg floor division identical
+    on both engines; ties break lexicographically so top-50 is a
+    deterministic SET. Overflow is LOUD: assert_true(N < 9e7) since
+    worst-case N·c_pair·1000 = N²·1000 must fit int64 — past that,
+    rescale or move the score to log space. Plan: the
+    doc_bigram_logprob pair pipeline (zip_with, no Python), two
+    vocabulary-sized count joins (NOT broadcast-hinted: prefix counts
+    are vocab-scale at corpus size, AQE broadcasts them while small),
+    top-50 via TakeOrderedAndProject — no global sort. Reference
+    analog: none; §2.11 text-analysis extension surface."""
+    from env_event_stream_spark.operators.relational import top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    nt = F.size(tk)
+    pairs_arr = F.zip_with(
+        F.slice(tk, 1, F.greatest(nt - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(nt - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    p = d.select(F.explode(pairs_arr).alias("bg")).select(
+        "bg",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    c2 = p.groupBy("bg", "w1", "w2").agg(F.count("*").alias("c_pair"))
+    c1 = p.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    cr = p.groupBy("w2").agg(F.count("*").alias("c_w2"))
+    n = p.agg(F.count("*").alias("n_pairs")).where(
+        F.assert_true(
+            F.col("n_pairs") < F.lit(90_000_000),
+            F.lit(
+                "doc_pmi_collocations: n_pairs >= 9e7 — N^2*1000 "
+                "would overflow int64; rescale lift or go log-space"
+            ),
+        ).isNull()
+    )
+    scored = (
+        c2.where(F.col("c_pair") >= F.lit(_PMI_MINSUP))
+        .join(c1, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_pair").cast("bigint").alias("c_pair"),
+            F.col("c_w1").cast("bigint").alias("c_w1"),
+            F.col("c_w2").cast("bigint").alias("c_w2"),
+            F.expr(
+                "CAST((n_pairs * c_pair * 1000) div (c_w1 * c_w2) "
+                "AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )
+    return top_k(
+        scored,
+        [
+            F.col("lift_milli").desc(),
+            F.col("w1").asc(),
+            F.col("w2").asc(),
+        ],
+        _PMI_TOPK,
+    )
+
+
+_TR_UNIT = 10**12
+_TR_ITERS = 3
+_TR_MINCOUNT = 5
+_TR_TOPK = 30
+
+
+def _textrank_oracle() -> str:
+    ctes = [
+        r"""t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+               FROM documents)""",
+        "tok AS (SELECT unnest(tk) AS w FROM t)",
+        f"""vocab AS (SELECT w FROM tok GROUP BY w
+                HAVING count(*) >= {_TR_MINCOUNT})""",
+        """bgs AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t)""",
+        """pr0 AS (SELECT split_part(bg, ' ', 1) AS a,
+                  split_part(bg, ' ', 2) AS b FROM bgs)""",
+        """e0 AS (SELECT DISTINCT p.a, p.b FROM pr0 p
+               JOIN vocab va ON va.w = p.a
+               JOIN vocab vb ON vb.w = p.b
+               WHERE p.a <> p.b)""",
+        """edges AS (SELECT a AS src, b AS dst FROM e0
+                 UNION
+                 SELECT b, a FROM e0)""",
+        """deg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg
+               FROM edges GROUP BY src)""",
+        "n AS (SELECT count(*) AS n FROM deg)",
+        f"""r0 AS (SELECT src AS node, odeg,
+                  CAST({_TR_UNIT} // n.n AS BIGINT) AS r
+               FROM deg CROSS JOIN n)""",
+    ]
+    prev = "r0"
+    for k in range(1, _TR_ITERS + 1):
+        ctes.append(
+            f"""r{k} AS (
+          SELECT deg.src AS node, deg.odeg,
+                 CAST((15 * {_TR_UNIT}) // (100 * n.n)
+                      + (85 * coalesce(s.total, 0)) // 100 AS BIGINT) AS r
+          FROM deg CROSS JOIN n
+          LEFT JOIN (SELECT e.dst AS nd,
+                            sum({prev}.r // {prev}.odeg) AS total
+                     FROM edges e JOIN {prev} ON {prev}.node = e.src
+                     GROUP BY e.dst) s
+            ON s.nd = deg.src)"""
+        )
+        prev = f"r{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS word, odeg, r AS rank_units,
+           CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT)
+             AS pos
+    FROM {prev}
+    QUALIFY pos <= {_TR_TOPK}
+    """
+    )
+
+
+@query("doc_textrank_keywords", _textrank_oracle())
+def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, the
+    original unweighted form): PageRank over the word co-occurrence
+    graph — nodes are corpus tokens with count >= 5, undirected edges
+    link ADJACENT tokens (window 2) — top-30 central words. The
+    corpus-level keyword rung beside TF-IDF (per-doc) and log-odds
+    (per-source): centrality rewards words that co-occur with many
+    DISTINCT other words, not merely frequent ones.
+
+    Reuses operators/graph.py:pagerank_int wholesale — INTEGER-EXACT
+    micro-unit ranks (rank DIV odeg contributions, (85·sum) DIV 100
+    damping) make 3 iterations of an iterative algorithm survive the
+    cross-engine value hash; the oracle replays every iteration as
+    chained CTEs (the graph_pagerank_custsupp pattern over a
+    different edge CTE stack). Plan: pair explode (zip_with, no
+    Python), two vocab semi-joins bound the graph, per iteration one
+    node-keyed join + grouped sum with localCheckpoint truncation;
+    top-30 via TakeOrderedAndProject, never a global sort. Edge list
+    is vocab-bounded (distinct adjacent pairs), far below corpus
+    scale. Reference analog: none; §2.11 text-analysis extension
+    surface."""
+    from env_event_stream_spark.operators.graph import pagerank_int
+    from env_event_stream_spark.operators.relational import top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    nt = F.size(tk)
+    vocab = (
+        d.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+        .where(F.col("cw") >= F.lit(_TR_MINCOUNT))
+        .select("w")
+    )
+    pairs_arr = F.zip_with(
+        F.slice(tk, 1, F.greatest(nt - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(nt - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    p = d.select(F.explode(pairs_arr).alias("bg")).select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("a"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("b"),
+    )
+    e0 = (
+        p.join(vocab.withColumnRenamed("w", "a"), "a")
+        .join(vocab.withColumnRenamed("w", "b"), "b")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank_int(edges, iterations=_TR_ITERS, unit=_TR_UNIT)
+    order = [F.col("rank_units").desc(), F.col("node").asc()]
+    top = top_k(pr, order, _TR_TOPK)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(
+            F.col("node").alias("word"), "odeg", "rank_units", "pos"
+        )
+    )

@@ -919,3 +919,110 @@ def test_merge_changes_matches_dict_reference(spark, base, ops):
         seen[key] = v
     if not ambiguous:
         assert got == want
+
+
+def test_pmi_collocations_match_counter_reference(spark, sf_dir):
+    """Top-50 lift table must equal a direct Python recompute from
+    the same whitespace bigrams (counts, integer lift, tie order)."""
+    from collections import Counter
+
+    from env_event_stream_spark.catalog import QUERIES
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    pairs = []
+    for t in texts:
+        tk = t.strip().split()
+        pairs.extend(zip(tk, tk[1:]))
+    n = len(pairs)
+    c2 = Counter(pairs)
+    c1 = Counter(a for a, _ in pairs)
+    cr = Counter(b for _, b in pairs)
+    scored = [
+        (
+            (n * c * 1000) // (c1[a] * cr[b]),
+            a,
+            b,
+            c,
+            c1[a],
+            cr[b],
+        )
+        for (a, b), c in c2.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [
+        (a, b, c, ca, cb, lift) for lift, a, b, c, ca, cb in scored[:50]
+    ]
+    got = [
+        (r.w1, r.w2, r.c_pair, r.c_w1, r.c_w2, r.lift_milli)
+        for r in QUERIES["doc_pmi_collocations"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_textrank_matches_python_pagerank_replay(spark, sf_dir):
+    """Full top-30 must equal an independent pure-Python integer
+    pagerank over the same vocab-bounded adjacency graph."""
+    from collections import Counter, defaultdict
+
+    from env_event_stream_spark.catalog import QUERIES
+    from env_event_stream_spark.llm_queries import (
+        _TR_ITERS,
+        _TR_MINCOUNT,
+        _TR_TOPK,
+        _TR_UNIT,
+    )
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    toks = Counter()
+    pairs = set()
+    docs_tk = [t.strip().split() for t in texts]
+    for tk in docs_tk:
+        toks.update(tk)
+    vocab = {w for w, c in toks.items() if c >= _TR_MINCOUNT}
+    for tk in docs_tk:
+        for a, b in zip(tk, tk[1:]):
+            if a != b and a in vocab and b in vocab:
+                pairs.add((a, b))
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    nn = len(nodes)
+    r = {v: _TR_UNIT // nn for v in nodes}
+    for _ in range(_TR_ITERS):
+        inc = defaultdict(int)
+        for u in nodes:
+            share = r[u] // len(adj[u])
+            for v in adj[u]:
+                inc[v] += share
+        r = {
+            v: (15 * _TR_UNIT) // (100 * nn) + (85 * inc[v]) // 100
+            for v in nodes
+        }
+    want = sorted(
+        ((v, len(adj[v]), r[v]) for v in nodes),
+        key=lambda t: (-t[2], t[0]),
+    )[:_TR_TOPK]
+    want = [
+        (w, od, ru, i + 1) for i, (w, od, ru) in enumerate(want)
+    ]
+    got = [
+        (g.word, g.odeg, g.rank_units, g.pos)
+        for g in sorted(
+            QUERIES["doc_textrank_keywords"](spark, sf_dir).collect(),
+            key=lambda g: g.pos,
+        )
+    ]
+    assert got == want
