@@ -173,6 +173,8 @@ HEADLINE = [
     "evt_compaction_plan",
     "doc_pmi_collocations",
     "doc_textrank_keywords",
+    "evt_stream_compaction_plan",
+    "evt_zorder_pruning_eval",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -3132,8 +3132,17 @@ def evt_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment overshot — byte conservation and in-order contiguity are
     the invariants (pytest). Reference analog: compact(topic) in
     SURVEY §2 S2/S5; this is its planning twin."""
-    ev = _t(spark, sf_dir, "events")
-    seg = ev.groupBy(
+    return compaction_finalize(
+        seg_manifest_agg(_t(spark, sf_dir, "events"))
+    )
+
+
+def seg_manifest_agg(ev: DataFrame) -> DataFrame:
+    """The (event_type, day_idx) segment-manifest aggregation —
+    bytes and event counts merge by +, so it doubles as the
+    complete-mode streaming state of evt_stream_compaction_plan
+    (the hw_grid_stream_agg pattern for the layout family)."""
+    return ev.groupBy(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
         .cast("bigint")
@@ -3144,6 +3153,12 @@ def evt_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seg_bytes"),
         F.count("*").alias("n_events"),
     )
+
+
+def compaction_finalize(seg: DataFrame) -> DataFrame:
+    """Cumulative-sum bin packing over a (event_type, day_idx,
+    seg_bytes, n_events) manifest — shared source-level by the batch
+    query above and the streaming matview twin."""
     w = Window.orderBy("day_idx", "event_type").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -3522,3 +3522,232 @@ def evt_mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(F.col("zval")) > F.lit(1.96))
         .alias("shifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout rung 3: the z-order PAYOFF measurement — evt_zorder_key
+# computes the curve key; this eval measures what it buys (files
+# pruned by min/max stats under each layout), the recall-eval
+# discipline applied to data layout.
+# ---------------------------------------------------------------------------
+
+
+_ZP_FILES = 64
+
+_ZP_ZKEY_SQL = """
+             CAST(list_sum(list_transform(range(0, 16),
+                    x -> ((greatest(0, least(user_id, 65535)) >> x) & 1)
+                         * (CAST(1 AS BIGINT) << (2 * x))))
+                + list_sum(list_transform(range(0, 16),
+                    x -> ((greatest(0, least(CAST(day_idx AS BIGINT),
+                                             65535)) >> x) & 1)
+                         * (CAST(1 AS BIGINT) << (2 * x + 1))))
+               AS BIGINT)"""
+
+# (probe, user_lo, user_hi, day_lo, day_hi) — NULL bound = unbounded
+_ZP_PROBES = [
+    ("day 10-12", "NULL", "NULL", "10", "12"),
+    ("user 100-199", "100", "199", "NULL", "NULL"),
+    ("user 100-199 & day 10-12", "100", "199", "10", "12"),
+    ("day = 20", "NULL", "NULL", "20", "20"),
+]
+
+
+def _zorder_pruning_oracle() -> str:
+    probes = ",\n        ".join(
+        f"('{p}', {ul}, {uh}, {dl}, {dh})"
+        for p, ul, uh, dl, dh in _ZP_PROBES
+    )
+    return f"""
+    WITH b AS (
+      SELECT event_id, user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx
+      FROM events),
+    z AS (SELECT event_id, user_id, CAST(day_idx AS BIGINT) AS day_idx,
+                 {_ZP_ZKEY_SQL} AS zkey
+          FROM b),
+    n AS (SELECT count(*) AS n,
+                 (count(*) + {_ZP_FILES - 1}) // {_ZP_FILES} AS rpf
+          FROM z),
+    lin AS (SELECT z.user_id, z.day_idx,
+                   (row_number() OVER (ORDER BY z.user_id, z.event_id)
+                    - 1) // n.rpf AS f
+            FROM z CROSS JOIN n),
+    zo AS (SELECT z.user_id, z.day_idx,
+                  (row_number() OVER (ORDER BY z.zkey, z.event_id)
+                   - 1) // n.rpf AS f
+           FROM z CROSS JOIN n),
+    stats AS (
+      SELECT 'linear' AS layout, f, min(user_id) AS umin,
+             max(user_id) AS umax, min(day_idx) AS dmin,
+             max(day_idx) AS dmax
+      FROM lin GROUP BY f
+      UNION ALL
+      SELECT 'zorder', f, min(user_id), max(user_id),
+             min(day_idx), max(day_idx)
+      FROM zo GROUP BY f),
+    probes(probe, ulo, uhi, dlo, dhi) AS (VALUES
+        {probes}),
+    touch AS (
+      SELECT p.probe, s.layout, count(*) AS files_touched
+      FROM probes p JOIN stats s
+        ON (p.ulo IS NULL OR s.umax >= p.ulo)
+       AND (p.uhi IS NULL OR s.umin <= p.uhi)
+       AND (p.dlo IS NULL OR s.dmax >= p.dlo)
+       AND (p.dhi IS NULL OR s.dmin <= p.dhi)
+      GROUP BY 1, 2),
+    tot AS (SELECT count(DISTINCT f) AS files_total FROM lin)
+    SELECT p.probe,
+           CAST(max(tot.files_total) AS BIGINT) AS files_total,
+           CAST(coalesce(max(CASE WHEN t.layout = 'linear'
+                         THEN t.files_touched END), 0) AS BIGINT)
+             AS files_linear,
+           CAST(coalesce(max(CASE WHEN t.layout = 'zorder'
+                         THEN t.files_touched END), 0) AS BIGINT)
+             AS files_zorder
+    FROM probes p
+    CROSS JOIN tot
+    LEFT JOIN touch t ON t.probe = p.probe
+    GROUP BY p.probe
+    """
+
+
+@query("evt_zorder_pruning_eval", _zorder_pruning_oracle())
+def evt_zorder_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order payoff, MEASURED (the ANN-recall-eval discipline
+    applied to layout): split the table into 64 equal "files" two
+    ways — sorted linearly by user_id vs sorted by the Morton key —
+    compute each file's min/max stats on both dimensions (what
+    parquet footers store), and count files a min/max-pruning scan
+    must touch for four probe predicates. The expected verdict this
+    query exists to show with numbers: linear wins its own sort
+    column, reads EVERYTHING on the other column; z-order pays a
+    little on each but prunes on BOTH — the justification for
+    write_zordered at 100 TB.
+
+    Deterministic by construction: integer Morton key (the
+    evt_zorder_key expression, operators/layout.py:zorder_key),
+    row_number with event_id tie-break, ceil-division file
+    assignment, integer stats and overlap tests — no floats anywhere.
+    The two global sorts are the MEASUREMENT shape at test scale;
+    production writes use repartitionByRange (distributed range
+    sort), and the min/max pruning math is identical — this eval's
+    file-count ratios are what the real layout buys. Reference
+    analog: none; §2.11 layout extension surface beside
+    evt_zorder_key and evt_compaction_plan."""
+    from env_event_stream_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    z = ev.select(
+        "event_id",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).withColumn(
+        "zkey", zorder_key([F.col("user_id"), F.col("day_idx")], bits=16)
+    )
+    n = z.agg(
+        F.count("*").alias("n"),
+        F.expr(
+            f"CAST((count(*) + {_ZP_FILES - 1}) div {_ZP_FILES} "
+            "AS BIGINT)"
+        ).alias("rpf"),
+    )
+    zc = z.crossJoin(F.broadcast(n))
+    lin = zc.select(
+        "user_id",
+        "day_idx",
+        F.expr(
+            "CAST((row_number() OVER (ORDER BY user_id, event_id) - 1) "
+            "div rpf AS BIGINT)"
+        ).alias("f"),
+    )
+    zo = zc.select(
+        "user_id",
+        "day_idx",
+        F.expr(
+            "CAST((row_number() OVER (ORDER BY zkey, event_id) - 1) "
+            "div rpf AS BIGINT)"
+        ).alias("f"),
+    )
+    stats = (
+        lin.groupBy("f")
+        .agg(
+            F.min("user_id").alias("umin"),
+            F.max("user_id").alias("umax"),
+            F.min("day_idx").alias("dmin"),
+            F.max("day_idx").alias("dmax"),
+        )
+        .select(F.lit("linear").alias("layout"), "*")
+        .unionByName(
+            zo.groupBy("f")
+            .agg(
+                F.min("user_id").alias("umin"),
+                F.max("user_id").alias("umax"),
+                F.min("day_idx").alias("dmin"),
+                F.max("day_idx").alias("dmax"),
+            )
+            .select(F.lit("zorder").alias("layout"), "*")
+        )
+    )
+    probes = spark.createDataFrame(
+        [
+            (
+                p,
+                None if ul == "NULL" else int(ul),
+                None if uh == "NULL" else int(uh),
+                None if dl == "NULL" else int(dl),
+                None if dh == "NULL" else int(dh),
+            )
+            for p, ul, uh, dl, dh in _ZP_PROBES
+        ],
+        "probe string, ulo long, uhi long, dlo long, dhi long",
+    )
+    touch = (
+        F.broadcast(probes)
+        .join(
+            stats,
+            (F.col("ulo").isNull() | (F.col("umax") >= F.col("ulo")))
+            & (F.col("uhi").isNull() | (F.col("umin") <= F.col("uhi")))
+            & (F.col("dlo").isNull() | (F.col("dmax") >= F.col("dlo")))
+            & (F.col("dhi").isNull() | (F.col("dmin") <= F.col("dhi"))),
+        )
+        .groupBy("probe", "layout")
+        .agg(F.count("*").alias("files_touched"))
+    )
+    tot = lin.agg(
+        F.countDistinct("f").alias("files_total")
+    )
+    return (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(tot))
+        .join(touch, "probe", "left")
+        .groupBy("probe")
+        .agg(
+            F.max("files_total").cast("bigint").alias("files_total"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("layout") == "linear",
+                        F.col("files_touched"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("files_linear"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("layout") == "zorder",
+                        F.col("files_touched"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("files_zorder"),
+        )
+    )

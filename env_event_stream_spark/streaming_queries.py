@@ -1464,6 +1464,43 @@ def evt_stream_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_finalize_daily(grid)
 
 
+def _compaction_oracle_for_stream() -> str:
+    from env_event_stream_spark.advanced_queries import (
+        _COMPACTION_ORACLE_SQL,
+    )
+
+    return _COMPACTION_ORACLE_SQL
+
+
+@query("evt_stream_compaction_plan", _compaction_oracle_for_stream)
+def evt_stream_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE compaction planner (22nd genuinely-streaming oracled
+    entry): the (type, day) segment MANIFEST — bytes and event counts
+    — maintained as complete-mode streaming state (merge = +,
+    arrival-order free, exact: the hw-grid argument applied to the
+    layout family), with the cumulative-sum bin-packing readout
+    (compaction_finalize) shared source-level with the batch
+    evt_compaction_plan and sharing its full value-hash oracle. The
+    ops loop it closes: the event store appends small files all day;
+    this matview continuously answers "what would OPTIMIZE rewrite
+    right now" without scanning the data — state is manifest-sized,
+    never event-sized.
+
+    Cross-batch byte/count merging is pinned by a forced multi-batch
+    pytest (test_matview.py pattern); packing determinism is the
+    batch twin's pytest."""
+    from env_event_stream_spark.advanced_queries import (
+        compaction_finalize,
+        seg_manifest_agg,
+    )
+
+    ev = _read_events_stream(spark, sf_dir)
+    seg = spark.read.parquet(
+        _run_complete_overwrite(seg_manifest_agg(ev), "segman")
+    )
+    return compaction_finalize(seg)
+
+
 # ---------------------------------------------------------------------------
 # Streaming histogram-percentile matview (10th genuinely-streaming
 # oracled entry): the mergeable sketch family's live form.

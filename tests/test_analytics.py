@@ -576,3 +576,84 @@ def test_compaction_plan_conserves_bytes_and_stays_in_order(spark, sf_dir):
         if prev_last is not None:
             assert r.first_day >= prev_last  # time-clustered packing
         prev_last = r.last_day
+
+
+def test_zorder_pruning_eval_matches_python_replay(spark, sf_dir):
+    """Full replay: interleave bits in Python, sort both layouts,
+    chunk into 64 files, min/max stats, overlap counts — every cell
+    of the eval must match."""
+    from env_event_stream_spark.analytics_queries import (
+        _ZP_FILES,
+        _ZP_PROBES,
+    )
+    from env_event_stream_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        .collect()
+    )
+
+    def zkey(u, d):
+        u = max(0, min(u, 65535))
+        d = max(0, min(d, 65535))
+        z = 0
+        for x in range(16):
+            z |= ((u >> x) & 1) << (2 * x)
+            z |= ((d >> x) & 1) << (2 * x + 1)
+        return z
+
+    pts = [(r.user_id, r.day, r.event_id) for r in rows]
+    n = len(pts)
+    rpf = (n + _ZP_FILES - 1) // _ZP_FILES
+
+    def stats(order):
+        out = {}
+        for i, (u, d, _e) in enumerate(order):
+            f = i // rpf
+            s = out.setdefault(f, [u, u, d, d])
+            s[0] = min(s[0], u)
+            s[1] = max(s[1], u)
+            s[2] = min(s[2], d)
+            s[3] = max(s[3], d)
+        return out
+
+    lin = stats(sorted(pts, key=lambda p: (p[0], p[2])))
+    zo = stats(
+        sorted(pts, key=lambda p: (zkey(p[0], p[1]), p[2]))
+    )
+
+    def touched(st, ul, uh, dl, dh):
+        c = 0
+        for umin, umax, dmin, dmax in st.values():
+            if ul is not None and umax < ul:
+                continue
+            if uh is not None and umin > uh:
+                continue
+            if dl is not None and dmax < dl:
+                continue
+            if dh is not None and dmin > dh:
+                continue
+            c += 1
+        return c
+
+    got = {
+        r.probe: r
+        for r in QUERIES["evt_zorder_pruning_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(got) == len(_ZP_PROBES)
+    for p, ul, uh, dl, dh in _ZP_PROBES:
+        b = [None if v == "NULL" else int(v) for v in (ul, uh, dl, dh)]
+        g = got[p]
+        assert g.files_total == len(lin)
+        assert g.files_linear == touched(lin, *b), p
+        assert g.files_zorder == touched(zo, *b), p

@@ -1004,3 +1004,81 @@ def test_stream_cusum_equals_batch(spark, sf_dir):
     live = {tuple(r) for r in evt_stream_cusum(spark, sf_dir).collect()}
     assert batch == live
     assert batch, "no daily grid at test sf"
+
+
+def test_stream_seg_manifest_merges_across_batches(spark, tmp_path):
+    """The live segment manifest must MERGE byte/event counts across
+    micro-batches: a (type, day) segment split across two appends
+    sums to one manifest row with the exact byte total."""
+    import datetime as dt
+
+    from env_event_stream_spark.advanced_queries import seg_manifest_agg
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string, value double, props string"
+    )
+
+    def write(spec):
+        rows = [
+            (1, dt.datetime(2024, 1, 1 + d, 9, 0, 0), eid, et, None, pr)
+            for (d, eid, et, pr) in spec
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = seg_manifest_agg(stream)
+
+        def out(df, _epoch):
+            df.write.mode("overwrite").parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(out)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.event_type, r.day_idx): (r.seg_bytes, r.n_events)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    write([(0, 1, "view", "abcd"), (0, 2, "view", None)])
+    assert run() == {("view", 0): (48 + 4 + 48 + 0, 2)}
+    write([(0, 3, "view", "xy"), (1, 4, "click", "z")])
+    assert run() == {
+        ("view", 0): (100 + 48 + 2, 3),
+        ("click", 1): (48 + 1, 1),
+    }
+
+
+def test_stream_acf_and_compaction_equal_batch(spark, sf_dir):
+    """Live == batch row-for-row for the two new grid-sharing
+    matviews (state is only the mergeable grid/manifest; every
+    division lives in the shared batch readout)."""
+    from env_event_stream_spark.advanced_queries import (
+        evt_compaction_plan,
+    )
+    from env_event_stream_spark.analytics_queries import evt_acf_daily
+    from env_event_stream_spark.streaming_queries import (
+        evt_stream_acf,
+        evt_stream_compaction_plan,
+    )
+
+    b1 = {tuple(r) for r in evt_acf_daily(spark, sf_dir).collect()}
+    l1 = {tuple(r) for r in evt_stream_acf(spark, sf_dir).collect()}
+    assert b1 == l1 and b1
+    b2 = {tuple(r) for r in evt_compaction_plan(spark, sf_dir).collect()}
+    l2 = {
+        tuple(r)
+        for r in evt_stream_compaction_plan(spark, sf_dir).collect()
+    }
+    assert b2 == l2 and b2
