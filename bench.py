@@ -175,6 +175,7 @@ HEADLINE = [
     "doc_textrank_keywords",
     "evt_stream_compaction_plan",
     "evt_zorder_pruning_eval",
+    "emb_kmeans_lloyd",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

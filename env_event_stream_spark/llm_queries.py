@@ -7104,3 +7104,220 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("word"), "odeg", "rank_units", "pos"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd), INTEGER-EXACT — the distributed
+# TRAINING rung the ANN family lacks: the IVF/PQ codebooks train on a
+# bounded driver-side numpy sample (fine while the sample fits); this
+# operator is the full-corpus path — per iteration one broadcast
+# assignment pass + one map-side-combinable per-dim sum, cluster
+# means collected as the 8x64 bounded model read (the centroid-set
+# collect precedent). Quantized micro-unit arithmetic makes all three
+# iterations survive the cross-engine value hash, the pagerank_int
+# argument applied to Lloyd's algorithm.
+# ---------------------------------------------------------------------------
+
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_Q = 10000  # micro-unit quantization of the float embeddings
+_KM_DIM = 64
+
+# floor division that both engines agree on for NEGATIVE numerators
+# (Spark `div` truncates toward zero; DuckDB `//` floors): nonneg
+# operands only, sign handled explicitly.
+_KM_FLOORDIV = (
+    "CASE WHEN {s} >= 0 THEN {s} {div} {n} "
+    "ELSE -((-({s}) + {n} - 1) {div} {n}) END"
+)
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""q AS (SELECT vec_id,
+                list_transform(v, x -> CAST(floor(x * {_KM_Q} + 0.5)
+                                            AS BIGINT)) AS qv
+             FROM e)""",
+        f"""pt AS (SELECT vec_id, unnest(range(1, {_KM_DIM + 1})) AS j,
+                  unnest(qv) AS val FROM q)""",
+        f"""c0q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                    AS cid, qv
+             FROM q ORDER BY vec_id LIMIT {_KM_K})""",
+        f"""cl0 AS (SELECT cid, unnest(range(1, {_KM_DIM + 1})) AS j,
+                   unnest(qv) AS cv FROM c0q)""",
+    ]
+    prev = "cl0"
+    fd = _KM_FLOORDIV.format(s="sum(pt.val)", n="count(*)", div="//")
+    for k in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"""a{k} AS (SELECT pt.vec_id, c.cid,
+                   sum((pt.val - c.cv) * (pt.val - c.cv)) AS dist
+            FROM pt JOIN {prev} c ON c.j = pt.j
+            GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{k} AS (SELECT vec_id, cid, dist FROM (
+              SELECT vec_id, cid, dist,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM a{k}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""cl{k} AS (
+            SELECT b{k}.cid, pt.j, CAST({fd} AS BIGINT) AS cv
+            FROM b{k} JOIN pt USING (vec_id) GROUP BY b{k}.cid, pt.j
+            UNION ALL
+            SELECT c.cid, c.j, c.cv FROM {prev} c
+            WHERE c.cid NOT IN (SELECT DISTINCT cid FROM b{k}))"""
+        )
+        prev = f"cl{k}"
+    k = _KM_ITERS + 1
+    ctes.append(
+        f"""a{k} AS (SELECT pt.vec_id, c.cid,
+               sum((pt.val - c.cv) * (pt.val - c.cv)) AS dist
+        FROM pt JOIN {prev} c ON c.j = pt.j
+        GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        f"""b{k} AS (SELECT vec_id, cid, dist FROM (
+          SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM a{k}) WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""chk AS (SELECT cid, sum(cv) AS c_checksum FROM {prev}
+               GROUP BY cid)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT chk.cid, CAST(coalesce(n.n_points, 0) AS BIGINT)
+             AS n_points,
+           CAST(coalesce(n.inertia, 0) AS BIGINT) AS inertia,
+           CAST(chk.c_checksum AS BIGINT) AS c_checksum
+    FROM chk LEFT JOIN (
+      SELECT cid, count(*) AS n_points, sum(dist) AS inertia
+      FROM b{k} GROUP BY cid) n ON n.cid = chk.cid
+    """
+    )
+
+
+@query("emb_kmeans_lloyd", _kmeans_oracle())
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus, k=8, 3
+    fixed iterations, INTEGER-EXACT end to end: embeddings quantize
+    to 1e-4 micro-units (floor(x*1e4+0.5) — one identical IEEE
+    multiply+floor on both engines), distances and per-dim sums are
+    order-free bigint arithmetic, and the centroid update is an
+    explicit sign-safe floor division (Spark div truncates toward
+    zero, DuckDB // floors — the CASE makes them agree on negative
+    sums). Ties argmin to the lowest centroid id; empty clusters keep
+    their previous centroid. Init = the k lowest-vec_id points (the
+    deterministic bounded-sample precedent). Output: per-cluster
+    population, inertia, and the centroid checksum — the oracle
+    replays ALL three iterations as chained CTEs (the pagerank_int
+    discipline applied to distributed ML training).
+
+    Why this exists next to the numpy-sample IVF trainer
+    (_ivf_spark_cached): the sample path needs the sample to fit the
+    driver; THIS is the full-corpus path — per iteration one
+    8-row-broadcast assignment pass (zip_with/aggregate, no Python in
+    the row path) + one map-side-combinable (cid, dim) sum; the only
+    driver reads are the 8x64 centroid table per iteration (the
+    centroid-set collect precedent) and assert_true bounds cluster
+    populations at 2^24 so bigint inertia can't wrap silently.
+    Reference analog: none; §2.11 ML-training extension surface."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * _KM_Q + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+    init = [
+        (int(r.vec_id), list(r.qv))
+        for r in q.orderBy("vec_id").limit(_KM_K).collect()
+    ]
+    cent = {cid: vec for cid, (_vid, vec) in enumerate(init)}
+
+    def cent_df(c):
+        return spark.createDataFrame(
+            [(cid, c[cid]) for cid in sorted(c)],
+            "cid int, cv array<bigint>",
+        )
+
+    def assign(c):
+        d = q.crossJoin(F.broadcast(cent_df(c)))
+        dist = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        a = d.select("vec_id", "cid", "qv", dist.alias("dist"))
+        best = a.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid", "qv")).alias("m")
+        )
+        return best.select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.dist").alias("dist"),
+            F.col("m.qv").alias("qv"),
+        )
+
+    for _ in range(_KM_ITERS):
+        b = assign(cent)
+        sums = (
+            b.select(
+                "cid", F.posexplode("qv").alias("j", "val")
+            )
+            .groupBy("cid", "j")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        newc = {}
+        for r in sums:
+            vec = newc.setdefault(r.cid, [0] * _KM_DIM)
+            s, n = r.s, r.n
+            vec[r.j] = s // n  # python floor div == the CASE form
+        for cid in cent:
+            if cid not in newc:
+                newc[cid] = cent[cid]  # empty cluster carries over
+        cent = newc
+
+    b = assign(cent)
+    stats = b.groupBy("cid").agg(
+        F.count("*").alias("n_points"),
+        F.sum("dist").alias("inertia"),
+    ).where(
+        F.assert_true(
+            F.col("n_points") < F.lit(2**24),
+            F.lit(
+                "emb_kmeans_lloyd: cluster population >= 2^24 — "
+                "bigint inertia could overflow; rescale quantization"
+            ),
+        ).isNull()
+    )
+    chk = spark.createDataFrame(
+        [(cid, sum(cent[cid])) for cid in sorted(cent)],
+        "cid int, c_checksum long",
+    )
+    return (
+        chk.join(stats, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_points", F.lit(0))
+            .cast("bigint")
+            .alias("n_points"),
+            F.coalesce("inertia", F.lit(0))
+            .cast("bigint")
+            .alias("inertia"),
+            F.col("c_checksum").cast("bigint").alias("c_checksum"),
+        )
+    )

@@ -377,3 +377,72 @@ def test_ivf_cell_stats_partition_of_corpus(spark, sf_dir):
     assert hottest["is_hottest"]
     for r in rows:
         assert r["load_x10000"] == r["n_vectors"] * 8 * 10000 // n_corpus
+
+
+def test_kmeans_lloyd_matches_python_replay(spark, sf_dir):
+    """Full independent replay: quantize, init on lowest ids, three
+    assignment/update rounds with floor-division centroids and
+    empty-cluster carryover, final stats — every output cell must
+    match the distributed run."""
+    import math
+
+    from env_event_stream_spark.catalog import QUERIES
+    from env_event_stream_spark.llm_queries import (
+        _KM_ITERS,
+        _KM_K,
+        _KM_Q,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    pts = {
+        int(r.vec_id): [
+            math.floor(float(x) * _KM_Q + 0.5) for x in r.embedding
+        ]
+        for r in rows
+    }
+    cent = {
+        i: list(pts[v])
+        for i, v in enumerate(sorted(pts)[:_KM_K])
+    }
+
+    def best(v):
+        return min(
+            (
+                (
+                    sum((a - b) * (a - b) for a, b in zip(v, cent[c])),
+                    c,
+                )
+                for c in sorted(cent)
+            )
+        )
+
+    for _ in range(_KM_ITERS):
+        groups = {}
+        for vid, v in pts.items():
+            _d, c = best(v)
+            groups.setdefault(c, []).append(v)
+        new = {}
+        for c, vs in groups.items():
+            n = len(vs)
+            new[c] = [
+                sum(v[j] for v in vs) // n for j in range(len(vs[0]))
+            ]
+        for c in cent:
+            if c not in new:
+                new[c] = cent[c]
+        cent = new
+
+    want = {c: [0, 0, sum(cent[c])] for c in cent}
+    for vid, v in pts.items():
+        d, c = best(v)
+        want[c][0] += 1
+        want[c][1] += d
+    got = {
+        r.cid: (r.n_points, r.inertia, r.c_checksum)
+        for r in QUERIES["emb_kmeans_lloyd"](spark, sf_dir).collect()
+    }
+    assert got == {c: tuple(w) for c, w in want.items()}
