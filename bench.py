@@ -176,6 +176,9 @@ HEADLINE = [
     "evt_stream_compaction_plan",
     "evt_zorder_pruning_eval",
     "emb_kmeans_lloyd",
+    "evt_stream_spearman",
+    "graph_label_propagation",
+    "emb_kmeans_ivf_eval",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

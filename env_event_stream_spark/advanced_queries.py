@@ -3187,3 +3187,102 @@ def compaction_finalize(seg: DataFrame) -> DataFrame:
         "bin_bytes",
         "fill_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph rung 4: label-propagation communities (synchronous LPA,
+# deterministic) — beside components (connectivity), pagerank
+# (centrality), k-core (density), and triangles (clustering): the
+# community-detection member of the family.
+# ---------------------------------------------------------------------------
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        _copurchase_edge_ctes(),
+        "adj AS (SELECT x AS v, y AS u FROM e UNION ALL SELECT y, x FROM e)",
+        """l0 AS (SELECT DISTINCT v, v AS lbl FROM (
+            SELECT x AS v FROM e UNION ALL SELECT y FROM e))""",
+    ]
+    prev = "l0"
+    for k in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"""c{k} AS (SELECT adj.v, p.lbl, count(*) AS c
+            FROM adj JOIN {prev} p ON p.v = adj.u
+            GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""l{k} AS (SELECT v, lbl FROM (
+              SELECT v, lbl, row_number() OVER (
+                PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+              FROM c{k}) WHERE rn = 1)"""
+        )
+        prev = f"l{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(v) AS BIGINT) AS members_sum,
+           CAST(min(v) AS BIGINT) AS min_member
+    FROM {prev} GROUP BY lbl
+    """
+    )
+
+
+@query("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    shared co-purchase graph, 3 fixed iterations — community
+    detection, the graph family's fourth rung: components answer
+    "connected at all?", LPA answers "which dense social cluster?"
+    (labels flood locally and dense regions agree on one label long
+    before global connectivity would merge them).
+
+    DETERMINISTIC by construction where vanilla LPA is famously not:
+    synchronous updates (no order dependence), mode-of-neighbor-labels
+    with count-desc/label-asc tie-break, integer labels = node ids.
+    Each iteration is one adjacency join + grouped count + per-node
+    argmax window (partitioned by node, never global), localCheckpoint
+    truncating the lineage — the connected_components/pagerank loop
+    discipline; the oracle replays all iterations as chained CTEs.
+    Output: one row per surviving community (label, size, member-sum
+    checksum, representative). Edge list is the checkpointed
+    df-capped co-purchase graph every graph query shares. Reference
+    analog: none; §2.11 graph extension surface."""
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(
+        F.col("x").alias("v"), F.col("y").alias("u")
+    ).unionByName(e.select(F.col("y").alias("v"), F.col("x").alias("u")))
+    adj = adj.localCheckpoint(eager=True)
+    lbl = (
+        adj.select("v").distinct().withColumn("lbl", F.col("v"))
+    ).localCheckpoint(eager=True)
+    wv = Window.partitionBy("v").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            adj.join(
+                lbl.select(
+                    F.col("v").alias("u"), F.col("lbl")
+                ),
+                "u",
+            )
+            .groupBy("v", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        lbl = (
+            cnt.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("v", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return lbl.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("v").cast("bigint").alias("members_sum"),
+        F.min("v").cast("bigint").alias("min_member"),
+    )

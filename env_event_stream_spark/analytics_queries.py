@@ -3334,7 +3334,13 @@ def evt_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides corpus-size-invariant; ranks come from a per-type window
     over DISTINCT daily counts. Reference analog: none; §2.11
     time-series extension surface."""
-    d = _daily_counts_by_type(spark, sf_dir)
+    return spearman_finalize_daily(_daily_counts_by_type(spark, sf_dir))
+
+
+def spearman_finalize_daily(d: DataFrame) -> DataFrame:
+    """The Spearman readout over a (event_type, day_idx, cnt) daily
+    grid — shared source-level by the batch query above and the
+    streaming matview twin (evt_stream_spearman)."""
     cal = d.agg(
         F.min("day_idx").alias("dmin"), F.max("day_idx").alias("dmax")
     )

@@ -1464,6 +1464,43 @@ def evt_stream_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_finalize_daily(grid)
 
 
+def _spearman_oracle_for_stream() -> str:
+    from env_event_stream_spark.analytics_queries import (
+        _SPEARMAN_ORACLE_SQL,
+    )
+
+    return _SPEARMAN_ORACLE_SQL
+
+
+@query("evt_stream_spearman", _spearman_oracle_for_stream)
+def evt_stream_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE cross-type correlation matview (23rd genuinely-streaming
+    oracled entry): the shared complete-mode daily-count grid (the
+    HW/CUSUM/ACF state — one streaming aggregation now feeds FOUR
+    detector families) with the Spearman readout applied over the
+    frozen grid via the batch twin's finalize path and sharing its
+    full value-hash oracle. The ops dashboard number: "are purchases
+    still tracking views?" — a live decorrelation is an incident
+    signal (instrumentation break, funnel breakage) that per-type
+    volume monitors miss because BOTH series can stay in-band while
+    their coupling dies.
+
+    State is the count grid alone; ranks, the zero-fill, and the one
+    fixed-order rho expression all live in the deterministic batch
+    readout. Cross-batch merging is pinned by the shared
+    hw_grid_stream_agg multi-batch pytest; live == batch by the
+    frame-equality pytest."""
+    from env_event_stream_spark.analytics_queries import (
+        spearman_finalize_daily,
+    )
+
+    ev = _read_events_stream(spark, sf_dir)
+    grid = spark.read.parquet(
+        _run_complete_overwrite(hw_grid_stream_agg(ev), "speargrid")
+    )
+    return spearman_finalize_daily(grid)
+
+
 def _compaction_oracle_for_stream() -> str:
     from env_event_stream_spark.advanced_queries import (
         _COMPACTION_ORACLE_SQL,

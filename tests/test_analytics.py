@@ -657,3 +657,45 @@ def test_zorder_pruning_eval_matches_python_replay(spark, sf_dir):
         assert g.files_total == len(lin)
         assert g.files_linear == touched(lin, *b), p
         assert g.files_zorder == touched(zo, *b), p
+
+
+def test_label_propagation_matches_python_replay(spark, sf_dir):
+    """Full independent replay of the synchronous LPA rounds over the
+    same co-purchase edge list the engine used."""
+    from collections import Counter, defaultdict
+
+    from env_event_stream_spark.advanced_queries import (
+        _copurchase_edges,
+        _LPA_ITERS,
+    )
+    from env_event_stream_spark.catalog import QUERIES
+
+    edges = [
+        (r.x, r.y) for r in _copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj = defaultdict(list)
+    for x, y in edges:
+        adj[x].append(y)
+        adj[y].append(x)
+    lbl = {v: v for v in adj}
+    for _ in range(_LPA_ITERS):
+        new = {}
+        for v, us in adj.items():
+            c = Counter(lbl[u] for u in us)
+            new[v] = min(
+                c, key=lambda k: (-c[k], k)
+            )  # count desc, label asc
+        lbl = new
+    want = defaultdict(lambda: [0, 0, None])
+    for v, c in lbl.items():
+        w = want[c]
+        w[0] += 1
+        w[1] += v
+        w[2] = v if w[2] is None else min(w[2], v)
+    got = {
+        r.community: (r.n_members, r.members_sum, r.min_member)
+        for r in QUERIES["graph_label_propagation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {c: tuple(w) for c, w in want.items()}

@@ -446,3 +446,30 @@ def test_kmeans_lloyd_matches_python_replay(spark, sf_dir):
         for r in QUERIES["emb_kmeans_lloyd"](spark, sf_dir).collect()
     }
     assert got == {c: tuple(w) for c, w in want.items()}
+
+
+def test_kmeans_ivf_eval_consistency(spark, sf_dir):
+    """The eval's naive column must equal emb_ivf_recall_eval's match
+    counts (same chain), the Lloyd chain must use the pytest-pinned
+    trainer's centroids, and counts stay in [0, 3]."""
+    from env_event_stream_spark.catalog import QUERIES
+    from env_event_stream_spark.llm_queries import (
+        _kmeans_cent_spark_cached,
+        _kmeans_train_python,
+        _KM_Q,
+    )
+
+    got = QUERIES["emb_kmeans_ivf_eval"](spark, sf_dir).collect()
+    assert len(got) == 10
+    assert all(0 <= r.n_match_naive <= 3 for r in got)
+    assert all(0 <= r.n_match_lloyd <= 3 for r in got)
+    base = {
+        r.query_id: r.n_match
+        for r in QUERIES["emb_ivf_recall_eval"](spark, sf_dir).collect()
+    }
+    assert {r.query_id: r.n_match_naive for r in got} == base
+    cached = _kmeans_cent_spark_cached(sf_dir)
+    trained = _kmeans_train_python(sf_dir)
+    assert [
+        (cid, tuple(c / _KM_Q for c in vec)) for cid, vec in trained
+    ] == list(cached)

@@ -1082,3 +1082,17 @@ def test_stream_acf_and_compaction_equal_batch(spark, sf_dir):
         for r in evt_stream_compaction_plan(spark, sf_dir).collect()
     }
     assert b2 == l2 and b2
+
+
+def test_stream_spearman_equals_batch(spark, sf_dir):
+    """Live == batch row-for-row for the correlation matview."""
+    from env_event_stream_spark.analytics_queries import (
+        evt_spearman_daily,
+    )
+    from env_event_stream_spark.streaming_queries import (
+        evt_stream_spearman,
+    )
+
+    b = {tuple(r) for r in evt_spearman_daily(spark, sf_dir).collect()}
+    l = {tuple(r) for r in evt_stream_spearman(spark, sf_dir).collect()}
+    assert b == l and b
