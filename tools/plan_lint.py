@@ -78,6 +78,23 @@ NESTED_LOOP_ALLOWED = {
     "emb_quantize_binary": "per-dim scale row broadcast (1 row)",
     "emb_quantize_int8": "per-dim scale row broadcast (1 row)",
     "join_range_price_band": "interval dim broadcast NL join (documented)",
+    "emb_ivf_cell_stats": "8-row centroid broadcast assignment pass"
+    " (the emb_knn_ivf shape; added after the r9 second-session lint)",
+    "emb_whiten_ivf_eval": "exact tier inside the recall eval + 8-row"
+    " centroid broadcasts in both spaces",
+    # round-9 third-session additions (all bounded broadcast scalars)
+    "evt_acf_daily": "7-row lag-table broadcast over the calendar grid",
+    "evt_stream_acf": "same 7-row lag-table broadcast (shared readout)",
+    "evt_spearman_daily": "1-row calendar-bounds crossJoin",
+    "evt_stream_spearman": "same 1-row calendar-bounds crossJoin",
+    "evt_mannwhitney_shift": "1-row n/ties totals crossJoin",
+    "doc_pmi_collocations": "1-row n_pairs scalar crossJoin",
+    "evt_zorder_pruning_eval": "1-row rpf scalar + 4-probe x 128-file"
+    " stats overlap join (both sides metadata-sized)",
+    "emb_kmeans_lloyd": "8-row centroid broadcast assignment pass"
+    " (the emb_knn_ivf shape, x ITERS)",
+    "emb_kmeans_ivf_eval": "exact tier inside the recall eval +"
+    " 8-row centroid broadcasts",
     "doc_bm25_topk": "1-row corpus-stats broadcast (documented)",
     "doc_rrf_hybrid": "1-row corpus-stats broadcast (BM25 leg)",
     "doc_minhash_accuracy": "candidate-bounded true-Jaccard eval join",
