@@ -179,6 +179,9 @@ HEADLINE = [
     "evt_stream_spearman",
     "graph_label_propagation",
     "emb_kmeans_ivf_eval",
+    "graph_link_prediction",
+    "evt_top_paths",
+    "emb_kmeans_elbow",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

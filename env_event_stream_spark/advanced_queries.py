@@ -3286,3 +3286,94 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("bigint").alias("members_sum"),
         F.min("v").cast("bigint").alias("min_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph rung 5: link prediction by neighbor-set Jaccard — the
+# "who should be connected but isn't" scorer (Liben-Nowell &
+# Kleinberg): candidate pairs share >= 1 neighbor, score =
+# |N(x) ∩ N(y)| / |N(x) ∪ N(y)| over NON-edges.
+# ---------------------------------------------------------------------------
+
+
+_LP_TOPK = 20
+
+
+def _link_pred_oracle() -> str:
+    return f"""
+    WITH {_copurchase_edge_ctes()},
+    adj AS (SELECT x AS v, y AS u FROM e UNION ALL SELECT y, x FROM e),
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    cand AS (SELECT a1.u AS x, a2.u AS y, count(*) AS c
+             FROM adj a1 JOIN adj a2
+               ON a2.v = a1.v AND a1.u < a2.u
+             GROUP BY 1, 2),
+    ne AS (SELECT cand.x, cand.y, cand.c FROM cand
+           LEFT JOIN e ON e.x = cand.x AND e.y = cand.y
+           WHERE e.x IS NULL),
+    sc AS (SELECT ne.x, ne.y, ne.c, dx.d AS dx, dy.d AS dy,
+                  (ne.c * 1000000) // (dx.d + dy.d - ne.c)
+                    AS jaccard_ppm
+           FROM ne JOIN deg dx ON dx.v = ne.x
+                  JOIN deg dy ON dy.v = ne.y)
+    SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(c AS BIGINT) AS common_n,
+           CAST(dx AS BIGINT) AS deg_x, CAST(dy AS BIGINT) AS deg_y,
+           CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+    FROM sc
+    ORDER BY jaccard_ppm DESC, x ASC, y ASC
+    LIMIT {_LP_TOPK}
+    """
+
+
+@query("graph_link_prediction", _link_pred_oracle())
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph (Liben-Nowell &
+    Kleinberg's Jaccard scorer): top-20 NON-edges ranked by
+    neighbor-set Jaccard — the "customers who should look alike but
+    aren't linked yet" rung, graph family member 5 beside components
+    / pagerank / k-core / triangles / LPA. Candidates come only from
+    shared-neighbor wedges (never all pairs), the triangle family's
+    candidate-bounding argument: pair generation is Σ d(z)² over the
+    df-capped edge list, and the anti-join against existing edges is
+    an equi-join.
+
+    INTEGER-EXACT: jaccard_ppm = (c·1e6) DIV (dx + dy − c), nonneg
+    floor division identical on both engines; top-20 ties break on
+    (x, y), served by TakeOrderedAndProject — no global sort.
+    Reference analog: none; §2.11 graph extension surface."""
+    from env_event_stream_spark.operators.relational import top_k
+
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("x").alias("v"), F.col("y").alias("u")).unionByName(
+        e.select(F.col("y").alias("v"), F.col("x").alias("u"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("d"))
+    a1 = adj.select("v", F.col("u").alias("x"))
+    a2 = adj.select("v", F.col("u").alias("y"))
+    cand = (
+        a1.join(a2, "v")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+    )
+    ne = cand.join(e, ["x", "y"], "left_anti")
+    sc = (
+        ne.join(deg.select(F.col("v").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("v").alias("y"), F.col("d").alias("dy")), "y")
+        .select(
+            F.col("x").cast("bigint").alias("x"),
+            F.col("y").cast("bigint").alias("y"),
+            F.col("c").cast("bigint").alias("common_n"),
+            F.col("dx").cast("bigint").alias("deg_x"),
+            F.col("dy").cast("bigint").alias("deg_y"),
+            F.expr(
+                "CAST((c * 1000000) div (dx + dy - c) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return top_k(
+        sc,
+        [F.col("jaccard_ppm").desc(), F.col("x").asc(), F.col("y").asc()],
+        _LP_TOPK,
+    )

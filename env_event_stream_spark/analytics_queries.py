@@ -3757,3 +3757,101 @@ def evt_zorder_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("files_zorder"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top user journeys: the Sankey/path-analysis rung — which opening
+# event sequences dominate? Complements the FIRST-ORDER transition
+# matrix (Markov forgets everything past one step) with literal
+# multi-step path counts.
+# ---------------------------------------------------------------------------
+
+
+_PATH_PREFIX = 5
+_PATH_TOPK = 20
+
+
+_TOP_PATHS_ORACLE = f"""
+    WITH s AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                          WHEN 'signup' THEN 's' ELSE 'x' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY 1, 2),
+    p AS (SELECT substr(seq, 1, {_PATH_PREFIX}) AS path,
+                 len(seq) >= {_PATH_PREFIX} AS complete
+          FROM s)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_user_days,
+           CAST(sum(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_length
+    FROM p GROUP BY path
+    ORDER BY n_user_days DESC, path ASC
+    LIMIT {_PATH_TOPK}
+    """
+
+
+@query("evt_top_paths", _TOP_PATHS_ORACLE)
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 opening user journeys: each user-day's event sequence
+    (ordered by ts, event_id — the CEP family's initials string)
+    truncated to its first 5 steps, counted across the corpus — the
+    Sankey-diagram feed, and the multi-step complement to
+    evt_transition_matrix (a first-order chain can't tell 'vcvcp'
+    from 'vvccp'; path counts can). n_full_length separates complete
+    5-step journeys from short days that end early.
+
+    Deterministic: the initials mapping and (ts, event_id) ordering
+    are the pinned evt_cep_pattern construction (Spark array_sort of
+    (ts, event_id, ini) structs == DuckDB string_agg ORDER BY);
+    counts are integers and the top-20 ties break on the path string
+    via TakeOrderedAndProject. Plan: one user-day shuffle shared with
+    the whole CEP/funnel family, then a path-count aggregation over
+    user-day rows. Reference analog: none; §2.11 product-analytics
+    extension surface."""
+    from env_event_stream_spark.operators.relational import top_k
+
+    ev = _t(spark, sf_dir, "events")
+    ini = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
+    )
+    s = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.struct(
+                F.col("ts"), F.col("event_id"), ini.alias("ini")
+            ).alias("st"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("st")),
+                    lambda x: x["ini"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    p = s.select(
+        F.substring("seq", 1, _PATH_PREFIX).alias("path"),
+        (F.length("seq") >= _PATH_PREFIX).alias("complete"),
+    )
+    agg = p.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_user_days"),
+        F.sum(F.when(F.col("complete"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_full_length"),
+    )
+    return top_k(
+        agg,
+        [F.col("n_user_days").desc(), F.col("path").asc()],
+        _PATH_TOPK,
+    )

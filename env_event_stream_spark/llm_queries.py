@@ -7325,7 +7325,9 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_train_python(sf_dir: str) -> list[tuple[int, list[int]]]:
+def _kmeans_train_python(
+    sf_dir: str, k: int = None
+) -> list[tuple[int, list[int]]]:
     """Pure-Python twin of the emb_kmeans_lloyd loop (pyarrow read,
     no Spark): quantize, init on the k lowest vec_ids, _KM_ITERS
     sync rounds with floor-division updates and empty-cluster
@@ -7348,8 +7350,10 @@ def _kmeans_train_python(sf_dir: str) -> list[tuple[int, list[int]]]:
             t.column("embedding").to_pylist(),
         )
     }
+    if k is None:
+        k = _KM_K
     cent = {
-        i: list(pts[v]) for i, v in enumerate(sorted(pts)[:_KM_K])
+        i: list(pts[v]) for i, v in enumerate(sorted(pts)[:k])
     }
 
     def best(v):
@@ -7464,4 +7468,128 @@ def emb_kmeans_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_match_lloyd",
         F.round(F.col("n_match_naive") / 3.0, 4).alias("recall_naive"),
         F.round(F.col("n_match_lloyd") / 3.0, 4).alias("recall_lloyd"),
+    )
+
+
+_ELBOW_KS = (2, 4, 8, 16)
+
+
+@_functools.lru_cache(maxsize=8)
+def _elbow_cents_cached(sf_dir: str) -> tuple:
+    """Lloyd centroids (integer micro-units) for every elbow k, one
+    training per sf_dir per process, registered like every trained
+    model so the lazy oracle provably reads the same data."""
+    _SPARK_TRAIN_DIRS.add(sf_dir)
+    return tuple(
+        (k, tuple((cid, tuple(vec)) for cid, vec in
+                  _kmeans_train_python(sf_dir, k=k)))
+        for k in _ELBOW_KS
+    )
+
+
+def _kmeans_elbow_oracle() -> str:
+    cents = _elbow_cents_cached(_oracle_sf_dir())
+    vals = ",\n        ".join(
+        f"({k}, {cid}, [{', '.join(str(c) for c in vec)}]::BIGINT[])"
+        for k, cl in cents
+        for cid, vec in cl
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x * {_KM_Q} + 0.5)
+                                             AS BIGINT)) AS qv
+          FROM e),
+    pt AS (SELECT vec_id, unnest(range(1, {_KM_DIM + 1})) AS j,
+                  unnest(qv) AS val FROM q),
+    cent AS (SELECT k, cid, cv FROM (VALUES
+        {vals}) t(k, cid, cv)),
+    cl AS (SELECT k, cid, unnest(range(1, {_KM_DIM + 1})) AS j,
+                  unnest(cv) AS cv FROM cent),
+    a AS (SELECT cl.k, pt.vec_id, cl.cid,
+                 sum((pt.val - cl.cv) * (pt.val - cl.cv)) AS dist
+          FROM pt JOIN cl ON cl.j = pt.j
+          GROUP BY 1, 2, 3),
+    b AS (SELECT k, vec_id, cid, dist FROM (
+            SELECT k, vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY k, vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM a) WHERE rn = 1),
+    st AS (SELECT k, cid, count(*) AS n, sum(dist) AS inert
+           FROM b GROUP BY 1, 2),
+    tot AS (SELECT k, count(*) AS n_nonempty, sum(inert) AS inertia,
+                   max(n) AS max_n, sum(n) AS n_total
+            FROM st GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(inertia AS BIGINT) AS inertia,
+           CAST(n_nonempty AS BIGINT) AS n_nonempty_cells,
+           CAST((max_n * 1000000) // n_total AS BIGINT)
+             AS max_cell_ppm
+    FROM tot
+    """
+
+
+@query("emb_kmeans_elbow", _kmeans_elbow_oracle)
+def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The choose-k elbow table: total inertia, non-empty cell count,
+    and the largest cell's corpus share for Lloyd k-means at k = 2,
+    4, 8, 16 — the number an IVF rollout reads before fixing n_cells
+    (emb_ivf_cell_stats audits the chosen k's balance; THIS compares
+    the k's). Inertia must fall monotonically in k for healthy
+    trainings — pytest pins it.
+
+    One corpus pass scores ALL 30 centroids: the (k, cid) centroid
+    frames union into a single 30-row broadcast, per-point argmin is
+    per (vec_id, k), stats are two grouped aggregations. Centroids
+    come from the pinned pure-Python trainer (integer micro-units,
+    bit-equal to the distributed loop by the emb_kmeans_lloyd pytest)
+    inlined as exact integer literals on both engines; the oracle is
+    lazy via the registered _elbow_cents_cached. All arithmetic
+    bigint (the emb_kmeans_lloyd overflow bounds apply per k).
+    Reference analog: none; §2.11 ML-training extension surface."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * _KM_Q + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qv"),
+    )
+    cents = _elbow_cents_cached(sf_dir)
+    cent = spark.createDataFrame(
+        [
+            (k, cid, list(vec))
+            for k, cl in cents
+            for cid, vec in cl
+        ],
+        "k int, cid int, cv array<bigint>",
+    )
+    d = q.crossJoin(F.broadcast(cent))
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a = d.select("k", "vec_id", "cid", dist.alias("dist"))
+    b = (
+        a.groupBy("k", "vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("k", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+    )
+    st = b.groupBy("k", "cid").agg(
+        F.count("*").alias("n"), F.sum("dist").alias("inert")
+    )
+    return st.groupBy("k").agg(
+        F.sum("inert").cast("bigint").alias("inertia"),
+        F.count("*").cast("bigint").alias("n_nonempty_cells"),
+        F.expr(
+            "CAST((max(n) * 1000000) div sum(n) AS BIGINT)"
+        ).alias("max_cell_ppm"),
+    ).select(
+        F.col("k").cast("bigint").alias("k"),
+        "inertia",
+        "n_nonempty_cells",
+        "max_cell_ppm",
     )

@@ -699,3 +699,90 @@ def test_label_propagation_matches_python_replay(spark, sf_dir):
         ).collect()
     }
     assert got == {c: tuple(w) for c, w in want.items()}
+
+
+def test_top_paths_matches_counter_reference(spark, sf_dir):
+    """Top-20 path table vs a direct Counter recompute over the same
+    (ts, event_id)-ordered initials sequences."""
+    from collections import Counter, defaultdict
+
+    from env_event_stream_spark.analytics_queries import (
+        _PATH_PREFIX,
+        _PATH_TOPK,
+    )
+    from env_event_stream_spark.catalog import QUERIES
+
+    ini = {"view": "v", "click": "c", "purchase": "p",
+           "error": "e", "signup": "s"}
+    byday = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(CAST(ts AS DATE) AS STRING) AS day",
+            "ts", "event_id", "event_type",
+        )
+        .collect()
+    ):
+        byday[(r.user_id, r.day)].append(
+            (r.ts, r.event_id, ini.get(r.event_type, "x"))
+        )
+    cnt, full = Counter(), Counter()
+    for evs in byday.values():
+        seq = "".join(c for _, _, c in sorted(evs))
+        path = seq[:_PATH_PREFIX]
+        cnt[path] += 1
+        if len(seq) >= _PATH_PREFIX:
+            full[path] += 1
+    want = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:_PATH_TOPK]
+    got = [
+        (r.path, r.n_user_days, r.n_full_length)
+        for r in QUERIES["evt_top_paths"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(
+        (p, n, full.get(p, 0)) for p, n in want
+    )
+
+
+def test_link_prediction_matches_python_replay(spark, sf_dir):
+    """Top-20 non-edge Jaccard table vs a direct replay over the
+    engine's own edge list."""
+    from collections import defaultdict
+
+    from env_event_stream_spark.advanced_queries import (
+        _copurchase_edges,
+        _LP_TOPK,
+    )
+    from env_event_stream_spark.catalog import QUERIES
+
+    edges = {
+        (r.x, r.y) for r in _copurchase_edges(spark, sf_dir).collect()
+    }
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    cand = defaultdict(int)
+    for z, ns in adj.items():
+        ns = sorted(ns)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                cand[(a, b)] += 1
+    rows = [
+        (
+            (c * 1000000) // (len(adj[x]) + len(adj[y]) - c),
+            x, y, c, len(adj[x]), len(adj[y]),
+        )
+        for (x, y), c in cand.items()
+        if (x, y) not in edges
+    ]
+    rows.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [
+        (x, y, c, dx, dy, j) for j, x, y, c, dx, dy in rows[:_LP_TOPK]
+    ]
+    got = [
+        (r.x, r.y, r.common_n, r.deg_x, r.deg_y, r.jaccard_ppm)
+        for r in QUERIES["graph_link_prediction"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)

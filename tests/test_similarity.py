@@ -473,3 +473,28 @@ def test_kmeans_ivf_eval_consistency(spark, sf_dir):
     assert [
         (cid, tuple(c / _KM_Q for c in vec)) for cid, vec in trained
     ] == list(cached)
+
+
+def test_kmeans_elbow_monotone_and_consistent_with_lloyd(spark, sf_dir):
+    """Inertia must fall monotonically in k, nonempty cells <= k,
+    and the k=8 row must equal the distributed emb_kmeans_lloyd
+    totals (same trainer, same quantization)."""
+    from env_event_stream_spark.catalog import QUERIES
+    from env_event_stream_spark.llm_queries import _ELBOW_KS
+
+    rows = sorted(
+        QUERIES["emb_kmeans_elbow"](spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == list(_ELBOW_KS)
+    for a, b in zip(rows, rows[1:]):
+        assert b.inertia <= a.inertia, (a.k, b.k)
+    for r in rows:
+        assert 1 <= r.n_nonempty_cells <= r.k
+        assert 0 < r.max_cell_ppm <= 1000000
+    lloyd = QUERIES["emb_kmeans_lloyd"](spark, sf_dir).collect()
+    k8 = next(r for r in rows if r.k == 8)
+    assert k8.inertia == sum(r.inertia for r in lloyd)
+    assert k8.n_nonempty_cells == sum(
+        1 for r in lloyd if r.n_points > 0
+    )
