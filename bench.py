@@ -214,6 +214,11 @@ ROTATING = [
     "emb_binary_recall_eval",
     "doc_phrase_heavy_hitters",
     "doc_ppjoin_stats",
+    # round-9 third-session eval/audit additions (appended — slicing
+    # parity of the existing entries is position-stable)
+    "emb_kmeans_elbow",
+    "emb_kmeans_ivf_eval",
+    "evt_zorder_pruning_eval",
 ]
 
 # Two-pass timing (VERDICT r8 task 2): the run-to-run jitter band

@@ -94,6 +94,25 @@ PICKS = [
     ("emb_whiten_stats", "whitening verification: one Arrow rotate "
      "(model is dim+dim^2 literals), posexplode to micro-unit pairs, "
      "64-key groupBy with partial_sum map-side combine"),
+    # round-9 third-session families
+    ("evt_acf_daily", "statistics tier on the shared calendar grid: "
+     "map-side daily count, 7-row broadcast lag table, equi-joins on "
+     "(type, day+k) — corpus-size-invariant"),
+    ("dq_key_skew", "skew audit with NO sort and NO top-k window: "
+     "stacked per-key counts, two grouped aggregations, 6-row "
+     "per-edge stats broadcast back"),
+    ("emb_kmeans_lloyd", "distributed Lloyd iteration: 8-row broadcast "
+     "assignment pass (zip_with/aggregate, zero Python), "
+     "map-side-combinable (cid, dim) sums, 8x64 driver model read"),
+    ("graph_label_propagation", "LPA iteration: adjacency equi-join + "
+     "grouped label count + PER-NODE argmax window (never global), "
+     "localCheckpoint lineage truncation"),
+    ("evt_compaction_plan", "manifest-level planning: one ordered "
+     "window over the (type, day) segment manifest — metadata-sized, "
+     "the data is only touched by the map-side byte sum"),
+    ("graph_link_prediction", "wedge-bounded candidate generation, "
+     "equi anti-join against edges, integer Jaccard, "
+     "TakeOrderedAndProject top-20"),
 ]
 
 
