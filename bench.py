@@ -182,6 +182,8 @@ HEADLINE = [
     "graph_link_prediction",
     "evt_top_paths",
     "emb_kmeans_elbow",
+    "doc_priority_sample",
+    "evt_seq_pair_support",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

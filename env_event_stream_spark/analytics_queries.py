@@ -3855,3 +3855,134 @@ def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n_user_days").desc(), F.col("path").asc()],
         _PATH_TOPK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern support: "how often does A happen before B in a
+# session-day" — the support-counting rung of sequence mining
+# (PrefixSpan's first level), between the transition matrix (adjacent
+# steps only) and evt_top_paths (literal prefixes only).
+# ---------------------------------------------------------------------------
+
+
+_SEQ_PAIR_ORACLE = """
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY 1, 2, 3),
+    days AS (SELECT count(*) AS n_days FROM
+               (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_days_ab
+      FROM s a JOIN s b
+        ON b.user_id = a.user_id AND b.day = a.day
+       AND a.event_type <> b.event_type
+       AND a.first_ts < b.last_ts
+      GROUP BY 1, 2),
+    m AS (SELECT event_type, count(*) AS n_days_t FROM s GROUP BY 1)
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_days_ab AS BIGINT) AS n_days_ab,
+           CAST(ma.n_days_t AS BIGINT) AS n_days_a,
+           CAST(mb.n_days_t AS BIGINT) AS n_days_b,
+           CAST((p.n_days_ab * 1000000) // days.n_days AS BIGINT)
+             AS support_ppm,
+           CAST((p.n_days_ab * days.n_days * 1000)
+                // (ma.n_days_t * mb.n_days_t) AS BIGINT) AS lift_milli
+    FROM pair p
+    JOIN m ma ON ma.event_type = p.type_a
+    JOIN m mb ON mb.event_type = p.type_b
+    CROSS JOIN days
+    """
+
+
+@query("evt_seq_pair_support", _SEQ_PAIR_ORACLE)
+def evt_seq_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pair support over user-day sessions: for every
+    ordered type pair (a, b), the number of user-days where some a
+    precedes some b ('a happened before b' = first(a) < last(b)),
+    with per-type day counts, support in ppm of all user-days, and
+    lift vs independence — sequence mining's level-1 support table,
+    sitting between evt_transition_matrix (adjacent steps only, so
+    'v...p with noise between' is invisible) and evt_assoc_rules
+    (unordered baskets, so direction is invisible).
+
+    The first(a) < last(b) precedence test needs only ONE row per
+    (user, day, type) — min/max ts — so the corpus collapses in a
+    map-side-combinable aggregation FIRST and the precedence self-join
+    runs on session-type rows (|user-days| × |types|, bounded by the
+    type alphabet), never on raw events: the same shuffle the whole
+    funnel/CEP family shares. All counts and ratios are integer floor
+    divisions on nonneg operands; lift_milli's product is guarded by
+    the type alphabet (n_days_ab ≤ n_days ≤ 2^31 keeps the bigint
+    product safe at any tested scale — assert_true makes it loud).
+    Reference analog: none; §2.11 product-analytics extension."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    days = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .agg(F.count("*").alias("n_days"))
+        .where(
+            F.assert_true(
+                F.col("n_days") < F.lit(2**31),
+                F.lit(
+                    "evt_seq_pair_support: n_days >= 2^31 — lift "
+                    "product could overflow int64"
+                ),
+            ).isNull()
+        )
+    )
+    b = s.select(
+        F.col("user_id").alias("user_id"),
+        F.col("day").alias("day"),
+        F.col("event_type").alias("type_b"),
+        F.col("last_ts").alias("last_ts"),
+    )
+    pair = (
+        s.select(
+            "user_id",
+            "day",
+            F.col("event_type").alias("type_a"),
+            "first_ts",
+        )
+        .join(b, ["user_id", "day"])
+        .where(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("first_ts") < F.col("last_ts"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_days_ab"))
+    )
+    m = s.groupBy("event_type").agg(F.count("*").alias("n_days_t"))
+    ma = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_days_t").alias("n_days_a"),
+    )
+    mb = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_days_t").alias("n_days_b"),
+    )
+    return (
+        pair.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(days))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_days_ab").cast("bigint").alias("n_days_ab"),
+            F.col("n_days_a").cast("bigint").alias("n_days_a"),
+            F.col("n_days_b").cast("bigint").alias("n_days_b"),
+            F.expr(
+                "CAST((n_days_ab * 1000000) div n_days AS BIGINT)"
+            ).alias("support_ppm"),
+            F.expr(
+                "CAST((n_days_ab * n_days * 1000) div "
+                "(n_days_a * n_days_b) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )

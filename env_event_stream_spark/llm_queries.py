@@ -7593,3 +7593,82 @@ def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nonempty_cells",
         "max_cell_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement — the sampler family member
+# the stratified/hash-split/mixture/DSIR quartet lacks: big docs
+# should be sampled proportionally to their token mass, not per-doc.
+# Duffield-Lund-Thorup priority sampling, made integer-exact.
+# ---------------------------------------------------------------------------
+
+
+_PRIO_K = 100
+
+
+_PRIORITY_SAMPLE_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 1 AS u
+      FROM documents),
+    p AS (SELECT doc_id, source, n_chars, u,
+                 (n_chars * 4294967296) // u AS priority
+          FROM h)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           CAST(priority AS BIGINT) AS priority
+    FROM p
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT {_PRIO_K}
+    """
+
+
+@query("doc_priority_sample", _PRIORITY_SAMPLE_ORACLE)
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, 100 docs with inclusion
+    probability ~ n_chars (Duffield-Lund-Thorup priority sampling:
+    priority = w/u for uniform u, keep the top-k) — the sampler the
+    quartet lacks: stratified/hash-split/mixture pick DOCUMENTS
+    uniformly within strata, DSIR reweights by domain; THIS samples
+    proportional to SIZE, the estimator-friendly way to subsample a
+    corpus by token mass.
+
+    INTEGER-EXACT where float priorities would be a cross-engine
+    selection hazard (the repo's LIMIT lesson — selection must ride a
+    total order both engines agree on): u is the md5-derived 32-bit
+    uniform + 1, priority = (w << 32) DIV u in bigint (w = n_chars,
+    bounded; w·2^32 < 2^63 for w < 2^31-per-doc chars), ties break on
+    doc_id. Deterministic, reproducible, and mergeable: top-k by
+    priority is a distributive aggregate — per-partition heaps union
+    into the global sample (TakeOrderedAndProject), which is exactly
+    why priority sampling works on a 100 TB corpus with no global
+    sort. Reference analog: none; §2.11 sampling extension surface."""
+    from env_event_stream_spark.operators.relational import top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    p = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        u.alias("u"),
+    ).select(
+        "doc_id",
+        "source",
+        "weight",
+        F.expr("CAST((weight * 4294967296) div u AS BIGINT)").alias(
+            "priority"
+        ),
+    )
+    return top_k(
+        p,
+        [F.col("priority").desc(), F.col("doc_id").asc()],
+        _PRIO_K,
+    )

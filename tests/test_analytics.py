@@ -786,3 +786,43 @@ def test_link_prediction_matches_python_replay(spark, sf_dir):
         ).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_seq_pair_support_matches_python_replay(spark, sf_dir):
+    """Every (a-before-b) day count vs a direct per-user-day replay
+    with the exists-precedence semantics."""
+    from collections import Counter, defaultdict
+
+    from env_event_stream_spark.catalog import QUERIES
+
+    byday = defaultdict(lambda: defaultdict(list))
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "CAST(ts AS DATE) AS day", "ts",
+                    "event_type")
+        .collect()
+    ):
+        byday[(r.user_id, r.day)][r.event_type].append(r.ts)
+    n_days = len(byday)
+    per_type = Counter()
+    pair = Counter()
+    for types in byday.values():
+        for t in types:
+            per_type[t] += 1
+        for a, ats in types.items():
+            for b, bts in types.items():
+                if a != b and min(ats) < max(bts):
+                    pair[(a, b)] += 1
+    got = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["evt_seq_pair_support"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(pair)
+    for (a, b), c in pair.items():
+        g = got[(a, b)]
+        assert g.n_days_ab == c
+        assert g.n_days_a == per_type[a] and g.n_days_b == per_type[b]
+        assert g.support_ppm == (c * 1000000) // n_days
+        assert g.lift_milli == (c * n_days * 1000) // (
+            per_type[a] * per_type[b]
+        )

@@ -1026,3 +1026,40 @@ def test_textrank_matches_python_pagerank_replay(spark, sf_dir):
         )
     ]
     assert got == want
+
+
+def test_priority_sample_matches_hashlib_replay(spark, sf_dir):
+    """Top-100 priority sample vs a hashlib/int replay; the sample
+    must also skew heavy (weighted inclusion ~ n_chars)."""
+    import hashlib
+
+    from env_event_stream_spark.catalog import QUERIES
+    from env_event_stream_spark.llm_queries import _PRIO_K
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    scored = []
+    for r in rows:
+        u = (
+            int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+            + 1
+        )
+        scored.append(
+            ((r.n_chars * 4294967296) // u, r.doc_id, r.source, r.n_chars)
+        )
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = [
+        (d, s, w, p) for p, d, s, w in scored[:_PRIO_K]
+    ]
+    got = [
+        (r.doc_id, r.source, r.weight, r.priority)
+        for r in QUERIES["doc_priority_sample"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    if len(rows) > 2 * _PRIO_K:
+        corpus_mean = sum(r.n_chars for r in rows) / len(rows)
+        sample_mean = sum(w for _, _, w, _ in got) / len(got)
+        assert sample_mean > corpus_mean
