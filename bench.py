@@ -184,6 +184,7 @@ HEADLINE = [
     "emb_kmeans_elbow",
     "doc_priority_sample",
     "evt_seq_pair_support",
+    "doc_priority_sample_eval",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

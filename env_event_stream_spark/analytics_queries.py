@@ -3417,13 +3417,15 @@ _MW_Z_EXPR = (
 
 
 _MW_ORACLE_SQL = f"""
-    WITH v AS (SELECT value, count(*) AS m FROM events GROUP BY value),
+    WITH ev AS (SELECT event_type, value FROM events
+                WHERE value IS NOT NULL),
+    v AS (SELECT value, count(*) AS m FROM ev GROUP BY value),
     rv AS (SELECT value, m,
                   2 * (sum(m) OVER (ORDER BY value) - m) + m + 1 AS dr
            FROM v),
     tot AS (SELECT sum(m) AS n, sum(m * m * m - m) AS ties FROM v),
     t AS (SELECT event_type, value, count(*) AS c1
-          FROM events GROUP BY 1, 2),
+          FROM ev GROUP BY 1, 2),
     agg AS (SELECT t.event_type, sum(t.c1) AS n1,
                    sum(t.c1 * rv.dr) AS r1d
             FROM t JOIN rv ON rv.value = t.value GROUP BY 1),
@@ -3465,7 +3467,11 @@ def evt_mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-keyed equi-join. At 100 TB the value domain is the bound to
     watch — quantize or block-rank if it approaches row scale.
     Reference analog: none; §2.11 statistics extension surface."""
-    ev = _t(spark, sf_dir, "events")
+    # NULL values are excluded EXPLICITLY: the ranking window orders
+    # by value, and the engines disagree on NULL placement (Spark
+    # NULLS FIRST asc, DuckDB NULLS LAST) — a latent divergence on
+    # data with missing measurements (none at the tested SFs).
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     v = ev.groupBy("value").agg(F.count("*").alias("m")).where(
         F.assert_true(
             F.col("m") < F.lit(2**20),

@@ -7672,3 +7672,116 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("priority").desc(), F.col("doc_id").asc()],
         _PRIO_K,
     )
+
+
+_PRIO_EVAL_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 1 AS u
+      FROM documents),
+    p AS (SELECT doc_id, n_chars,
+                 (n_chars * 4294967296) // u AS priority
+          FROM h),
+    r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id)
+                    AS rn
+          FROM p),
+    tau AS (SELECT coalesce(max(CASE WHEN rn = {_PRIO_K + 1}
+                                     THEN priority END), 0) AS tau
+            FROM r),
+    s AS (SELECT count(*) AS n_sample,
+                 sum(greatest(n_chars, tau)) AS est
+          FROM r CROSS JOIN tau WHERE rn <= {_PRIO_K}),
+    tot AS (SELECT sum(n_chars) AS true_chars FROM documents)
+    SELECT CAST(s.n_sample AS BIGINT) AS n_sample,
+           CAST(s.est AS BIGINT) AS est_total_chars,
+           CAST(tot.true_chars AS BIGINT) AS true_total_chars,
+           CASE WHEN s.est >= tot.true_chars
+                THEN CAST(((s.est - tot.true_chars)
+                           * 1000) // tot.true_chars AS BIGINT)
+                ELSE -CAST(((tot.true_chars - s.est)
+                            * 1000) // tot.true_chars AS BIGINT)
+           END AS err_milli
+    FROM s CROSS JOIN tot
+    """
+
+
+@query("doc_priority_sample_eval", _PRIO_EVAL_ORACLE)
+def doc_priority_sample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimator that justifies priority sampling (Duffield-
+    Lund-Thorup Theorem 1: E[Σ max(w_i, τ)] over the top-k sample =
+    the TRUE total, τ = the (k+1)-th priority): estimate the corpus's
+    total character mass from the 100-doc weighted sample and report
+    the signed error vs the true scan — the honest-eval discipline
+    applied to sampling (every subsample-then-estimate pipeline at
+    100 TB needs this number before trusting sample-derived stats).
+
+    Integer end to end: priorities and the threshold live in w<<32
+    units, the estimator sums max(w<<32, τ) in bigint and floors once
+    at the end; the signed relative error extracts sign before the
+    nonneg floor division. Corpus <= k degrades gracefully (τ = 0 →
+    the estimate IS the exact sum). Plan: the same distributive top-k
+    as doc_priority_sample (k+1 rows), one scalar total — the eval
+    costs one corpus scan. Reference analog: none; §2.11 sampling
+    extension surface."""
+    from env_event_stream_spark.operators.relational import top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    p = d.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("w"), u.alias("u")
+    ).select(
+        "doc_id",
+        "w",
+        F.expr("CAST((w * 4294967296) div u AS BIGINT)").alias(
+            "priority"
+        ),
+    )
+    r = top_k(
+        p,
+        [F.col("priority").desc(), F.col("doc_id").asc()],
+        _PRIO_K + 1,
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    r = r.withColumn("rn", F.row_number().over(w))
+    tau = r.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("rn") == _PRIO_K + 1, F.col("priority"))
+            ),
+            F.lit(0),
+        ).alias("tau")
+    )
+    s = (
+        r.where(F.col("rn") <= _PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.count("*").alias("n_sample"),
+            F.sum(
+                F.greatest(F.col("w"), F.col("tau"))
+            ).alias("est"),
+        )
+    )
+    tot = d.agg(F.sum("n_chars").cast("bigint").alias("true_chars"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_sample").cast("bigint").alias("n_sample"),
+            F.col("est").cast("bigint").alias("est_total_chars"),
+            F.col("true_chars").alias("true_total_chars"),
+            F.expr(
+                "CASE WHEN est >= true_chars "
+                "THEN CAST(((est - true_chars) "
+                "* 1000) div true_chars AS BIGINT) "
+                "ELSE -CAST(((true_chars - est) "
+                "* 1000) div true_chars AS BIGINT) END"
+            ).alias("err_milli"),
+        )
+    )

@@ -1063,3 +1063,42 @@ def test_priority_sample_matches_hashlib_replay(spark, sf_dir):
         corpus_mean = sum(r.n_chars for r in rows) / len(rows)
         sample_mean = sum(w for _, _, w, _ in got) / len(got)
         assert sample_mean > corpus_mean
+
+
+def test_priority_sample_eval_matches_hashlib_replay(spark, sf_dir):
+    """DLT estimator replay: threshold = (k+1)-th priority, estimate
+    = sum(max(w, tau)) over the sample — every output cell."""
+    import hashlib
+
+    from env_event_stream_spark.catalog import QUERIES
+    from env_event_stream_spark.llm_queries import _PRIO_K
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    scored = []
+    for r in rows:
+        u = (
+            int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+            + 1
+        )
+        scored.append(((r.n_chars * 4294967296) // u, r.doc_id, r.n_chars))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    tau = scored[_PRIO_K][0] if len(scored) > _PRIO_K else 0
+    sample = scored[:_PRIO_K]
+    est = sum(max(w, tau) for _, _, w in sample)
+    true = sum(r.n_chars for r in rows)
+    err = (
+        ((est - true) * 1000) // true
+        if est >= true
+        else -(((true - est) * 1000) // true)
+    )
+    g = QUERIES["doc_priority_sample_eval"](spark, sf_dir).collect()[0]
+    assert (
+        g.n_sample,
+        g.est_total_chars,
+        g.true_total_chars,
+        g.err_milli,
+    ) == (len(sample), est, true, err)
