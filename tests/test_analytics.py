@@ -826,3 +826,104 @@ def test_seq_pair_support_matches_python_replay(spark, sf_dir):
         assert g.lift_milli == (c * n_days * 1000) // (
             per_type[a] * per_type[b]
         )
+
+
+def test_acf_finalize_fuzz_random_series(spark):
+    """Random gapped integer series: acf_finalize_daily must equal
+    the exact integer reference for every (type, lag) — beyond the
+    fixed sf data (gaps exercise the zero-fill)."""
+    import random
+
+    from env_event_stream_spark.analytics_queries import (
+        acf_finalize_daily,
+    )
+
+    rnd = random.Random(20260815)
+    rows = []
+    series = {}
+    for t in range(4):
+        et = f"t{t}"
+        days = sorted(rnd.sample(range(0, 40), rnd.randint(2, 25)))
+        series[et] = {d: rnd.randint(1, 500) for d in days}
+        rows.extend((et, d, c) for d, c in series[et].items())
+    df = spark.createDataFrame(
+        rows, "event_type string, day_idx long, cnt long"
+    )
+    got = {
+        (r.event_type, r.lag_k): r.acf_milli
+        for r in acf_finalize_daily(df).collect()
+    }
+    for et, cnt in series.items():
+        lo, hi = min(cnt), max(cnt)
+        xs = [cnt.get(d, 0) for d in range(lo, hi + 1)]
+        n, s = len(xs), sum(xs)
+        c = [n * x - s for x in xs]
+        den = sum(v * v for v in c)
+        for k in range(1, 8):
+            if k >= n:
+                assert (et, k) not in got
+                continue
+            num = sum(c[i] * c[i + k] for i in range(n - k))
+            if den == 0:
+                want = None
+            elif num >= 0:
+                want = (1000 * num) // den
+            else:
+                want = -((1000 * -num) // den)
+            assert got[(et, k)] == want, (et, k)
+
+
+def test_lpa_fuzz_random_graphs(spark, sf_dir):
+    """Random small graphs through the same LPA loop the catalog
+    query uses (sync rounds, count-desc/label-asc tie-break): the
+    Spark loop must equal the python replay on every graph."""
+    import random
+    from collections import Counter, defaultdict
+
+    from env_event_stream_spark.advanced_queries import _LPA_ITERS
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(20260815)
+    for trial in range(3):
+        n = rnd.randint(5, 14)
+        edges = set()
+        for _ in range(rnd.randint(n, 3 * n)):
+            a, b = rnd.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        e = spark.createDataFrame(sorted(edges), "x long, y long")
+        adj_df = e.select(
+            F.col("x").alias("v"), F.col("y").alias("u")
+        ).unionByName(
+            e.select(F.col("y").alias("v"), F.col("x").alias("u"))
+        )
+        lbl = adj_df.select("v").distinct().withColumn("lbl", F.col("v"))
+        wv = Window.partitionBy("v").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        for _ in range(_LPA_ITERS):
+            cnt = (
+                adj_df.join(
+                    lbl.select(F.col("v").alias("u"), "lbl"), "u"
+                )
+                .groupBy("v", "lbl")
+                .agg(F.count("*").alias("c"))
+            )
+            lbl = (
+                cnt.withColumn("rn", F.row_number().over(wv))
+                .where(F.col("rn") == 1)
+                .select("v", "lbl")
+            )
+        got = {r.v: r.lbl for r in lbl.collect()}
+        adj = defaultdict(list)
+        for x, y in edges:
+            adj[x].append(y)
+            adj[y].append(x)
+        want = {v: v for v in adj}
+        for _ in range(_LPA_ITERS):
+            new = {}
+            for v, us in adj.items():
+                c = Counter(want[u] for u in us)
+                new[v] = min(c, key=lambda k: (-c[k], k))
+            want = new
+        assert got == want, (trial, sorted(edges))
