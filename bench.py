@@ -185,6 +185,7 @@ HEADLINE = [
     "doc_priority_sample",
     "evt_seq_pair_support",
     "doc_priority_sample_eval",
+    "asof_tolerance_join",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -846,3 +846,78 @@ def evt_fold_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
     )
     return out.select("user_id", "version", F.round("balance", 4).alias("balance"))
+
+
+@query(
+    "asof_tolerance_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN v.prior_view_ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.prior_view_ts)
+                     <= 600000000
+                THEN v.prior_view_ts END AS matched_view_ts,
+           CASE WHEN v.prior_view_ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.prior_view_ts)
+                     <= 600000000
+                THEN CAST((epoch_us(p.ts) - epoch_us(v.prior_view_ts))
+                          // 1000000 AS BIGINT) END AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT ts AS prior_view_ts
+      FROM events v
+      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        AND v.ts <= p.ts
+      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) v ON true
+    """,
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN with TOLERANCE (pandas merge_asof(tolerance=10min)
+    / kdb wj / DuckDB ASOF semantics): each purchase matches its
+    nearest prior view of the same user, and the match is INVALIDATED
+    — not replaced by an older one — when the gap exceeds 10 minutes.
+    The tolerance variant the back/forward pair lacks: "attribute the
+    purchase to a view only if the view was recent" is the
+    attribution-hygiene form of as-of.
+
+    Composition, not a new operator: the asof_join union+window match
+    (one user_id shuffle, no cross product) followed by a row-local
+    integer-microsecond gap test — tolerance adds ZERO distributed
+    cost. The gap reports in whole seconds via integer DIV (the
+    evt_time_to_convert epoch-micros discipline: both engines
+    subtract exact integer micros). Reference: getEvents consumers
+    join on recency windows (src/types.ts:190); §2.11 relational
+    extension surface."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("prior_view_ts")
+    )
+    out = R.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="prior_view_ts",
+        right_vals=["prior_view_ts"],
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.col("prior_view_ts")
+    )
+    within = F.col("prior_view_ts").isNotNull() & (
+        gap_us <= F.lit(600_000_000)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("prior_view_ts")).alias("matched_view_ts"),
+        F.when(
+            within, F.expr(
+                "CAST((unix_micros(ts) - unix_micros(prior_view_ts)) "
+                "div 1000000 AS BIGINT)"
+            )
+        ).alias("gap_s"),
+    )

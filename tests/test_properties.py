@@ -1102,3 +1102,49 @@ def test_priority_sample_eval_matches_hashlib_replay(spark, sf_dir):
         g.true_total_chars,
         g.err_milli,
     ) == (len(sample), est, true, err)
+
+
+def test_asof_tolerance_matches_merge_asof_semantics(spark, sf_dir):
+    """pandas merge_asof(tolerance=...) semantics: nearest prior
+    match, INVALIDATED (not replaced) when the gap exceeds 10 min —
+    replayed directly per purchase."""
+    import bisect
+    from collections import defaultdict
+
+    from env_event_stream_spark.catalog import QUERIES
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    views = defaultdict(list)
+    for r in rows:
+        if r.event_type == "view":
+            views[r.user_id].append(r.ts)
+    for v in views.values():
+        v.sort()
+    got = {
+        r.event_id: (r.matched_view_ts, r.gap_s)
+        for r in QUERIES["asof_tolerance_join"](spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for r in rows:
+        if r.event_type != "purchase":
+            continue
+        vs = views.get(r.user_id, [])
+        i = bisect.bisect_right(vs, r.ts)
+        if i == 0:
+            want = (None, None)
+        else:
+            prior = vs[i - 1]
+            gap_us = int(
+                (r.ts - prior).total_seconds() * 1_000_000
+            )
+            if gap_us <= 600_000_000:
+                want = (prior, gap_us // 1_000_000)
+            else:
+                want = (None, None)
+        assert got[r.event_id] == want, r.event_id
+        n_checked += 1
+    assert n_checked and len(got) == n_checked
