@@ -876,6 +876,22 @@ def evt_rolling_p95_hist_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cep_initial() -> "F.Column":
+    """The CEP family's event-type initials mapping — unknown types
+    map to 'x' so they break in-progress matches (not in any pattern
+    alphabet) while keeping their sequence position. Shared by the
+    regex CEP queries and evt_top_paths; the oracles embed the same
+    CASE expression verbatim."""
+    return (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
+    )
+
+
 def _daily_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, day_idx, cnt): the per-type daily-volume grid all
     three time-series detectors (EWMA, Holt, CUSUM) run on — one
@@ -2072,14 +2088,7 @@ def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unknown types map to 'x' — they break any in-progress match
     # (not in the pattern alphabet) but keep their sequence position,
     # instead of being silently dropped from the string
-    ini = (
-        F.when(F.col("event_type") == "view", "v")
-        .when(F.col("event_type") == "click", "c")
-        .when(F.col("event_type") == "purchase", "p")
-        .when(F.col("event_type") == "error", "e")
-        .when(F.col("event_type") == "signup", "s")
-        .otherwise("x")
-    )
+    ini = _cep_initial()
     s = (
         ev.select(
             "user_id",
@@ -3819,14 +3828,7 @@ def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from env_event_stream_spark.operators.relational import top_k
 
     ev = _t(spark, sf_dir, "events")
-    ini = (
-        F.when(F.col("event_type") == "view", "v")
-        .when(F.col("event_type") == "click", "c")
-        .when(F.col("event_type") == "purchase", "p")
-        .when(F.col("event_type") == "error", "e")
-        .when(F.col("event_type") == "signup", "s")
-        .otherwise("x")
-    )
+    ini = _cep_initial()
     s = (
         ev.select(
             "user_id",
