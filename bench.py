@@ -186,6 +186,8 @@ HEADLINE = [
     "evt_seq_pair_support",
     "doc_priority_sample_eval",
     "asof_tolerance_join",
+    "evt_markov_stationary",
+    "evt_stream_seq_pairs",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

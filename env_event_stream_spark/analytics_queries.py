@@ -3925,14 +3925,29 @@ def evt_seq_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     the type alphabet (n_days_ab ≤ n_days ≤ 2^31 keeps the bigint
     product safe at any tested scale — assert_true makes it loud).
     Reference analog: none; §2.11 product-analytics extension."""
-    ev = _t(spark, sf_dir, "events")
-    s = ev.groupBy(
+    return seq_pair_finalize(
+        seq_grid_agg(_t(spark, sf_dir, "events"))
+    )
+
+
+def seq_grid_agg(ev: DataFrame) -> DataFrame:
+    """The (user_id, day, event_type) first/last-ts session grid —
+    min/max merge across micro-batches, so it doubles as the
+    complete-mode streaming state of evt_stream_seq_pairs (a THIRD
+    mergeable-state class for the matview family, after + counts and
+    max registers)."""
+    return ev.groupBy(
         "user_id",
         F.col("ts").cast("date").alias("day"),
         "event_type",
     ).agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+
+
+def seq_pair_finalize(s: DataFrame) -> DataFrame:
+    """The precedence-support readout over a session grid — shared
+    source-level by the batch query above and the streaming twin."""
     days = (
-        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        s.select("user_id", "day")
         .distinct()
         .agg(F.count("*").alias("n_days"))
         .where(
@@ -3992,5 +4007,165 @@ def evt_seq_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((n_days_ab * n_days * 1000) div "
                 "(n_days_a * n_days_b) AS BIGINT)"
             ).alias("lift_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution: the long-run event-type mix under
+# the observed per-user dynamics — completing the Markov trio
+# (evt_transition_matrix: the model; evt_transition_eval: its
+# predictive power; THIS: its equilibrium + mixing diagnostic).
+# ---------------------------------------------------------------------------
+
+
+_MS_UNIT = 10**12
+_MS_ITERS = 4
+
+
+def _markov_stationary_oracle() -> str:
+    ctes = [
+        """seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)""",
+        """c AS (SELECT event_type AS a, next_type AS b, count(*) AS n
+           FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)""",
+        "r AS (SELECT a, sum(n) AS r FROM c GROUP BY a)",
+        """st AS (SELECT DISTINCT event_type AS t FROM
+             (SELECT a AS event_type FROM c
+              UNION ALL SELECT b FROM c))""",
+        "nn AS (SELECT count(*) AS n FROM st)",
+        f"""p0 AS (SELECT t, CAST({_MS_UNIT} // nn.n AS BIGINT) AS pi
+             FROM st CROSS JOIN nn)""",
+    ]
+    prev = "p0"
+    for k in range(1, _MS_ITERS + 1):
+        ctes.append(
+            f"""p{k} AS (
+          SELECT st.t,
+                 CAST(coalesce(m.total, 0)
+                      + CASE WHEN r2.r IS NULL THEN pp.pi ELSE 0 END
+                   AS BIGINT) AS pi
+          FROM st
+          JOIN {prev} pp ON pp.t = st.t
+          LEFT JOIN r r2 ON r2.a = st.t
+          LEFT JOIN (
+            SELECT c.b AS t, sum(({prev}.pi * c.n) // r.r) AS total
+            FROM c
+            JOIN {prev} ON {prev}.t = c.a
+            JOIN r ON r.a = c.a
+            GROUP BY c.b) m ON m.t = st.t)"""
+        )
+        prev = f"p{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT f.t AS event_type, CAST(f.pi AS BIGINT) AS pi_units,
+           CAST(pv.pi AS BIGINT) AS pi_prev_units,
+           CAST(abs(f.pi - pv.pi) AS BIGINT) AS delta_units,
+           CAST((mar.n_next * 1000000) // tot.n_all AS BIGINT)
+             AS marginal_ppm
+    FROM {prev} f
+    JOIN p{_MS_ITERS - 1} pv ON pv.t = f.t
+    JOIN (SELECT b, sum(n) AS n_next FROM c GROUP BY b) mar
+      ON mar.b = f.t
+    CROSS JOIN (SELECT sum(n) AS n_all FROM c) tot
+    """
+    )
+
+
+@query("evt_markov_stationary", _markov_stationary_oracle())
+def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type chain by
+    power iteration (4 rounds from uniform), beside the observed
+    marginal — "where does user behavior SETTLE vs where is it
+    now", plus the per-type delta between the last two iterates as
+    the mixing diagnostic (small deltas = the chain has mixed, the
+    stationary read is trustworthy; large = report it, don't trust
+    it). Types with no outgoing transitions keep their mass
+    (absorbing-safe, no silent leakage).
+
+    INTEGER-EXACT power iteration: mass in 10^12 micro-units,
+    per-edge transfer = (pi·n) DIV row_total (the pagerank_int
+    discipline — bigint sums are order-free, so 4 iterations of
+    linear algebra survive the cross-engine value hash); the matrix
+    is the |types|² aggregated transition count frame, so every
+    iteration is arithmetic over a tiny broadcastable table — the
+    corpus is touched ONCE (the HW-on-grid shape applied to the
+    Markov family). Oracle replays every iteration as chained CTEs.
+    Reference analog: none; §2.11 time-series/behavioral extension
+    surface."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    c = seq.groupBy("a", "b").agg(F.count("*").alias("n"))
+    c = c.localCheckpoint(eager=True)
+    r = c.groupBy("a").agg(F.sum("n").alias("r"))
+    st = (
+        c.select(F.col("a").alias("t"))
+        .unionByName(c.select(F.col("b").alias("t")))
+        .distinct()
+    )
+    nn = st.agg(F.count("*").alias("n"))
+    pi = st.crossJoin(F.broadcast(nn)).select(
+        "t", F.expr(f"CAST({_MS_UNIT} div n AS BIGINT)").alias("pi")
+    )
+    for _ in range(_MS_ITERS):
+        prev = pi
+        inc = (
+            c.join(prev.select(F.col("t").alias("a"), "pi"), "a")
+            .join(r, "a")
+            .select(
+                F.col("b").alias("t"),
+                F.expr("(pi * n) div r").alias("share"),
+            )
+            .groupBy("t")
+            .agg(F.sum("share").alias("total"))
+        )
+        pi = (
+            st.join(prev, "t")
+            .join(r.select(F.col("a").alias("t"), "r"), "t", "left")
+            .join(inc, "t", "left")
+            .select(
+                "t",
+                (
+                    F.coalesce(F.col("total"), F.lit(0))
+                    + F.when(F.col("r").isNull(), F.col("pi")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("pi"),
+            )
+        )
+        pi = pi.localCheckpoint(eager=True)
+        last_prev = prev
+    mar = c.groupBy("b").agg(F.sum("n").alias("n_next"))
+    tot = c.agg(F.sum("n").alias("n_all"))
+    return (
+        pi.join(
+            last_prev.select(
+                F.col("t"), F.col("pi").alias("pi_prev")
+            ),
+            "t",
+        )
+        .join(mar.select(F.col("b").alias("t"), "n_next"), "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("pi").cast("bigint").alias("pi_units"),
+            F.col("pi_prev").cast("bigint").alias("pi_prev_units"),
+            F.abs(F.col("pi") - F.col("pi_prev"))
+            .cast("bigint")
+            .alias("delta_units"),
+            F.expr(
+                "CAST((n_next * 1000000) div n_all AS BIGINT)"
+            ).alias("marginal_ppm"),
         )
     )

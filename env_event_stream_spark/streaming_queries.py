@@ -1509,6 +1509,48 @@ def evt_stream_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_finalize_daily(grid)
 
 
+def _seq_pair_oracle_for_stream() -> str:
+    from env_event_stream_spark.analytics_queries import (
+        _SEQ_PAIR_ORACLE,
+    )
+
+    return _SEQ_PAIR_ORACLE
+
+
+@query("evt_stream_seq_pairs", _seq_pair_oracle_for_stream)
+def evt_stream_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE sequential-pattern support (24th genuinely-streaming
+    oracled entry, and a THIRD mergeable-state class for the matview
+    family): the (user, day, type) first/last-ts session grid as
+    complete-mode streaming state — min/max merge across
+    micro-batches is exact for ANY arrival order, including late and
+    out-of-order events (unlike the keyed-fold CEP matviews, whose
+    state assumes in-order replay: the exists-precedence test
+    first(a) < last(b) only needs the extremes, which order-free
+    min/max maintains exactly) — with the precedence-support readout
+    shared source-level with the batch evt_seq_pair_support and its
+    full value-hash oracle. The live question: "is the a-before-b
+    coupling shifting as traffic arrives?"
+
+    State is |active user-days| x |type alphabet| rows of two
+    timestamps — the sessionize-matview state bound; the
+    alphabet-bounded self-join and all divisions live in the batch
+    readout. Cross-batch min/max merging is pinned by a forced
+    multi-batch pytest."""
+    from env_event_stream_spark.analytics_queries import (
+        seq_pair_finalize,
+    )
+
+    ev = _read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    grid = spark.read.parquet(_run_complete_overwrite(agg, "seqgrid"))
+    return seq_pair_finalize(grid)
+
+
 def _compaction_oracle_for_stream() -> str:
     from env_event_stream_spark.advanced_queries import (
         _COMPACTION_ORACLE_SQL,

@@ -927,3 +927,65 @@ def test_lpa_fuzz_random_graphs(spark, sf_dir):
                 new[v] = min(c, key=lambda k: (-c[k], k))
             want = new
         assert got == want, (trial, sorted(edges))
+
+
+def test_markov_stationary_matches_python_power_iteration(spark, sf_dir):
+    """Full integer power-iteration replay from the same transition
+    counts, including absorbing-type mass carry."""
+    from collections import Counter, defaultdict
+
+    from env_event_stream_spark.analytics_queries import (
+        _MS_ITERS,
+        _MS_UNIT,
+    )
+    from env_event_stream_spark.catalog import QUERIES
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    byu = defaultdict(list)
+    for r in rows:
+        byu[r.user_id].append((r.ts, r.event_id, r.event_type))
+    c = Counter()
+    for evs in byu.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            c[(a, b)] += 1
+    types = sorted(
+        {a for a, _ in c} | {b for _, b in c}
+    )
+    rsum = Counter()
+    for (a, _), n in c.items():
+        rsum[a] += n
+    pi = {t: _MS_UNIT // len(types) for t in types}
+    prev = pi
+    for _ in range(_MS_ITERS):
+        prev = pi
+        inc = Counter()
+        for (a, b), n in c.items():
+            inc[b] += (prev[a] * n) // rsum[a]
+        pi = {
+            t: inc.get(t, 0) + (prev[t] if rsum[t] == 0 else 0)
+            for t in types
+        }
+    mar = Counter()
+    for (_, b), n in c.items():
+        mar[b] += n
+    n_all = sum(c.values())
+    got = {
+        r.event_type: (
+            r.pi_units, r.pi_prev_units, r.delta_units, r.marginal_ppm
+        )
+        for r in QUERIES["evt_markov_stationary"](spark, sf_dir).collect()
+    }
+    want = {
+        t: (
+            pi[t], prev[t], abs(pi[t] - prev[t]),
+            (mar[t] * 1000000) // n_all,
+        )
+        for t in types
+        if mar[t] > 0
+    }
+    assert got == want

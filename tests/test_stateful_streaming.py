@@ -1096,3 +1096,74 @@ def test_stream_spearman_equals_batch(spark, sf_dir):
     b = {tuple(r) for r in evt_spearman_daily(spark, sf_dir).collect()}
     l = {tuple(r) for r in evt_stream_spearman(spark, sf_dir).collect()}
     assert b == l and b
+
+
+def test_stream_seq_grid_minmax_merges_across_batches(spark, tmp_path):
+    """The live session grid must MERGE min/max across micro-batches
+    — and stay exact under OUT-OF-ORDER arrival (a later batch
+    carrying an earlier timestamp must pull first_ts back)."""
+    import datetime as dt
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string, value double"
+    )
+    from pyspark.sql import functions as F
+
+    def write(spec):
+        rows = [
+            (1, dt.datetime(2024, 1, 1, h, m, 0), eid, et, None)
+            for (h, m, eid, et) in spec
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.groupBy(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        ).agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        )
+
+        def out(df, _epoch):
+            df.write.mode("overwrite").parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(out)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.event_type: (r.first_ts.hour, r.last_ts.hour)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    write([(10, 0, 1, "view"), (12, 0, 2, "view")])
+    assert run() == {"view": (10, 12)}
+    # out-of-order: an EARLIER view and a later click arrive next
+    write([(8, 0, 3, "view"), (14, 0, 4, "click")])
+    assert run() == {"view": (8, 12), "click": (14, 14)}
+
+
+def test_stream_seq_pairs_equals_batch(spark, sf_dir):
+    """Live == batch row-for-row for the sequential-support matview."""
+    from env_event_stream_spark.analytics_queries import (
+        evt_seq_pair_support,
+    )
+    from env_event_stream_spark.streaming_queries import (
+        evt_stream_seq_pairs,
+    )
+
+    b = {tuple(r) for r in evt_seq_pair_support(spark, sf_dir).collect()}
+    l = {tuple(r) for r in evt_stream_seq_pairs(spark, sf_dir).collect()}
+    assert b == l and b
