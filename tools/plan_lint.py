@@ -95,6 +95,12 @@ NESTED_LOOP_ALLOWED = {
     " (the emb_knn_ivf shape, x ITERS)",
     "emb_kmeans_ivf_eval": "exact tier inside the recall eval +"
     " 8-row centroid broadcasts",
+    "emb_kmeans_elbow": "30-row unioned centroid broadcast (one"
+    " assignment pass scores all four k values)",
+    "doc_priority_sample_eval": "1-row tau/total scalar crossJoins",
+    "evt_seq_pair_support": "1-row user-day-total scalar crossJoin",
+    "evt_markov_stationary": "1-row n/total scalar crossJoins over"
+    " the |types|^2 aggregated matrix",
     "doc_bm25_topk": "1-row corpus-stats broadcast (documented)",
     "doc_rrf_hybrid": "1-row corpus-stats broadcast (BM25 leg)",
     "doc_minhash_accuracy": "candidate-bounded true-Jaccard eval join",
