@@ -188,6 +188,7 @@ HEADLINE = [
     "asof_tolerance_join",
     "evt_markov_stationary",
     "evt_stream_seq_pairs",
+    "evt_slo_burn_rate",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

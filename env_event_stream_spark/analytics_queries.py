@@ -4169,3 +4169,133 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("marginal_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO burn-rate alerts (Google SRE workbook ch. 5): the error-budget
+# detector ops teams actually page on — distinct from the statistical
+# anomaly family (z/MAD/CUSUM/HW score VOLUME shifts; this scores
+# error-RATE against a contract).
+# ---------------------------------------------------------------------------
+
+
+_SLO_BUDGET_PCT = 1  # SLO: at most 1% of events may be errors
+_SLO_BURN_THRESH = 6000  # 6x budget, in milli-units
+
+
+_SLO_ORACLE_SQL = f"""
+    WITH h AS (
+      SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                            ts) AS BIGINT) AS hour_idx,
+             count(*) AS n_total,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS n_err
+      FROM events GROUP BY 1),
+    b AS (SELECT min(hour_idx) AS hmin, max(hour_idx) AS hmax FROM h),
+    grid AS (SELECT gs.hour_idx, coalesce(h.n_total, 0) AS n_total,
+                    coalesce(h.n_err, 0) AS n_err
+             FROM b, LATERAL (
+               SELECT unnest(generate_series(b.hmin, b.hmax))
+                 AS hour_idx) gs
+             LEFT JOIN h ON h.hour_idx = gs.hour_idx),
+    w AS (SELECT hour_idx, n_total, n_err,
+                 sum(n_total) OVER win6 AS total_6h,
+                 sum(n_err) OVER win6 AS err_6h
+          FROM grid
+          WINDOW win6 AS (ORDER BY hour_idx
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT hour_idx, CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_err AS BIGINT) AS n_err,
+           CAST((n_err * {100_000 // _SLO_BUDGET_PCT})
+                // greatest(n_total, 1) AS BIGINT) AS burn_1h_milli,
+           CAST((err_6h * {100_000 // _SLO_BUDGET_PCT})
+                // greatest(total_6h, 1) AS BIGINT) AS burn_6h_milli,
+           (n_err * {100_000 // _SLO_BUDGET_PCT})
+             // greatest(n_total, 1) >= {_SLO_BURN_THRESH}
+           AND (err_6h * {100_000 // _SLO_BUDGET_PCT})
+             // greatest(total_6h, 1) >= {_SLO_BURN_THRESH} AS page
+    FROM w
+    """
+
+
+@query("evt_slo_burn_rate", _SLO_ORACLE_SQL)
+def evt_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (SRE workbook ch. 5,
+    adapted to hourly grain): burn = observed error rate / the 1%
+    error budget, computed over a short (1h) and a long (6h)
+    trailing window on the zero-filled hour grid; page only when
+    BOTH exceed 6x budget — the long window stops one bad minute
+    from paging, the short window stops a long-recovered incident
+    from still paging. The contract-based ops rung next to the
+    statistical family (z/MAD/CUSUM/HW detect volume SHIFTS; this
+    detects budget VIOLATIONS at any volume).
+
+    INTEGER-EXACT: burn_milli = (err · 100000) DIV max(total, 1) —
+    nonneg floor division, identical engines; zero-traffic hours
+    carry burn 0 (greatest-1 guard), never a division error. Plan:
+    one map-side-combinable hourly rollup, then windows over the
+    calendar-hours grid — corpus-size-invariant, the EWMA/HW shape.
+    Reference: the reference's DLQ counts errors after the fact
+    (src/deadletter.ts); this is the forward-looking alert tier.
+    §2.11 ops extension surface."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (
+            F.floor(
+                (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(
+                        F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    )
+                )
+                / F.lit(3_600_000_000)
+            )
+        )
+        .cast("bigint")
+        .alias("hour_idx")
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    )
+    b = h.agg(
+        F.min("hour_idx").alias("hmin"), F.max("hour_idx").alias("hmax")
+    )
+    grid = (
+        b.select(F.explode(F.sequence("hmin", "hmax")).alias("hour_idx"))
+        .join(h, "hour_idx", "left")
+        .select(
+            "hour_idx",
+            F.coalesce("n_total", F.lit(0)).alias("n_total"),
+            F.coalesce("n_err", F.lit(0)).alias("n_err"),
+        )
+    )
+    win6 = Window.orderBy("hour_idx").rowsBetween(-5, 0)
+    w = grid.select(
+        "hour_idx",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(win6).alias("total_6h"),
+        F.sum("n_err").over(win6).alias("err_6h"),
+    )
+    scale = 100_000 // _SLO_BUDGET_PCT
+    return w.select(
+        "hour_idx",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_err").cast("bigint").alias("n_err"),
+        F.expr(
+            f"CAST((n_err * {scale}) div greatest(n_total, 1) "
+            "AS BIGINT)"
+        ).alias("burn_1h_milli"),
+        F.expr(
+            f"CAST((err_6h * {scale}) div greatest(total_6h, 1) "
+            "AS BIGINT)"
+        ).alias("burn_6h_milli"),
+        F.expr(
+            f"(n_err * {scale}) div greatest(n_total, 1) "
+            f">= {_SLO_BURN_THRESH} "
+            f"AND (err_6h * {scale}) div greatest(total_6h, 1) "
+            f">= {_SLO_BURN_THRESH}"
+        ).alias("page"),
+    )

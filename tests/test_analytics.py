@@ -989,3 +989,47 @@ def test_markov_stationary_matches_python_power_iteration(spark, sf_dir):
         if mar[t] > 0
     }
     assert got == want
+
+
+def test_slo_burn_rate_matches_python_replay(spark, sf_dir):
+    """Replay the hourly grid, both trailing windows, the integer
+    burn rates, and the two-window page flag in Python — every cell
+    of every hour."""
+    from collections import Counter
+
+    from env_event_stream_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type")
+        .select(
+            F.expr(
+                "CAST((unix_micros(ts) - unix_micros(TIMESTAMP "
+                "'2024-01-01 00:00:00')) div 3600000000 AS BIGINT)"
+            ).alias("h"),
+            "event_type",
+        )
+        .collect()
+    )
+    tot, err = Counter(), Counter()
+    for r in rows:
+        tot[r.h] += 1
+        if r.event_type == "error":
+            err[r.h] += 1
+    lo, hi = min(tot), max(tot)
+    got = {
+        r.hour_idx: r
+        for r in QUERIES["evt_slo_burn_rate"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(lo, hi + 1))
+    for hh in range(lo, hi + 1):
+        nt, ne = tot.get(hh, 0), err.get(hh, 0)
+        t6 = sum(tot.get(x, 0) for x in range(hh - 5, hh + 1))
+        e6 = sum(err.get(x, 0) for x in range(hh - 5, hh + 1))
+        b1 = (ne * 100000) // max(nt, 1)
+        b6 = (e6 * 100000) // max(t6, 1)
+        g = got[hh]
+        assert (g.n_total, g.n_err) == (nt, ne)
+        assert (g.burn_1h_milli, g.burn_6h_milli) == (b1, b6)
+        assert g.page == (b1 >= 6000 and b6 >= 6000)
