@@ -189,6 +189,8 @@ HEADLINE = [
     "evt_markov_stationary",
     "evt_stream_seq_pairs",
     "evt_slo_burn_rate",
+    "evt_stream_slo_burn",
+    "graph_pagerank_weighted",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -3377,3 +3377,109 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("jaccard_ppm").desc(), F.col("x").asc(), F.col("y").asc()],
         _LP_TOPK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank: trade-VOLUME centrality — the unit-edge
+# graph_pagerank_custsupp can't tell a hub with one heavy partner
+# from a hub with many light ones; edge weights (lineitem counts) can.
+# ---------------------------------------------------------------------------
+
+
+_PRW_UNIT = 10**12
+_PRW_ITERS = 3
+
+
+def _pagerank_weighted_oracle() -> str:
+    ctes = [
+        """e0 AS (SELECT o_custkey AS c, l_suppkey AS s,
+                 count(*) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2)""",
+        """edges AS (
+         SELECT 'c:' || CAST(c AS VARCHAR) AS src,
+                's:' || CAST(s AS VARCHAR) AS dst, w FROM e0
+         UNION ALL
+         SELECT 's:' || CAST(s AS VARCHAR), 'c:' || CAST(c AS VARCHAR),
+                w
+         FROM e0)""",
+        """deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+               FROM edges GROUP BY src)""",
+        "n AS (SELECT count(*) AS n FROM deg)",
+        f"""r0 AS (SELECT src AS node, wdeg,
+                  CAST({_PRW_UNIT} // n.n AS BIGINT) AS r
+               FROM deg CROSS JOIN n)""",
+    ]
+    prev = "r0"
+    for k in range(1, _PRW_ITERS + 1):
+        ctes.append(
+            f"""r{k} AS (
+          SELECT deg.src AS node, deg.wdeg,
+                 CAST((15 * {_PRW_UNIT}) // (100 * n.n)
+                      + (85 * coalesce(t.total, 0)) // 100 AS BIGINT)
+                   AS r
+          FROM deg CROSS JOIN n
+          LEFT JOIN (SELECT e.dst AS nd,
+                            sum(({prev}.r * e.w) // {prev}.wdeg)
+                              AS total
+                     FROM edges e JOIN {prev} ON {prev}.node = e.src
+                     GROUP BY e.dst) t
+            ON t.nd = deg.src)"""
+        )
+        prev = f"r{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, wdeg, r AS rank_units,
+           CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT)
+             AS pos
+    FROM {prev}
+    QUALIFY pos <= 20
+    """
+    )
+
+
+@query("graph_pagerank_weighted", _pagerank_weighted_oracle())
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer↔supplier trade graph with
+    LINEITEM counts as edge weights — trade-volume centrality (the
+    weighted-TextRank formulation applied to the bipartite trade
+    graph), top-20. Contrast with graph_pagerank_custsupp's unit
+    edges: there a customer with 50 one-lineitem suppliers and one
+    with 50 heavy suppliers rank identically; here mass flows in
+    proportion to volume.
+
+    INTEGER-EXACT (operators/graph.py:pagerank_int_weighted):
+    per-edge transfer = (rank·w) DIV wdeg in bigint micro-units —
+    order-free, iteration-replayable (the oracle chains all three
+    rounds as CTEs), with assert_true bounding weights at 2^20 so
+    rank·w can't wrap. Same per-iteration shape as the unit-edge
+    rung: one node-keyed join + grouped sum + localCheckpoint; top-20
+    via TakeOrderedAndProject."""
+    from env_event_stream_spark.operators.graph import (
+        pagerank_int_weighted,
+    )
+    from env_event_stream_spark.operators.relational import top_k
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+    )
+    c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = e0.select(
+        c.alias("src"), s.alias("dst"), "w"
+    ).unionByName(e0.select(s.alias("src"), c.alias("dst"), "w"))
+    pr = pagerank_int_weighted(
+        edges, iterations=_PRW_ITERS, unit=_PRW_UNIT
+    )
+    order = [F.col("rank_units").desc(), F.col("node").asc()]
+    top = top_k(pr, order, 20)
+    w = Window.orderBy(*order)
+    return top.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    ).select("node", "wdeg", "rank_units", "pos")

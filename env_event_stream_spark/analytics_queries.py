@@ -4238,8 +4238,16 @@ def evt_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: the reference's DLQ counts errors after the fact
     (src/deadletter.ts); this is the forward-looking alert tier.
     §2.11 ops extension surface."""
-    ev = _t(spark, sf_dir, "events")
-    h = ev.groupBy(
+    return slo_finalize_hourly(
+        slo_grid_agg(_t(spark, sf_dir, "events"))
+    )
+
+
+def slo_grid_agg(ev: DataFrame) -> DataFrame:
+    """The hourly (n_total, n_err) rollup — counts merge by +, so it
+    doubles as the complete-mode streaming state of
+    evt_stream_slo_burn (the hw-grid pattern for the SLO family)."""
+    return ev.groupBy(
         (
             F.floor(
                 (
@@ -4259,6 +4267,12 @@ def evt_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "error", 1).otherwise(0)
         ).alias("n_err"),
     )
+
+
+def slo_finalize_hourly(h: DataFrame) -> DataFrame:
+    """The multiwindow burn readout over an hourly (n_total, n_err)
+    grid — shared source-level by the batch query above and the
+    streaming matview twin."""
     b = h.agg(
         F.min("hour_idx").alias("hmin"), F.max("hour_idx").alias("hmax")
     )

@@ -1509,6 +1509,56 @@ def evt_stream_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_finalize_daily(grid)
 
 
+def _slo_oracle_for_stream() -> str:
+    from env_event_stream_spark.analytics_queries import _SLO_ORACLE_SQL
+
+    return _SLO_ORACLE_SQL
+
+
+@query("evt_stream_slo_burn", _slo_oracle_for_stream)
+def evt_stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE SLO burn-rate pager (25th genuinely-streaming oracled
+    entry — THE canonical streaming ops matview: error-budget paging
+    is only useful live): the hourly (n_total, n_err) rollup as
+    complete-mode streaming state (merge = +, arrival-order free,
+    exact) with the multiwindow burn readout (slo_finalize_hourly:
+    zero-filled hour grid, 1h + 6h trailing windows, integer burn
+    rates, the both-windows page rule) shared source-level with the
+    batch evt_slo_burn_rate and its full value-hash oracle.
+
+    State is two counters per active hour — the cheapest state of
+    any matview in the family; all window math lives in the
+    deterministic batch readout. Cross-batch count merging is pinned
+    by a forced multi-batch pytest."""
+    from env_event_stream_spark.analytics_queries import (
+        slo_finalize_hourly,
+    )
+
+    ev = _read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        (
+            F.floor(
+                (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(
+                        F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    )
+                )
+                / F.lit(3_600_000_000)
+            )
+        )
+        .cast("bigint")
+        .alias("hour_idx")
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    )
+    grid = spark.read.parquet(_run_complete_overwrite(agg, "slogrid"))
+    return slo_finalize_hourly(grid)
+
+
 def _seq_pair_oracle_for_stream() -> str:
     from env_event_stream_spark.analytics_queries import (
         _SEQ_PAIR_ORACLE,

@@ -1033,3 +1033,53 @@ def test_slo_burn_rate_matches_python_replay(spark, sf_dir):
         assert (g.n_total, g.n_err) == (nt, ne)
         assert (g.burn_1h_milli, g.burn_6h_milli) == (b1, b6)
         assert g.page == (b1 >= 6000 and b6 >= 6000)
+
+
+def test_weighted_pagerank_matches_python_replay(spark, sf_dir):
+    """Full integer replay of the weighted transfer
+    (rank*w) DIV wdeg across all iterations, top-20 compared."""
+    from collections import defaultdict
+
+    from env_event_stream_spark.advanced_queries import (
+        _PRW_ITERS,
+        _PRW_UNIT,
+    )
+    from env_event_stream_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    wmap = defaultdict(dict)
+    for r in e0:
+        cc, ss = f"c:{r.o_custkey}", f"s:{r.l_suppkey}"
+        wmap[cc][ss] = r.w
+        wmap[ss][cc] = r.w
+    wdeg = {v: sum(us.values()) for v, us in wmap.items()}
+    n = len(wmap)
+    base = (15 * _PRW_UNIT) // (100 * n)
+    rank = {v: _PRW_UNIT // n for v in wmap}
+    for _ in range(_PRW_ITERS):
+        inc = defaultdict(int)
+        for u, us in wmap.items():
+            for v, w in us.items():
+                inc[v] += (rank[u] * w) // wdeg[u]
+        rank = {v: base + (85 * inc[v]) // 100 for v in wmap}
+    want = sorted(
+        ((v, wdeg[v], rank[v]) for v in wmap),
+        key=lambda t: (-t[2], t[0]),
+    )[:20]
+    want = [(v, d, r, i + 1) for i, (v, d, r) in enumerate(want)]
+    got = [
+        (g.node, g.wdeg, g.rank_units, g.pos)
+        for g in sorted(
+            QUERIES["graph_pagerank_weighted"](spark, sf_dir).collect(),
+            key=lambda g: g.pos,
+        )
+    ]
+    assert got == want

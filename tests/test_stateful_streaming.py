@@ -1167,3 +1167,64 @@ def test_stream_seq_pairs_equals_batch(spark, sf_dir):
     b = {tuple(r) for r in evt_seq_pair_support(spark, sf_dir).collect()}
     l = {tuple(r) for r in evt_stream_seq_pairs(spark, sf_dir).collect()}
     assert b == l and b
+
+
+def test_stream_slo_grid_merges_and_equals_batch(spark, sf_dir, tmp_path):
+    """The live hourly error grid must merge counts across
+    micro-batches, and the full matview must equal the batch pager
+    row-for-row."""
+    import datetime as dt
+
+    from env_event_stream_spark.analytics_queries import (
+        evt_slo_burn_rate,
+        slo_grid_agg,
+    )
+    from env_event_stream_spark.streaming_queries import (
+        evt_stream_slo_burn,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string, value double"
+    )
+
+    def write(spec):
+        rows = [
+            (1, dt.datetime(2024, 1, 1, h, 0, 0), eid, et, None)
+            for (h, eid, et) in spec
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = slo_grid_agg(stream)
+
+        def out(df, _epoch):
+            df.write.mode("overwrite").parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(out)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.hour_idx: (r.n_total, r.n_err)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    write([(9, 1, "view"), (9, 2, "error")])
+    assert run() == {9: (2, 1)}
+    write([(9, 3, "error"), (10, 4, "view")])
+    assert run() == {9: (3, 2), 10: (1, 0)}
+
+    b = {tuple(r) for r in evt_slo_burn_rate(spark, sf_dir).collect()}
+    l = {tuple(r) for r in evt_stream_slo_burn(spark, sf_dir).collect()}
+    assert b == l and b
