@@ -191,6 +191,7 @@ HEADLINE = [
     "evt_slo_burn_rate",
     "evt_stream_slo_burn",
     "graph_pagerank_weighted",
+    "er_threshold_sensitivity",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver
@@ -228,6 +229,7 @@ ROTATING = [
     "emb_kmeans_elbow",
     "emb_kmeans_ivf_eval",
     "evt_zorder_pruning_eval",
+    "er_threshold_sensitivity",
 ]
 
 # Two-pass timing (VERDICT r8 task 2): the run-to-run jitter band

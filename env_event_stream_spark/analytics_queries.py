@@ -1900,6 +1900,46 @@ _ER_SQL_SCORE = """
 _ER_MATCH = 5  # strong name + near balance, or the converse
 
 
+def _er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked, Fellegi-Sunter-scored customer candidate pairs
+    (k1, k2, lev, dbal, score) — shared by er_customer_entities
+    (match at >= _ER_MATCH) and er_threshold_sensitivity (the knob
+    audit over every threshold)."""
+    cust = _t(spark, sf_dir, "customer")
+    b = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).cast("bigint").alias("band"),
+        "c_acctbal",
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pr = a.join(
+        c,
+        (F.col("a.c_nationkey") == F.col("c.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("c.c_mktsegment"))
+        & (F.col("a.band") == F.col("c.band"))
+        & (F.col("a.c_custkey") < F.col("c.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("k1"),
+        F.col("c.c_custkey").alias("k2"),
+        F.levenshtein(F.col("a.c_name"), F.col("c.c_name")).alias("lev"),
+        F.abs(F.col("a.c_acctbal") - F.col("c.c_acctbal")).alias("dbal"),
+    )
+    name_w = (
+        F.when(F.col("lev") <= 1, 4)
+        .when(F.col("lev") <= 2, 2)
+        .otherwise(-2)
+    )
+    bal_w = (
+        F.when(F.col("dbal") <= 50, 3)
+        .when(F.col("dbal") <= 250, 1)
+        .otherwise(-3)
+    )
+    return pr.withColumn("score", name_w + bal_w)
+
+
 @query(
     "er_customer_entities",
     f"""
@@ -1963,40 +2003,8 @@ def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    cust = _t(spark, sf_dir, "customer")
-    b = cust.select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 500).cast("bigint").alias("band"),
-        "c_acctbal",
-    )
-    a, c = b.alias("a"), b.alias("c")
-    pr = a.join(
-        c,
-        (F.col("a.c_nationkey") == F.col("c.c_nationkey"))
-        & (F.col("a.c_mktsegment") == F.col("c.c_mktsegment"))
-        & (F.col("a.band") == F.col("c.band"))
-        & (F.col("a.c_custkey") < F.col("c.c_custkey")),
-    ).select(
-        F.col("a.c_custkey").alias("k1"),
-        F.col("c.c_custkey").alias("k2"),
-        F.levenshtein(F.col("a.c_name"), F.col("c.c_name")).alias("lev"),
-        F.abs(F.col("a.c_acctbal") - F.col("c.c_acctbal")).alias("dbal"),
-    )
-    name_w = (
-        F.when(F.col("lev") <= 1, 4)
-        .when(F.col("lev") <= 2, 2)
-        .otherwise(-2)
-    )
-    bal_w = (
-        F.when(F.col("dbal") <= 50, 3)
-        .when(F.col("dbal") <= 250, 1)
-        .otherwise(-3)
-    )
     m = (
-        pr.withColumn("score", name_w + bal_w)
+        _er_scored_pairs(spark, sf_dir)
         .where(F.col("score") >= _ER_MATCH)
         .localCheckpoint(eager=True)
     )
@@ -4313,3 +4321,116 @@ def slo_finalize_hourly(h: DataFrame) -> DataFrame:
             f">= {_SLO_BURN_THRESH}"
         ).alias("page"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ER threshold-sensitivity audit: the precision knob — how the match
+# set, cluster count, and largest cluster move as the Fellegi-Sunter
+# acceptance score sweeps. The number you read BEFORE committing a
+# threshold to a production dedup run.
+# ---------------------------------------------------------------------------
+
+
+_ER_THRESHOLDS = (3, 4, 5, 6, 7)
+
+
+_ER_SENSITIVITY_ORACLE = f"""
+    WITH RECURSIVE b AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 500) AS BIGINT) AS band, c_acctbal
+      FROM customer),
+    pr AS (
+      SELECT a.c_custkey AS k1, c.c_custkey AS k2,
+             levenshtein(a.c_name, c.c_name) AS lev,
+             abs(a.c_acctbal - c.c_acctbal) AS dbal
+      FROM b a JOIN b c
+        ON a.c_nationkey = c.c_nationkey
+       AND a.c_mktsegment = c.c_mktsegment
+       AND a.band = c.band AND a.c_custkey < c.c_custkey),
+    m AS (SELECT k1, k2, ({_ER_SQL_SCORE}) AS score FROM pr
+          WHERE ({_ER_SQL_SCORE}) >= {min(_ER_THRESHOLDS)}),
+    th(t) AS (VALUES {', '.join(f'({t})' for t in _ER_THRESHOLDS)}),
+    et AS (SELECT th.t, m.k1 AS u, m.k2 AS v FROM th
+           JOIN m ON m.score >= th.t),
+    edges AS (SELECT t, u, v FROM et UNION SELECT t, v, u FROM et),
+    comp(t, node, label) AS (
+      SELECT t, u, u FROM (SELECT DISTINCT t, u FROM edges)
+      UNION
+      SELECT e.t, e.v, c.label FROM comp c
+      JOIN edges e ON e.t = c.t AND e.u = c.node),
+    cm AS (SELECT t, node, min(label) AS component FROM comp
+           GROUP BY 1, 2),
+    cl AS (SELECT t, component, count(*) AS sz FROM cm GROUP BY 1, 2),
+    per_t AS (
+      SELECT cl.t, count(*) AS n_clusters, sum(sz) AS n_nodes,
+             max(sz) AS max_cluster
+      FROM cl GROUP BY cl.t),
+    pairs AS (SELECT t, count(*) AS n_pairs FROM et GROUP BY t)
+    SELECT CAST(th.t AS BIGINT) AS threshold,
+           CAST(coalesce(pairs.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(per_t.n_nodes, 0) AS BIGINT) AS n_nodes,
+           CAST(coalesce(per_t.n_clusters, 0) AS BIGINT) AS n_clusters,
+           CAST(coalesce(per_t.max_cluster, 0) AS BIGINT)
+             AS max_cluster
+    FROM th
+    LEFT JOIN pairs ON pairs.t = th.t
+    LEFT JOIN per_t ON per_t.t = th.t
+    """
+
+
+@query("er_threshold_sensitivity", _ER_SENSITIVITY_ORACLE)
+def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER acceptance-threshold knob, audited: match-pair count,
+    matched-node count, cluster count, and LARGEST cluster size as
+    the Fellegi-Sunter score threshold sweeps 3..7 — the table that
+    justifies er_customer_entities' score >= 5 before a production
+    dedup run commits to it (the failure mode this catches: one
+    threshold step flooding everything into a single mega-cluster,
+    the classic transitive-closure collapse). Zero-match thresholds
+    emit 0 rows of evidence, not missing rows.
+
+    Plan: the blocked scored pair table builds ONCE
+    (_er_scored_pairs, localCheckpointed) and each threshold's match
+    set is a filter over it; components re-run per threshold over
+    MATCH-SET-sized edge lists (operators/graph.py, min-label
+    propagation) — the expensive blocking join is never repeated.
+    All counts integer; the oracle replays every threshold's closure
+    in one recursive CTE keyed by t. Eval tier (the recall-eval
+    discipline applied to ER)."""
+    from env_event_stream_spark.operators.graph import (
+        connected_components,
+    )
+
+    pr = (
+        _er_scored_pairs(spark, sf_dir)
+        .where(F.col("score") >= F.lit(min(_ER_THRESHOLDS)))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for t in _ER_THRESHOLDS:
+        m = pr.where(F.col("score") >= F.lit(t))
+        comp = connected_components(m, "k1", "k2")
+        cl = comp.groupBy("component").agg(F.count("*").alias("sz"))
+        stats = (
+            m.agg(F.count("*").alias("n_pairs"))
+            .crossJoin(
+                cl.agg(
+                    F.coalesce(F.count("*"), F.lit(0)).alias(
+                        "n_clusters"
+                    ),
+                    F.coalesce(F.sum("sz"), F.lit(0)).alias("n_nodes"),
+                    F.coalesce(F.max("sz"), F.lit(0)).alias(
+                        "max_cluster"
+                    ),
+                )
+            )
+            .select(
+                F.lit(t).cast("bigint").alias("threshold"),
+                F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                F.col("n_clusters").cast("bigint").alias("n_clusters"),
+                F.col("max_cluster").cast("bigint").alias("max_cluster"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

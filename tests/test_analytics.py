@@ -1083,3 +1083,37 @@ def test_weighted_pagerank_matches_python_replay(spark, sf_dir):
         )
     ]
     assert got == want
+
+
+def test_er_threshold_sensitivity_monotone_and_consistent(spark, sf_dir):
+    """Tightening the threshold must shrink pairs/nodes monotonically
+    and never grow the largest cluster; the default threshold's row
+    must equal er_customer_entities' own cluster stats."""
+    from env_event_stream_spark.analytics_queries import (
+        _ER_MATCH,
+        _ER_THRESHOLDS,
+    )
+    from env_event_stream_spark.catalog import QUERIES
+
+    rows = sorted(
+        QUERIES["er_threshold_sensitivity"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == list(_ER_THRESHOLDS)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pairs <= a.n_pairs
+        assert b.n_nodes <= a.n_nodes
+        assert b.max_cluster <= a.max_cluster
+    for r in rows:
+        if r.n_pairs == 0:
+            assert (r.n_nodes, r.n_clusters, r.max_cluster) == (0, 0, 0)
+        else:
+            assert r.n_clusters >= 1 and r.max_cluster >= 2
+            assert r.n_nodes >= r.max_cluster
+    base = QUERIES["er_customer_entities"](spark, sf_dir).collect()
+    at_match = next(r for r in rows if r.threshold == _ER_MATCH)
+    assert at_match.n_clusters == len(base)
+    assert at_match.n_nodes == sum(r.n_members for r in base)
+    assert at_match.max_cluster == (
+        max((r.n_members for r in base), default=0)
+    )
