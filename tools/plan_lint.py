@@ -101,6 +101,8 @@ NESTED_LOOP_ALLOWED = {
     "evt_seq_pair_support": "1-row user-day-total scalar crossJoin",
     "evt_markov_stationary": "1-row n/total scalar crossJoins over"
     " the |types|^2 aggregated matrix",
+    "er_threshold_sensitivity": "1-row per-threshold stats scalar"
+    " crossJoins (pair count x cluster stats)",
     "doc_bm25_topk": "1-row corpus-stats broadcast (documented)",
     "doc_rrf_hybrid": "1-row corpus-stats broadcast (BM25 leg)",
     "doc_minhash_accuracy": "candidate-bounded true-Jaccard eval join",
