@@ -192,6 +192,8 @@ HEADLINE = [
     "evt_stream_slo_burn",
     "graph_pagerank_weighted",
     "er_threshold_sensitivity",
+    # round-10 additions
+    "evt_cep_skip_modes_nested",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

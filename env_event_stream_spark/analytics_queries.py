@@ -2147,6 +2147,7 @@ def _cep_timed_scan(
     ts_us: list,
     within_us: int | None,
     skip_to_next: bool = False,
+    rep_class: str = "cs",
 ) -> tuple[int, int, int | None]:
     """ENGINE-side windowed automaton (pointer loop — deliberately a
     different formulation than the oracle's regex-based scanner, the
@@ -2168,7 +2169,16 @@ def _cep_timed_scan(
     (every anchor that completes counts once; n_matched_events then
     counts consumed events WITH multiplicity).
 
+    rep_class parameterizes the Kleene repetition class: "cs" is the
+    classic v[cs]*p; "vcs" is the NESTED v[vcs]*p whose repetition
+    class admits the anchor — the pattern where the two skip modes
+    genuinely diverge (an inner 'v' sits inside a completed match and
+    can anchor an overlapping one). The closer 'p' must stay OUT of
+    the class: that is what makes the per-anchor match unique and the
+    pointer loop equivalent to the regex scanner.
+
     Returns (n_matches, n_matched_events, max_span_us)."""
+    assert "p" not in rep_class  # uniqueness of the per-anchor match
     n = len(seq)
     i = 0
     n_matches = 0
@@ -2181,7 +2191,7 @@ def _cep_timed_scan(
         j = i + 1
         while (
             j < n
-            and seq[j] in ("c", "s")
+            and seq[j] in rep_class
             and (within_us is None or ts_us[j] - ts_us[i] <= within_us)
         ):
             j += 1
@@ -2206,14 +2216,17 @@ def _cep_regex_scan(
     ts_us: list,
     within_us: int | None,
     skip_to_next: bool = False,
+    pattern: str | None = None,
 ) -> tuple[int, int, int | None]:
     """ORACLE-side scanner: re.match at each candidate position +
     span time check (equivalent because the pattern's closer 'p' is
     not in the repetition class, and events are ts-sorted — a
-    truncated c/s run implies the closer is out-of-window too)."""
+    truncated repetition run implies the closer is out-of-window
+    too; the argument is class-agnostic, so it covers the nested
+    v[vcs]*p pattern as well as the classic v[cs]*p)."""
     import re
 
-    pat = re.compile(_CEP_PATTERN)
+    pat = re.compile(pattern if pattern is not None else _CEP_PATTERN)
     i = 0
     n_matches = 0
     n_matched = 0
@@ -2551,6 +2564,169 @@ def evt_cep_skip_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan,
         "user_id bigint, day string, n_seq_events bigint,"
         " m_skip_past bigint, m_skip_next bigint, max_span_ms bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# NESTED-pattern skip modes: v[vcs]*p — the repetition class ADMITS
+# the anchor, so an inner 'v' inside a completed match can anchor an
+# overlapping match and the two AFTER MATCH policies genuinely
+# diverge (for v[cs]*p they are provably identical: no anchor can
+# exist strictly inside a match, so skip-past and skip-to-next
+# resume at the same next anchor — evt_cep_skip_modes demonstrates
+# the policy SURFACE; THIS query is where the policy CHOICE changes
+# the answer).
+# ---------------------------------------------------------------------------
+
+_CEP_NESTED_PATTERN = "v[vcs]*p"
+_CEP_NESTED_REP = "vcs"
+_CEP_NESTED_WITHIN_US = 4 * 3600 * 1_000_000  # WITHIN 4 hours
+
+
+def _cep_nested_oracle() -> str:
+    """Lazy VALUES oracle for evt_cep_skip_modes_nested: the
+    independent regex-based scanner on the nested pattern, replayed
+    in BOTH skip modes, untimed AND 4h-timed."""
+    rows = []
+    for (u, day), (seq, ts_l) in _cep_user_days().items():
+        mn, _, _ = _cep_regex_scan(
+            seq, ts_l, None, skip_to_next=True,
+            pattern=_CEP_NESTED_PATTERN,
+        )
+        if mn < 1:
+            continue
+        mp, _, _ = _cep_regex_scan(
+            seq, ts_l, None, pattern=_CEP_NESTED_PATTERN
+        )
+        mn4, _, _ = _cep_regex_scan(
+            seq, ts_l, _CEP_NESTED_WITHIN_US, skip_to_next=True,
+            pattern=_CEP_NESTED_PATTERN,
+        )
+        mp4, _, _ = _cep_regex_scan(
+            seq, ts_l, _CEP_NESTED_WITHIN_US,
+            pattern=_CEP_NESTED_PATTERN,
+        )
+        rows.append((u, day, len(seq), mp, mn, mn - mp, mp4, mn4))
+    if not rows:
+        return """
+    SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS day,
+           CAST(NULL AS BIGINT) AS n_seq_events,
+           CAST(NULL AS BIGINT) AS m_skip_past,
+           CAST(NULL AS BIGINT) AS m_skip_next,
+           CAST(NULL AS BIGINT) AS overlap_delta,
+           CAST(NULL AS BIGINT) AS m_skip_past_4h,
+           CAST(NULL AS BIGINT) AS m_skip_next_4h
+    WHERE FALSE
+    """
+    vals = ", ".join(
+        f"({u}, '{d}', {ns}, {mp}, {mn}, {dl}, {mp4}, {mn4})"
+        for u, d, ns, mp, mn, dl, mp4, mn4 in sorted(rows)
+    )
+    return f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id, day,
+           CAST(n_seq_events AS BIGINT) AS n_seq_events,
+           CAST(m_skip_past AS BIGINT) AS m_skip_past,
+           CAST(m_skip_next AS BIGINT) AS m_skip_next,
+           CAST(overlap_delta AS BIGINT) AS overlap_delta,
+           CAST(m_skip_past_4h AS BIGINT) AS m_skip_past_4h,
+           CAST(m_skip_next_4h AS BIGINT) AS m_skip_next_4h
+    FROM (VALUES {vals}) AS t(user_id, day, n_seq_events, m_skip_past,
+                              m_skip_next, overlap_delta,
+                              m_skip_past_4h, m_skip_next_4h)
+    """
+
+
+@query("evt_cep_skip_modes_nested", _cep_nested_oracle)
+def evt_cep_skip_modes_nested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skip-mode divergence on the NESTED pattern v[vcs]*p (a view
+    leading to a purchase through any views/clicks/signups, no
+    error): because the repetition class admits the anchor, a second
+    view INSIDE an open funnel can anchor an overlapping funnel of
+    its own — so SKIP TO NEXT ROW counts strictly more than SKIP
+    PAST LAST ROW exactly on the nested-funnel days, and the
+    overlap_delta column is the per-user-day count of nested
+    re-anchors (structurally zero on v[cs]*p, where no anchor can
+    sit inside a match — the reason evt_cep_skip_modes' delta cannot
+    move and this query exists). Reported untimed AND with a 4-hour
+    WITHIN, so the delta separates 'nested funnels exist' from
+    'nested funnels that converted fast'.
+
+    Plan: shares _cep_sequences' single user-day shuffle; all four
+    counts run in the SAME one-pass Arrow stage per (seq, tss) row —
+    100 TB shape identical to evt_cep_within (day-bounded state,
+    embarrassingly parallel scan, Python never sees single events).
+    Correctness: the pointer automaton stays equivalent to the regex
+    scanner because the closer 'p' is NOT in the repetition class
+    (unique per-anchor match — asserted in _cep_timed_scan);
+    engine vs oracle scanners are fuzz-pinned per mode and per class
+    in tests/test_trend_er_mmr.py, and a data-level pytest asserts
+    the delta is actually nonzero somewhere at the test SF (the
+    informativeness guarantee the v[cs]*p surface could not make)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    s = _cep_sequences(spark, sf_dir)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for u, day, seq, tss in zip(
+                pdf["user_id"], pdf["day"], pdf["seq"], pdf["tss"]
+            ):
+                mn, _, _ = _cep_timed_scan(
+                    seq, tss, None, skip_to_next=True,
+                    rep_class=_CEP_NESTED_REP,
+                )
+                if mn < 1:
+                    continue
+                mp, _, _ = _cep_timed_scan(
+                    seq, tss, None, rep_class=_CEP_NESTED_REP
+                )
+                mn4, _, _ = _cep_timed_scan(
+                    seq, tss, _CEP_NESTED_WITHIN_US,
+                    skip_to_next=True, rep_class=_CEP_NESTED_REP,
+                )
+                mp4, _, _ = _cep_timed_scan(
+                    seq, tss, _CEP_NESTED_WITHIN_US,
+                    rep_class=_CEP_NESTED_REP,
+                )
+                out.append(
+                    (int(u), day, len(seq), mp, mn, mn - mp, mp4, mn4)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "day",
+                    "n_seq_events",
+                    "m_skip_past",
+                    "m_skip_next",
+                    "overlap_delta",
+                    "m_skip_past_4h",
+                    "m_skip_next_4h",
+                ],
+            ).astype(
+                {
+                    "user_id": "int64",
+                    "day": "string",
+                    "n_seq_events": "int64",
+                    "m_skip_past": "int64",
+                    "m_skip_next": "int64",
+                    "overlap_delta": "int64",
+                    "m_skip_past_4h": "int64",
+                    "m_skip_next_4h": "int64",
+                }
+            )
+
+    return s.mapInPandas(
+        scan,
+        "user_id bigint, day string, n_seq_events bigint,"
+        " m_skip_past bigint, m_skip_next bigint,"
+        " overlap_delta bigint, m_skip_past_4h bigint,"
+        " m_skip_next_4h bigint",
     )
 
 
@@ -3929,9 +4105,11 @@ def evt_seq_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on session-type rows (|user-days| × |types|, bounded by the
     type alphabet), never on raw events: the same shuffle the whole
     funnel/CEP family shares. All counts and ratios are integer floor
-    divisions on nonneg operands; lift_milli's product is guarded by
-    the type alphabet (n_days_ab ≤ n_days ≤ 2^31 keeps the bigint
-    product safe at any tested scale — assert_true makes it loud).
+    divisions on nonneg operands; lift_milli's worst-case product is
+    n_days_ab * n_days * 1000 ≤ n_days^2 * 1000 (n_days_ab ≤ n_days),
+    which stays inside int64 only while n_days < ~9.6e7 — the
+    assert_true pins n_days < 9e7 so the stated overflow protection
+    actually holds (Spark wraps silently in non-ANSI mode).
     Reference analog: none; §2.11 product-analytics extension."""
     return seq_pair_finalize(
         seq_grid_agg(_t(spark, sf_dir, "events"))
@@ -3960,10 +4138,10 @@ def seq_pair_finalize(s: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_days"))
         .where(
             F.assert_true(
-                F.col("n_days") < F.lit(2**31),
+                F.col("n_days") < F.lit(90_000_000),
                 F.lit(
-                    "evt_seq_pair_support: n_days >= 2^31 — lift "
-                    "product could overflow int64"
+                    "evt_seq_pair_support: n_days >= 9e7 — "
+                    "n_days^2 * 1000 could overflow int64"
                 ),
             ).isNull()
         )
@@ -4254,21 +4432,21 @@ def evt_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def slo_grid_agg(ev: DataFrame) -> DataFrame:
     """The hourly (n_total, n_err) rollup — counts merge by +, so it
     doubles as the complete-mode streaming state of
-    evt_stream_slo_burn (the hw-grid pattern for the SLO family)."""
+    evt_stream_slo_burn (the hw-grid pattern for the SLO family).
+
+    hour_idx is integer `div` on the epoch-micros delta (the repo's
+    integer-micros discipline, no double path). Spark's `div`
+    truncates toward zero, which is EXACTLY DuckDB's
+    date_diff('hour', origin, ts) when the origin sits on an hour
+    boundary (date_diff counts boundary crossings, i.e. truncation):
+    an event 30 min BEFORE the 2024-01-01 origin lands in hour_idx 0
+    on both engines — documented, not latent (contrast the floor
+    divergence noted in evt_mannwhitney_shift)."""
     return ev.groupBy(
-        (
-            F.floor(
-                (
-                    F.unix_micros(F.col("ts"))
-                    - F.unix_micros(
-                        F.lit("2024-01-01 00:00:00").cast("timestamp")
-                    )
-                )
-                / F.lit(3_600_000_000)
-            )
-        )
-        .cast("bigint")
-        .alias("hour_idx")
+        F.expr(
+            "CAST((unix_micros(ts) - unix_micros(TIMESTAMP "
+            "'2024-01-01 00:00:00')) div 3600000000 AS BIGINT)"
+        ).alias("hour_idx")
     ).agg(
         F.count("*").alias("n_total"),
         F.sum(

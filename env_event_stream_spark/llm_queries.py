@@ -7642,7 +7642,11 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority is a distributive aggregate — per-partition heaps union
     into the global sample (TakeOrderedAndProject), which is exactly
     why priority sampling works on a 100 TB corpus with no global
-    sort. Reference analog: none; §2.11 sampling extension surface."""
+    sort. The 'w bounded' claim is CHECKED, not assumed: assert_true
+    pins n_chars < 2^31 per doc (w·2^32 wraps silently in non-ANSI
+    Spark past that, while DuckDB errors — the standard loud-overflow
+    guard on every sibling query). Reference analog: none; §2.11
+    sampling extension surface."""
     from env_event_stream_spark.operators.relational import top_k
 
     d = load_table(spark, sf_dir, "documents")
@@ -7654,7 +7658,15 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         + 1
     )
-    p = d.select(
+    p = d.where(
+        F.assert_true(
+            F.col("n_chars").cast("bigint") < F.lit(2**31),
+            F.lit(
+                "doc_priority_sample: n_chars >= 2^31 — "
+                "w * 2^32 would overflow int64"
+            ),
+        ).isNull()
+    ).select(
         "doc_id",
         "source",
         F.col("n_chars").cast("bigint").alias("weight"),
@@ -7735,7 +7747,15 @@ def doc_priority_sample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         + 1
     )
-    p = d.select(
+    p = d.where(
+        F.assert_true(
+            F.col("n_chars").cast("bigint") < F.lit(2**31),
+            F.lit(
+                "doc_priority_sample_eval: n_chars >= 2^31 — "
+                "w * 2^32 would overflow int64"
+            ),
+        ).isNull()
+    ).select(
         "doc_id", F.col("n_chars").cast("bigint").alias("w"), u.alias("u")
     ).select(
         "doc_id",

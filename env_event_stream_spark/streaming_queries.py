@@ -1532,29 +1532,11 @@ def evt_stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a forced multi-batch pytest."""
     from env_event_stream_spark.analytics_queries import (
         slo_finalize_hourly,
+        slo_grid_agg,
     )
 
     ev = _read_events_stream(spark, sf_dir)
-    agg = ev.groupBy(
-        (
-            F.floor(
-                (
-                    F.unix_micros(F.col("ts"))
-                    - F.unix_micros(
-                        F.lit("2024-01-01 00:00:00").cast("timestamp")
-                    )
-                )
-                / F.lit(3_600_000_000)
-            )
-        )
-        .cast("bigint")
-        .alias("hour_idx")
-    ).agg(
-        F.count("*").alias("n_total"),
-        F.sum(
-            F.when(F.col("event_type") == "error", 1).otherwise(0)
-        ).alias("n_err"),
-    )
+    agg = slo_grid_agg(ev)
     grid = spark.read.parquet(_run_complete_overwrite(agg, "slogrid"))
     return slo_finalize_hourly(grid)
 
@@ -1588,15 +1570,12 @@ def evt_stream_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout. Cross-batch min/max merging is pinned by a forced
     multi-batch pytest."""
     from env_event_stream_spark.analytics_queries import (
+        seq_grid_agg,
         seq_pair_finalize,
     )
 
     ev = _read_events_stream(spark, sf_dir)
-    agg = ev.groupBy(
-        "user_id",
-        F.col("ts").cast("date").alias("day"),
-        "event_type",
-    ).agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    agg = seq_grid_agg(ev)
     grid = spark.read.parquet(_run_complete_overwrite(agg, "seqgrid"))
     return seq_pair_finalize(grid)
 

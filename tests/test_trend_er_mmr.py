@@ -534,6 +534,89 @@ def test_cep_skip_modes_consistent_with_within(spark, sf_dir):
             assert r["m_skip_past"] == 0
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("vcpesx"),
+            st.integers(0, 3_000_000_000),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.sampled_from([None, 0, 1, 500_000_000, 14_400_000_000]),
+)
+@settings(max_examples=300, deadline=None)
+def test_cep_nested_two_scanners_agree(evs, within):
+    # the NESTED pattern v[vcs]*p (repetition class admits the
+    # anchor): pointer automaton vs regex scanner, both skip modes —
+    # the class where overlapping re-anchoring actually happens, so
+    # the fuzz covers the code paths the v[cs]*p fuzz cannot reach
+    from env_event_stream_spark.analytics_queries import (
+        _CEP_NESTED_PATTERN,
+        _CEP_NESTED_REP,
+        _cep_regex_scan,
+        _cep_timed_scan,
+    )
+
+    evs = sorted(evs, key=lambda e: e[1])
+    seq = "".join(e[0] for e in evs)
+    ts = [e[1] for e in evs]
+    for skip_next in (False, True):
+        assert _cep_timed_scan(
+            seq, ts, within, skip_to_next=skip_next,
+            rep_class=_CEP_NESTED_REP,
+        ) == _cep_regex_scan(
+            seq, ts, within, skip_to_next=skip_next,
+            pattern=_CEP_NESTED_PATTERN,
+        )
+    got_next = _cep_timed_scan(
+        seq, ts, within, skip_to_next=True, rep_class=_CEP_NESTED_REP
+    )
+    got_past = _cep_timed_scan(
+        seq, ts, within, rep_class=_CEP_NESTED_REP
+    )
+    assert got_next[0] >= got_past[0]
+
+
+def test_cep_nested_skip_modes_actually_diverge(spark, sf_dir):
+    # the informativeness guarantee: overlap_delta must be NONZERO on
+    # at least one user-day at the test SF (the whole point of the
+    # nested pattern — on v[cs]*p the delta is structurally zero),
+    # the delta must equal m_skip_next - m_skip_past everywhere, the
+    # timed counts must be dominated by the untimed ones, and the
+    # untimed skip-past count must agree with a direct non-
+    # overlapping regex count on the engine's own sequences
+    import re
+
+    from env_event_stream_spark.analytics_queries import (
+        _CEP_NESTED_PATTERN,
+        _cep_sequences,
+        evt_cep_skip_modes_nested,
+    )
+
+    rows = evt_cep_skip_modes_nested(spark, sf_dir).collect()
+    assert rows, "no nested skip-mode rows at test sf"
+    assert any(r["overlap_delta"] > 0 for r in rows), (
+        "nested pattern produced zero divergence — the query is "
+        "uninformative at this SF"
+    )
+    for r in rows:
+        assert r["overlap_delta"] == r["m_skip_next"] - r["m_skip_past"]
+        assert r["overlap_delta"] >= 0
+        assert r["m_skip_past_4h"] <= r["m_skip_past"]
+        assert r["m_skip_next_4h"] <= r["m_skip_next"]
+        assert r["m_skip_next_4h"] >= r["m_skip_past_4h"]
+    seqs = {
+        (x["user_id"], x["day"]): x["seq"]
+        for x in _cep_sequences(spark, sf_dir).collect()
+    }
+    for r in rows:
+        seq = seqs[(r["user_id"], r["day"])]
+        assert r["m_skip_past"] == len(
+            re.findall(_CEP_NESTED_PATTERN, seq)
+        )
+
+
 def test_cep_error_burst_runs_are_maximal_and_flagged(spark, sf_dir):
     from env_event_stream_spark.analytics_queries import (
         _CEP_BURST_ALERT_RUN,
