@@ -194,6 +194,8 @@ HEADLINE = [
     "er_threshold_sensitivity",
     # round-10 additions
     "evt_cep_skip_modes_nested",
+    "doc_unigram_lm_learn",
+    "doc_unigram_lm_eval",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

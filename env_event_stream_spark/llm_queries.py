@@ -4980,6 +4980,298 @@ def doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer training, rung 2: SentencePiece-style unigram-LM subword
+# vocabulary via distributed hard-EM (Kudo 2018) — the probabilistic
+# alternative to BPE's greedy merges. See operators/unigram_lm.py
+# for the integer-quantization and two-independent-trainers design.
+# ---------------------------------------------------------------------------
+
+
+def _ulm_word_freq_duck(sf: str, split: str) -> dict:
+    """Oracle-side word-frequency loader (DuckDB, the exact
+    string_split_regex contract every oracle uses). split: 'full',
+    'train' (md5 bucket < 80) or 'test' (bucket >= 90) — the
+    doc_lm_heldout_eval hash-split convention."""
+    import duckdb
+
+    cond = {
+        "full": "TRUE",
+        "train": "bucket < 80",
+        "test": "bucket >= 90",
+    }[split]
+    rows = duckdb.sql(
+        rf"""
+        WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                           1, 8))::BIGINT % 100 AS bucket
+                   FROM '{sf}/documents.parquet'),
+        tok AS (SELECT unnest(tk) AS term FROM t WHERE {cond})
+        SELECT term, count(*) AS freq FROM tok GROUP BY term
+        """
+    ).fetchall()
+    return {w: f for w, f in rows}
+
+
+def _ulm_words_spark(spark: SparkSession, sf_dir: str, split: str):
+    """Engine-side (word, freq) table for a hash-split subset — one
+    corpus shuffle (the BPE substrate)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 100
+    )
+    t = d.select(
+        bucket.alias("bucket"),
+        F.explode(tokens(F.col("text"))).alias("word"),
+    )
+    if split == "train":
+        t = t.where(F.col("bucket") < 80)
+    elif split == "test":
+        t = t.where(F.col("bucket") >= 90)
+    return t.groupBy("word").agg(F.count("*").alias("freq"))
+
+
+@_functools.lru_cache(maxsize=8)
+def _ulm_spark_cached(sf_dir: str, split: str) -> tuple:
+    """Memoized distributed unigram-LM model per (sf_dir, split) —
+    the _bpe_merges_spark_cached pattern, registered so the lazy
+    oracle provably trains on the same data."""
+    from pyspark.sql import SparkSession
+
+    from env_event_stream_spark.operators.unigram_lm import (
+        train_unigram_lm,
+    )
+
+    spark = SparkSession.getActiveSession()
+    _SPARK_TRAIN_DIRS.add(sf_dir)
+    return tuple(
+        train_unigram_lm(_ulm_words_spark(spark, sf_dir, split))
+    )
+
+
+def _ulm_learn_oracle() -> str:
+    """Lazy oracle: retrain with the independent pure-Python trainer
+    (dict loops + memoized top-down Viterbi — see
+    operators/unigram_lm.py) on DuckDB-tokenized word counts, inline
+    the final model as VALUES. Bit-for-bit agreement with the
+    distributed trainer IS the check (the BPE discipline)."""
+    from env_event_stream_spark.operators.unigram_lm import (
+        train_unigram_lm_py,
+    )
+
+    model = train_unigram_lm_py(
+        _ulm_word_freq_duck(_oracle_sf_dir(), "full")
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(p)}, CAST({ln} AS BIGINT), CAST({c} AS BIGINT), "
+        f"CAST({ppm} AS BIGINT), CAST({cost} AS BIGINT))"
+        for p, ln, c, ppm, cost in model
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS t(piece, piece_len, viterbi_count, prob_ppm, cost_micronat)"
+    )
+
+
+@query("doc_unigram_lm_learn", _ulm_learn_oracle)
+def doc_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a SentencePiece-style unigram-LM subword vocabulary over
+    the corpus, distributed (Kudo 2018, hard-EM): seed with the
+    highest-mass substrings (+ every single char — the coverage
+    floor), then 3 Viterbi-EM iterations — E-step segments every
+    DISTINCT word by min integer micro-nat cost, M-step re-counts
+    pieces with add-one smoothing — with one SentencePiece-style
+    prune after the first iteration. Output: the final model (piece,
+    length, raw Viterbi count, smoothed prob in ppm, micro-nat cost).
+
+    Integer-quantized iterations (the emb_kmeans_lloyd treatment):
+    costs are quantized ONCE per iteration on the driver (one libm
+    ln per piece), so every executor- and oracle-side comparison is
+    exact integer arithmetic and the cross-engine hash survives.
+    Plan/scale: the corpus shuffles once into the word-frequency
+    table; each EM iteration is one Arrow pass over that table (the
+    vocab-sized cost dict rides the closure) + one map-side-combined
+    piece agg; the driver only reads vocab-sized models. Oracle: the
+    INDEPENDENT pure-Python trainer, VALUES-inlined; the two Viterbi
+    mechanizations are fuzz-pinned in tests/test_unigram_lm.py.
+    Reference analog: none; §2.11 tokenizer-training extension
+    (VERDICT r9 task 4)."""
+    model = _ulm_spark_cached(sf_dir, "full")
+    return spark.createDataFrame(
+        list(model),
+        "piece string, piece_len bigint, viterbi_count bigint, "
+        "prob_ppm bigint, cost_micronat bigint",
+    )
+
+
+def _ulm_eval_py(sf: str) -> tuple:
+    """Pure-Python replay of the held-out eval: train BOTH models on
+    the train split, score the test split. Returns the single result
+    row (shared by the oracle; the ENGINE path recomputes it
+    distributed — trainer caching keeps them on the same data)."""
+    from env_event_stream_spark.operators.unigram_lm import (
+        quant_cost,
+        train_unigram_lm_py,
+        viterbi_rec,
+    )
+
+    train = _ulm_word_freq_duck(sf, "train")
+    test = _ulm_word_freq_duck(sf, "test")
+    model = train_unigram_lm_py(train)
+    costs = {p: cost for p, _, _, _, cost in model}
+    n_w = sum(train.values())
+    v_w = len(train)
+    wcost = {w: quant_cost(c + 1, n_w + v_w + 1) for w, c in train.items()}
+    oov_cost = quant_cost(1, n_w + v_w + 1)
+    n_tokens = 0
+    n_oov = 0
+    sub_total = 0
+    word_total = 0
+    for w, f in test.items():
+        pieces = viterbi_rec(w, costs)
+        if pieces is None:
+            raise ValueError(f"ulm eval: unsegmentable test word {w!r}")
+        n_tokens += f
+        sub_total += f * sum(costs[p] for p in pieces)
+        if w in wcost:
+            word_total += f * wcost[w]
+        else:
+            n_oov += f
+            word_total += f * oov_cost
+    winner = (
+        "subword"
+        if sub_total < word_total
+        else ("word" if word_total < sub_total else "tie")
+    )
+    return (
+        n_tokens,
+        n_oov,
+        sub_total,
+        word_total,
+        sub_total // max(n_tokens, 1),
+        word_total // max(n_tokens, 1),
+        winner,
+    )
+
+
+def _ulm_eval_oracle() -> str:
+    r = _ulm_eval_py(_oracle_sf_dir())
+    return (
+        f"SELECT CAST({r[0]} AS BIGINT) AS n_test_tokens, "
+        f"CAST({r[1]} AS BIGINT) AS n_oov_tokens, "
+        f"CAST({r[2]} AS BIGINT) AS sub_total_micronat, "
+        f"CAST({r[3]} AS BIGINT) AS word_total_micronat, "
+        f"CAST({r[4]} AS BIGINT) AS sub_per_token, "
+        f"CAST({r[5]} AS BIGINT) AS word_per_token, "
+        f"'{r[6]}' AS winner"
+    )
+
+
+@query("doc_unigram_lm_eval", _ulm_eval_oracle)
+def doc_unigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest eval twin for the unigram-LM trainer: train on the
+    md5 hash-split TRAIN buckets (< 80, the doc_lm_heldout_eval
+    convention), score the TEST buckets (>= 90) under (a) the learned
+    subword LM (Viterbi min-cost per word, integer micro-nats summed
+    over pieces) vs (b) the word-level add-one unigram LM trained on
+    the same split — per-token costs and the winner. EXPECTED verdict
+    on this synthetic corpus: the word LM wins (a 31-word closed
+    vocabulary has no OOV, so memorizing words beats paying per
+    piece); the subword LM's advantage is OOV robustness, which the
+    n_oov_tokens column makes visible — the honest-negative
+    discipline of emb_kmeans_ivf_eval / emb_whiten_labelknn_eval.
+
+    Plan: both models are vocab-sized driver reads off one word-count
+    shuffle per split; test scoring is one Arrow pass over the
+    DISTINCT test-word table (model dicts ride the closure) + a
+    1-row agg. Integer end to end after the per-iteration driver
+    quantization. Oracle: full pure-Python replay, VALUES-inlined."""
+    from typing import Iterator
+
+    from env_event_stream_spark.operators.unigram_lm import (
+        quant_cost,
+        viterbi_iter,
+    )
+
+    model = _ulm_spark_cached(sf_dir, "train")
+    costs = {p: cost for p, _, _, _, cost in model}
+    train_counts = {
+        r["word"]: int(r["freq"])
+        for r in _ulm_words_spark(spark, sf_dir, "train").collect()
+    }
+    n_w = sum(train_counts.values())
+    v_w = len(train_counts)
+    wcost = {
+        w: quant_cost(c + 1, n_w + v_w + 1)
+        for w, c in train_counts.items()
+    }
+    oov_cost = quant_cost(1, n_w + v_w + 1)
+
+    test = _ulm_words_spark(spark, sf_dir, "test")
+
+    def score(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                pieces = viterbi_iter(w, costs)
+                if pieces is None:
+                    raise ValueError(
+                        f"ulm eval: unsegmentable test word {w!r}"
+                    )
+                f = int(f)
+                sub = f * sum(costs[p] for p in pieces)
+                if w in wcost:
+                    out.append((f, 0, sub, f * wcost[w]))
+                else:
+                    out.append((f, f, sub, f * oov_cost))
+            yield pd.DataFrame(
+                out, columns=["n", "oov", "sub", "wrd"]
+            ).astype("int64")
+
+    agg = (
+        test.mapInPandas(
+            score, "n bigint, oov bigint, sub bigint, wrd bigint"
+        )
+        .agg(
+            F.sum("n").alias("n_test_tokens"),
+            F.sum("oov").alias("n_oov_tokens"),
+            F.sum("sub").alias("sub_total_micronat"),
+            F.sum("wrd").alias("word_total_micronat"),
+        )
+    )
+    return agg.select(
+        F.col("n_test_tokens").cast("bigint").alias("n_test_tokens"),
+        F.col("n_oov_tokens").cast("bigint").alias("n_oov_tokens"),
+        F.col("sub_total_micronat").cast("bigint")
+        .alias("sub_total_micronat"),
+        F.col("word_total_micronat").cast("bigint")
+        .alias("word_total_micronat"),
+        F.expr("sub_total_micronat div greatest(n_test_tokens, 1)")
+        .cast("bigint")
+        .alias("sub_per_token"),
+        F.expr("word_total_micronat div greatest(n_test_tokens, 1)")
+        .cast("bigint")
+        .alias("word_per_token"),
+        F.when(
+            F.col("sub_total_micronat") < F.col("word_total_micronat"),
+            F.lit("subword"),
+        )
+        .when(
+            F.col("word_total_micronat") < F.col("sub_total_micronat"),
+            F.lit("word"),
+        )
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )
+
+
 @query(
     "doc_winnow_pairs",
     r"""

@@ -1,0 +1,133 @@
+"""Unigram-LM subword trainer (operators/unigram_lm.py): the two
+independent Viterbi mechanizations fuzz-pinned against each other,
+the two independent trainers pinned bit-for-bit on real word counts,
+and the model's contract properties."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from env_event_stream_spark.operators.unigram_lm import (
+    ULM_ITERS,
+    ULM_KEEP_MULTI,
+    ULM_MAX_PIECE,
+    quant_cost,
+    train_unigram_lm,
+    train_unigram_lm_py,
+    viterbi_iter,
+    viterbi_rec,
+)
+
+_words = st.text(alphabet="abcd", min_size=1, max_size=12)
+
+
+@given(
+    _words,
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=4),
+        st.integers(1, 10_000_000),
+        max_size=20,
+    ),
+)
+@settings(max_examples=400, deadline=None)
+def test_viterbi_two_mechanizations_agree(word, extra_costs):
+    # iterative bottom-up (engine) vs memoized top-down (oracle) on
+    # random words and random integer cost tables; single chars get a
+    # guaranteed cost so segmentability varies only via extra pieces
+    costs = {c: 5_000_000 for c in "abcd"}
+    costs.update(extra_costs)
+    a = viterbi_iter(word, costs)
+    b = viterbi_rec(word, costs)
+    assert a == b
+    assert a is not None and "".join(a) == word
+    # optimality spot-check: the chosen cost never exceeds the
+    # all-chars segmentation
+    assert sum(costs[p] for p in a) <= sum(costs[c] for c in word)
+
+
+@given(_words)
+@settings(max_examples=100, deadline=None)
+def test_viterbi_unsegmentable_returns_none(word):
+    # a vocabulary missing some character of the word must yield None
+    # from BOTH mechanizations (the trainers then raise loudly)
+    costs = {c: 1_000_000 for c in "ab"}
+    has_gap = any(c not in costs for c in word)
+    a = viterbi_iter(word, costs)
+    b = viterbi_rec(word, costs)
+    assert a == b
+    assert (a is None) == has_gap
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        st.integers(1, 1000),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_py_trainer_contract_on_random_corpora(word_freq):
+    model = train_unigram_lm_py(word_freq)
+    pieces = {p for p, _, _, _, _ in model}
+    chars = {c for w in word_freq for c in w}
+    # coverage floor: every corpus char survives every prune
+    assert chars <= pieces
+    # prune bound: multis capped, pieces bounded by max length
+    assert sum(1 for p in pieces if len(p) >= 2) <= ULM_KEEP_MULTI
+    assert all(len(p) <= ULM_MAX_PIECE for p in pieces)
+    # smoothed probabilities form a (floor-rounded) distribution
+    assert sum(ppm for _, _, _, ppm, _ in model) <= 1_000_000
+    # cost is the quantization of the smoothed count
+    total = sum(c + 1 for _, _, c, _, _ in model)
+    for _, _, c, ppm, cost in model:
+        assert ppm == (c + 1) * 1_000_000 // total
+        assert cost == quant_cost(c + 1, total)
+    # the model segments its own corpus (no raise)
+    costs = {p: cost for p, _, _, _, cost in model}
+    for w in word_freq:
+        assert viterbi_iter(w, costs) is not None
+
+
+def test_distributed_trainer_matches_python_trainer(spark, sf_dir):
+    # the bit-for-bit agreement check (the operators/bpe.py
+    # discipline): distributed Spark trainer vs the independent pure
+    # Python trainer on the same word counts at the test SF
+    from env_event_stream_spark.llm_queries import (
+        _ulm_words_spark,
+    )
+
+    words = {
+        r["word"]: int(r["freq"])
+        for r in _ulm_words_spark(spark, sf_dir, "full").collect()
+    }
+    assert words, "no words at test sf"
+    m_spark = train_unigram_lm(_ulm_words_spark(spark, sf_dir, "full"))
+    m_py = train_unigram_lm_py(words)
+    assert m_spark == m_py
+    assert ULM_ITERS == 3  # the published iteration count
+
+
+def test_eval_twin_is_integer_consistent(spark, sf_dir):
+    # engine eval row must equal the pure-Python replay exactly, and
+    # the per-token division must be floor-consistent with the totals
+    from env_event_stream_spark.llm_queries import (
+        _ulm_eval_py,
+        doc_unigram_lm_eval,
+    )
+
+    row = doc_unigram_lm_eval(spark, sf_dir).collect()[0]
+    py = _ulm_eval_py(sf_dir)
+    assert (
+        row["n_test_tokens"],
+        row["n_oov_tokens"],
+        row["sub_total_micronat"],
+        row["word_total_micronat"],
+        row["sub_per_token"],
+        row["word_per_token"],
+        row["winner"],
+    ) == py
+    assert row["sub_per_token"] == row["sub_total_micronat"] // max(
+        row["n_test_tokens"], 1
+    )
