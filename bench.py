@@ -196,6 +196,7 @@ HEADLINE = [
     "evt_cep_skip_modes_nested",
     "doc_unigram_lm_learn",
     "doc_unigram_lm_eval",
+    "evt_stream_transitions",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

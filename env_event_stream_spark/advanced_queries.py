@@ -921,9 +921,9 @@ def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "evt_transition_matrix",
-    """
+# Shared with the streaming twin evt_stream_transitions (which
+# maintains the same matrix as keyed per-user streaming state).
+_TRANSITION_ORACLE_SQL = """
     WITH seq AS (
       SELECT user_id, event_type,
              lead(event_type) OVER (PARTITION BY user_id
@@ -935,8 +935,10 @@ def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS p
     FROM seq WHERE next_type IS NOT NULL
     GROUP BY event_type, next_type
-    """,
-)
+    """
+
+
+@query("evt_transition_matrix", _TRANSITION_ORACLE_SQL)
 def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: lead() pairs each event with its successor (one

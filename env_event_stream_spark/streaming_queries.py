@@ -2308,3 +2308,145 @@ def join_stream_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bev = load_table(spark, sf_dir, "events")
     return _cms_join_size_readout(ca, cb, bev)
+
+
+# ---------------------------------------------------------------------------
+# LIVE Markov transition matrix (26th genuinely-streaming oracled
+# entry): the evt_transition_matrix model maintained as keyed
+# per-user streaming state. Adjacent-pair counts are NOT
+# arrival-order-free (the pair (a,b) exists only if b ARRIVES right
+# after a for that user), so this rides the keyed-fold path with the
+# documented in-order caveat — the evt_stream_error_burst /
+# evt_stream_cep_funnel precedent — not the mergeable-grid path.
+# ---------------------------------------------------------------------------
+
+
+def transition_state_fn(key, pdfs, state):
+    """One 64-way hash bucket of per-user Markov chain state: the
+    ONLY per-user scalar is the last seen event type (the first-order
+    Markov sufficient statistic); pair counts aggregate at BUCKET
+    grain (alphabet² entries, never per-user), so state is
+    |users in bucket| strings + ≤ |alphabet|² counters. Rows fold in
+    (ts, event_id) order within each micro-batch; ACROSS batches the
+    fold assumes in-order arrival (the keyed-fold family caveat,
+    stated in evt_stream_transitions' docstring). Emits the bucket's
+    cumulative (from, to, n) matrix every micro-batch."""
+    import pandas as pd
+
+    if state.exists:
+        users, lasts, pairs, ns = state.get
+        last = dict(zip(users, lasts))
+        counts = {p: int(n) for p, n in zip(pairs, ns)}
+    else:
+        last = {}
+        counts = {}
+    rows = pd.concat(list(pdfs))
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for u, et in zip(rows["ukey"], rows["event_type"]):
+            prev = last.get(u)
+            if prev is not None:
+                pk = prev + "|" + et
+                counts[pk] = counts.get(pk, 0) + 1
+            last[u] = et
+    ukeys = list(last.keys())
+    pkeys = list(counts.keys())
+    state.update(
+        (
+            ukeys,
+            [last[u] for u in ukeys],
+            pkeys,
+            [counts[p] for p in pkeys],
+        )
+    )
+    bucket = key[0]
+    yield pd.DataFrame(
+        {
+            "bkey": [f"{bucket}|{p}" for p in pkeys],
+            "pair": pkeys,
+            "n": [counts[p] for p in pkeys],
+        }
+    ).astype({"bkey": "string", "pair": "string", "n": "int64"})
+
+
+def stream_transitions(ev: DataFrame) -> DataFrame:
+    """The stream-side transition pipeline (shared by the catalog
+    query and the forced multi-batch pytest): user key, 64-way hash
+    bucketing, one applyInPandasWithState emitting each bucket's
+    cumulative pair-count matrix every micro-batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = ev.select(
+        F.col("user_id").cast("string").alias("ukey"),
+        "ts",
+        "event_id",
+        "event_type",
+    ).withColumn("bucket", F.pmod(F.hash("ukey"), F.lit(64)))
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        transition_state_fn,
+        outputStructType="bkey string, pair string, n bigint",
+        stateStructType=(
+            "users array<string>, lasts array<string>,"
+            " pairs array<string>, ns array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _transition_oracle_for_stream() -> str:
+    from env_event_stream_spark.advanced_queries import (
+        _TRANSITION_ORACLE_SQL,
+    )
+
+    return _TRANSITION_ORACLE_SQL
+
+
+@query("evt_stream_transitions", _transition_oracle_for_stream)
+def evt_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE first-order Markov transition matrix (26th
+    genuinely-streaming oracled entry): evt_transition_matrix — the
+    behavioral model behind evt_transition_eval and
+    evt_markov_stationary — maintained as keyed streaming state, so
+    "has the user dynamics shifted?" is answerable as events arrive
+    instead of after a batch rebuild.
+
+    State shape is the operator's point: the first-order Markov
+    sufficient statistic per user is ONE string (the last event
+    type); pair counts aggregate at bucket grain (≤ alphabet² ≈ 36
+    counters per bucket), so total state is |users| strings + 64·36
+    counters — no event buffer, no per-user matrices. IN-ORDER
+    CAVEAT (the keyed-fold family contract, same as
+    evt_stream_error_burst / evt_stream_cep_funnel and unlike the
+    order-free min/max grid of evt_stream_seq_pairs): adjacent-pair
+    counts depend on per-user arrival order matching (ts, event_id)
+    order — rows sort within each micro-batch, but a LATE event that
+    belongs between two already-folded events would be appended, not
+    inserted (batch replay heals it; the live view is the
+    at-arrival approximation). Readout: latest epoch per (bucket,
+    pair), bucket sums merged by +, row-normalized to 6dp like the
+    batch twin, whose full value-hash oracle it shares. Cross-batch
+    chain continuation (a pair spanning the batch boundary) is
+    pinned by a forced multi-batch pytest."""
+    from pyspark.sql import Window
+
+    out = stream_transitions(_read_events_stream(spark, sf_dir))
+    sink_dir = _run_update_to_latest(out, "transitions")
+    res = _latest_epoch_rows(spark, sink_dir, "bkey")
+    sp = F.split(F.col("pair"), "\\|")
+    counts = (
+        res.select(
+            sp.getItem(0).alias("event_type"),
+            sp.getItem(1).alias("next_type"),
+            "n",
+        )
+        .groupBy("event_type", "next_type")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wt), 6).alias("p"),
+    )

@@ -1228,3 +1228,83 @@ def test_stream_slo_grid_merges_and_equals_batch(spark, sf_dir, tmp_path):
     b = {tuple(r) for r in evt_slo_burn_rate(spark, sf_dir).collect()}
     l = {tuple(r) for r in evt_stream_slo_burn(spark, sf_dir).collect()}
     assert b == l and b
+
+
+def test_stream_transitions_chain_spans_batches(spark, tmp_path):
+    """The per-user Markov chain must CONTINUE across the checkpoint:
+    a user's last event type from batch 1 pairs with batch 2's first
+    event (the boundary-spanning pair), counts are cumulative (not
+    per-batch), and users never cross-contaminate."""
+    import datetime as dt
+
+    from env_event_stream_spark.streaming_queries import (
+        stream_transitions,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string, value double"
+    )
+
+    def write(spec):
+        rows = [
+            (uid, dt.datetime(2024, 1, 1, 9, m, 0), eid, et, None)
+            for (uid, m, eid, et) in spec
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_transitions(stream)
+        got: dict = {}
+
+        def sink(df, _epoch):
+            for r in df.collect():
+                got[r.bkey] = (r.pair, r.n)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {pair: n for pair, n in got.values()}
+
+    # batch 1: user 1 view->click (one pair); user 2 view only (no
+    # pair yet — the chain is open at 'view')
+    write(
+        [(1, 0, 1, "view"), (1, 2, 2, "click"), (2, 1, 3, "view")]
+    )
+    assert run() == {"view|click": 1}
+
+    # batch 2: user 1 click->purchase continues the recovered chain;
+    # user 2's purchase pairs with the view RECOVERED from batch 1
+    # (the boundary-spanning pair); totals stay cumulative
+    write([(1, 5, 4, "purchase"), (2, 6, 5, "purchase")])
+    assert run() == {
+        "view|click": 1,
+        "click|purchase": 1,
+        "view|purchase": 1,
+    }
+
+
+def test_stream_transitions_equals_batch(spark, sf_dir):
+    """Live == batch row-for-row for the transition-matrix matview
+    (the availableNow replay arrives in (ts, event_id) order, so the
+    in-order keyed fold reproduces the batch lead() pairs exactly)."""
+    from env_event_stream_spark.advanced_queries import (
+        evt_transition_matrix,
+    )
+    from env_event_stream_spark.streaming_queries import (
+        evt_stream_transitions,
+    )
+
+    b = {tuple(r) for r in evt_transition_matrix(spark, sf_dir).collect()}
+    l = {tuple(r) for r in evt_stream_transitions(spark, sf_dir).collect()}
+    assert b == l and b
