@@ -507,163 +507,6 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 
-_COSINE_SQL = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
-
-
-@query(
-    "emb_knn_topk",
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-    s AS (SELECT query_id, neighbor_id,
-                 {_COSINE_SQL.format(a="qv", b="cv")} AS csim
-          FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-    r AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                 round(csim, 6) AS sim
-          FROM s)
-    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
-    """,
-)
-def emb_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for a 10-query set — the exactness
-    baseline for ANN (higher-order-function dot product, no UDF)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_exact(
-        e.where(F.col("vec_id") < 10), e, id_col="vec_id", vec_col="embedding", k=5
-    )
-
-
-_KNN_ORACLE = f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-    s AS (SELECT query_id, neighbor_id,
-                 {_COSINE_SQL.format(a="qv", b="cv")} AS csim
-          FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-    r AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                 round(csim, 6) AS sim
-          FROM s)
-    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
-    """
-
-
-@query("emb_knn_pandas", _KNN_ORACLE)
-def emb_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 on the VECTORIZED PANDAS path: numpy
-    matmul per Arrow batch inside mapInPandas, partition-local top-k,
-    global window merge. Same oracle as emb_knn_topk — the two
-    execution engines (Catalyst higher-order fns vs BLAS) must agree
-    to 6 decimals."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_pandas(
-        e.where(F.col("vec_id") < 10), e, id_col="vec_id", vec_col="embedding", k=5
-    )
-
-
-def _plane_sql(vec: str, planes: list[list[float]]) -> str:
-    bits = []
-    for row in planes:
-        arr = "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
-        bits.append(
-            f"(CASE WHEN list_dot_product({vec}, {arr}) >= 0 THEN '1' ELSE '0' END)"
-        )
-    return " || ".join(bits)
-
-
-def _knn_lsh_oracle() -> str:
-    planes = S.hyperplanes()
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
-    q AS (SELECT vec_id AS query_id, e AS qv, lsh_sig FROM sig WHERE vec_id < 10),
-    s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                 {_COSINE_SQL.format(a="qv", b="c.e")} AS csim
-          FROM q JOIN sig c USING (lsh_sig)
-          WHERE query_id <> c.vec_id),
-    r AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                 round(csim, 6) AS sim
-          FROM s)
-    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3
-    """
-
-
-@query("emb_knn_lsh", _knn_lsh_oracle())
-def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-3 via random-hyperplane LSH (8 md5-derived planes →
-    8-bit bucket signature, equi-join, exact rerank in-bucket). The
-    100 TB path: one shuffle on the signature, no cross product;
-    recall<1 is the documented ANN trade."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_lsh(
-        e.where(F.col("vec_id") < 10), e, id_col="vec_id", vec_col="embedding", k=3
-    )
-
-
-def _flip_sql(sig: str, positions: list[int], n: int) -> str:
-    """SQL string-expression flipping the given 1-based '0'/'1'
-    characters — the oracle twin of operators.similarity._flip_bits."""
-    if not positions:
-        return sig
-    parts, prev = [], 1
-    for p in positions:
-        if p > prev:
-            parts.append(f"substr({sig},{prev},{p - prev})")
-        parts.append(f"(CASE WHEN substr({sig},{p},1)='1' THEN '0' ELSE '1' END)")
-        prev = p + 1
-    if prev <= n:
-        parts.append(f"substr({sig},{prev},{n - prev + 1})")
-    return "(" + " || ".join(parts) + ")"
-
-
-def _knn_lsh_multiprobe_oracle(n_planes: int = 8, n_flips: int = 2) -> str:
-    planes = S.hyperplanes(n_planes)
-    flips = ", ".join(
-        _flip_sql("lsh_sig", pos, n_planes)
-        for pos in S.probe_signatures(n_planes, n_flips)
-    )
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
-    probes AS (SELECT vec_id AS query_id, e AS qv,
-                      unnest([{flips}]) AS lsh_sig
-               FROM sig WHERE vec_id < 10),
-    s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                 {_COSINE_SQL.format(a="qv", b="c.e")} AS csim
-          FROM probes JOIN sig c USING (lsh_sig)
-          WHERE query_id <> c.vec_id),
-    r AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                 round(csim, 6) AS sim
-          FROM s)
-    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3
-    """
-
-
-@query("emb_knn_lsh_multiprobe", _knn_lsh_multiprobe_oracle())
-def emb_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH ANN top-3 (Lv et al., VLDB'07 shape): each
-    query probes every bucket within Hamming distance 2 of its own
-    8-bit signature (37 probes), then one exact rerank. Recovers the
-    near neighbors that straddle a hyperplane or two — the dominant
-    single-set LSH failure — while the corpus side keeps ONE
-    signature row per vector; only the small query set explodes."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_lsh_multiprobe(
-        e.where(F.col("vec_id") < 10), e,
-        id_col="vec_id", vec_col="embedding", k=3, n_flips=2,
-    )
-
 
 @query(
     "doc_quality_score",
@@ -735,58 +578,6 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_ivf_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 3) -> str:
-    cos = _COSINE_SQL
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < {n_cells}),
-    scored AS (
-      SELECT v.vec_id, v.e, c.cell_id,
-             {cos.format(a="v.e", b="c.cv")} AS csim
-      FROM v CROSS JOIN cent c
-    ),
-    assign AS (
-      SELECT vec_id, e, cell_id,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY csim DESC, cell_id ASC) AS rn
-      FROM scored
-    ),
-    inv AS (SELECT vec_id AS neighbor_id, e AS ce, cell_id
-            FROM assign WHERE rn = 1),
-    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
-            FROM assign WHERE rn <= {n_probe}
-              AND vec_id >= 10 AND vec_id < 20),
-    s AS (SELECT query_id, neighbor_id,
-                 {cos.format(a="qe", b="ce")} AS csim
-          FROM qry JOIN inv USING (cell_id)
-          WHERE query_id <> neighbor_id),
-    r AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                 round(csim, 6) AS sim
-          FROM s)
-    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
-    """
-
-
-@query("emb_knn_ivf", _knn_ivf_oracle())
-def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN top-3: coarse-quantizer cells (deterministic
-    stand-in centroids), nprobe=2 probing, exact in-cell rerank —
-    the scale path when LSH recall is too blunt. Candidates shrink to
-    ~nprobe/n_cells of the corpus; one equi-join shuffle on cell_id."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_ivf(
-        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
-        e,
-        id_col="vec_id",
-        vec_col="embedding",
-        k=3,
-        n_cells=8,
-        n_probe=2,
-    )
-
-
 # sf_dirs at which the SPARK side has trained a model this process
 # (recorded by the *_spark_cached trainers). The lazy oracles must
 # train on the same data; _oracle_sf_dir() cross-checks.
@@ -820,297 +611,6 @@ def _oracle_sf_dir() -> str:
     return _DEFAULT_ORACLE_SF_DIR
 
 
-def _oracle_sample_matrix(sample_cap: int = 4096):
-    """Oracle-side twin of similarity.collect_sample_matrix: the
-    sample_cap lowest-vec_id embeddings as a float64 matrix in vec_id
-    order, loaded with pyarrow + numpy only (no Spark). Reads the
-    sf_dir resolved by _oracle_sf_dir (env override > the dir the
-    Spark side trained at > the driver's sf0.01 default)."""
-    import os as _os
-
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    sf_dir = _oracle_sf_dir()
-    tbl = pq.read_table(
-        _os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    emb = tbl["embedding"].to_pylist()
-    order = np.argsort(ids, kind="stable")[:sample_cap]
-    return np.array([emb[i] for i in order], dtype=np.float64)
-
-
-@_functools.lru_cache(maxsize=8)
-def _ivf_cents_cached(
-    sf_dir: str, n_cells: int, n_iter: int, sample_cap: int
-) -> tuple:
-    import numpy as np
-
-    from env_event_stream_spark.operators.similarity import _spherical_step
-
-    X = _oracle_sample_matrix(sample_cap)
-
-    def _unit(vec) -> list[float]:
-        n = float(sum(float(x) * float(x) for x in vec)) ** 0.5 or 1.0
-        return [round(float(x) / n, 9) for x in vec]
-
-    U = np.array([_unit(x) for x in X], dtype=np.float64)
-    cur = [list(u) for u in U[:n_cells]]
-    for _ in range(n_iter):
-        nxt = _spherical_step(U, np.array(cur, dtype=np.float64), _unit)
-        if nxt == cur:
-            break
-        cur = nxt
-    return tuple(tuple(float(x) for x in c) for c in cur)
-
-
-def _ivf_cents_for_oracle(
-    n_cells: int, n_iter: int, sample_cap: int
-) -> list[list[float]]:
-    """Oracle-side trained spherical-k-means centroids — the numpy
-    twin of S.train_ivf_centroids' sample path, cached per resolved
-    sf_dir so multiple lazy oracles share one training."""
-    sf_dir = _oracle_sf_dir()
-    return [list(c) for c in _ivf_cents_cached(sf_dir, n_cells, n_iter, sample_cap)]
-
-
-def _knn_ivf_trained_oracle(
-    n_cells: int = 10,
-    n_iter: int = 10,
-    n_probe: int = 3,
-    k: int = 3,
-    sample_cap: int = 4096,
-) -> str:
-    """Lazy oracle for emb_knn_ivf_trained: re-runs the SAME
-    deterministic spherical k-means as S.train_ivf_centroids'
-    sample_cap path, but with pyarrow + numpy only (no Spark), then
-    inlines the resulting centroids as DOUBLE[] literals into the
-    probe SQL (_knn_ivf_oracle's machinery). Determinism contract:
-    both paths take the sample_cap lowest-id vectors in vec_id order,
-    cast float32→float64 (exact), round each centroid component to
-    9dp per iteration, and stop at a rounded fixpoint — so the
-    centroid lists are bit-identical and the probe SQL sees the exact
-    model the Spark query used. Built at oracle_sql() call time
-    against the driver's correctness scale (sf0.01)."""
-    cur = _ivf_cents_for_oracle(n_cells, n_iter, sample_cap)
-
-    vals = ", ".join(
-        "({}, [{}]::DOUBLE[])".format(
-            cid, ", ".join(repr(float(x)) for x in vec)
-        )
-        for cid, vec in enumerate(cur)
-    )
-    cos = _COSINE_SQL
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT * FROM (VALUES {vals}) AS t(cell_id, cv)),
-    scored AS (
-      SELECT v.vec_id, v.e, c.cell_id,
-             {cos.format(a="v.e", b="c.cv")} AS csim
-      FROM v CROSS JOIN cent c
-    ),
-    assign AS (
-      SELECT vec_id, e, cell_id,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY csim DESC, cell_id ASC) AS rn
-      FROM scored
-    ),
-    inv AS (SELECT vec_id AS neighbor_id, e AS ce, cell_id
-            FROM assign WHERE rn = 1),
-    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
-            FROM assign WHERE rn <= {n_probe}
-              AND vec_id >= 10 AND vec_id < 20),
-    s AS (SELECT query_id, neighbor_id,
-                 {cos.format(a="qe", b="ce")} AS csim
-          FROM qry JOIN inv USING (cell_id)
-          WHERE query_id <> neighbor_id),
-    r AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                 round(csim, 6) AS sim
-          FROM s)
-    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
-    """
-
-
-@query("emb_knn_ivf_trained", _knn_ivf_trained_oracle)
-def emb_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN with TRAINED centroids: deterministic spherical
-    k-means (seeded by the lowest-id vectors, 5 iterations) replaces
-    the first-n_cells stand-in, so cells follow the data distribution
-    and n_probe probing recovers more true neighbors (recall@k vs the
-    emb_knn_topk ground truth is asserted in tests/test_similarity.py
-    and reported in SCALING.md). Iterative k-means is not
-    SQL-expressible — registered rows-only by design; the plan after
-    training is identical to emb_knn_ivf (broadcast centroids,
-    cell_id equi-join, in-cell exact rerank)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_ivf(
-        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
-        e,
-        id_col="vec_id",
-        vec_col="embedding",
-        k=3,
-        n_cells=10,
-        n_probe=3,
-        centroids=_ivf_cents_spark(spark, sf_dir),
-    )
-
-
-def _cosine_dedup_oracle() -> str:
-    planes = S.hyperplanes()
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
-    p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-                 {_COSINE_SQL.format(a="x.e", b="y.e")} AS csim
-          FROM sig x JOIN sig y USING (lsh_sig)
-          WHERE x.vec_id < y.vec_id)
-    SELECT id_a, id_b, round(csim, 6) AS sim FROM p WHERE csim >= 0.3
-    """
-
-
-_MATRYOSHKA_ORACLE = f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
-          FROM embeddings),
-    rf AS (SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY {_COSINE_SQL.format(a="qv", b="cv")} DESC,
-                        neighbor_id ASC) AS rank
-           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-    qt AS (SELECT query_id, qv[1:16] AS qv FROM q),
-    ct AS (SELECT neighbor_id, cv[1:16] AS cv FROM c),
-    rt AS (SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY {_COSINE_SQL.format(a="qv", b="cv")} DESC,
-                        neighbor_id ASC) AS rank
-           FROM qt CROSS JOIN ct WHERE query_id <> neighbor_id),
-    ov AS (SELECT f.query_id AS query_id,
-                  CAST(count(*) AS BIGINT) AS n_overlap,
-                  CAST(max(CASE WHEN f.rank = 1 AND t.rank = 1
-                           THEN 1 ELSE 0 END) AS BIGINT) AS top1_match
-           FROM (SELECT * FROM rf WHERE rank <= 3) f
-           JOIN (SELECT * FROM rt WHERE rank <= 3) t
-             ON f.query_id = t.query_id
-            AND f.neighbor_id = t.neighbor_id
-           GROUP BY f.query_id)
-    SELECT qq.query_id,
-           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-           CAST(COALESCE(ov.top1_match, 0) AS BIGINT) AS top1_match
-    FROM (SELECT DISTINCT query_id FROM q) qq
-    LEFT JOIN ov ON qq.query_id = ov.query_id
-    """
-
-
-@query("emb_knn_matryoshka", _MATRYOSHKA_ORACLE)
-def emb_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka truncation evaluation: how well do the first 16 of
-    64 dims preserve the top-3 cosine neighborhood? Per query:
-    |top3_full ∩ top3_truncated| and whether rank-1 agrees. This is
-    the retrieval-quality check run before shipping truncated
-    embeddings to cut index cost 4× — same two-pass brute-force shape
-    as emb_knn_topk (query set broadcast over the corpus), so the
-    corpus scans twice and never self-joins."""
-    e = load_table(spark, sf_dir, "embeddings")
-    t = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
-    full = S.knn_exact(
-        e.where(F.col("vec_id") < 10), e,
-        id_col="vec_id", vec_col="embedding", k=3,
-    ).select("query_id", "neighbor_id", "rank")
-    trunc = S.knn_exact(
-        t.where(F.col("vec_id") < 10), t,
-        id_col="vec_id", vec_col="embedding", k=3,
-    ).select(
-        F.col("query_id"), F.col("neighbor_id"),
-        F.col("rank").alias("t_rank"),
-    )
-    ov = (
-        full.join(trunc, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_overlap"),
-            F.max(
-                F.when((F.col("rank") == 1) & (F.col("t_rank") == 1), 1)
-                .otherwise(0)
-            ).cast("bigint").alias("top1_match"),
-        )
-    )
-    return (
-        full.select("query_id").distinct()
-        .join(ov, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-            F.coalesce("top1_match", F.lit(0)).cast("bigint").alias("top1_match"),
-        )
-    )
-
-
-@query(
-    "emb_quantize_int8",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    d AS (SELECT unnest(range(1, 65)) AS pos, unnest(v) AS val FROM e),
-    s AS (SELECT pos, max(abs(val)) AS scale FROM d GROUP BY pos),
-    sa AS (SELECT list(scale ORDER BY pos) AS scales FROM s),
-    q AS (SELECT vec_id, v, scales,
-            list_transform(range(1, 65),
-                           i -> round(v[i] / scales[i] * 127)) AS qv
-          FROM e, sa)
-    SELECT vec_id,
-           CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT)
-             AS n_saturated,
-           round(list_sum(list_transform(range(1, 65),
-                 i -> (v[i] - qv[i] * scales[i] / 127)
-                    * (v[i] - qv[i] * scales[i] / 127))) / 64, 6) AS mse
-    FROM q
-    """,
-)
-def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar int8 quantization of the embedding column (the vector-
-    store compression step): per-dimension symmetric scale =
-    max(|x_d|) over the corpus, q = round(x/scale*127). Two passes —
-    a 64-row scale aggregate (broadcast back) then a row-local
-    quantize + reconstruction-error map; the corpus shuffles zero
-    times. Output per vector: saturation count and reconstruction
-    MSE, all double math folded sequentially so the oracle is
-    bit-exact."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    s = (
-        e.select(F.posexplode("v").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.max(F.abs(F.col("val"))).alias("scale"))
-    )
-    sa = s.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "scale"))),
-            lambda x: x["scale"],
-        ).alias("scales")
-    )
-    q = e.crossJoin(F.broadcast(sa)).withColumn(
-        "qv",
-        F.zip_with("v", "scales", lambda x, sc: F.round(x / sc * 127)),
-    )
-    recon = F.zip_with("qv", "scales", lambda qq, sc: qq * sc / 127)
-    se = F.zip_with("v", recon, lambda x, r: (x - r) * (x - r))
-    return q.select(
-        "vec_id",
-        F.size(F.filter("qv", lambda x: F.abs(x) >= 127))
-        .cast("bigint")
-        .alias("n_saturated"),
-        F.round(
-            F.aggregate(se, F.lit(0.0), lambda a, x: a + x) / F.size("v"), 6
-        ).alias("mse"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # PCA whitening of the embedding column — the retrieval-prep
 # transform (Su et al., "Whitening Sentence Representations") that
@@ -1119,578 +619,6 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lowest-id sample, deterministic numpy, 9dp-rounded literals shared
 # bit-for-bit with the oracle.
 # ---------------------------------------------------------------------------
-
-_WHITEN_CAP = 4096
-
-
-@_functools.lru_cache(maxsize=8)
-def _whiten_cached(sf_dir: str, sample_cap: int) -> tuple:
-    from env_event_stream_spark.operators.similarity import _whiten_train
-
-    mu, W = _whiten_train(_oracle_sample_matrix(sample_cap))
-    return tuple(mu), tuple(tuple(r) for r in W)
-
-
-def _whiten_for_oracle(sample_cap: int = _WHITEN_CAP):
-    mu, W = _whiten_cached(_oracle_sf_dir(), sample_cap)
-    return list(mu), [list(r) for r in W]
-
-
-def _whiten_sql_ctes(mu: list[float], W: list[list[float]]) -> str:
-    """Shared oracle CTEs: v (raw DOUBLE[] vectors + label), w (the
-    whitening rows as VALUES literals), y (whitened component per
-    (vec_id, d) — list_dot_product of a W row with the centered
-    vector, the exact rotate_arrow fold), wv (whitened vectors
-    reassembled in d order)."""
-    centered = "list_value(" + ", ".join(
-        f"e[{j + 1}] - ({m!r})" for j, m in enumerate(mu)
-    ) + ")"
-    wvals = ", ".join(
-        "({}, [{}]::DOUBLE[])".format(d, ", ".join(repr(float(x)) for x in row))
-        for d, row in enumerate(W)
-    )
-    return f"""
-    v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-                 embedding::DOUBLE[] AS e FROM embeddings),
-    w AS (SELECT * FROM (VALUES {wvals}) AS t(d, wrow)),
-    y AS (SELECT v.vec_id, w.d,
-                 list_dot_product(w.wrow, {centered}) AS yv
-          FROM v CROSS JOIN w),
-    wv AS (SELECT vec_id, list(yv ORDER BY d) AS wvec FROM y
-           GROUP BY vec_id)"""
-
-
-def _whiten_stats_oracle() -> str:
-    mu, W = _whiten_for_oracle()
-    return f"""
-    WITH {_whiten_sql_ctes(mu, W)},
-    q AS (SELECT y.vec_id, y.d,
-                 CAST(floor(y.yv * 1000000.0 + 0.5) AS BIGINT) AS wq,
-                 CAST(floor(v.e[y.d + 1] * 1000000.0 + 0.5) AS BIGINT) AS eq
-          FROM y JOIN v USING (vec_id)),
-    a AS (SELECT d, count(*) AS n,
-                 sum(wq) AS sw, sum(wq * wq) AS ssw,
-                 sum(eq) AS se, sum(eq * eq) AS sse
-          FROM q GROUP BY d)
-    SELECT CAST(d AS BIGINT) AS dim_idx, CAST(n AS BIGINT) AS n_vectors,
-      floor(CAST(se AS DOUBLE) / n / 1000000.0 * 10000 + 0.5) / 10000
-        AS mean_raw,
-      floor((CAST(sse AS DOUBLE) / n / 1000000000000.0
-             - (CAST(se AS DOUBLE) / n / 1000000.0)
-               * (CAST(se AS DOUBLE) / n / 1000000.0)) * 10000 + 0.5) / 10000
-        AS var_raw,
-      floor(CAST(sw AS DOUBLE) / n / 1000000.0 * 10000 + 0.5) / 10000
-        AS mean_white,
-      floor((CAST(ssw AS DOUBLE) / n / 1000000000000.0
-             - (CAST(sw AS DOUBLE) / n / 1000000.0)
-               * (CAST(sw AS DOUBLE) / n / 1000000.0)) * 10000 + 0.5) / 10000
-        AS var_white
-    FROM a
-    """
-
-
-@_functools.lru_cache(maxsize=8)
-def _whiten_spark_cached(sf_dir: str) -> tuple:
-    """One whitening training per sf_dir per process, REGISTERED in
-    _SPARK_TRAIN_DIRS so the lazy oracles resolve the same sf_dir the
-    engine trained at (the _pq_books_spark_cached contract — without
-    the registration an sf0.1 engine run would silently pair with an
-    sf0.01-trained oracle model and red-herring the hash gate)."""
-    from env_event_stream_spark.session import get_spark
-
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    e = load_table(get_spark("whiten-train"), sf_dir, "embeddings")
-    mu, W = S.train_whitening(e, sample_cap=_WHITEN_CAP)
-    return tuple(mu), tuple(tuple(r) for r in W)
-
-
-def _whitened_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, ev raw DOUBLE array, wv whitened array):
-    center in Catalyst (zip_with against the mu literal — exact
-    elementwise IEEE both engines), rotate in ONE Arrow stage
-    (rotate_arrow's sequential fold == the oracle's
-    list_dot_product). Row-local at any scale; the trained (mu, W)
-    is dim + dim² literals, trained once per process per sf_dir."""
-    e = load_table(spark, sf_dir, "embeddings")
-    mu_t, W_t = _whiten_spark_cached(sf_dir)
-    mu, W = list(mu_t), [list(r) for r in W_t]
-    mu_arr = F.array(*[F.lit(float(v)) for v in mu])
-    base = e.select(
-        "vec_id",
-        F.col("label").cast("bigint").alias("label"),
-        S.as_double(F.col("embedding")).alias("ev"),
-    ).withColumn("cv", F.zip_with("ev", mu_arr, lambda x, m: x - m))
-    return S.rotate_arrow(
-        base, W, vec_col="cv", keep=["vec_id", "label", "ev"]
-    ).withColumnRenamed("cv", "wv")
-
-
-@query("emb_whiten_stats", _whiten_stats_oracle)
-def emb_whiten_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension moments of the corpus BEFORE and AFTER PCA
-    whitening — the verification table for the whitening model:
-    var_white ≈ 1 and mean_white ≈ 0 on every axis, next to the raw
-    per-axis variance spread that motivates whitening. (At the test
-    SFs the bounded training sample covers the whole corpus, so
-    var_white ≈ 1 is near-exact; at real scale the 4096-cap makes
-    this table a generalization check, not a fit readout.)
-
-    Determinism: whitened components are bit-identical cross-engine
-    (centering is elementwise IEEE, rotation is the rotate_arrow ==
-    list_dot_product fold), then QUANTIZED to integer micro-units
-    (floor(y*1e6 + 0.5)) so the corpus-wide moment sums are exact
-    integer arithmetic — order-free across partitions (the Spark sum
-    rides DECIMAL(38,0); DuckDB's hugeint errors loudly rather than
-    wrap) — finalized by fixed-order double division + the tie-free
-    4dp floor. Plan: one Arrow rotate, one posexplode to (dim,
-    micro-unit) pairs, one 64-key groupBy with map-side partial
-    aggregation — corpus-linear, no driver collect."""
-    wf = _whitened_frame(spark, sf_dir)
-    q6 = lambda col: F.transform(  # noqa: E731
-        col, lambda y: F.floor(y * F.lit(1000000.0) + F.lit(0.5))
-    )
-    z = wf.select(
-        F.posexplode(
-            F.arrays_zip(q6(F.col("wv")).alias("wq"), q6(F.col("ev")).alias("eq"))
-        ).alias("pos", "z")
-    ).select("pos", F.col("z.wq").alias("wq"), F.col("z.eq").alias("eq"))
-    a = z.groupBy("pos").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("wq").cast("decimal(38,0)")).alias("sw"),
-        F.sum((F.col("wq") * F.col("wq")).cast("decimal(38,0)")).alias("ssw"),
-        F.sum(F.col("eq").cast("decimal(38,0)")).alias("se"),
-        F.sum((F.col("eq") * F.col("eq")).cast("decimal(38,0)")).alias("sse"),
-    )
-
-    def mean4(s):
-        m = s.cast("double") / F.col("n") / F.lit(1000000.0)
-        return F.floor(m * 10000 + F.lit(0.5)) / 10000
-
-    def var4(ss, s):
-        m = s.cast("double") / F.col("n") / F.lit(1000000.0)
-        v = ss.cast("double") / F.col("n") / F.lit(1000000000000.0) - m * m
-        return F.floor(v * 10000 + F.lit(0.5)) / 10000
-
-    return a.select(
-        F.col("pos").cast("bigint").alias("dim_idx"),
-        F.col("n").cast("bigint").alias("n_vectors"),
-        mean4(F.col("se")).alias("mean_raw"),
-        var4(F.col("sse"), F.col("se")).alias("var_raw"),
-        mean4(F.col("sw")).alias("mean_white"),
-        var4(F.col("ssw"), F.col("sw")).alias("var_white"),
-    )
-
-
-def _whiten_labelknn_oracle() -> str:
-    mu, W = _whiten_for_oracle()
-    cos = _COSINE_SQL
-    return f"""
-    WITH {_whiten_sql_ctes(mu, W)},
-    allv AS (SELECT v.vec_id, v.label, v.e, wv.wvec
-             FROM v JOIN wv USING (vec_id)),
-    q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe,
-                 wvec AS qw FROM allv WHERE vec_id < 50),
-    s AS (SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
-                 c.label AS nlabel,
-                 {cos.format(a="q.qe", b="c.e")} AS sim_raw,
-                 {cos.format(a="q.qw", b="c.wvec")} AS sim_w
-          FROM q CROSS JOIN allv c WHERE q.query_id <> c.vec_id),
-    r AS (SELECT *,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY sim_raw DESC, neighbor_id ASC) AS rk_raw,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY sim_w DESC, neighbor_id ASC) AS rk_w
-          FROM s)
-    SELECT query_id, CAST(qlabel AS BIGINT) AS label,
-           CAST(sum(CASE WHEN rk_raw <= 3 AND nlabel = qlabel
-                         THEN 1 ELSE 0 END) AS BIGINT) AS hits_raw,
-           CAST(sum(CASE WHEN rk_w <= 3 AND nlabel = qlabel
-                         THEN 1 ELSE 0 END) AS BIGINT) AS hits_white,
-           CAST(sum(CASE WHEN rk_raw <= 3 AND rk_w <= 3
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common
-    FROM r GROUP BY query_id, qlabel
-    """
-
-
-@query("emb_whiten_labelknn_eval", _whiten_labelknn_oracle)
-def emb_whiten_labelknn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Does whitening actually improve retrieval on THIS corpus? For
-    50 probe queries: label precision of the cosine top-3 with raw
-    embeddings (hits_raw) vs whitened embeddings (hits_white), plus
-    the top-3 overlap between the two rankings (n_common — how much
-    the neighborhood actually changed). The honest-eval discipline
-    (evt_holt_backtest / emb_residual_recall_eval): the verdict is
-    whatever the per-query table sums to. MEASURED at sf0.01: NO
-    lift — mean hits 0.24 raw vs 0.22 whitened, while the top-3
-    neighborhoods really do change (n_common 1.72/3): on these
-    synthetic embeddings the label structure does not align with the
-    variance anisotropy, so whitening is a rotation of the noise.
-    The operator earns its keep on real sentence embeddings; this
-    eval is the gate that says whether it does on YOURS.
-
-    Plan: ONE probe-broadcast cross join scores both metrics per
-    candidate (the corpus is scanned once — the two rankings are two
-    windows over the same scored frame, not two scans). Determinism:
-    whitened vectors and both cosines are bit-identical cross-engine
-    (sequential folds), ranking tie-breaks on neighbor_id, outputs
-    are integer counts."""
-    from env_event_stream_spark.functions.vectors import dot, l2_norm
-
-    wf = _whitened_frame(spark, sf_dir)
-    q = (
-        wf.where(F.col("vec_id") < 50)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("qlabel"),
-            F.col("ev").alias("qe"),
-            F.col("wv").alias("qw"),
-        )
-        .withColumn("qen", l2_norm(F.col("qe")))
-        .withColumn("qwn", l2_norm(F.col("qw")))
-    )
-    c = (
-        wf.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("nlabel"),
-            F.col("ev").alias("ce"),
-            F.col("wv").alias("cw"),
-        )
-        .withColumn("cen", l2_norm(F.col("ce")))
-        .withColumn("cwn", l2_norm(F.col("cw")))
-    )
-    s = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "qlabel",
-            "neighbor_id",
-            "nlabel",
-            (dot(F.col("qe"), F.col("ce")) / (F.col("qen") * F.col("cen")))
-            .alias("sim_raw"),
-            (dot(F.col("qw"), F.col("cw")) / (F.col("qwn") * F.col("cwn")))
-            .alias("sim_w"),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("sim_raw").desc(), F.col("neighbor_id").asc()
-    )
-    ww = Window.partitionBy("query_id").orderBy(
-        F.col("sim_w").desc(), F.col("neighbor_id").asc()
-    )
-    r = s.select(
-        "query_id",
-        "qlabel",
-        "nlabel",
-        F.row_number().over(wr).alias("rk_raw"),
-        F.row_number().over(ww).alias("rk_w"),
-    )
-    match = F.col("nlabel") == F.col("qlabel")
-    return r.groupBy("query_id", "qlabel").agg(
-        F.sum(((F.col("rk_raw") <= 3) & match).cast("long"))
-        .cast("bigint")
-        .alias("hits_raw"),
-        F.sum(((F.col("rk_w") <= 3) & match).cast("long"))
-        .cast("bigint")
-        .alias("hits_white"),
-        F.sum(((F.col("rk_raw") <= 3) & (F.col("rk_w") <= 3)).cast("long"))
-        .cast("bigint")
-        .alias("n_common"),
-    ).select(
-        "query_id",
-        F.col("qlabel").alias("label"),
-        "hits_raw",
-        "hits_white",
-        "n_common",
-    )
-
-
-def _ivf_match_ctes(p: str, src: str, vc: str, cent_sql: str | None = None) -> str:
-    """One IVF-flat recall chain as named CTEs under prefix ``p``:
-    stand-in centroids (vec_id < 8 of ``src``), nprobe=2 probe +
-    in-cell exact rerank top-3 vs brute-force exact top-3 for queries
-    10..19 over ``src``'s vector column ``vc`` — the
-    _IVF_RECALL_ORACLE chain, templated so the whiten-composition
-    eval can instantiate it twice (raw / whitened) in one statement.
-    Terminates in ``{p}nm(query_id, n_match)``."""
-    cos = _COSINE_SQL
-    if cent_sql is None:
-        cent_sql = f"""SELECT vec_id AS cell_id, {vc} AS cv FROM {src}
-                WHERE vec_id < 8"""
-    return f"""
-    {p}cent AS ({cent_sql}),
-    {p}cs AS (SELECT s.vec_id, s.{vc} AS e, c.cell_id,
-                     {cos.format(a=f"s.{vc}", b="c.cv")} AS csim
-              FROM {src} s CROSS JOIN {p}cent c),
-    {p}ca AS (SELECT vec_id, e, cell_id,
-                     row_number() OVER (PARTITION BY vec_id
-                       ORDER BY csim DESC, cell_id ASC) AS rn
-              FROM {p}cs),
-    {p}inv AS (SELECT vec_id AS neighbor_id, e AS ce, cell_id
-               FROM {p}ca WHERE rn = 1),
-    {p}qry AS (SELECT vec_id AS query_id, e AS qe, cell_id FROM {p}ca
-               WHERE rn <= 2 AND vec_id >= 10 AND vec_id < 20),
-    {p}aps AS (SELECT query_id, neighbor_id,
-                      {cos.format(a="qe", b="ce")} AS csim
-               FROM {p}qry JOIN {p}inv USING (cell_id)
-               WHERE query_id <> neighbor_id),
-    {p}ap AS (SELECT query_id, neighbor_id FROM (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY csim DESC, neighbor_id ASC) AS rank
-                FROM {p}aps) WHERE rank <= 3),
-    {p}q10 AS (SELECT vec_id AS query_id, {vc} AS qe FROM {src}
-               WHERE vec_id >= 10 AND vec_id < 20),
-    {p}exs AS (SELECT query_id, c.vec_id AS neighbor_id,
-                      {cos.format(a="qe", b=f"c.{vc}")} AS csim
-               FROM {p}q10 CROSS JOIN {src} c WHERE query_id <> c.vec_id),
-    {p}ex AS (SELECT query_id, neighbor_id FROM (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY csim DESC, neighbor_id ASC) AS rank
-                FROM {p}exs) WHERE rank <= 3),
-    {p}nm AS (SELECT ex.query_id, count(ap.query_id) AS n_match
-              FROM {p}ex ex LEFT JOIN {p}ap ap
-                ON ex.query_id = ap.query_id
-               AND ex.neighbor_id = ap.neighbor_id
-              GROUP BY ex.query_id)"""
-
-
-def _whiten_ivf_oracle() -> str:
-    mu, W = _whiten_for_oracle()
-    return f"""
-    WITH {_whiten_sql_ctes(mu, W)},
-    allv AS (SELECT v.vec_id, v.e, wv.wvec
-             FROM v JOIN wv USING (vec_id)),
-    {_ivf_match_ctes('r', 'allv', 'e')},
-    {_ivf_match_ctes('w', 'allv', 'wvec')}
-    SELECT rnm.query_id,
-           CAST(rnm.n_match AS BIGINT) AS n_match_raw,
-           CAST(wnm.n_match AS BIGINT) AS n_match_white,
-           round(rnm.n_match / 3.0, 4) AS recall_raw,
-           round(wnm.n_match / 3.0, 4) AS recall_white
-    FROM rnm JOIN wnm ON wnm.query_id = rnm.query_id
-    """
-
-
-@query("emb_whiten_ivf_eval", _whiten_ivf_oracle)
-def emb_whiten_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Does whitening change what the ANN index RECALLS? The
-    composition eval emb_whiten_labelknn_eval's docstring leaves
-    open: per probe query, IVF-flat recall@3 (n_cells=8, n_probe=2 —
-    the emb_knn_ivf configuration) measured against exact top-3 in
-    the SAME space, once over raw embeddings and once over whitened
-    ones. Whitening changes both the cell geometry (stand-in
-    centroids are the same 8 vectors, rotated) and the query-neighbor
-    ranking, so its effect on a deployed IVF index is not implied by
-    the label eval — a production rollout needs this number before
-    re-encoding a 100 TB corpus. The honest-eval discipline: the
-    verdict is whatever the per-query table says; each space is
-    scored against its OWN exact ranking, so the comparison isolates
-    what the index loses, not what the space changes. MEASURED at
-    sf0.01: mean recall@3 0.4667 in BOTH spaces — whitening neither
-    helps nor hurts this index on these synthetic embeddings (the
-    emb_whiten_labelknn_eval no-lift verdict, now shown to extend to
-    the index composition: no re-encode is justified here).
-
-    Plan: the whitened frame (one Arrow rotate) is localCheckpointed
-    ONCE and shared by all four rankings (exact + IVF in two spaces —
-    without it the rotate re-runs per branch, the
-    emb_mmr_diversity_eval lesson); each ranking is the standard
-    knn machinery (10-probe cross join, cell equi-join). Determinism:
-    whitened components bit-identical cross-engine (rotate_arrow ==
-    list_dot_product fold), rankings tie-break on neighbor_id,
-    outputs are integer counts + exact /3 ratios."""
-    wf = _whitened_frame(spark, sf_dir).localCheckpoint()
-    probe = (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
-    out = None
-    for vc, name in (("ev", "n_match_raw"), ("wv", "n_match_white")):
-        space = wf.select("vec_id", vc)
-        q = space.where(probe)
-        ex = S.knn_exact(q, space, id_col="vec_id", vec_col=vc, k=3).select(
-            "query_id", "neighbor_id"
-        )
-        ap = S.knn_ivf(
-            q, space, id_col="vec_id", vec_col=vc, k=3, n_cells=8, n_probe=2
-        ).select("query_id", "neighbor_id")
-        m = _recall_match_counts(ex, ap, name)
-        out = m if out is None else out.join(m, "query_id")
-    return out.select(
-        "query_id",
-        "n_match_raw",
-        "n_match_white",
-        F.round(F.col("n_match_raw") / 3.0, 4).alias("recall_raw"),
-        F.round(F.col("n_match_white") / 3.0, 4).alias("recall_white"),
-    )
-
-
-def _bsig_sql(e: str, bits: int = 64) -> str:
-    """Sign-bit packing in SQL: bit d set iff {e}[d+1] > 0. Bit 63 is
-    the signed min-long literal (DuckDB's 1<<63 overflows; the
-    literal is the same two's-complement pattern Spark's shiftleft
-    produces)."""
-    terms = []
-    for d in range(bits):
-        val = "-9223372036854775808" if d == 63 else str(1 << d)
-        terms.append(
-            f"(CASE WHEN {e}[{d + 1}] > 0 THEN CAST({val} AS BIGINT)"
-            " ELSE 0 END)"
-        )
-    return "(" + " + ".join(terms) + ")"
-
-
-@query(
-    "emb_quantize_binary",
-    f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT vec_id,
-           {_bsig_sql("e")} AS bsig,
-           CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos
-    FROM v
-    """,
-)
-def emb_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary quantization: 64 sign bits packed into ONE bigint per
-    vector — 64x smaller than float64, the compression behind
-    Hamming-prefilter vector search (emb_knn_binary). Row-local, zero
-    shuffles; the oracle replays the exact packing including the
-    sign-bit-63 two's-complement pattern."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    return e.select(
-        "vec_id",
-        S.binary_signature(v).alias("bsig"),
-        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
-    )
-
-
-def _knn_binary_oracle(k: int = 3, shortlist: int = 32) -> str:
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sig AS (SELECT vec_id, e, {_bsig_sql("e")} AS bsig FROM v),
-    q AS (SELECT vec_id AS query_id, e AS qv, bsig AS qsig FROM sig
-          WHERE vec_id < 10),
-    h AS (SELECT query_id, c.vec_id AS neighbor_id, qv, c.e AS cv,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY bit_count(xor(qsig, c.bsig)) ASC,
-                            c.vec_id ASC) AS hrn
-          FROM q JOIN sig c ON query_id <> c.vec_id),
-    s AS (SELECT query_id, neighbor_id,
-                 {_COSINE_SQL.format(a="qv", b="cv")} AS csim
-          FROM h WHERE hrn <= {shortlist}),
-    r AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                 round(csim, 6) AS sim
-          FROM s)
-    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
-    """
-
-
-@query("emb_knn_binary", _knn_binary_oracle())
-def emb_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-quantized KNN with exact rescoring (the vector-DB
-    BQ+rescore pattern): XOR+popcount on packed sign bits shortlists
-    32 candidates per query, exact cosine reranks to top-3. The
-    Hamming scan streams the corpus once past broadcast query
-    signatures at ~1/64 the bytes of a float scan; only
-    |Q|x32 rows reach the float rerank."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_binary(
-        e.where(F.col("vec_id") < 10), e,
-        id_col="vec_id", vec_col="embedding", k=3, shortlist=32,
-    )
-
-
-@query("emb_cosine_dedup", _cosine_dedup_oracle())
-def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: LSH-bucketed candidates + exact
-    cosine >= 0.3 verification (corpus never self-cross-joins)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_dedup_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.3
-    )
-
-
-def _emb_dup_clusters_oracle() -> str:
-    planes = S.hyperplanes()
-    return f"""
-    WITH RECURSIVE
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
-    p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
-          FROM sig x JOIN sig y USING (lsh_sig)
-          WHERE x.vec_id < y.vec_id
-            AND {_COSINE_SQL.format(a="x.e", b="y.e")} >= 0.3),
-    edges AS (SELECT id_a AS u, id_b AS v FROM p
-              UNION SELECT id_b, id_a FROM p),
-    comp(node, label) AS (
-      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-      UNION
-      SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
-    )
-    SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS component
-    FROM comp GROUP BY node
-    """
-
-
-@query("emb_dup_clusters", _emb_dup_clusters_oracle())
-def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space dedup ENDGAME: cosine near-dup pairs (the
-    emb_cosine_dedup LSH-bucketed candidates, exact cosine >= 0.3)
-    become a graph; connected components (operators/graph.py
-    min-label propagation — one equi-join + grouped min per round,
-    localCheckpoint-truncated lineage) assign each vector its
-    cluster id = the smallest vec_id reachable. Keep one vector per
-    component. The oracle replays the transitive closure with a
-    recursive CTE, so the cross-check covers the semantic-dedup
-    composition end to end."""
-    from env_event_stream_spark.operators.graph import connected_components
-
-    e = load_table(spark, sf_dir, "embeddings")
-    pairs = S.cosine_dedup_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.3
-    )
-    comp = connected_components(pairs, "id_a", "id_b")
-    return comp.select(
-        F.col("node").alias("vec_id"),
-        F.col("component").cast("bigint").alias("component"),
-    )
-
-
-@query(
-    "emb_label_centroids",
-    """
-    WITH u AS (
-      SELECT label,
-             unnest(range(1, 65)) AS ix,
-             unnest(embedding::DOUBLE[]) AS v
-      FROM embeddings
-    )
-    SELECT CAST(label AS BIGINT) AS label, CAST(ix AS BIGINT) AS ix,
-           round(avg(v), 6) AS c,
-           CAST(count(*) AS BIGINT) AS n_vecs
-    FROM u GROUP BY label, ix
-    """,
-)
-def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid (element-wise mean of the embedding
-    vectors) in long form (label, dim-index, component) — the IVF
-    'training' step and the classic class-prototype pooling op.
-    posexplode turns each vector into (pos, value) rows map-side; the
-    single shuffle is the grouped average on (label, ix). At 100 TB
-    prefer this long-form agg over array-valued aggregation buffers:
-    partial aggregation stays fixed-width."""
-    e = load_table(spark, sf_dir, "embeddings")
-    u = e.select(
-        F.col("label").cast("bigint").alias("label"),
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    )
-    return u.groupBy("label", (F.col("pos") + 1).alias("ix")).agg(
-        F.round(F.avg("v"), 6).alias("c"),
-        F.count("*").cast("bigint").alias("n_vecs"),
-    ).select("label", F.col("ix").cast("bigint").alias("ix"), "c", "n_vecs")
 
 
 @query(
@@ -2445,434 +1373,14 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_recall_oracle() -> str:
-    planes = S.hyperplanes()
-    cos = _COSINE_SQL
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
-    q AS (SELECT vec_id AS query_id, e AS qv, lsh_sig FROM sig
-          WHERE vec_id < 10),
-    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {cos.format(a="qv", b="c.e")} AS csim
-             FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
-    ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ex_s) WHERE rank <= 3),
-    ls_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {cos.format(a="qv", b="c.e")} AS csim
-             FROM q JOIN sig c USING (lsh_sig) WHERE query_id <> c.vec_id),
-    lr AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ls_s) WHERE rank <= 3),
-    nl AS (SELECT query_id, count(*) AS n_lsh FROM lr GROUP BY query_id),
-    nm AS (SELECT ex.query_id, count(lr.query_id) AS n_match
-           FROM ex LEFT JOIN lr
-             ON ex.query_id = lr.query_id
-            AND ex.neighbor_id = lr.neighbor_id
-           GROUP BY ex.query_id)
-    SELECT nm.query_id,
-           CAST(coalesce(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
-           CAST(nm.n_match AS BIGINT) AS n_match,
-           round(nm.n_match / 3.0, 4) AS recall_at_3
-    FROM nm LEFT JOIN nl ON nm.query_id = nl.query_id
-    """
-
-
-@query("emb_lsh_recall_eval", _lsh_recall_oracle)
-def emb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality eval: per-query recall@3 of the LSH index against
-    the exact brute-force top-3 — the measurement that justifies (or
-    vetoes) an ANN tier before a corpus-scale rollout. The exact side
-    is the documented brute-force oracle tier; the LSH side is the
-    production candidate; the comparison itself is a tiny
-    query-keyed join."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 10)
-    ex = S.knn_exact(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    ls = S.knn_lsh(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    return _recall_frame(ex, ls, "n_lsh")
-
-
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ + ADC)
 # ---------------------------------------------------------------------------
 
 
-@_functools.lru_cache(maxsize=8)
-def _pq_books_cached(
-    sf_dir: str, m: int, k: int, n_iter: int, sample_cap: int
-) -> tuple:
-    X = _oracle_sample_matrix(sample_cap)
-    return tuple(
-        tuple(tuple(c) for c in book)
-        for book in S._pq_kmeans(X, m, k, n_iter)
-    )
-
-
-def _pq_books_for_oracle(
-    m: int = 8, k: int = 16, n_iter: int = 10, sample_cap: int = 4096
-) -> list[list[list[float]]]:
-    """Rebuild the PQ codebooks with pyarrow + numpy only (no Spark),
-    via the SAME _pq_kmeans core train_pq_codebooks uses — both paths
-    see the identical float64 sample in vec_id order, so the books
-    are bit-identical and can be inlined as oracle literals. Cached
-    per (resolved sf_dir, params): the three PQ lazy oracles share
-    one training."""
-    sf_dir = _oracle_sf_dir()
-    books = _pq_books_cached(sf_dir, m, k, n_iter, sample_cap)
-    return [[list(c) for c in book] for book in books]
-
-
-@_functools.lru_cache(maxsize=8)
-def _pq_books_spark_cached(sf_dir: str) -> tuple:
-    from env_event_stream_spark.session import get_spark
-
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    e = load_table(get_spark("pq-train"), sf_dir, "embeddings")
-    return tuple(
-        tuple(tuple(c) for c in book)
-        for book in S.train_pq_codebooks(
-            e, id_col="vec_id", vec_col="embedding", m=8, k=16, n_iter=10
-        )
-    )
-
-
-def _pq_books_spark(spark: SparkSession, sf_dir: str) -> list:
-    """One PQ training per sf_dir per process — emb_quantize_pq,
-    emb_knn_pq_adc and emb_pq_recall_eval share the model (training
-    is a deterministic function of the parquet, so caching cannot
-    change results)."""
-    del spark  # session comes from the shared factory inside the cache
-    books = _pq_books_spark_cached(sf_dir)
-    return [[list(c) for c in book] for book in books]
-
-
-def _pq_cb_values(books: list[list[list[float]]]) -> str:
-    """VALUES rows (m, code, cv, cc) — cc is the Python-side
-    sequential sum of squares, inlined so neither engine recomputes
-    it with a potentially different accumulation order."""
-    rows = []
-    for i, book in enumerate(books):
-        for j, c in enumerate(book, start=1):
-            arr = "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
-            rows.append(f"({i}, {j}, {arr}, {repr(S._cc(c))})")
-    return ", ".join(rows)
-
-
-_PQ_ENCODE_CTES = """
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    sub AS (SELECT vec_id, ms.m, e[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
-            FROM v CROSS JOIN ms),
-    dists AS (SELECT vec_id, sub.m, cb.code,
-                     -2.0 * list_dot_product(sv, cb.cv) + cb.cc AS obj,
-                     list_dot_product(sv, sv) AS ss
-              FROM sub JOIN cb ON cb.m = sub.m),
-    assign AS (SELECT vec_id, m, code, obj, ss,
-                      row_number() OVER (PARTITION BY vec_id, m
-                                         ORDER BY obj ASC, code ASC) AS rn
-               FROM dists),
-    codes AS (SELECT vec_id, m, code, ss + obj AS err
-              FROM assign WHERE rn = 1)
-"""
-
-
-def _quantize_pq_oracle() -> str:
-    vals = _pq_cb_values(_pq_books_for_oracle())
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cb AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
-    {_PQ_ENCODE_CTES}
-    SELECT vec_id,
-           string_agg(code::VARCHAR, '-' ORDER BY m) AS pq_code,
-           round(list_sum(list(err ORDER BY m)), 6) AS recon_err
-    FROM codes GROUP BY vec_id
-    """
-
-
-@query("emb_quantize_pq", _quantize_pq_oracle)
-def emb_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization encode: 8 subspaces x 16 centroids turn a
-    64-float vector into 8 small codes (8 bytes vs 256 — the
-    compression that fits a 100 TB index in memory), plus the total
-    squared reconstruction error. Codebooks train on a bounded
-    lowest-id sample (deterministic k-means, _pq_kmeans); the encode
-    itself runs on the Arrow path (S.pq_encode_arrow — bit-identical
-    math to the declarative pq_codes/pq_recon_error, vectorized over
-    rows) — row-local, zero shuffles at any corpus size."""
-    e = load_table(spark, sf_dir, "embeddings")
-    books = _pq_books_spark(spark, sf_dir)
-    enc = S.pq_encode_arrow(
-        e, books, vec_col="embedding", keep=["vec_id"], with_recon=True
-    )
-    return enc.select(
-        "vec_id",
-        F.array_join(
-            F.transform(F.col("codes"), lambda c: c.cast("string")), "-"
-        ).alias("pq_code"),
-        F.round("recon_err", 6).alias("recon_err"),
-    )
-
-
-def _knn_pq_adc_oracle() -> str:
-    vals = _pq_cb_values(_pq_books_for_oracle())
-    return f"""
-    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    cbp AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
-    {_adc_ctes('p', 'v0', 'cbp', n_probe=2)}
-    SELECT query_id, neighbor_id, rank, adc_score FROM app
-    """
-
-
-@query("emb_knn_pq_adc", _knn_pq_adc_oracle)
-def emb_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN with asymmetric distance computation: candidates
-    from the deterministic IVF cell probe (cell_id equi-join, the
-    only shuffle), scored against the PQ-compressed corpus via a
-    per-query 8x16 lookup table — m array lookups per candidate
-    instead of a 64-dim dot product. The faiss IVFPQ shape,
-    Spark-native."""
-    e = load_table(spark, sf_dir, "embeddings")
-    books = _pq_books_spark(spark, sf_dir)
-    return S.knn_ivf_pq(
-        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
-        e,
-        books,
-        id_col="vec_id",
-        vec_col="embedding",
-        k=3,
-        n_cells=8,
-        n_probe=2,
-    )
-
-
 # ---------------------------------------------------------------------------
 # ANN recall evals for the remaining tiers (LSH one above)
 # ---------------------------------------------------------------------------
-
-
-def _recall_frame(ex: DataFrame, ap: DataFrame, n_col: str) -> DataFrame:
-    """Shared recall@3 comparison: exact top-3 (query_id, neighbor_id)
-    vs an approximate method's top-3. Tiny query-keyed joins."""
-    na = ap.groupBy("query_id").agg(F.count("*").alias(n_col))
-    hit = ap.withColumn("hit", F.lit(1))
-    nm = (
-        ex.join(hit, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_match"))
-    )
-    return nm.join(na, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col(n_col), F.lit(0)).cast("bigint").alias(n_col),
-        F.col("n_match").cast("bigint").alias("n_match"),
-        F.round(F.col("n_match") / 3.0, 4).alias("recall_at_3"),
-    )
-
-
-def _recall_match_counts(ex: DataFrame, ap: DataFrame, name: str) -> DataFrame:
-    """Per-query count of approximate top-k hits inside the exact
-    top-k (the recall numerator), as a ``name`` column — the shared
-    counter of the head-to-head delta evals (emb_opq_recall_eval,
-    emb_multiprobe_recall_eval)."""
-    hit = ap.withColumn("hit", F.lit(1))
-    return (
-        ex.join(hit, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("bigint")
-            .alias(name)
-        )
-    )
-
-
-_IVF_RECALL_ORACLE = f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < 8),
-    cscored AS (SELECT v.vec_id, v.e, c.cell_id,
-                       {_COSINE_SQL.format(a="v.e", b="c.cv")} AS csim
-                FROM v CROSS JOIN cent c),
-    cassign AS (SELECT vec_id, e, cell_id,
-                       row_number() OVER (PARTITION BY vec_id
-                         ORDER BY csim DESC, cell_id ASC) AS rn
-                FROM cscored),
-    inv AS (SELECT vec_id AS neighbor_id, e AS ce, cell_id
-            FROM cassign WHERE rn = 1),
-    qry AS (SELECT vec_id AS query_id, e AS qe, cell_id
-            FROM cassign WHERE rn <= 2 AND vec_id >= 10 AND vec_id < 20),
-    ap_s AS (SELECT query_id, neighbor_id,
-                    {_COSINE_SQL.format(a="qe", b="ce")} AS csim
-             FROM qry JOIN inv USING (cell_id)
-             WHERE query_id <> neighbor_id),
-    ap AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ap_s) WHERE rank <= 3),
-    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v
-            WHERE vec_id >= 10 AND vec_id < 20),
-    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {_COSINE_SQL.format(a="qe", b="c.e")} AS csim
-             FROM q10 CROSS JOIN v c WHERE query_id <> c.vec_id),
-    ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ex_s) WHERE rank <= 3),
-    na AS (SELECT query_id, count(*) AS n_ivf FROM ap GROUP BY query_id),
-    nm AS (SELECT ex.query_id, count(ap.query_id) AS n_match
-           FROM ex LEFT JOIN ap
-             ON ex.query_id = ap.query_id
-            AND ex.neighbor_id = ap.neighbor_id
-           GROUP BY ex.query_id)
-    SELECT nm.query_id,
-           CAST(coalesce(na.n_ivf, 0) AS BIGINT) AS n_ivf,
-           CAST(nm.n_match AS BIGINT) AS n_match,
-           round(nm.n_match / 3.0, 4) AS recall_at_3
-    FROM nm LEFT JOIN na ON nm.query_id = na.query_id
-    """
-
-
-@query("emb_ivf_recall_eval", _IVF_RECALL_ORACLE)
-def emb_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of the IVF-flat tier (n_cells=8, n_probe=2 — the
-    emb_knn_ivf configuration) against exact top-3. Together with
-    emb_lsh_recall_eval this completes the pre-rollout recall ladder
-    across the ANN tiers; queries are vec_id 10..19, same as the ANN
-    catalog entries."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
-    ex = S.knn_exact(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    ap = S.knn_ivf(
-        q, e, id_col="vec_id", vec_col="embedding", k=3, n_cells=8, n_probe=2
-    ).select("query_id", "neighbor_id")
-    return _recall_frame(ex, ap, "n_ivf")
-
-
-@query(
-    "emb_ivf_cell_stats",
-    f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < 8),
-    cscored AS (SELECT v.vec_id, c.cell_id,
-                       {_COSINE_SQL.format(a="v.e", b="c.cv")} AS csim
-                FROM v CROSS JOIN cent c),
-    cassign AS (SELECT vec_id, cell_id,
-                       row_number() OVER (PARTITION BY vec_id
-                         ORDER BY csim DESC, cell_id ASC) AS rn
-                FROM cscored),
-    c AS (SELECT cell_id, count(*) AS n FROM cassign
-          WHERE rn = 1 GROUP BY 1),
-    t AS (SELECT sum(n) AS total FROM c)
-    SELECT cell_id, CAST(n AS BIGINT) AS n_vectors,
-           CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
-           CAST(n * 8 * 10000 // total AS BIGINT) AS load_x10000,
-           row_number() OVER (ORDER BY n DESC, cell_id ASC) = 1
-             AS is_hottest
-    FROM c, t
-    """,
-)
-def emb_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF inverted-list BALANCE audit (the emb_knn_ivf
-    configuration: stand-in centroids vec_id < 8, nearest-cell
-    assignment): per cell, its vector count, corpus share in integer
-    ppm, and load factor ×10⁴ (10000 = perfectly balanced; the
-    faiss `imbalance_factor` readout). This is the pre-rollout scale
-    gate the ANN recall ladder doesn't cover: at 100 TB a hot cell
-    IS a hot partition in every probe equi-join — nprobe queries
-    landing on a cell holding 5× its share pay 5× the rerank — and
-    the fix (re-train centroids, split hot cells) has to be decided
-    from THIS table before the index is built, not after the join
-    skews. Integer DIV everywhere, hottest-cell flag tie-broken on
-    cell_id; one Arrow assignment pass + an 8-key groupBy with the
-    1-row total broadcast back — corpus scanned once, no shuffle
-    beyond the 8-row aggregate."""
-    e = load_table(spark, sf_dir, "embeddings")
-    cent = S._centroid_frame(
-        e, id_col="vec_id", vec_col="embedding", n_cells=8, centroids=None
-    )
-    inv = S.nearest_cells_arrow(
-        e, cent, id_out="vid", id_col="vec_id", vec_col="embedding",
-        n_probe=1,
-    )
-    c = inv.groupBy("cell_id").agg(F.count("*").alias("n"))
-    t = c.agg(F.sum("n").alias("total"))
-    w = Window.orderBy(F.col("n").desc(), F.col("cell_id").asc())
-    return (
-        c.crossJoin(F.broadcast(t))
-        .select(
-            "cell_id",
-            F.col("n").cast("bigint").alias("n_vectors"),
-            F.expr("n * 1000000 DIV total").cast("bigint").alias("share_ppm"),
-            F.expr("n * 8 * 10000 DIV total")
-            .cast("bigint")
-            .alias("load_x10000"),
-            (F.row_number().over(w) == 1).alias("is_hottest"),
-        )
-    )
-
-
-def _pq_recall_oracle() -> str:
-    vals = _pq_cb_values(_pq_books_for_oracle())
-    cos = _COSINE_SQL
-    return f"""
-    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    cbp AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
-    {_adc_ctes('p', 'v0', 'cbp', n_probe=2)},
-    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v0
-            WHERE vec_id >= 10 AND vec_id < 20),
-    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {cos.format(a="qe", b="c.e")} AS csim
-             FROM q10 CROSS JOIN v0 c WHERE query_id <> c.vec_id),
-    ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ex_s) WHERE rank <= 3),
-    na AS (SELECT query_id, count(*) AS n_pq FROM app GROUP BY query_id),
-    nm AS (SELECT ex.query_id, count(app.query_id) AS n_match
-           FROM ex LEFT JOIN app
-             ON ex.query_id = app.query_id
-            AND ex.neighbor_id = app.neighbor_id
-           GROUP BY ex.query_id)
-    SELECT nm.query_id,
-           CAST(coalesce(na.n_pq, 0) AS BIGINT) AS n_pq,
-           CAST(nm.n_match AS BIGINT) AS n_match,
-           round(nm.n_match / 3.0, 4) AS recall_at_3
-    FROM nm LEFT JOIN na ON nm.query_id = na.query_id
-    """
-
-
-@query("emb_pq_recall_eval", _pq_recall_oracle)
-def emb_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of the IVF-PQ/ADC tier against exact top-3 — closes
-    the recall ladder across all three ANN tiers (LSH, IVF-flat,
-    IVF-PQ). ADC score ranking loses both to cell-probe misses and to
-    quantization error; this eval measures the compound effect, which
-    is the number a rollout decision actually needs."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
-    books = _pq_books_spark(spark, sf_dir)
-    ex = S.knn_exact(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    ap = S.knn_ivf_pq(
-        q, e, books, id_col="vec_id", vec_col="embedding",
-        k=3, n_cells=8, n_probe=2,
-    ).select("query_id", "neighbor_id")
-    return _recall_frame(ex, ap, "n_pq")
 
 
 # ---------------------------------------------------------------------------
@@ -3070,69 +1578,6 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Full faiss-style IVFPQ: trained cells + trained codebooks
 # ---------------------------------------------------------------------------
-
-
-@_functools.lru_cache(maxsize=8)
-def _ivf_cents_spark_cached(sf_dir: str) -> tuple:
-    from env_event_stream_spark.session import get_spark
-
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    e = load_table(get_spark("ivf-train"), sf_dir, "embeddings")
-    cents = S.train_ivf_centroids(
-        e, id_col="vec_id", vec_col="embedding", n_cells=10, n_iter=10
-    )
-    return tuple((cid, tuple(vec)) for cid, vec in cents)
-
-
-def _ivf_cents_spark(spark: SparkSession, sf_dir: str) -> list:
-    """One spherical-k-means training per sf_dir per process, shared
-    by emb_knn_ivf_trained-style queries (deterministic model — the
-    cache cannot change results)."""
-    del spark
-    return [(cid, list(vec)) for cid, vec in _ivf_cents_spark_cached(sf_dir)]
-
-
-def _knn_pq_trained_oracle() -> str:
-    cents = _ivf_cents_for_oracle(10, 10, 4096)
-    cent_vals = ", ".join(
-        "({}, [{}]::DOUBLE[])".format(
-            cid, ", ".join(repr(float(x)) for x in vec)
-        )
-        for cid, vec in enumerate(cents)
-    )
-    cb_vals = _pq_cb_values(_pq_books_for_oracle())
-    return f"""
-    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    cbp AS (SELECT * FROM (VALUES {cb_vals}) AS t(m, code, cv, cc)),
-    {_adc_ctes(
-        'p', 'v0', 'cbp', n_probe=3,
-        cent_sql=f"SELECT * FROM (VALUES {cent_vals}) AS t(cell_id, ccv)",
-    )}
-    SELECT query_id, neighbor_id, rank, adc_score FROM app
-    """
-
-
-@query("emb_knn_pq_trained", _knn_pq_trained_oracle)
-def emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete faiss IVFPQ recipe: TRAINED spherical-k-means
-    cells (data-distribution-following candidate lists, n_probe=3)
-    AND trained PQ codebooks (ADC scoring over 8-byte codes). Both
-    models are deterministic and cached per sf_dir; the lazy oracle
-    retrains both with pyarrow+numpy and inlines them as literals —
-    the whole two-model pipeline is value-hash verified."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_ivf_pq(
-        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
-        e,
-        _pq_books_spark(spark, sf_dir),
-        id_col="vec_id",
-        vec_col="embedding",
-        k=3,
-        n_cells=10,
-        n_probe=3,
-        centroids=_ivf_cents_spark(spark, sf_dir),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -3343,355 +1788,6 @@ def doc_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_functools.lru_cache(maxsize=8)
-def _opq_spark_cached(sf_dir: str) -> tuple:
-    from env_event_stream_spark.session import get_spark
-
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    e = load_table(get_spark("opq-train"), sf_dir, "embeddings")
-    R, books = S.train_opq(
-        e, id_col="vec_id", vec_col="embedding",
-        m=8, k=16, pq_iter=10, opq_iter=8,
-    )
-    return (
-        tuple(tuple(row) for row in R),
-        tuple(tuple(tuple(c) for c in book) for book in books),
-    )
-
-
-def _opq_model_spark(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
-    """One OPQ training per sf_dir per process, shared by the OPQ
-    catalog queries (deterministic model — caching cannot change
-    results)."""
-    del spark
-    R, books = _opq_spark_cached(sf_dir)
-    return (
-        [list(row) for row in R],
-        [[list(c) for c in book] for book in books],
-    )
-
-
-@_functools.lru_cache(maxsize=8)
-def _opq_oracle_cached(sf_dir: str) -> tuple:
-    X = _oracle_sample_matrix(4096)
-    R, books = S._opq_train(X, 8, 16, 10, 8)
-    return (
-        tuple(tuple(row) for row in R),
-        tuple(tuple(tuple(c) for c in book) for book in books),
-    )
-
-
-def _opq_for_oracle() -> tuple[list, list]:
-    """Rebuild (rotation, codebooks) with pyarrow + numpy only via the
-    SAME _opq_train core train_opq uses — bit-identical to the Spark
-    model, inlined as oracle literals (the _pq_books_for_oracle
-    pattern)."""
-    R, books = _opq_oracle_cached(_oracle_sf_dir())
-    return (
-        [list(row) for row in R],
-        [[list(c) for c in book] for book in books],
-    )
-
-
-def _rotate_row(R: list[list[float]], x: list[float]) -> list[float]:
-    """Driver-side twin of one rotate_arrow row: y_o = Σⱼ R[o,j]·xⱼ in
-    the same left-to-right fold (python float64 ops are bit-identical
-    to the numpy scalar sequence). Used to rotate the 8 stand-in
-    centroids WITHOUT dragging the whole corpus through the
-    MapInPandas rotation (a filter above a UDF does not push down, so
-    `rotated_corpus.where(vec_id < 8)` would rotate everything just
-    to collect 8 rows)."""
-    out = []
-    for row in R:
-        acc = 0.0
-        for rj, xj in zip(row, x):
-            acc = acc + rj * float(xj)
-        out.append(acc)
-    return out
-
-
-def _opq_rot_centroids(
-    spark: SparkSession, sf_dir: str, R: list[list[float]]
-) -> list[tuple[int, list[float]]]:
-    """The first-8-vector IVF stand-in cells, rotated driver-side —
-    8 collected rows instead of a full-corpus rotation job."""
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < 8)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    return [
-        (int(r.vec_id), _rotate_row(R, list(r.embedding)))
-        for r in sorted(rows, key=lambda r: r.vec_id)
-    ]
-
-
-def _opq_rot_values(R: list[list[float]]) -> str:
-    """VALUES rows (o, rv) — one row per OUTPUT dimension o holding
-    the o-th row of the rotation as DOUBLE[]; the oracle's rotated
-    component o is then list_dot_product(e, rv), the same sequential
-    fold rotate_arrow runs."""
-    return ", ".join(
-        "({}, [{}]::DOUBLE[])".format(
-            o, ", ".join(repr(float(x)) for x in row)
-        )
-        for o, row in enumerate(R)
-    )
-
-
-_OPQ_ROT_CTES = """
-    rcomp AS (SELECT v0.vec_id, r.o, list_dot_product(v0.e, r.rv) AS comp
-              FROM v0 CROSS JOIN rmat r),
-    vr AS (SELECT vec_id, list(comp ORDER BY o) AS e
-           FROM rcomp GROUP BY vec_id)
-"""
-
-
-def _adc_ctes(
-    s: str,
-    v: str,
-    cb: str,
-    *,
-    n_probe: int,
-    k_out: int = 3,
-    cent_sql: str | None = None,
-    residual: bool = False,
-) -> str:
-    """The IVF-PQ/ADC pipeline as suffixed CTEs (suffix ``s``) over a
-    vector view ``v`` and codebook view ``cb`` — THE single copy of
-    the value-critical ADC oracle text; every PQ-family oracle
-    (emb_knn_pq_adc, emb_pq_recall_eval, emb_knn_pq_trained, both OPQ
-    queries) is built from it, so the pipeline the oracles replay
-    cannot drift between them. Cells default to the first-8 vectors
-    of ``v`` (the stand-in centroid tier); pass ``cent_sql`` for a
-    trained-centroid VALUES body exposing (cell_id, ccv). Queries are
-    vec_id 10..19; final view ap{s} is the ADC top-``k_out``."""
-    cos = _COSINE_SQL
-    if cent_sql is None:
-        cent_sql = f"SELECT vec_id AS cell_id, e AS ccv FROM {v} WHERE vec_id < 8"
-    if residual:
-        # encode x - centroid(cell(x)); ADC adds <q, c_cell> (spelled
-        # `max(qc) + list_sum`, the Spark side's `qc + fold` order)
-        enc_src = f"""(SELECT a.vec_id,
-                    list_transform(range(1, 65),
-                                   i -> a.e[i] - c.ccv[i]) AS e
-             FROM cassign{s} a JOIN cent{s} c USING (cell_id)
-             WHERE a.rn = 1) res{s}"""
-        sub_cte = f"""sub{s} AS (SELECT vec_id, ms.m,
-                e[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
-            FROM {enc_src} CROSS JOIN ms)"""
-    else:
-        sub_cte = f"""sub{s} AS (SELECT vec_id, ms.m, e[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
-            FROM {v} CROSS JOIN ms)"""
-    qry_cols = "vec_id AS query_id, e AS qe, cell_id"
-    if residual:
-        qry_body = f"""SELECT a.vec_id AS query_id, a.e AS qe, a.cell_id,
-                   list_dot_product(a.e, c.ccv) AS qc
-            FROM cassign{s} a JOIN cent{s} c USING (cell_id)
-            WHERE a.rn <= {n_probe} AND a.vec_id >= 10 AND a.vec_id < 20"""
-        contrib_qc = ", q.qc AS qc"
-        sc_expr = "max(qc) + list_sum(list(val ORDER BY m))"
-    else:
-        qry_body = f"""SELECT {qry_cols}
-            FROM cassign{s}
-            WHERE rn <= {n_probe} AND vec_id >= 10 AND vec_id < 20"""
-        contrib_qc = ""
-        sc_expr = "list_sum(list(val ORDER BY m))"
-    return f"""
-    cent{s} AS ({cent_sql}),
-    cscored{s} AS (SELECT {v}.vec_id, {v}.e, c.cell_id,
-                       {cos.format(a=f"{v}.e", b="c.ccv")} AS csim
-                FROM {v} CROSS JOIN cent{s} c),
-    cassign{s} AS (SELECT vec_id, e, cell_id,
-                       row_number() OVER (PARTITION BY vec_id
-                         ORDER BY csim DESC, cell_id ASC) AS rn
-                FROM cscored{s}),
-    {sub_cte},
-    dists{s} AS (SELECT vec_id, sub{s}.m, c.code,
-                     -2.0 * list_dot_product(sv, c.cv) + c.cc AS obj
-              FROM sub{s} JOIN {cb} c ON c.m = sub{s}.m),
-    assign{s} AS (SELECT vec_id, m, code,
-                      row_number() OVER (PARTITION BY vec_id, m
-                                         ORDER BY obj ASC, code ASC) AS rn
-               FROM dists{s}),
-    codes{s} AS (SELECT vec_id, m, code FROM assign{s} WHERE rn = 1),
-    inv{s} AS (SELECT vec_id AS neighbor_id, cell_id
-               FROM cassign{s} WHERE rn = 1),
-    qry{s} AS ({qry_body}),
-    qsub{s} AS (SELECT query_id, cell_id, ms.m,
-                    qe[ms.m * 8 + 1 : ms.m * 8 + 8] AS qs{
-                        ", qc" if residual else ""}
-             FROM qry{s} CROSS JOIN ms),
-    contrib{s} AS (SELECT q.query_id, i.neighbor_id, q.m,
-                       list_dot_product(q.qs, c.cv) AS val{contrib_qc}
-                FROM qsub{s} q
-                JOIN inv{s} i ON i.cell_id = q.cell_id
-                JOIN codes{s} co
-                  ON co.vec_id = i.neighbor_id AND co.m = q.m
-                JOIN {cb} c ON c.m = q.m AND c.code = co.code
-                WHERE q.query_id <> i.neighbor_id),
-    adcs{s} AS (SELECT query_id, neighbor_id,
-                   {sc_expr} AS sc
-            FROM contrib{s} GROUP BY query_id, neighbor_id),
-    ap{s} AS (SELECT query_id, neighbor_id, rank, adc_score FROM (
-             SELECT query_id, neighbor_id,
-                    CAST(row_number() OVER (PARTITION BY query_id
-                      ORDER BY sc DESC, neighbor_id ASC) AS BIGINT) AS rank,
-                    round(sc, 6) AS adc_score
-             FROM adcs{s}) WHERE rank <= {k_out})
-    """
-
-
-def _knn_opq_adc_oracle() -> str:
-    R, books = _opq_for_oracle()
-    return f"""
-    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    rmat AS (SELECT * FROM (VALUES {_opq_rot_values(R)}) AS t(o, rv)),
-    {_OPQ_ROT_CTES},
-    cbo AS (SELECT * FROM (VALUES {_pq_cb_values(books)})
-            AS t(m, code, cv, cc)),
-    {_adc_ctes('o', 'vr', 'cbo', n_probe=2)}
-    SELECT query_id, neighbor_id, rank, adc_score FROM apo
-    """
-
-
-@query("emb_knn_opq_adc", _knn_opq_adc_oracle)
-def emb_knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPQ ANN search (Ge et al., CVPR'13 — the faiss OPQMatrix+PQ
-    recipe): a learned orthogonal rotation R aligns the data with the
-    product-subspace axes before PQ, cutting quantization distortion
-    (0.449 vs 0.539 on this corpus) without touching exact cosine
-    geometry (R is orthogonal). The pipeline is the emb_knn_pq_adc
-    shape with one extra ROW-LOCAL MapInPandas rotation stage (zero
-    shuffles added at any scale): rotate corpus+queries, IVF cell
-    probe in rotated space (identical cells — cosine is rotation-
-    invariant), PQ-encode, ADC top-3. Both the rotation and the
-    rotated codebooks are deterministic trained models, literal-
-    inlined into the lazy oracle and value-hash verified."""
-    e = load_table(spark, sf_dir, "embeddings")
-    R, books = _opq_model_spark(spark, sf_dir)
-    e_rot = S.rotate_arrow(e, R, vec_col="embedding", keep=["vec_id"])
-    # queries: filter BELOW the rotation (row-local 1:1, so
-    # filter∘rotate ≡ rotate∘filter — but the filtered form rotates 10
-    # rows, not the corpus); cells: rotated driver-side from 8
-    # collected rows for the same reason.
-    q_rot = S.rotate_arrow(
-        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
-        R,
-        vec_col="embedding",
-        keep=["vec_id"],
-    )
-    return S.knn_ivf_pq(
-        q_rot,
-        e_rot,
-        books,
-        id_col="vec_id",
-        vec_col="embedding",
-        k=3,
-        n_cells=8,
-        n_probe=2,
-        centroids=_opq_rot_centroids(spark, sf_dir, R),
-    )
-
-
-def _opq_recall_oracle() -> str:
-    R, books_opq = _opq_for_oracle()
-    books_pq = _pq_books_for_oracle()
-    cos = _COSINE_SQL
-    return f"""
-    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    cbp AS (SELECT * FROM (VALUES {_pq_cb_values(books_pq)})
-            AS t(m, code, cv, cc)),
-    {_adc_ctes('p', 'v0', 'cbp', n_probe=2)},
-    rmat AS (SELECT * FROM (VALUES {_opq_rot_values(R)}) AS t(o, rv)),
-    {_OPQ_ROT_CTES},
-    cbo AS (SELECT * FROM (VALUES {_pq_cb_values(books_opq)})
-            AS t(m, code, cv, cc)),
-    {_adc_ctes('o', 'vr', 'cbo', n_probe=2)},
-    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v0
-            WHERE vec_id >= 10 AND vec_id < 20),
-    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {cos.format(a="qe", b="c.e")} AS csim
-             FROM q10 CROSS JOIN v0 c WHERE query_id <> c.vec_id),
-    ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ex_s) WHERE rank <= 3),
-    nmp AS (SELECT ex.query_id, count(app.query_id) AS n_match_pq
-           FROM ex LEFT JOIN app
-             ON ex.query_id = app.query_id
-            AND ex.neighbor_id = app.neighbor_id
-           GROUP BY ex.query_id),
-    nmo AS (SELECT ex.query_id, count(apo.query_id) AS n_match_opq
-           FROM ex LEFT JOIN apo
-             ON ex.query_id = apo.query_id
-            AND ex.neighbor_id = apo.neighbor_id
-           GROUP BY ex.query_id)
-    SELECT nmp.query_id,
-           CAST(nmp.n_match_pq AS BIGINT) AS n_match_pq,
-           CAST(nmo.n_match_opq AS BIGINT) AS n_match_opq,
-           round(nmp.n_match_pq / 3.0, 4) AS recall_pq_at_3,
-           round(nmo.n_match_opq / 3.0, 4) AS recall_opq_at_3,
-           round((nmo.n_match_opq - nmp.n_match_pq) / 3.0, 4)
-             AS recall_delta
-    FROM nmp JOIN nmo ON nmp.query_id = nmo.query_id
-    """
-
-
-@query("emb_opq_recall_eval", _opq_recall_oracle)
-def emb_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Head-to-head recall@3 of plain PQ vs OPQ under the IDENTICAL
-    pipeline (same sample, same m=8 x k=16 budget, same first-8-cell
-    probe — the rotation is the ONLY variable), per query, with the
-    delta as a column: the number that justifies shipping the extra
-    rotation stage. 0.10 -> 0.27 mean recall on this corpus; both
-    approximate sides and the exact baseline are value-hash verified
-    against the literal-inlined retrained models."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
-    R, books_opq = _opq_model_spark(spark, sf_dir)
-    books_pq = _pq_books_spark(spark, sf_dir)
-    e_rot = S.rotate_arrow(e, R, vec_col="embedding", keep=["vec_id"])
-    # filter below the rotation + driver-rotated cells (see
-    # emb_knn_opq_adc) — the corpus is rotated exactly once, for the
-    # inverted list it actually needs
-    q_rot = S.rotate_arrow(
-        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
-        R,
-        vec_col="embedding",
-        keep=["vec_id"],
-    )
-    ex = S.knn_exact(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    app = S.knn_ivf_pq(
-        q, e, books_pq, id_col="vec_id", vec_col="embedding",
-        k=3, n_cells=8, n_probe=2,
-    ).select("query_id", "neighbor_id")
-    apo = S.knn_ivf_pq(
-        q_rot, e_rot, books_opq, id_col="vec_id", vec_col="embedding",
-        k=3, n_cells=8, n_probe=2,
-        centroids=_opq_rot_centroids(spark, sf_dir, R),
-    ).select("query_id", "neighbor_id")
-
-    nmp = _recall_match_counts(ex, app, "n_match_pq")
-    nmo = _recall_match_counts(ex, apo, "n_match_opq")
-    return nmp.join(nmo, "query_id").select(
-        "query_id",
-        "n_match_pq",
-        "n_match_opq",
-        F.round(F.col("n_match_pq") / 3.0, 4).alias("recall_pq_at_3"),
-        F.round(F.col("n_match_opq") / 3.0, 4).alias("recall_opq_at_3"),
-        F.round(
-            (F.col("n_match_opq") - F.col("n_match_pq")) / 3.0, 4
-        ).alias("recall_delta"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # DSIR — data selection via importance resampling (Xie et al., 2023)
 # ---------------------------------------------------------------------------
@@ -3886,145 +1982,9 @@ def doc_repeated_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _multiprobe_recall_oracle() -> str:
-    planes = S.hyperplanes()
-    flips = ", ".join(
-        _flip_sql("lsh_sig", pos, 8) for pos in S.probe_signatures(8, 2)
-    )
-    cos = _COSINE_SQL
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sig AS (SELECT vec_id, e, {_plane_sql("e", planes)} AS lsh_sig FROM v),
-    q AS (SELECT vec_id AS query_id, e AS qv, lsh_sig FROM sig
-          WHERE vec_id < 10),
-    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {cos.format(a="qv", b="c.e")} AS csim
-             FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
-    ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ex_s) WHERE rank <= 3),
-    ls_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {cos.format(a="qv", b="c.e")} AS csim
-             FROM q JOIN sig c USING (lsh_sig) WHERE query_id <> c.vec_id),
-    lr AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ls_s) WHERE rank <= 3),
-    probes AS (SELECT query_id, qv, unnest([{flips}]) AS lsh_sig FROM q),
-    mp_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {cos.format(a="qv", b="c.e")} AS csim
-             FROM probes JOIN sig c USING (lsh_sig)
-             WHERE query_id <> c.vec_id),
-    mp AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM mp_s) WHERE rank <= 3),
-    nl AS (SELECT ex.query_id, count(lr.query_id) AS n_match_lsh
-           FROM ex LEFT JOIN lr
-             ON ex.query_id = lr.query_id
-            AND ex.neighbor_id = lr.neighbor_id
-           GROUP BY ex.query_id),
-    nm AS (SELECT ex.query_id, count(mp.query_id) AS n_match_mp
-           FROM ex LEFT JOIN mp
-             ON ex.query_id = mp.query_id
-            AND ex.neighbor_id = mp.neighbor_id
-           GROUP BY ex.query_id)
-    SELECT nl.query_id,
-           CAST(nl.n_match_lsh AS BIGINT) AS n_match_lsh,
-           CAST(nm.n_match_mp AS BIGINT) AS n_match_mp,
-           round(nl.n_match_lsh / 3.0, 4) AS recall_lsh_at_3,
-           round(nm.n_match_mp / 3.0, 4) AS recall_mp_at_3,
-           round((nm.n_match_mp - nl.n_match_lsh) / 3.0, 4)
-             AS recall_delta
-    FROM nl JOIN nm ON nl.query_id = nm.query_id
-    """
-
-
-@query("emb_multiprobe_recall_eval", _multiprobe_recall_oracle)
-def emb_multiprobe_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Head-to-head recall@3 of single-bucket LSH vs Hamming-≤2
-    multi-probe (37 probes/query) under the same signatures and
-    rerank — the per-query delta quantifies what the extra probes buy
-    (the emb_opq_recall_eval pattern applied to the LSH tier). The
-    corpus side keeps ONE signature row either way; only the 10-query
-    side explodes."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 10)
-    ex = S.knn_exact(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    ap_l = S.knn_lsh(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    ap_m = S.knn_lsh_multiprobe(
-        q, e, id_col="vec_id", vec_col="embedding", k=3, n_flips=2
-    ).select("query_id", "neighbor_id")
-
-    nl = _recall_match_counts(ex, ap_l, "n_match_lsh")
-    nm = _recall_match_counts(ex, ap_m, "n_match_mp")
-    return nl.join(nm, "query_id").select(
-        "query_id",
-        "n_match_lsh",
-        "n_match_mp",
-        F.round(F.col("n_match_lsh") / 3.0, 4).alias("recall_lsh_at_3"),
-        F.round(F.col("n_match_mp") / 3.0, 4).alias("recall_mp_at_3"),
-        F.round(
-            (F.col("n_match_mp") - F.col("n_match_lsh")) / 3.0, 4
-        ).alias("recall_delta"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # Persisted IVF-PQ index — build once, search from parquet
 # ---------------------------------------------------------------------------
-
-
-@_functools.lru_cache(maxsize=8)
-def _ivfpq_index_dir(sf_dir: str) -> str:
-    """Build the persisted IVF-PQ index once per sf_dir per process
-    (training is deterministic, so caching cannot change results)."""
-    import tempfile
-
-    from env_event_stream_spark.session import get_spark
-
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    path = tempfile.mkdtemp(prefix="ivfpq_index_")
-    spark = get_spark("ivfpq-index")
-    e = load_table(spark, sf_dir, "embeddings")
-    # reuse the per-sf_dir cached models (the ones emb_knn_pq_trained
-    # trains with identical hyperparameters) instead of retraining —
-    # one k-means per process, and one place that owns the params
-    S.build_ivfpq_index(
-        e, path, id_col="vec_id", vec_col="embedding",
-        cents=_ivf_cents_spark(spark, sf_dir),
-        books=_pq_books_spark(spark, sf_dir),
-    )
-    return path
-
-
-@query("emb_knn_pq_persisted", _knn_pq_trained_oracle)
-def emb_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The emb_knn_pq_trained search served from a PERSISTED index:
-    build_ivfpq_index materializes the trained cells + codebooks +
-    PQ-encoded corpus as parquet partitioned by cell_id (once per
-    process), then search_ivfpq_index probes it — the probe cells
-    arrive as literal partition filters, so the scan reads
-    n_probe/n_cells of the index files (pruning pinned by plan test).
-    Same deterministic models and the same _adc_topk scoring tail as
-    the live query, hence the SAME oracle — value-hash equality of
-    the live and persisted paths is the round-trip proof."""
-    path = _ivfpq_index_dir(sf_dir)
-    q = load_table(spark, sf_dir, "embeddings").where(
-        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
-    )
-    return S.search_ivfpq_index(
-        spark, path, q, id_col="vec_id", vec_col="embedding",
-        k=3, n_probe=3,
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -4083,183 +2043,9 @@ def doc_phrase_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _knn_pq_rerank_oracle() -> str:
-    vals = _pq_cb_values(_pq_books_for_oracle())
-    cos = _COSINE_SQL
-    return f"""
-    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    cbp AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
-    {_adc_ctes('p', 'v0', 'cbp', n_probe=2, k_out=10)},
-    rr AS (SELECT a.query_id, a.neighbor_id,
-                  {cos.format(a="q.e", b="c.e")} AS csim
-           FROM app a
-           JOIN v0 q ON q.vec_id = a.query_id
-           JOIN v0 c ON c.vec_id = a.neighbor_id)
-    SELECT query_id, neighbor_id, rank, sim FROM (
-      SELECT query_id, neighbor_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY csim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-             round(csim, 6) AS sim
-      FROM rr) WHERE rank <= 3
-    """
-
-
-@query("emb_knn_pq_rerank", _knn_pq_rerank_oracle)
-def emb_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage ANN (faiss IndexRefineFlat shape): IVF-PQ/ADC
-    proposes 10 candidates per query from the compressed index, then
-    ONLY those ids fetch their full-precision vectors (broadcast of
-    the |Q|x10 candidate list against the corpus — no new corpus
-    shuffle) for an exact cosine re-rank to top-3. ADC's quantization
-    error stops being a ranking error; what remains is candidate-miss
-    risk, which emb_pq_rerank_recall_eval measures."""
-    e = load_table(spark, sf_dir, "embeddings")
-    books = _pq_books_spark(spark, sf_dir)
-    return S.knn_ivf_pq_rerank(
-        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
-        e,
-        books,
-        id_col="vec_id",
-        vec_col="embedding",
-        k=3,
-        r_cand=10,
-        n_cells=8,
-        n_probe=2,
-    )
-
-
-def _pq_rerank_recall_oracle() -> str:
-    vals = _pq_cb_values(_pq_books_for_oracle())
-    cos = _COSINE_SQL
-    return f"""
-    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    cbp AS (SELECT * FROM (VALUES {vals}) AS t(m, code, cv, cc)),
-    {_adc_ctes('p', 'v0', 'cbp', n_probe=2, k_out=10)},
-    adc3 AS (SELECT query_id, neighbor_id FROM app WHERE rank <= 3),
-    rr_s AS (SELECT a.query_id, a.neighbor_id,
-                    {cos.format(a="q.e", b="c.e")} AS csim
-             FROM app a
-             JOIN v0 q ON q.vec_id = a.query_id
-             JOIN v0 c ON c.vec_id = a.neighbor_id),
-    rr3 AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY csim DESC, neighbor_id ASC) AS rank
-              FROM rr_s) WHERE rank <= 3),
-    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v0
-            WHERE vec_id >= 10 AND vec_id < 20),
-    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {cos.format(a="qe", b="c.e")} AS csim
-             FROM q10 CROSS JOIN v0 c WHERE query_id <> c.vec_id),
-    ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ex_s) WHERE rank <= 3),
-    nma AS (SELECT ex.query_id, count(adc3.query_id) AS n_match_adc
-            FROM ex LEFT JOIN adc3
-              ON ex.query_id = adc3.query_id
-             AND ex.neighbor_id = adc3.neighbor_id
-            GROUP BY ex.query_id),
-    nmr AS (SELECT ex.query_id, count(rr3.query_id) AS n_match_rerank
-            FROM ex LEFT JOIN rr3
-              ON ex.query_id = rr3.query_id
-             AND ex.neighbor_id = rr3.neighbor_id
-            GROUP BY ex.query_id)
-    SELECT nma.query_id,
-           CAST(nma.n_match_adc AS BIGINT) AS n_match_adc,
-           CAST(nmr.n_match_rerank AS BIGINT) AS n_match_rerank,
-           round(nma.n_match_adc / 3.0, 4) AS recall_adc_at_3,
-           round(nmr.n_match_rerank / 3.0, 4) AS recall_rerank_at_3,
-           round((nmr.n_match_rerank - nma.n_match_adc) / 3.0, 4)
-             AS recall_delta
-    FROM nma JOIN nmr ON nma.query_id = nmr.query_id
-    """
-
-
-@query("emb_pq_rerank_recall_eval", _pq_rerank_recall_oracle)
-def emb_pq_rerank_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Head-to-head recall@3: plain ADC ranking vs the exact re-rank
-    over the SAME 10-candidate pool (the refine stage is the only
-    variable). The delta isolates how much of PQ's recall loss is
-    RANKING error (recoverable by refine, almost free) versus
-    candidate-miss (recoverable only by more probes or better
-    codebooks, cf. emb_opq_recall_eval) — the number that decides
-    whether to ship a refine stage or retrain the quantizer."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
-    books = _pq_books_spark(spark, sf_dir)
-    ex = S.knn_exact(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    adc3 = S.knn_ivf_pq(
-        q, e, books, id_col="vec_id", vec_col="embedding",
-        k=3, n_cells=8, n_probe=2,
-    ).select("query_id", "neighbor_id")
-    rr3 = S.knn_ivf_pq_rerank(
-        q, e, books, id_col="vec_id", vec_col="embedding",
-        k=3, r_cand=10, n_cells=8, n_probe=2,
-    ).select("query_id", "neighbor_id")
-    nma = _recall_match_counts(ex, adc3, "n_match_adc")
-    nmr = _recall_match_counts(ex, rr3, "n_match_rerank")
-    return nma.join(nmr, "query_id").select(
-        "query_id",
-        "n_match_adc",
-        "n_match_rerank",
-        F.round(F.col("n_match_adc") / 3.0, 4).alias("recall_adc_at_3"),
-        F.round(F.col("n_match_rerank") / 3.0, 4).alias("recall_rerank_at_3"),
-        F.round(
-            (F.col("n_match_rerank") - F.col("n_match_adc")) / 3.0, 4
-        ).alias("recall_delta"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # SemDeDup — semantic dedup scoped to embedding clusters
 # ---------------------------------------------------------------------------
-
-
-def _semdedup_oracle(n_cells: int = 8, tau: float = 0.3) -> str:
-    cos = _COSINE_SQL
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < {n_cells}),
-    sc AS (SELECT v.vec_id, v.e, c.cell_id,
-                  {cos.format(a="v.e", b="c.cv")} AS cs
-           FROM v CROSS JOIN cent c),
-    a AS (SELECT vec_id, e, cell_id, cs FROM (
-            SELECT vec_id, e, cell_id, cs,
-                   row_number() OVER (PARTITION BY vec_id
-                     ORDER BY cs DESC, cell_id ASC) AS rn
-            FROM sc) WHERE rn = 1),
-    dom AS (SELECT DISTINCT y.vec_id AS victim
-            FROM a x JOIN a y
-              ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
-            WHERE {cos.format(a="x.e", b="y.e")} > {tau}
-              AND (x.cs < y.cs
-                   OR (x.cs = y.cs AND x.vec_id < y.vec_id)))
-    SELECT a.vec_id, a.cell_id, round(a.cs, 6) AS cent_sim,
-           (d.victim IS NULL) AS keep
-    FROM a LEFT JOIN dom d ON d.victim = a.vec_id
-    """
-
-
-@query("emb_semdedup", _semdedup_oracle())
-def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) keep/drop verdict per vector:
-    cluster-scoped semantic dedup — nearest-cell assignment (Arrow
-    probe, zero shuffle), within-cell cosine > 0.3 pairs, keep the
-    member LESS similar to its centroid (the paper's max-diversity
-    rule). One cell_id self-equi-join bounds candidates by cell
-    population; the corpus never cross-joins itself (plan-pinned).
-    Threshold matches emb_dup_clusters' 0.3 so the two strategies'
-    verdicts are directly comparable on this corpus."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.3, n_cells=8
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -4607,126 +2393,6 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-space corpus curation: OOD outliers + cluster-balanced sampling
 # ---------------------------------------------------------------------------
-
-_CELL_ASSIGN_CTES = f"""
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < 8),
-    scored AS (
-      SELECT v.vec_id, c.cell_id,
-             {_COSINE_SQL.format(a="v.e", b="c.cv")} AS csim
-      FROM v CROSS JOIN cent c
-    ),
-    assign AS (
-      SELECT vec_id, cell_id, csim,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY csim DESC, cell_id ASC) AS rn
-      FROM scored
-    ),
-    m AS (SELECT vec_id, cell_id, csim FROM assign WHERE rn = 1)
-"""
-
-
-def _cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cell_id, csim) for every corpus vector against the
-    deterministic 8-cell coarse quantizer (first-8-ids stand-in, same
-    contract as emb_knn_ivf). The centroid table is 8 rows and
-    broadcast — the crossJoin is |corpus| × 8 row-local probes inside
-    whole-stage codegen, never a shuffle of the corpus."""
-    from env_event_stream_spark.functions.vectors import as_double, dot, l2_norm
-    from env_event_stream_spark.operators.similarity import _centroid_frame
-
-    e = load_table(spark, sf_dir, "embeddings")
-    cent = _centroid_frame(
-        e, id_col="vec_id", vec_col="embedding", n_cells=8, centroids=None
-    )
-    v = e.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v")))
-    scored = v.crossJoin(F.broadcast(cent)).withColumn(
-        "csim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cell_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cell_id", "csim")
-    )
-
-
-@query(
-    "emb_centroid_outliers",
-    f"""
-    WITH {_CELL_ASSIGN_CTES}
-    SELECT vec_id, cell_id, round(csim, 6) AS sim
-    FROM m
-    ORDER BY round(csim, 6) ASC, vec_id ASC
-    LIMIT 20
-    """,
-)
-def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space OOD detection: every vector's similarity to
-    its NEAREST coarse-quantizer centroid, lowest-20 reported — the
-    cheap distance-to-manifold filter that flags mislabeled, corrupt,
-    or genuinely out-of-distribution examples before they enter a
-    training mix (same signal SemDeDup-style pipelines use to prune
-    "no cluster wants this" points). Plan: 8 broadcast centroid
-    probes per row + a per-vector rn=1 window, then TakeOrdered 20 on
-    the 6dp-rounded similarity (deterministic vec_id tie-break) — the
-    corpus never shuffles for scoring, only |cells| rows per
-    partition reach the final top-k heap."""
-    a = _cell_assignments(spark, sf_dir)
-    return (
-        a.select("vec_id", "cell_id", F.round("csim", 6).alias("sim"))
-        .orderBy(F.col("sim").asc(), F.col("vec_id").asc())
-        .limit(20)
-    )
-
-
-@query(
-    "emb_cluster_sample",
-    f"""
-    WITH {_CELL_ASSIGN_CTES},
-    h AS (SELECT vec_id, cell_id,
-                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-                   AS hv
-          FROM m),
-    p AS (SELECT vec_id, cell_id,
-                 row_number() OVER (PARTITION BY cell_id
-                                    ORDER BY hv ASC, vec_id ASC) AS pick
-          FROM h)
-    SELECT cell_id, CAST(pick AS BIGINT) AS pick, vec_id
-    FROM p WHERE pick <= 4
-    """,
-)
-def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-balanced diversity sampling: assign every vector to
-    its coarse cell, then draw a fixed per-cell quota (4) by md5-hash
-    order — the "cluster then sample uniformly within cluster" recipe
-    that keeps a subsample topically diverse instead of letting the
-    head cluster dominate (the D4/SemDeDup-adjacent selection step).
-    The hash draw is a pure function of vec_id, so the sample is
-    reproducible across runs, engines, and repartitioning — no
-    sampling state. Plan: row-local broadcast cell-assign (see
-    _cell_assignments), then one shuffle on cell_id for the per-cell
-    row_number; at 100 TB the quota window is per-cell-partition
-    top-k, never a global sort."""
-    a = _cell_assignments(spark, sf_dir)
-    h = a.withColumn(
-        "hv",
-        F.conv(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint"),
-    )
-    w = Window.partitionBy("cell_id").orderBy(
-        F.col("hv").asc(), F.col("vec_id").asc()
-    )
-    return (
-        h.withColumn("pick", F.row_number().over(w))
-        .where(F.col("pick") <= 4)
-        .select("cell_id", F.col("pick").cast("bigint").alias("pick"), "vec_id")
-    )
 
 
 @query(
@@ -5457,52 +3123,6 @@ def doc_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_functools.lru_cache(maxsize=8)
-def _opq_index_dir(sf_dir: str) -> str:
-    """Build the persisted OPQ-rotated IVF-PQ index once per sf_dir
-    per process (deterministic models — caching cannot change
-    results)."""
-    import tempfile
-
-    from env_event_stream_spark.session import get_spark
-
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    path = tempfile.mkdtemp(prefix="opq_index_")
-    spark = get_spark("opq-index")
-    e = load_table(spark, sf_dir, "embeddings")
-    R, books = _opq_model_spark(spark, sf_dir)
-    # cents/books are rotated-space models: the same rotated stand-in
-    # cells and OPQ codebooks the live emb_knn_opq_adc uses
-    S.build_ivfpq_index(
-        e, path, id_col="vec_id", vec_col="embedding",
-        cents=_opq_rot_centroids(spark, sf_dir, R),
-        books=books,
-        rotation=R,
-    )
-    return path
-
-
-@query("emb_knn_opq_persisted", _knn_opq_adc_oracle)
-def emb_knn_opq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The emb_knn_opq_adc search served from a PERSISTED index: the
-    rotation ships in the model sidecar, the corpus is rotated ONCE
-    at build (then encoded + partitioned by cell), and every search
-    rotates only its queries before the pruned-partition probe — the
-    operational shape of a deployed OPQ index (faiss "OPQ..,IVF..,PQ.."
-    written to disk). Same deterministic models and scoring tail as
-    the live query, hence the SAME oracle — live/persisted value-hash
-    equality is the round-trip proof (the emb_knn_pq_persisted
-    pattern, one rung up the ladder)."""
-    path = _opq_index_dir(sf_dir)
-    q = load_table(spark, sf_dir, "embeddings").where(
-        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
-    )
-    return S.search_ivfpq_index(
-        spark, path, q, id_col="vec_id", vec_col="embedding",
-        k=3, n_probe=2,
-    )
-
-
 # ---------------------------------------------------------------------------
 # Exact-substring dedup (Lee et al. 2022 "Deduplicating Training Data
 # Makes Language Models Better", the exactsubstr rung): longest common
@@ -6200,66 +3820,6 @@ def _ngram_array_3(tk):
     return _ngram_array(tk, 3)
 
 
-_bin_recall_oracle = f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sig AS (SELECT vec_id, e, {_bsig_sql("e")} AS bsig FROM v),
-    q AS (SELECT vec_id AS query_id, e AS qv, bsig AS qsig FROM sig
-          WHERE vec_id < 10),
-    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {_COSINE_SQL.format(a="qv", b="c.e")} AS csim
-             FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
-    ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ex_s) WHERE rank <= 3),
-    h AS (SELECT query_id, c.vec_id AS neighbor_id, qv, c.e AS cv,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY bit_count(xor(qsig, c.bsig)) ASC,
-                            c.vec_id ASC) AS hrn
-          FROM q JOIN sig c ON query_id <> c.vec_id),
-    s AS (SELECT query_id, neighbor_id,
-                 {_COSINE_SQL.format(a="qv", b="cv")} AS csim
-          FROM h WHERE hrn <= 32),
-    br AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM s) WHERE rank <= 3),
-    nb AS (SELECT query_id, count(*) AS n_bin FROM br GROUP BY query_id),
-    nm AS (SELECT ex.query_id, count(br.query_id) AS n_match
-           FROM ex LEFT JOIN br
-             ON ex.query_id = br.query_id
-            AND ex.neighbor_id = br.neighbor_id
-           GROUP BY ex.query_id)
-    SELECT nm.query_id,
-           CAST(coalesce(nb.n_bin, 0) AS BIGINT) AS n_bin,
-           CAST(nm.n_match AS BIGINT) AS n_match,
-           round(nm.n_match / 3.0, 4) AS recall_at_3
-    FROM nm LEFT JOIN nb ON nm.query_id = nb.query_id
-    """
-
-
-@query("emb_binary_recall_eval", _bin_recall_oracle)
-def emb_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of the binary-quantize+rescore tier (emb_knn_binary:
-    64-bit Hamming shortlist of 32, exact rerank) against exact
-    brute force — the last missing rung of the pre-rollout recall
-    ladder (LSH / multiprobe / IVF / PQ / OPQ / rerank already
-    measured). BQ's shortlist scans signature bytes at 1/64 the
-    float cost, so its recall-per-byte is the number to compare
-    against PQ's."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 10)
-    ex = S.knn_exact(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    ap = S.knn_binary(
-        q, e, id_col="vec_id", vec_col="embedding", k=3, shortlist=32
-    ).select("query_id", "neighbor_id")
-    return _recall_frame(ex, ap, "n_bin")
-
-
 # ---------------------------------------------------------------------------
 # Group-aware train/val/test split with a dedup-leakage guard — the
 # eval-hygiene twin of decontamination: a naive per-doc hash split
@@ -6672,194 +4232,6 @@ def doc_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").cast("bigint").alias("n_in_source"),
             "zscore",
         )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Residual IVF-PQ (true faiss IndexIVFPQ semantics): PQ over
-# x - centroid(cell(x)) — same 8-byte budget spent on what the
-# coarse quantizer couldn't explain.
-# ---------------------------------------------------------------------------
-
-
-@_functools.lru_cache(maxsize=8)
-def _pq_res_books_cached(sf_dir: str) -> tuple:
-    import numpy as np
-
-    X = _oracle_sample_matrix(4096)
-    cents = _ivf_cents_for_oracle(10, 10, 4096)
-    R = S.residual_assign(
-        np.asarray(X, dtype=np.float64),
-        list(enumerate([list(c) for c in cents])),
-    )
-    return tuple(
-        tuple(tuple(c) for c in book)
-        for book in S._pq_kmeans(R, 8, 16, 10)
-    )
-
-
-def _pq_res_books_for_oracle() -> list[list[list[float]]]:
-    """Residual codebooks rebuilt with pyarrow+numpy only, via the
-    SAME residual_assign + _pq_kmeans cores the Spark trainer uses —
-    bit-identical, inlineable as literals."""
-    books = _pq_res_books_cached(_oracle_sf_dir())
-    return [[list(c) for c in book] for book in books]
-
-
-@_functools.lru_cache(maxsize=8)
-def _pq_res_books_spark_cached(sf_dir: str) -> tuple:
-    from env_event_stream_spark.session import get_spark
-
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    e = load_table(get_spark("pqres-train"), sf_dir, "embeddings")
-    cents = _ivf_cents_spark(None, sf_dir)
-    return tuple(
-        tuple(tuple(c) for c in book)
-        for book in S.train_pq_codebooks_residual(
-            e, cents, id_col="vec_id", vec_col="embedding",
-            m=8, k=16, n_iter=10,
-        )
-    )
-
-
-def _pq_res_books_spark(spark: SparkSession, sf_dir: str) -> list:
-    del spark
-    books = _pq_res_books_spark_cached(sf_dir)
-    return [[list(c) for c in book] for book in books]
-
-
-def _knn_pq_residual_oracle() -> str:
-    cents = _ivf_cents_for_oracle(10, 10, 4096)
-    cent_vals = ", ".join(
-        "({}, [{}]::DOUBLE[])".format(
-            cid, ", ".join(repr(float(x)) for x in vec)
-        )
-        for cid, vec in enumerate(cents)
-    )
-    cb_vals = _pq_cb_values(_pq_res_books_for_oracle())
-    return f"""
-    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    cbr AS (SELECT * FROM (VALUES {cb_vals}) AS t(m, code, cv, cc)),
-    {_adc_ctes(
-        'r', 'v0', 'cbr', n_probe=3, residual=True,
-        cent_sql=f"SELECT * FROM (VALUES {cent_vals}) AS t(cell_id, ccv)",
-    )}
-    SELECT query_id, neighbor_id, rank, adc_score FROM apr
-    """
-
-
-@query("emb_knn_pq_residual", _knn_pq_residual_oracle)
-def emb_knn_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ with RESIDUAL encoding — the true faiss IndexIVFPQ
-    semantics (emb_knn_pq_trained encodes raw vectors; this encodes
-    x − centroid(cell), so the codebooks model the part of each
-    vector the coarse quantizer couldn't explain, the classic recall
-    win at the same 8-byte budget). ADC adds <q, c_cell> to the
-    residual LUT sum. Same plan shape — the residual twist is one
-    vectorized subtraction inside the row-local Arrow encode and one
-    broadcast join for the query-side cell dots; zero extra
-    shuffles. Both models (trained cells + residual books) are
-    literal-inlined into the lazy oracle and value-hash verified."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_ivf_pq_residual(
-        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
-        e,
-        _pq_res_books_spark(spark, sf_dir),
-        id_col="vec_id",
-        vec_col="embedding",
-        k=3,
-        n_probe=3,
-        centroids=_ivf_cents_spark(spark, sf_dir),
-    )
-
-
-def _pq_residual_recall_oracle() -> str:
-    cents = _ivf_cents_for_oracle(10, 10, 4096)
-    cent_vals = ", ".join(
-        "({}, [{}]::DOUBLE[])".format(
-            cid, ", ".join(repr(float(x)) for x in vec)
-        )
-        for cid, vec in enumerate(cents)
-    )
-    cent_sql = f"SELECT * FROM (VALUES {cent_vals}) AS t(cell_id, ccv)"
-    cos = _COSINE_SQL
-    return f"""
-    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-    cbp AS (SELECT * FROM (VALUES {_pq_cb_values(_pq_books_for_oracle())})
-            AS t(m, code, cv, cc)),
-    cbr AS (SELECT * FROM (VALUES {_pq_cb_values(_pq_res_books_for_oracle())})
-            AS t(m, code, cv, cc)),
-    {_adc_ctes('p', 'v0', 'cbp', n_probe=3, cent_sql=cent_sql)},
-    {_adc_ctes('r', 'v0', 'cbr', n_probe=3, residual=True,
-               cent_sql=cent_sql)},
-    q10 AS (SELECT vec_id AS query_id, e AS qe FROM v0
-            WHERE vec_id >= 10 AND vec_id < 20),
-    ex_s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                    {cos.format(a="qe", b="c.e")} AS csim
-             FROM q10 CROSS JOIN v0 c WHERE query_id <> c.vec_id),
-    ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY csim DESC, neighbor_id ASC) AS rank
-             FROM ex_s) WHERE rank <= 3),
-    mp AS (SELECT ex.query_id,
-                  count(app.query_id) AS n_raw
-           FROM ex LEFT JOIN app
-             ON ex.query_id = app.query_id
-            AND ex.neighbor_id = app.neighbor_id
-           GROUP BY ex.query_id),
-    mr AS (SELECT ex.query_id,
-                  count(apr.query_id) AS n_res
-           FROM ex LEFT JOIN apr
-             ON ex.query_id = apr.query_id
-            AND ex.neighbor_id = apr.neighbor_id
-           GROUP BY ex.query_id)
-    SELECT mp.query_id,
-           round(mp.n_raw / 3.0, 4) AS recall_raw_pq,
-           round(mr.n_res / 3.0, 4) AS recall_residual_pq,
-           CAST(mr.n_res - mp.n_raw AS BIGINT) AS delta_hits
-    FROM mp JOIN mr ON mr.query_id = mp.query_id
-    """
-
-
-@query("emb_residual_recall_eval", _pq_residual_recall_oracle)
-def emb_residual_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Head-to-head recall@3: raw-vector IVF-PQ vs residual IVF-PQ
-    under IDENTICAL trained cells, n_probe and byte budget — the
-    eval that justifies (or, here, REFUSES to justify) the residual
-    rung. Measured at sf0.01: raw 0.23, residual 0.17 — on this
-    near-uniform synthetic corpus the coarse quantizer explains
-    almost nothing (centroid norms are a small fraction of vector
-    norms), so residuals ~= raw vectors and the delta is
-    quantization noise. On clustered real corpora the residual
-    encoding is the faiss default for a reason; this eval is how a
-    rollout decides whether to pay for it — the honest-numbers
-    counterpart of the OPQ eval's measured win."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
-    cents = _ivf_cents_spark(spark, sf_dir)
-    ex = S.knn_exact(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    raw = S.knn_ivf_pq(
-        q, e, _pq_books_spark(spark, sf_dir),
-        id_col="vec_id", vec_col="embedding", k=3,
-        n_cells=10, n_probe=3, centroids=cents,
-    ).select("query_id", "neighbor_id")
-    res = S.knn_ivf_pq_residual(
-        q, e, _pq_res_books_spark(spark, sf_dir),
-        id_col="vec_id", vec_col="embedding", k=3,
-        n_probe=3, centroids=cents,
-    ).select("query_id", "neighbor_id")
-    nr = _recall_match_counts(ex, raw, "n_raw")
-    ns = _recall_match_counts(ex, res, "n_res")
-    return nr.join(ns, "query_id").select(
-        "query_id",
-        F.round(F.col("n_raw") / 3.0, 4).alias("recall_raw_pq"),
-        F.round(F.col("n_res") / 3.0, 4).alias("recall_residual_pq"),
-        (F.col("n_res") - F.col("n_raw")).cast("bigint").alias("delta_hits"),
     )
 
 
@@ -7397,493 +4769,6 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("node").alias("word"), "odeg", "rank_units", "pos"
         )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Distributed k-means (Lloyd), INTEGER-EXACT — the distributed
-# TRAINING rung the ANN family lacks: the IVF/PQ codebooks train on a
-# bounded driver-side numpy sample (fine while the sample fits); this
-# operator is the full-corpus path — per iteration one broadcast
-# assignment pass + one map-side-combinable per-dim sum, cluster
-# means collected as the 8x64 bounded model read (the centroid-set
-# collect precedent). Quantized micro-unit arithmetic makes all three
-# iterations survive the cross-engine value hash, the pagerank_int
-# argument applied to Lloyd's algorithm.
-# ---------------------------------------------------------------------------
-
-
-_KM_K = 8
-_KM_ITERS = 3
-_KM_Q = 10000  # micro-unit quantization of the float embeddings
-_KM_DIM = 64
-
-# floor division that both engines agree on for NEGATIVE numerators
-# (Spark `div` truncates toward zero; DuckDB `//` floors): nonneg
-# operands only, sign handled explicitly.
-_KM_FLOORDIV = (
-    "CASE WHEN {s} >= 0 THEN {s} {div} {n} "
-    "ELSE -((-({s}) + {n} - 1) {div} {n}) END"
-)
-
-
-def _kmeans_oracle() -> str:
-    ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""q AS (SELECT vec_id,
-                list_transform(v, x -> CAST(floor(x * {_KM_Q} + 0.5)
-                                            AS BIGINT)) AS qv
-             FROM e)""",
-        f"""pt AS (SELECT vec_id, unnest(range(1, {_KM_DIM + 1})) AS j,
-                  unnest(qv) AS val FROM q)""",
-        f"""c0q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
-                    AS cid, qv
-             FROM q ORDER BY vec_id LIMIT {_KM_K})""",
-        f"""cl0 AS (SELECT cid, unnest(range(1, {_KM_DIM + 1})) AS j,
-                   unnest(qv) AS cv FROM c0q)""",
-    ]
-    prev = "cl0"
-    fd = _KM_FLOORDIV.format(s="sum(pt.val)", n="count(*)", div="//")
-    for k in range(1, _KM_ITERS + 1):
-        ctes.append(
-            f"""a{k} AS (SELECT pt.vec_id, c.cid,
-                   sum((pt.val - c.cv) * (pt.val - c.cv)) AS dist
-            FROM pt JOIN {prev} c ON c.j = pt.j
-            GROUP BY 1, 2)"""
-        )
-        ctes.append(
-            f"""b{k} AS (SELECT vec_id, cid, dist FROM (
-              SELECT vec_id, cid, dist,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY dist, cid) AS rn
-              FROM a{k}) WHERE rn = 1)"""
-        )
-        ctes.append(
-            f"""cl{k} AS (
-            SELECT b{k}.cid, pt.j, CAST({fd} AS BIGINT) AS cv
-            FROM b{k} JOIN pt USING (vec_id) GROUP BY b{k}.cid, pt.j
-            UNION ALL
-            SELECT c.cid, c.j, c.cv FROM {prev} c
-            WHERE c.cid NOT IN (SELECT DISTINCT cid FROM b{k}))"""
-        )
-        prev = f"cl{k}"
-    k = _KM_ITERS + 1
-    ctes.append(
-        f"""a{k} AS (SELECT pt.vec_id, c.cid,
-               sum((pt.val - c.cv) * (pt.val - c.cv)) AS dist
-        FROM pt JOIN {prev} c ON c.j = pt.j
-        GROUP BY 1, 2)"""
-    )
-    ctes.append(
-        f"""b{k} AS (SELECT vec_id, cid, dist FROM (
-          SELECT vec_id, cid, dist,
-                 row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY dist, cid) AS rn
-          FROM a{k}) WHERE rn = 1)"""
-    )
-    ctes.append(
-        f"""chk AS (SELECT cid, sum(cv) AS c_checksum FROM {prev}
-               GROUP BY cid)"""
-    )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"""
-    SELECT chk.cid, CAST(coalesce(n.n_points, 0) AS BIGINT)
-             AS n_points,
-           CAST(coalesce(n.inertia, 0) AS BIGINT) AS inertia,
-           CAST(chk.c_checksum AS BIGINT) AS c_checksum
-    FROM chk LEFT JOIN (
-      SELECT cid, count(*) AS n_points, sum(dist) AS inertia
-      FROM b{k} GROUP BY cid) n ON n.cid = chk.cid
-    """
-    )
-
-
-@query("emb_kmeans_lloyd", _kmeans_oracle())
-def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means over the embedding corpus, k=8, 3
-    fixed iterations, INTEGER-EXACT end to end: embeddings quantize
-    to 1e-4 micro-units (floor(x*1e4+0.5) — one identical IEEE
-    multiply+floor on both engines), distances and per-dim sums are
-    order-free bigint arithmetic, and the centroid update is an
-    explicit sign-safe floor division (Spark div truncates toward
-    zero, DuckDB // floors — the CASE makes them agree on negative
-    sums). Ties argmin to the lowest centroid id; empty clusters keep
-    their previous centroid. Init = the k lowest-vec_id points (the
-    deterministic bounded-sample precedent). Output: per-cluster
-    population, inertia, and the centroid checksum — the oracle
-    replays ALL three iterations as chained CTEs (the pagerank_int
-    discipline applied to distributed ML training).
-
-    Why this exists next to the numpy-sample IVF trainer
-    (_ivf_spark_cached): the sample path needs the sample to fit the
-    driver; THIS is the full-corpus path — per iteration one
-    8-row-broadcast assignment pass (zip_with/aggregate, no Python in
-    the row path) + one map-side-combinable (cid, dim) sum; the only
-    driver reads are the 8x64 centroid table per iteration (the
-    centroid-set collect precedent) and assert_true bounds cluster
-    populations at 2^24 so bigint inertia can't wrap silently.
-    Reference analog: none; §2.11 ML-training extension surface."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * _KM_Q + F.lit(0.5)
-            ).cast("long"),
-        ).alias("qv"),
-    ).localCheckpoint(eager=True)
-    init = [
-        (int(r.vec_id), list(r.qv))
-        for r in q.orderBy("vec_id").limit(_KM_K).collect()
-    ]
-    cent = {cid: vec for cid, (_vid, vec) in enumerate(init)}
-
-    def cent_df(c):
-        return spark.createDataFrame(
-            [(cid, c[cid]) for cid in sorted(c)],
-            "cid int, cv array<bigint>",
-        )
-
-    def assign(c):
-        d = q.crossJoin(F.broadcast(cent_df(c)))
-        dist = F.aggregate(
-            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        a = d.select("vec_id", "cid", "qv", dist.alias("dist"))
-        best = a.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cid", "qv")).alias("m")
-        )
-        return best.select(
-            "vec_id",
-            F.col("m.cid").alias("cid"),
-            F.col("m.dist").alias("dist"),
-            F.col("m.qv").alias("qv"),
-        )
-
-    for _ in range(_KM_ITERS):
-        b = assign(cent)
-        sums = (
-            b.select(
-                "cid", F.posexplode("qv").alias("j", "val")
-            )
-            .groupBy("cid", "j")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        newc = {}
-        for r in sums:
-            vec = newc.setdefault(r.cid, [0] * _KM_DIM)
-            s, n = r.s, r.n
-            vec[r.j] = s // n  # python floor div == the CASE form
-        for cid in cent:
-            if cid not in newc:
-                newc[cid] = cent[cid]  # empty cluster carries over
-        cent = newc
-
-    b = assign(cent)
-    stats = b.groupBy("cid").agg(
-        F.count("*").alias("n_points"),
-        F.sum("dist").alias("inertia"),
-    ).where(
-        F.assert_true(
-            F.col("n_points") < F.lit(2**24),
-            F.lit(
-                "emb_kmeans_lloyd: cluster population >= 2^24 — "
-                "bigint inertia could overflow; rescale quantization"
-            ),
-        ).isNull()
-    )
-    chk = spark.createDataFrame(
-        [(cid, sum(cent[cid])) for cid in sorted(cent)],
-        "cid int, c_checksum long",
-    )
-    return (
-        chk.join(stats, "cid", "left")
-        .select(
-            "cid",
-            F.coalesce("n_points", F.lit(0))
-            .cast("bigint")
-            .alias("n_points"),
-            F.coalesce("inertia", F.lit(0))
-            .cast("bigint")
-            .alias("inertia"),
-            F.col("c_checksum").cast("bigint").alias("c_checksum"),
-        )
-    )
-
-
-def _kmeans_train_python(
-    sf_dir: str, k: int = None
-) -> list[tuple[int, list[int]]]:
-    """Pure-Python twin of the emb_kmeans_lloyd loop (pyarrow read,
-    no Spark): quantize, init on the k lowest vec_ids, _KM_ITERS
-    sync rounds with floor-division updates and empty-cluster
-    carryover. Integer-deterministic, so engine-side and oracle-side
-    centroids are IDENTICAL by construction (and the distributed
-    loop is pinned equal to this replay by pytest)."""
-    import math
-
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    pts = {
-        int(v): [
-            math.floor(float(x) * _KM_Q + 0.5) for x in emb
-        ]
-        for v, emb in zip(
-            t.column("vec_id").to_pylist(),
-            t.column("embedding").to_pylist(),
-        )
-    }
-    if k is None:
-        k = _KM_K
-    cent = {
-        i: list(pts[v]) for i, v in enumerate(sorted(pts)[:k])
-    }
-
-    def best(v):
-        return min(
-            (
-                sum((a - b) * (a - b) for a, b in zip(v, cent[c])),
-                c,
-            )
-            for c in sorted(cent)
-        )
-
-    for _ in range(_KM_ITERS):
-        groups: dict[int, list[list[int]]] = {}
-        for v in pts.values():
-            groups.setdefault(best(v)[1], []).append(v)
-        new = {}
-        for c, vs in groups.items():
-            n = len(vs)
-            new[c] = [
-                sum(v[j] for v in vs) // n for j in range(len(vs[0]))
-            ]
-        for c in cent:
-            if c not in new:
-                new[c] = cent[c]
-        cent = new
-    return [(c, cent[c]) for c in sorted(cent)]
-
-
-@_functools.lru_cache(maxsize=8)
-def _kmeans_cent_spark_cached(sf_dir: str) -> tuple:
-    """Lloyd centroids as DOUBLE vectors (micro-units / 1e4), one
-    training per sf_dir per process, REGISTERED in _SPARK_TRAIN_DIRS
-    so the lazy oracle provably trains on the same data (the
-    _whiten_spark_cached contract)."""
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    return tuple(
-        (cid, tuple(c / _KM_Q for c in vec))
-        for cid, vec in _kmeans_train_python(sf_dir)
-    )
-
-
-def _kmeans_ivf_oracle() -> str:
-    cents = _kmeans_cent_spark_cached(_oracle_sf_dir())
-    vals = ",\n        ".join(
-        f"({cid}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])"
-        for cid, vec in cents
-    )
-    cent_sql = f"""SELECT cell_id, cv FROM (VALUES
-        {vals}) t(cell_id, cv)"""
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    {_ivf_match_ctes('n', 'v', 'e')},
-    {_ivf_match_ctes('k', 'v', 'e', cent_sql=cent_sql)}
-    SELECT nnm.query_id,
-           CAST(nnm.n_match AS BIGINT) AS n_match_naive,
-           CAST(knm.n_match AS BIGINT) AS n_match_lloyd,
-           round(nnm.n_match / 3.0, 4) AS recall_naive,
-           round(knm.n_match / 3.0, 4) AS recall_lloyd
-    FROM nnm JOIN knm ON knm.query_id = nnm.query_id
-    """
-
-
-@query("emb_kmeans_ivf_eval", _kmeans_ivf_oracle)
-def emb_kmeans_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Does TRAINED coarse quantization earn its keep? Per probe
-    query, IVF-flat recall@3 (n_cells=8, n_probe=2) with the naive
-    first-8-vectors cells (the emb_knn_ivf stand-in) vs the Lloyd
-    k-means centroids from the emb_kmeans_lloyd loop — the
-    train-vs-don't-train decision number for the coarse quantizer,
-    completing the trio: emb_kmeans_lloyd trains distributed,
-    emb_ivf_cell_stats audits cell balance, THIS measures retrieval
-    impact. The honest-eval discipline — MEASURED at sf0.01: mean
-    recall@3 0.467 naive vs 0.433 Lloyd (2 queries up, 4 down):
-    trained cells do NOT beat the stand-in on these near-uniform
-    synthetic embeddings at n_probe=2, because Lloyd balances cell
-    POPULATIONS (see emb_ivf_cell_stats) while recall here is bound
-    by how often true neighbors straddle probe-cell boundaries — on
-    real clustered corpora the trained quantizer is what makes
-    IVF work at all; on this corpus the eval says don't bother.
-
-    Determinism: Lloyd centroids are INTEGER micro-units (the
-    distributed loop is pinned bit-equal to the pure-Python trainer
-    by pytest), shipped to both engines as repr() double literals —
-    exact round-trip; both recall chains tie-break on
-    (csim desc, id). The oracle is LAZY (trained-model pattern):
-    _kmeans_cent_spark_cached registers the training sf_dir so
-    engine and oracle provably see the same data. Plan: two standard
-    IVF chains over one corpus scan each — 8-row broadcast centroid
-    frames, cell equi-joins. Reference analog: none; §2.11 ANN
-    extension surface."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
-    ex = S.knn_exact(
-        q, e, id_col="vec_id", vec_col="embedding", k=3
-    ).select("query_id", "neighbor_id")
-    naive = S.knn_ivf(
-        q, e, id_col="vec_id", vec_col="embedding",
-        k=3, n_cells=8, n_probe=2,
-    ).select("query_id", "neighbor_id")
-    cents = [
-        (cid, list(vec)) for cid, vec in _kmeans_cent_spark_cached(sf_dir)
-    ]
-    lloyd = S.knn_ivf(
-        q, e, id_col="vec_id", vec_col="embedding",
-        k=3, n_cells=8, n_probe=2, centroids=cents,
-    ).select("query_id", "neighbor_id")
-    nn = _recall_match_counts(ex, naive, "n_match_naive")
-    kn = _recall_match_counts(ex, lloyd, "n_match_lloyd")
-    return nn.join(kn, "query_id").select(
-        "query_id",
-        "n_match_naive",
-        "n_match_lloyd",
-        F.round(F.col("n_match_naive") / 3.0, 4).alias("recall_naive"),
-        F.round(F.col("n_match_lloyd") / 3.0, 4).alias("recall_lloyd"),
-    )
-
-
-_ELBOW_KS = (2, 4, 8, 16)
-
-
-@_functools.lru_cache(maxsize=8)
-def _elbow_cents_cached(sf_dir: str) -> tuple:
-    """Lloyd centroids (integer micro-units) for every elbow k, one
-    training per sf_dir per process, registered like every trained
-    model so the lazy oracle provably reads the same data."""
-    _SPARK_TRAIN_DIRS.add(sf_dir)
-    return tuple(
-        (k, tuple((cid, tuple(vec)) for cid, vec in
-                  _kmeans_train_python(sf_dir, k=k)))
-        for k in _ELBOW_KS
-    )
-
-
-def _kmeans_elbow_oracle() -> str:
-    cents = _elbow_cents_cached(_oracle_sf_dir())
-    vals = ",\n        ".join(
-        f"({k}, {cid}, [{', '.join(str(c) for c in vec)}]::BIGINT[])"
-        for k, cl in cents
-        for cid, vec in cl
-    )
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id,
-                 list_transform(v, x -> CAST(floor(x * {_KM_Q} + 0.5)
-                                             AS BIGINT)) AS qv
-          FROM e),
-    pt AS (SELECT vec_id, unnest(range(1, {_KM_DIM + 1})) AS j,
-                  unnest(qv) AS val FROM q),
-    cent AS (SELECT k, cid, cv FROM (VALUES
-        {vals}) t(k, cid, cv)),
-    cl AS (SELECT k, cid, unnest(range(1, {_KM_DIM + 1})) AS j,
-                  unnest(cv) AS cv FROM cent),
-    a AS (SELECT cl.k, pt.vec_id, cl.cid,
-                 sum((pt.val - cl.cv) * (pt.val - cl.cv)) AS dist
-          FROM pt JOIN cl ON cl.j = pt.j
-          GROUP BY 1, 2, 3),
-    b AS (SELECT k, vec_id, cid, dist FROM (
-            SELECT k, vec_id, cid, dist,
-                   row_number() OVER (PARTITION BY k, vec_id
-                                      ORDER BY dist, cid) AS rn
-            FROM a) WHERE rn = 1),
-    st AS (SELECT k, cid, count(*) AS n, sum(dist) AS inert
-           FROM b GROUP BY 1, 2),
-    tot AS (SELECT k, count(*) AS n_nonempty, sum(inert) AS inertia,
-                   max(n) AS max_n, sum(n) AS n_total
-            FROM st GROUP BY k)
-    SELECT CAST(k AS BIGINT) AS k,
-           CAST(inertia AS BIGINT) AS inertia,
-           CAST(n_nonempty AS BIGINT) AS n_nonempty_cells,
-           CAST((max_n * 1000000) // n_total AS BIGINT)
-             AS max_cell_ppm
-    FROM tot
-    """
-
-
-@query("emb_kmeans_elbow", _kmeans_elbow_oracle)
-def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The choose-k elbow table: total inertia, non-empty cell count,
-    and the largest cell's corpus share for Lloyd k-means at k = 2,
-    4, 8, 16 — the number an IVF rollout reads before fixing n_cells
-    (emb_ivf_cell_stats audits the chosen k's balance; THIS compares
-    the k's). Inertia must fall monotonically in k for healthy
-    trainings — pytest pins it.
-
-    One corpus pass scores ALL 30 centroids: the (k, cid) centroid
-    frames union into a single 30-row broadcast, per-point argmin is
-    per (vec_id, k), stats are two grouped aggregations. Centroids
-    come from the pinned pure-Python trainer (integer micro-units,
-    bit-equal to the distributed loop by the emb_kmeans_lloyd pytest)
-    inlined as exact integer literals on both engines; the oracle is
-    lazy via the registered _elbow_cents_cached. All arithmetic
-    bigint (the emb_kmeans_lloyd overflow bounds apply per k).
-    Reference analog: none; §2.11 ML-training extension surface."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * _KM_Q + F.lit(0.5)
-            ).cast("long"),
-        ).alias("qv"),
-    )
-    cents = _elbow_cents_cached(sf_dir)
-    cent = spark.createDataFrame(
-        [
-            (k, cid, list(vec))
-            for k, cl in cents
-            for cid, vec in cl
-        ],
-        "k int, cid int, cv array<bigint>",
-    )
-    d = q.crossJoin(F.broadcast(cent))
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    a = d.select("k", "vec_id", "cid", dist.alias("dist"))
-    b = (
-        a.groupBy("k", "vec_id")
-        .agg(F.min(F.struct("dist", "cid")).alias("m"))
-        .select("k", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
-    )
-    st = b.groupBy("k", "cid").agg(
-        F.count("*").alias("n"), F.sum("dist").alias("inert")
-    )
-    return st.groupBy("k").agg(
-        F.sum("inert").cast("bigint").alias("inertia"),
-        F.count("*").cast("bigint").alias("n_nonempty_cells"),
-        F.expr(
-            "CAST((max(n) * 1000000) div sum(n) AS BIGINT)"
-        ).alias("max_cell_ppm"),
-    ).select(
-        F.col("k").cast("bigint").alias("k"),
-        "inertia",
-        "n_nonempty_cells",
-        "max_cell_ppm",
     )
 
 

@@ -462,7 +462,7 @@ def collect_sample_matrix(corpus, *, id_col: str, vec_col: str, cap: int):
     """The ``cap`` lowest-id vectors as a float64 matrix in id order —
     THE training-sample determinism contract, shared by every trainer
     here (IVF spherical k-means, PQ codebooks) and mirrored exactly by
-    the oracle-side pyarrow loader (llm_queries._oracle_sample_matrix):
+    the oracle-side pyarrow loader (ann_queries._oracle_sample_matrix):
     same rows, same order, same float32→float64 exact widening."""
     import numpy as np
 

@@ -1133,7 +1133,7 @@ def fold_cep_funnel(s: list, ini: str, us: int) -> list:
     semantics); an in-window purchase completes the match and
     consumes its rows. Fuzz-pinned against the batch automaton in
     tests/test_trend_er_mmr.py."""
-    from env_event_stream_spark.analytics_queries import _CEP_WITHIN_US
+    from env_event_stream_spark.cep_queries import _CEP_WITHIN_US
 
     s[5] += 1
     if s[0] >= 0:
@@ -1217,7 +1217,7 @@ def stream_cep_funnel(ev: DataFrame) -> DataFrame:
     emitting the per-key match aggregates every micro-batch."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from env_event_stream_spark.analytics_queries import _CEP_INI
+    from env_event_stream_spark.cep_queries import _CEP_INI
 
     ini = F.col("event_type")
     expr = None
@@ -1265,7 +1265,7 @@ def _stream_cep_funnel_oracle() -> str:
     scanner (_cep_regex_scan) replayed per user-day — the same
     independent-algorithm substrate as the batch evt_cep_within
     oracle, filtered to TIMED matches (this matview's emit gate)."""
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.cep_queries import (
         _CEP_WITHIN_US,
         _cep_regex_scan,
         _cep_user_days,
@@ -1377,7 +1377,7 @@ def _hw_grid_sink(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _hw_oracle_for_stream() -> str:
-    from env_event_stream_spark.analytics_queries import _hw_oracle_sql
+    from env_event_stream_spark.forecast_queries import _hw_oracle_sql
 
     return _hw_oracle_sql()
 
@@ -1401,14 +1401,14 @@ def evt_stream_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_p95/rolling-WAU frozen-state pattern — the 14-lag window
     never enters streaming state. Cross-batch count merging is
     pinned by a forced multi-batch pytest."""
-    from env_event_stream_spark.analytics_queries import hw_finalize_daily
+    from env_event_stream_spark.forecast_queries import hw_finalize_daily
 
     grid = spark.read.parquet(_hw_grid_sink(spark, sf_dir))
     return hw_finalize_daily(grid)
 
 
 def _cusum_oracle_for_stream() -> str:
-    from env_event_stream_spark.analytics_queries import _CUSUM_ORACLE_SQL
+    from env_event_stream_spark.forecast_queries import _CUSUM_ORACLE_SQL
 
     return _CUSUM_ORACLE_SQL
 
@@ -1433,16 +1433,14 @@ def evt_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for any detector defined on daily aggregates. Cross-batch count
     merging is pinned by the shared hw_grid_stream_agg's forced
     multi-batch pytest."""
-    from env_event_stream_spark.analytics_queries import (
-        cusum_finalize_daily,
-    )
+    from env_event_stream_spark.forecast_queries import cusum_finalize_daily
 
     grid = spark.read.parquet(_hw_grid_sink(spark, sf_dir))
     return cusum_finalize_daily(grid)
 
 
 def _acf_oracle_for_stream() -> str:
-    from env_event_stream_spark.analytics_queries import _ACF_ORACLE_SQL
+    from env_event_stream_spark.forecast_queries import _ACF_ORACLE_SQL
 
     return _ACF_ORACLE_SQL
 
@@ -1467,18 +1465,14 @@ def evt_stream_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheapest live form for a detector defined on daily
     aggregates. Cross-batch count merging is pinned by the shared
     hw_grid_stream_agg's forced multi-batch pytest."""
-    from env_event_stream_spark.analytics_queries import (
-        acf_finalize_daily,
-    )
+    from env_event_stream_spark.forecast_queries import acf_finalize_daily
 
     grid = spark.read.parquet(_hw_grid_sink(spark, sf_dir))
     return acf_finalize_daily(grid)
 
 
 def _spearman_oracle_for_stream() -> str:
-    from env_event_stream_spark.analytics_queries import (
-        _SPEARMAN_ORACLE_SQL,
-    )
+    from env_event_stream_spark.forecast_queries import _SPEARMAN_ORACLE_SQL
 
     return _SPEARMAN_ORACLE_SQL
 
@@ -1501,9 +1495,7 @@ def evt_stream_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout. Cross-batch merging is pinned by the shared
     hw_grid_stream_agg multi-batch pytest; live == batch by the
     frame-equality pytest."""
-    from env_event_stream_spark.analytics_queries import (
-        spearman_finalize_daily,
-    )
+    from env_event_stream_spark.forecast_queries import spearman_finalize_daily
 
     grid = spark.read.parquet(_hw_grid_sink(spark, sf_dir))
     return spearman_finalize_daily(grid)

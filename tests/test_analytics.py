@@ -327,9 +327,7 @@ def test_acf_matches_integer_reference_and_planted_cycle(spark, sf_dir):
     shorter lags (the diagnostic's whole purpose)."""
     from collections import Counter
 
-    from env_event_stream_spark.analytics_queries import (
-        acf_finalize_daily,
-    )
+    from env_event_stream_spark.forecast_queries import acf_finalize_daily
     from env_event_stream_spark.catalog import QUERIES
     from pyspark.sql import functions as F
 
@@ -834,9 +832,7 @@ def test_acf_finalize_fuzz_random_series(spark):
     fixed sf data (gaps exercise the zero-fill)."""
     import random
 
-    from env_event_stream_spark.analytics_queries import (
-        acf_finalize_daily,
-    )
+    from env_event_stream_spark.forecast_queries import acf_finalize_daily
 
     rnd = random.Random(20260815)
     rows = []

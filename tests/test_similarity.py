@@ -307,7 +307,7 @@ def test_opq_persisted_index_matches_live_search(spark, sf_dir):
     a search against the persisted OPQ index returns row-for-row the
     live rotate->probe->ADC pipeline's answer (and the sidecar of a
     rotation-free index keeps working — rotation=None path)."""
-    from env_event_stream_spark.llm_queries import (
+    from env_event_stream_spark.ann_queries import (
         emb_knn_opq_adc,
         emb_knn_opq_persisted,
     )
@@ -364,7 +364,7 @@ def test_ivf_cell_stats_partition_of_corpus(spark, sf_dir):
     # the audit must PARTITION the corpus: cells disjointly cover all
     # vectors, shares sum to ~1e6 ppm (floor loss < n_cells), exactly
     # one hottest flag, load factor consistent with share
-    from env_event_stream_spark.llm_queries import emb_ivf_cell_stats
+    from env_event_stream_spark.ann_queries import emb_ivf_cell_stats
     from env_event_stream_spark.tables import load_table
 
     rows = emb_ivf_cell_stats(spark, sf_dir).collect()
@@ -387,7 +387,7 @@ def test_kmeans_lloyd_matches_python_replay(spark, sf_dir):
     import math
 
     from env_event_stream_spark.catalog import QUERIES
-    from env_event_stream_spark.llm_queries import (
+    from env_event_stream_spark.ann_queries import (
         _KM_ITERS,
         _KM_K,
         _KM_Q,
@@ -453,7 +453,7 @@ def test_kmeans_ivf_eval_consistency(spark, sf_dir):
     counts (same chain), the Lloyd chain must use the pytest-pinned
     trainer's centroids, and counts stay in [0, 3]."""
     from env_event_stream_spark.catalog import QUERIES
-    from env_event_stream_spark.llm_queries import (
+    from env_event_stream_spark.ann_queries import (
         _kmeans_cent_spark_cached,
         _kmeans_train_python,
         _KM_Q,
@@ -480,7 +480,7 @@ def test_kmeans_elbow_monotone_and_consistent_with_lloyd(spark, sf_dir):
     and the k=8 row must equal the distributed emb_kmeans_lloyd
     totals (same trainer, same quantization)."""
     from env_event_stream_spark.catalog import QUERIES
-    from env_event_stream_spark.llm_queries import _ELBOW_KS
+    from env_event_stream_spark.ann_queries import _ELBOW_KS
 
     rows = sorted(
         QUERIES["emb_kmeans_elbow"](spark, sf_dir).collect(),

@@ -995,9 +995,7 @@ def test_stream_cusum_equals_batch(spark, sf_dir):
     """The live CUSUM must reproduce the batch detector row-for-row:
     streaming state is only the count grid (merge = +, exact), so
     the full frame — not just aggregates — must agree."""
-    from env_event_stream_spark.analytics_queries import (
-        evt_cusum_changepoint,
-    )
+    from env_event_stream_spark.forecast_queries import evt_cusum_changepoint
     from env_event_stream_spark.streaming_queries import evt_stream_cusum
 
     batch = {tuple(r) for r in evt_cusum_changepoint(spark, sf_dir).collect()}
@@ -1067,7 +1065,7 @@ def test_stream_acf_and_compaction_equal_batch(spark, sf_dir):
     from env_event_stream_spark.advanced_queries import (
         evt_compaction_plan,
     )
-    from env_event_stream_spark.analytics_queries import evt_acf_daily
+    from env_event_stream_spark.forecast_queries import evt_acf_daily
     from env_event_stream_spark.streaming_queries import (
         evt_stream_acf,
         evt_stream_compaction_plan,
@@ -1086,9 +1084,7 @@ def test_stream_acf_and_compaction_equal_batch(spark, sf_dir):
 
 def test_stream_spearman_equals_batch(spark, sf_dir):
     """Live == batch row-for-row for the correlation matview."""
-    from env_event_stream_spark.analytics_queries import (
-        evt_spearman_daily,
-    )
+    from env_event_stream_spark.forecast_queries import evt_spearman_daily
     from env_event_stream_spark.streaming_queries import (
         evt_stream_spearman,
     )

@@ -15,12 +15,12 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from env_event_stream_spark.analytics_queries import (
+from env_event_stream_spark.analytics_queries import er_customer_entities
+from env_event_stream_spark.forecast_queries import (
     _HOLT_W,
     _HW_W,
     evt_cusum_changepoint,
     evt_holt_trend_daily,
-    er_customer_entities,
 )
 from env_event_stream_spark.retrieval_queries import (
     _MMR_K,
@@ -177,7 +177,7 @@ def test_hw_residual_anomaly_consistent_with_forecast(spark, sf_dir):
     # resid = actual - forecast at 4dp and per-type constant
     # median/MAD columns; the flag must agree with its own displayed
     # columns up to display rounding
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.forecast_queries import (
         evt_holt_winters_daily,
         evt_hw_residual_anomaly,
     )
@@ -390,7 +390,7 @@ def test_mmr_engine_output_structure(spark, sf_dir):
 def test_cep_matches_python_regex_replay(spark, sf_dir):
     import re
 
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.cep_queries import (
         _CEP_PATTERN,
         evt_cep_pattern,
     )
@@ -449,7 +449,7 @@ def test_cep_timed_two_scanners_agree(evs, within):
     # scanner — two deliberately independent implementations of the
     # windowed-CEP contract, on random sequences incl. pathological
     # windows (0 = only simultaneous events match; None = untimed)
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.cep_queries import (
         _cep_regex_scan,
         _cep_timed_scan,
     )
@@ -484,7 +484,7 @@ def test_cep_funnel_fold_equals_batch_automaton(evs):
     # reproduce the batch pointer automaton exactly (matches, events
     # consumed, max span) at the production window — the third
     # independent implementation of the windowed-CEP contract
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.cep_queries import (
         _CEP_WITHIN_US,
         _cep_timed_scan,
     )
@@ -508,7 +508,7 @@ def test_cep_skip_modes_consistent_with_within(spark, sf_dir):
     # every common user-day (same pattern, same window, same
     # sequences), and the emitted user-day set must be a superset
     # (an overlapping match exists wherever a non-overlapping one does)
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.cep_queries import (
         evt_cep_skip_modes,
         evt_cep_within,
     )
@@ -551,7 +551,7 @@ def test_cep_nested_two_scanners_agree(evs, within):
     # anchor): pointer automaton vs regex scanner, both skip modes —
     # the class where overlapping re-anchoring actually happens, so
     # the fuzz covers the code paths the v[cs]*p fuzz cannot reach
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.cep_queries import (
         _CEP_NESTED_PATTERN,
         _CEP_NESTED_REP,
         _cep_regex_scan,
@@ -588,7 +588,7 @@ def test_cep_nested_skip_modes_actually_diverge(spark, sf_dir):
     # overlapping regex count on the engine's own sequences
     import re
 
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.cep_queries import (
         _CEP_NESTED_PATTERN,
         _cep_sequences,
         evt_cep_skip_modes_nested,
@@ -618,7 +618,7 @@ def test_cep_nested_skip_modes_actually_diverge(spark, sf_dir):
 
 
 def test_cep_error_burst_runs_are_maximal_and_flagged(spark, sf_dir):
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.cep_queries import (
         _CEP_BURST_ALERT_RUN,
         _CEP_BURST_MIN_RUN,
         _CEP_BURST_WITHIN_MS,
@@ -705,9 +705,7 @@ def test_cep_error_burst_agrees_with_streaming_twin(spark, sf_dir):
     # the batch islands report and the live detector implement ONE
     # contract (any 3 consecutive errors within 5 min): aggregated
     # per user-day they must agree exactly
-    from env_event_stream_spark.analytics_queries import (
-        evt_cep_error_burst,
-    )
+    from env_event_stream_spark.cep_queries import evt_cep_error_burst
     from env_event_stream_spark.streaming_queries import (
         evt_stream_error_burst,
     )
@@ -733,7 +731,7 @@ def test_cep_within_consistent_with_untimed_pattern(spark, sf_dir):
     # evt_cep_pattern's n_matches exactly (same pattern, same
     # sequences), and every timed quantity is bounded by its untimed
     # counterpart; spans respect the 10-minute window
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.cep_queries import (
         _CEP_WITHIN_US,
         evt_cep_pattern,
         evt_cep_within,
@@ -1014,7 +1012,7 @@ def test_ab_test_matches_python_replay(spark, sf_dir):
 def test_holt_backtest_matches_python_recompute(spark, sf_dir):
     from decimal import Decimal
 
-    from env_event_stream_spark.analytics_queries import (
+    from env_event_stream_spark.forecast_queries import (
         _daily_counts_by_type,
         evt_holt_backtest,
         evt_holt_trend_daily,

@@ -45,7 +45,7 @@ def test_whiten_train_deterministic_and_scale_equivariant():
 def test_whiten_stats_query_matches_numpy(spark, sf_dir):
     import pyarrow.parquet as pq
 
-    from env_event_stream_spark.llm_queries import (
+    from env_event_stream_spark.ann_queries import (
         _WHITEN_CAP,
         emb_whiten_stats,
     )
@@ -77,7 +77,7 @@ def test_whiten_stats_query_matches_numpy(spark, sf_dir):
 
 
 def test_whiten_labelknn_eval_invariants(spark, sf_dir):
-    from env_event_stream_spark.llm_queries import emb_whiten_labelknn_eval
+    from env_event_stream_spark.ann_queries import emb_whiten_labelknn_eval
 
     rows = emb_whiten_labelknn_eval(spark, sf_dir).collect()
     assert len(rows) == 50
@@ -117,7 +117,7 @@ def test_whiten_train_degenerate_samples_stay_finite():
 def test_whiten_ivf_eval_invariants(spark, sf_dir):
     # every probe query scored in both spaces; counts bounded by k=3;
     # the displayed ratios are exactly n/3 at 4dp
-    from env_event_stream_spark.llm_queries import emb_whiten_ivf_eval
+    from env_event_stream_spark.ann_queries import emb_whiten_ivf_eval
 
     rows = emb_whiten_ivf_eval(spark, sf_dir).collect()
     assert len(rows) == 10
