@@ -197,6 +197,7 @@ HEADLINE = [
     "doc_unigram_lm_learn",
     "doc_unigram_lm_eval",
     "evt_stream_transitions",
+    "doc_unigram_lm_encode",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -2938,6 +2938,151 @@ def doc_unigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ulm_encode_oracle() -> str:
+    """Lazy oracle: retrain with the independent Python trainer,
+    Viterbi-encode the DuckDB-tokenized per-source word bags with the
+    memoized scanner, inline the 20-row per-source report as VALUES —
+    the doc_bpe_apply pattern applied to the unigram LM."""
+    from env_event_stream_spark.operators.unigram_lm import (
+        train_unigram_lm_py,
+        viterbi_rec,
+    )
+
+    import duckdb
+
+    sf = _oracle_sf_dir()
+    rows = duckdb.sql(
+        rf"""
+        WITH t AS (SELECT source,
+                          string_split_regex(trim(text), '\s+') AS tk
+                   FROM '{sf}/documents.parquet'),
+        tok AS (SELECT source, unnest(tk) AS term FROM t)
+        SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2
+        """
+    ).fetchall()
+    wf: dict[str, int] = {}
+    for _, w, c in rows:
+        wf[w] = wf.get(w, 0) + c
+    model = train_unigram_lm_py(wf)
+    costs = {p: cost for p, _, _, _, cost in model}
+    enc = {w: viterbi_rec(w, costs) for w in wf}
+
+    agg: dict[str, list[int]] = {}
+    for src, w, c in rows:
+        a = agg.setdefault(src, [0, 0, 0, 0])
+        a[0] += c
+        a[1] += len(w) * c
+        a[2] += len(enc[w]) * c
+        a[3] += c * sum(costs[p] for p in enc[w])
+    vals = ", ".join(
+        f"('{src}', CAST({a[0]} AS BIGINT), CAST({a[1]} AS BIGINT), "
+        f"CAST({a[2]} AS BIGINT), "
+        f"CAST(CASE WHEN {a[1]} = 0 THEN 0 "
+        f"ELSE CAST({a[2]} AS BIGINT) * 1000000 // {a[1]} END AS BIGINT), "
+        f"CAST(CASE WHEN {a[2]} = 0 THEN 0 "
+        f"ELSE CAST({a[3]} AS BIGINT) // {a[2]} END AS BIGINT))"
+        for src, a in sorted(agg.items())
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS t(source, n_ws_tokens, n_chars, n_pieces, "
+        "pieces_per_mchar, cost_per_piece_micronat)"
+    )
+
+
+@query("doc_unigram_lm_encode", _ulm_encode_oracle)
+def doc_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned unigram-LM vocabulary and
+    report per-source compression + model fit: whitespace tokens, raw
+    chars, Viterbi piece count, pieces-per-million-chars, and the
+    mean micro-nat cost per emitted piece — the apply twin that
+    completes the trainer (doc_bpe_apply's readout for the
+    probabilistic tokenizer), and the table that compares the two
+    tokenizers head-to-head per domain. cost_per_piece is the readout
+    BPE cannot give: a domain whose pieces are cheap is well-modeled
+    by the vocabulary; an expensive domain is where the next vocab
+    iteration should spend its budget.
+
+    Plan: Viterbi work is O(vocab) — one Arrow mapInPandas over the
+    DEDUPLICATED word list (Python never sees corpus rows), per-word
+    piece counts broadcast back onto the (source, word) bag, one
+    20-row agg. Integer-exact: counts are bigint sums; both ratios
+    are floor divisions. At 100 TB: one (source, word) pre-agg
+    shuffle, vocab-sized model work — the doc_bpe_apply shape."""
+    from env_event_stream_spark.operators.unigram_lm import viterbi_iter
+
+    model = _ulm_spark_cached(sf_dir, "full")
+    costs = {p: cost for p, _, _, _, cost in model}
+
+    d = load_table(spark, sf_dir, "documents")
+    bag = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = bag.select("word").distinct()
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            words = list(pdf["word"])
+            segs = [viterbi_iter(w, costs) for w in words]
+            for w, s in zip(words, segs):
+                if s is None:
+                    raise ValueError(
+                        f"ulm encode: unsegmentable word {w!r}"
+                    )
+            yield pd.DataFrame(
+                {
+                    "word": words,
+                    "n_piece": [len(s) for s in segs],
+                    "n_chr": [len(w) for w in words],
+                    "w_cost": [
+                        sum(costs[p] for p in s) for s in segs
+                    ],
+                }
+            ).astype(
+                {
+                    "word": "string",
+                    "n_piece": "int64",
+                    "n_chr": "int64",
+                    "w_cost": "int64",
+                }
+            )
+
+    sym = vocab.mapInPandas(
+        encode, "word string, n_piece bigint, n_chr bigint, w_cost bigint"
+    )
+    return (
+        bag.join(F.broadcast(sym), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_ws_tokens"),
+            F.sum(F.col("n_chr") * F.col("cnt")).cast("bigint")
+            .alias("n_chars"),
+            F.sum(F.col("n_piece") * F.col("cnt")).cast("bigint")
+            .alias("n_pieces"),
+            F.sum(F.col("w_cost") * F.col("cnt")).cast("bigint")
+            .alias("_cost_total"),
+        )
+        .select(
+            "source",
+            "n_ws_tokens",
+            "n_chars",
+            "n_pieces",
+            F.when(F.col("n_chars") == 0, F.lit(0))
+            .otherwise(F.expr("n_pieces * 1000000L DIV n_chars"))
+            .cast("bigint")
+            .alias("pieces_per_mchar"),
+            F.when(F.col("n_pieces") == 0, F.lit(0))
+            .otherwise(F.expr("_cost_total DIV n_pieces"))
+            .cast("bigint")
+            .alias("cost_per_piece_micronat"),
+        )
+    )
+
+
 @query(
     "doc_winnow_pairs",
     r"""

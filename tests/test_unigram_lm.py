@@ -131,3 +131,53 @@ def test_eval_twin_is_integer_consistent(spark, sf_dir):
     assert row["sub_per_token"] == row["sub_total_micronat"] // max(
         row["n_test_tokens"], 1
     )
+
+
+def test_encode_readout_matches_python_replay(spark, sf_dir):
+    # per-source compression readout == a pure-Python recompute from
+    # the same model (trainer parity already pinned above), and the
+    # structural bounds: a piece covers >= 1 char, so pieces <= chars
+    # and pieces >= ws tokens (every word emits >= 1 piece)
+    from env_event_stream_spark.llm_queries import (
+        _ulm_words_spark,
+        doc_unigram_lm_encode,
+    )
+    from env_event_stream_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = doc_unigram_lm_encode(spark, sf_dir).collect()
+    assert rows, "no sources at test sf"
+    words = {
+        r["word"]: int(r["freq"])
+        for r in _ulm_words_spark(spark, sf_dir, "full").collect()
+    }
+    model = train_unigram_lm_py(words)
+    costs = {p: cost for p, _, _, _, cost in model}
+    segs = {w: viterbi_rec(w, costs) for w in words}
+    d = load_table(spark, sf_dir, "documents")
+    bag = (
+        d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    agg: dict = {}
+    for r in bag:
+        a = agg.setdefault(r["source"], [0, 0, 0, 0])
+        a[0] += r["c"]
+        a[1] += len(r["w"]) * r["c"]
+        a[2] += len(segs[r["w"]]) * r["c"]
+        a[3] += r["c"] * sum(costs[p] for p in segs[r["w"]])
+    for r in rows:
+        a = agg[r["source"]]
+        assert (r["n_ws_tokens"], r["n_chars"], r["n_pieces"]) == (
+            a[0], a[1], a[2],
+        )
+        assert r["pieces_per_mchar"] == (
+            0 if a[1] == 0 else a[2] * 1_000_000 // a[1]
+        )
+        assert r["cost_per_piece_micronat"] == (
+            0 if a[2] == 0 else a[3] // a[2]
+        )
+        assert r["n_pieces"] <= r["n_chars"]
+        assert r["n_pieces"] >= r["n_ws_tokens"]
