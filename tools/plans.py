@@ -113,6 +113,15 @@ PICKS = [
     ("graph_link_prediction", "wedge-bounded candidate generation, "
      "equi anti-join against edges, integer Jaccard, "
      "TakeOrderedAndProject top-20"),
+    # round-10 families
+    ("evt_cep_skip_modes_nested", "nested-pattern skip modes: shares "
+     "the CEP family's single user-day exchange; all four counts "
+     "(both policies, untimed + 4h) run in ONE Arrow MapInPandas "
+     "stage per sequence row"),
+    ("doc_unigram_lm_encode", "unigram-LM apply: Viterbi work is ONE "
+     "Arrow stage over the DEDUPLICATED word list (O(vocab)); "
+     "per-word piece counts broadcast back onto the (source, word) "
+     "bag pre-agg — corpus rows never reach Python"),
 ]
 
 
