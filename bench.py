@@ -198,6 +198,8 @@ HEADLINE = [
     "doc_unigram_lm_eval",
     "evt_stream_transitions",
     "doc_unigram_lm_encode",
+    "evt_priority_sample",
+    "evt_stream_priority_sample",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -2706,3 +2706,102 @@ def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted event sampling without replacement (Duffield-Lund-Thorup
+# priority sampling, the doc_priority_sample machinery applied to the
+# EVENT stream): the live-ingest reservoir a 100 TB event pipeline
+# needs — "keep a value-weighted sample of everything that ever
+# flowed" — and the batch twin of the 27th streaming matview, whose
+# per-bucket top-k heaps are a FOURTH mergeable-state class
+# (max-heap union is order-free: top-k of a union = top-k of the
+# per-side top-ks).
+# ---------------------------------------------------------------------------
+
+
+_EVT_PRIO_K = 64
+
+
+_EVT_PRIO_ORACLE = f"""
+    WITH h AS (
+      SELECT event_id, event_type,
+             greatest(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+                      1) AS w_cents,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               + 1 AS u
+      FROM events),
+    p AS (SELECT event_id, event_type, w_cents,
+                 (w_cents * 4294967296) // u AS priority
+          FROM h)
+    SELECT event_id, event_type, w_cents, CAST(priority AS BIGINT) AS priority
+    FROM p
+    ORDER BY priority DESC, event_id ASC
+    LIMIT {_EVT_PRIO_K}
+    """
+
+
+def evt_priority_frame(ev: DataFrame) -> DataFrame:
+    """The scored frame shared by the batch query and the streaming
+    matview: integer-cent weights (DECIMAL cast — exact, the
+    evt_zscore_outliers money discipline; floor 1 so zero-value
+    events stay sampleable), md5-derived u, integer priority.
+    assert_true keeps the w<<32 product loudly inside int64."""
+    w = F.greatest(
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"),
+        F.lit(1),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    return ev.where(
+        F.assert_true(
+            w < F.lit(2**31),
+            F.lit(
+                "evt_priority_sample: w_cents >= 2^31 — "
+                "w * 2^32 would overflow int64"
+            ),
+        ).isNull()
+    ).select(
+        "event_id",
+        "event_type",
+        w.alias("w_cents"),
+        u.alias("u"),
+    ).select(
+        "event_id",
+        "event_type",
+        "w_cents",
+        F.expr("CAST((w_cents * 4294967296) div u AS BIGINT)").alias(
+            "priority"
+        ),
+    )
+
+
+@query("evt_priority_sample", _EVT_PRIO_ORACLE)
+def evt_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted sample WITHOUT replacement of the event stream
+    (64 events, inclusion probability ~ the event's monetary value in
+    exact integer cents) — Duffield-Lund-Thorup priority sampling on
+    the events table: the sample an ops/analytics team keeps when the
+    full stream is too big to retain, biased toward the events that
+    carry the money. Same integer discipline as doc_priority_sample
+    (priority = (w << 32) DIV md5-u32 — float priorities are a
+    cross-engine selection hazard; ties break on event_id), same
+    100 TB argument: top-k by priority is DISTRIBUTIVE (per-partition
+    heaps union into the global sample, TakeOrderedAndProject —
+    no global sort), and the same heap-merge property is what makes
+    the streaming twin evt_stream_priority_sample's state mergeable
+    and arrival-order-free. Reference analog: none; §2.11 sampling
+    extension."""
+    from env_event_stream_spark.operators.relational import top_k
+
+    return top_k(
+        evt_priority_frame(_t(spark, sf_dir, "events")),
+        [F.col("priority").desc(), F.col("event_id").asc()],
+        _EVT_PRIO_K,
+    )

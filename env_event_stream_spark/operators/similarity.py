@@ -809,7 +809,7 @@ def cosine_dedup_pairs(
 def _pq_kmeans(X, m: int, k: int, n_iter: int) -> list[list[list[float]]]:
     """Deterministic per-subspace L2 k-means (the PQ codebook
     trainer), shared verbatim by the Spark path (train_pq_codebooks)
-    and the DuckDB-oracle path (llm_queries builds X from the parquet
+    and the DuckDB-oracle path (ann_queries builds X from the parquet
     with pyarrow) so both produce bit-identical codebooks. Seeds are
     the first ``k`` subvectors in input order; centroid components
     round to 9dp per iteration with a rounded-fixpoint early stop;
@@ -1256,7 +1256,7 @@ def _opq_train(
     orthogonal-Procrustes rotation R = U·Vᵀ from svd(Xᵀ·X̂) that best
     aligns the data with its own PQ reconstruction X̂. Shared verbatim
     by the Spark path (train_opq) and the DuckDB-oracle path
-    (llm_queries rebuilds X with pyarrow), exactly like _pq_kmeans —
+    (ann_queries rebuilds X with pyarrow), exactly like _pq_kmeans —
     both see the identical float64 sample, numpy/LAPACK is the same
     library on both, so R and the codebooks are bit-identical and can
     be inlined as oracle literals. R is rounded to 9dp and the final
@@ -1318,7 +1318,7 @@ def _whiten_train(X, eps: float = 1e-6):
     covariance via numpy's symmetric eigh, eigenvalues sorted
     DESCENDING with a stable argsort, rows of W = Vᵀ scaled by
     1/sqrt(eig + eps). Shared verbatim by the Spark path
-    (train_whitening) and the DuckDB-oracle path (llm_queries
+    (train_whitening) and the DuckDB-oracle path (ann_queries
     rebuilds the sample with pyarrow) — identical float64 sample +
     the same LAPACK = bit-identical (mu, W), the _pq_kmeans/_opq_train
     contract. mu and W are rounded to 9dp so the shipped literals are

@@ -14,7 +14,7 @@ forward-backward expected counts are float-order-sensitive and would
 never survive a cross-engine hash; hard-EM's E-step is an integer
 shortest-path and its M-step an integer sum — the same
 integer-quantized-iteration treatment as operators/graph.pagerank_int
-and the distributed Lloyd in llm_queries.emb_kmeans_lloyd.
+and the distributed Lloyd in ann_queries.emb_kmeans_lloyd.
 
 INTEGER DISCIPLINE: piece costs are integer MICRO-NATS, quantized
 once per iteration on the DRIVER from the vocab-sized count table

@@ -2442,3 +2442,148 @@ def evt_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wt), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LIVE weighted sample (27th genuinely-streaming oracled entry, and a
+# FOURTH mergeable-state class for the matview family): per-bucket
+# top-k-by-priority HEAPS. Heap union is commutative, associative,
+# and arrival-order-FREE (top-k of a union == top-k of the per-side
+# top-ks), so — unlike the keyed-fold CEP/transition matviews — this
+# state is exact under ANY arrival order, like the +-count grids and
+# the min/max session grid before it.
+# ---------------------------------------------------------------------------
+
+
+def prio_sample_state_fn(key, pdfs, state):
+    """One 64-way hash bucket of the live priority sample: state is
+    the bucket's current top-k rows (parallel arrays, <= k entries).
+    Each micro-batch merges its rows into the heap and re-emits the
+    bucket's candidates; global top-k is a readout over <= 64*k
+    rows."""
+    import pandas as pd
+
+    from env_event_stream_spark.analytics_queries import _EVT_PRIO_K
+
+    if state.exists:
+        ids, ets, ws, ps = state.get
+        rows_all = list(zip(ids, ets, ws, ps))
+    else:
+        rows_all = []
+    new = pd.concat(list(pdfs))
+    if len(new):
+        rows_all.extend(
+            zip(
+                (int(x) for x in new["event_id"]),
+                new["event_type"],
+                (int(x) for x in new["w_cents"]),
+                (int(x) for x in new["priority"]),
+            )
+        )
+    # top-k by (priority desc, event_id asc) — the batch total order
+    rows_all.sort(key=lambda r: (-r[3], r[0]))
+    rows_all = rows_all[: _EVT_PRIO_K]
+    state.update(
+        (
+            [r[0] for r in rows_all],
+            [r[1] for r in rows_all],
+            [r[2] for r in rows_all],
+            [r[3] for r in rows_all],
+        )
+    )
+    bucket = key[0]
+    yield pd.DataFrame(
+        {
+            "bkey": [f"{bucket}|{r[0]}" for r in rows_all],
+            "bucket": [int(bucket)] * len(rows_all),
+            "event_id": [r[0] for r in rows_all],
+            "event_type": [r[1] for r in rows_all],
+            "w_cents": [r[2] for r in rows_all],
+            "priority": [r[3] for r in rows_all],
+        }
+    ).astype(
+        {
+            "bkey": "string",
+            "bucket": "int64",
+            "event_id": "int64",
+            "event_type": "string",
+            "w_cents": "int64",
+            "priority": "int64",
+        }
+    )
+
+
+def stream_priority_sample(ev: DataFrame) -> DataFrame:
+    """The stream-side sampling pipeline (shared by the catalog query
+    and the forced multi-batch pytest): score rows with the shared
+    evt_priority_frame, 64-way hash bucketing, one
+    applyInPandasWithState holding each bucket's top-k heap."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from env_event_stream_spark.analytics_queries import (
+        evt_priority_frame,
+    )
+
+    keyed = evt_priority_frame(ev).withColumn(
+        "bucket", F.pmod(F.hash(F.col("event_id")), F.lit(64))
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        prio_sample_state_fn,
+        outputStructType=(
+            "bkey string, bucket bigint, event_id bigint,"
+            " event_type string, w_cents bigint, priority bigint"
+        ),
+        stateStructType=(
+            "ids array<bigint>, ets array<string>,"
+            " ws array<bigint>, ps array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _prio_sample_oracle_for_stream() -> str:
+    from env_event_stream_spark.analytics_queries import (
+        _EVT_PRIO_ORACLE,
+    )
+
+    return _EVT_PRIO_ORACLE
+
+
+@query("evt_stream_priority_sample", _prio_sample_oracle_for_stream)
+def evt_stream_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE value-weighted sample (27th genuinely-streaming oracled
+    entry): the Duffield-Lund-Thorup priority sample of the whole
+    event stream maintained as keyed streaming state — the reservoir
+    a live ingest keeps so "give me a weighted sample of everything
+    so far" is answerable without replaying 100 TB.
+
+    The state-class argument is the operator's point: each of 64
+    buckets holds only its own top-k heap (k rows of 4 scalars), and
+    heap union is ORDER-FREE — top-k(union) == top-k(per-side
+    top-ks) — so unlike the keyed-fold matviews this sample is exact
+    under any arrival order, late events included (a late high-value
+    event simply enters its bucket's heap when it shows up). That
+    makes it the FOURTH mergeable-state class in the family (+
+    counts, max registers, min/max timestamps, and now bounded
+    heaps). Readout: each bucket's LATEST emission (per-bucket max
+    epoch — an event evicted from a heap must not resurrect from an
+    older epoch) unions into <= 64*k candidates, then the global
+    top-k rides TakeOrderedAndProject. Shares the batch twin's full
+    value-hash oracle; heap merge across batches + eviction
+    non-resurrection pinned by a forced multi-batch pytest."""
+    from env_event_stream_spark.analytics_queries import _EVT_PRIO_K
+    from env_event_stream_spark.operators.relational import top_k
+
+    out = stream_priority_sample(_read_events_stream(spark, sf_dir))
+    sink_dir = _run_update_to_latest(out, "priosample")
+    raw = spark.read.parquet(sink_dir)
+    latest = raw.groupBy("bucket").agg(F.max("_epoch").alias("_epoch"))
+    cand = raw.join(latest, ["bucket", "_epoch"])
+    return top_k(
+        cand.select("event_id", "event_type", "w_cents", "priority"),
+        [F.col("priority").desc(), F.col("event_id").asc()],
+        _EVT_PRIO_K,
+    )

@@ -1304,3 +1304,118 @@ def test_stream_transitions_equals_batch(spark, sf_dir):
     b = {tuple(r) for r in evt_transition_matrix(spark, sf_dir).collect()}
     l = {tuple(r) for r in evt_stream_transitions(spark, sf_dir).collect()}
     assert b == l and b
+
+
+def test_stream_priority_sample_heap_merges_and_never_resurrects(
+    spark, tmp_path
+):
+    """The per-bucket heap must (a) merge across micro-batches, (b)
+    evict the displaced event permanently — an evicted row must NOT
+    resurrect from an older epoch in the readout — and (c) be
+    arrival-order-free: a late high-value event entering in batch 2
+    lands in the sample exactly as if it had arrived first."""
+    import datetime as dt
+
+    from env_event_stream_spark.analytics_queries import (
+        evt_priority_frame,
+    )
+    from env_event_stream_spark.streaming_queries import (
+        stream_priority_sample,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string, value double"
+    )
+
+    def write(spec):
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 9, 0, 0), eid, "view", float(v))
+            for (eid, v) in spec
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # keep only bucket-0 events so ONE bucket's k-bounded heap is
+    # exercised (global k = 64 would otherwise never evict on a
+    # handful of rows): generate candidate ids, pick those hashing
+    # to bucket 0
+    from pyspark.sql import functions as F
+
+    ids = spark.range(1, 6000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.hash(F.col("id").cast("bigint")), F.lit(64)).alias("b"),
+    )
+    b0 = [r["event_id"] for r in ids.where("b = 0").head(80)]
+    assert len(b0) >= 70
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_priority_sample(stream)
+        emitted: dict = {}
+
+        def sink(df, epoch):
+            for r in df.collect():
+                emitted.setdefault(epoch, {})[r.bkey] = r
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        last = max(emitted)
+        return {r.event_id: r.priority for r in emitted[last].values()}
+
+    # batch 1: 70 bucket-0 events, LOW values (cents 1..70)
+    write([(eid, 0.01 * (i + 1)) for i, eid in enumerate(b0[:70])])
+    s1 = run()
+    assert len(s1) == 64  # heap capped at k
+
+    # batch 2: 5 HIGH-value latecomers — they must enter, evicting 5
+    # low-priority residents; evicted ids must not reappear
+    write([(eid, 500.0) for eid in b0[70:75]])
+    s2 = run()
+    assert len(s2) == 64
+    assert set(b0[70:75]) <= set(s2)
+    evicted = set(s1) - set(s2)
+    assert len(evicted) == 5
+    # survivors keep their batch-1 priorities (merge, not recount)
+    for eid in set(s1) & set(s2):
+        assert s1[eid] == s2[eid]
+    # arrival-order-free: the final sample equals the batch frame's
+    # top-64 over ALL events written, regardless of arrival split
+    bat = evt_priority_frame(spark.read.parquet(src))
+    expect = {
+        r["event_id"]: r["priority"]
+        for r in bat.orderBy(
+            F.col("priority").desc(), F.col("event_id").asc()
+        )
+        .limit(64)
+        .collect()
+    }
+    assert s2 == expect
+
+
+def test_stream_priority_sample_equals_batch(spark, sf_dir):
+    """Live == batch row-for-row for the weighted-sample matview
+    (heap union is order-free, so this holds for ANY arrival order,
+    not just the in-order availableNow replay)."""
+    from env_event_stream_spark.analytics_queries import (
+        evt_priority_sample,
+    )
+    from env_event_stream_spark.streaming_queries import (
+        evt_stream_priority_sample,
+    )
+
+    b = {tuple(r) for r in evt_priority_sample(spark, sf_dir).collect()}
+    l = {
+        tuple(r)
+        for r in evt_stream_priority_sample(spark, sf_dir).collect()
+    }
+    assert b == l and b
