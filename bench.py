@@ -200,6 +200,7 @@ HEADLINE = [
     "doc_unigram_lm_encode",
     "evt_priority_sample",
     "evt_stream_priority_sample",
+    "doc_unigram_lm_prune_eval",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

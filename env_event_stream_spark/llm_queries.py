@@ -3083,6 +3083,130 @@ def doc_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ulm_prune_losses_py(model: list, word_freq: dict) -> dict:
+    """Shared loss arithmetic CONTRACT, implemented twice (this is
+    the oracle/pytest side; the engine re-derives it row-wise inside
+    the Arrow stage): for every multi-char piece p in the model,
+    loss(p) = Σ_w freq(w) · (viterbi_cost(w | vocab \\ {p}) −
+    viterbi_cost(w | vocab)) over the words whose CURRENT best
+    segmentation uses p — the likelihood the corpus loses if p is
+    dropped (Kudo 2018's prune criterion, exact integers here because
+    costs are already quantized micro-nats). Dropping a piece never
+    breaks coverage: single chars are never candidates."""
+    from env_event_stream_spark.operators.unigram_lm import viterbi_rec
+
+    costs = {p: cost for p, _, _, _, cost in model}
+    losses = {p: [0, 0] for p in costs if len(p) >= 2}  # n_words, loss
+    for w, f in word_freq.items():
+        seg = viterbi_rec(w, costs)
+        cur = sum(costs[p] for p in seg)
+        for p in {p for p in seg if len(p) >= 2}:
+            wo = dict(costs)
+            del wo[p]
+            alt_seg = viterbi_rec(w, wo)
+            alt = sum(wo[q] for q in alt_seg)
+            losses[p][0] += 1
+            losses[p][1] += f * (alt - cur)
+    return losses
+
+
+def _ulm_prune_oracle() -> str:
+    from env_event_stream_spark.operators.unigram_lm import (
+        train_unigram_lm_py,
+    )
+
+    wf = _ulm_word_freq_duck(_oracle_sf_dir(), "full")
+    losses = _ulm_prune_losses_py(train_unigram_lm_py(wf), wf)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(p)}, CAST({len(p)} AS BIGINT), CAST({n} AS BIGINT), "
+        f"CAST({l} AS BIGINT))"
+        for p, (n, l) in sorted(losses.items())
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS t(piece, piece_len, n_words_using, loss_micronat)"
+    )
+
+
+@query("doc_unigram_lm_prune_eval", _ulm_prune_oracle)
+def doc_unigram_lm_prune_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TRUE SentencePiece prune criterion (Kudo 2018 §3.2),
+    exact: for every multi-char piece in the learned vocabulary, the
+    corpus-likelihood LOSS of dropping it — each word currently
+    segmented through the piece is re-segmented without it and pays
+    the (integer micro-nat) cost delta, weighted by word frequency.
+    The trainer's count-based prune is the cheap in-loop heuristic;
+    THIS is the number the next vocab-size decision should rank on
+    (loss 0 = the piece is free to drop; the count-kept zero-loss
+    pieces the prune let through are exactly what it exposes).
+    Single chars are never candidates (coverage guarantee), so every
+    re-segmentation exists.
+
+    Plan: one Arrow pass over the DISTINCT word table (the model +
+    per-piece cost tables ride the closure; re-segmentation work is
+    O(pieces-per-word · |w|²) per word, vocab-bounded), one
+    map-side-combinable per-piece agg, and a broadcast join back onto
+    the vocab-sized multi list so unused pieces report loss 0 rather
+    than vanishing. Integer end to end. Oracle: independent
+    pure-Python replay over the memoized-Viterbi scanner,
+    VALUES-inlined; engine-vs-replay equality pytested."""
+    from typing import Iterator
+
+    from env_event_stream_spark.operators.unigram_lm import viterbi_iter
+
+    model = _ulm_spark_cached(sf_dir, "full")
+    costs = {p: cost for p, _, _, _, cost in model}
+    multis = sorted(p for p in costs if len(p) >= 2)
+
+    words = _ulm_words_spark(spark, sf_dir, "full")
+
+    def score(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                seg = viterbi_iter(w, costs)
+                cur = sum(costs[p] for p in seg)
+                for p in {p for p in seg if len(p) >= 2}:
+                    wo = dict(costs)
+                    del wo[p]
+                    alt_seg = viterbi_iter(w, wo)
+                    alt = sum(wo[q] for q in alt_seg)
+                    out.append((p, 1, int(f) * (alt - cur)))
+            yield pd.DataFrame(
+                out, columns=["piece", "n", "loss"]
+            ).astype({"piece": "string", "n": "int64", "loss": "int64"})
+
+    agg = (
+        words.mapInPandas(score, "piece string, n bigint, loss bigint")
+        .groupBy("piece")
+        .agg(
+            F.sum("n").alias("n_words_using"),
+            F.sum("loss").alias("loss_micronat"),
+        )
+    )
+    base = spark.createDataFrame(
+        [(p,) for p in multis], "piece string"
+    )
+    return base.join(F.broadcast(agg), "piece", "left").select(
+        "piece",
+        F.length("piece").cast("bigint").alias("piece_len"),
+        F.coalesce("n_words_using", F.lit(0))
+        .cast("bigint")
+        .alias("n_words_using"),
+        F.coalesce("loss_micronat", F.lit(0))
+        .cast("bigint")
+        .alias("loss_micronat"),
+    )
+
+
 @query(
     "doc_winnow_pairs",
     r"""

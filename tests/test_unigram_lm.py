@@ -181,3 +181,35 @@ def test_encode_readout_matches_python_replay(spark, sf_dir):
         )
         assert r["n_pieces"] <= r["n_chars"]
         assert r["n_pieces"] >= r["n_ws_tokens"]
+
+
+def test_prune_eval_matches_replay_and_is_sound(spark, sf_dir):
+    # engine prune losses == the pure-Python replay; losses are
+    # nonnegative (dropping a piece can only cost); a piece with
+    # n_words_using == 0 must report loss 0; and at least one piece
+    # carries positive loss at the test SF (the criterion is
+    # informative)
+    from env_event_stream_spark.llm_queries import (
+        _ulm_prune_losses_py,
+        _ulm_words_spark,
+        doc_unigram_lm_prune_eval,
+    )
+
+    rows = doc_unigram_lm_prune_eval(spark, sf_dir).collect()
+    assert rows, "no multi pieces at test sf"
+    words = {
+        r["word"]: int(r["freq"])
+        for r in _ulm_words_spark(spark, sf_dir, "full").collect()
+    }
+    losses = _ulm_prune_losses_py(train_unigram_lm_py(words), words)
+    got = {
+        r["piece"]: (r["n_words_using"], r["loss_micronat"])
+        for r in rows
+    }
+    assert got == {p: tuple(v) for p, v in losses.items()}
+    for r in rows:
+        assert r["loss_micronat"] >= 0
+        assert r["piece_len"] == len(r["piece"]) and r["piece_len"] >= 2
+        if r["n_words_using"] == 0:
+            assert r["loss_micronat"] == 0
+    assert any(r["loss_micronat"] > 0 for r in rows)
