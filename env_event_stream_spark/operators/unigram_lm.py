@@ -185,10 +185,19 @@ def train_unigram_lm(words: DataFrame) -> list[tuple]:
     Returns the final model as _finalize rows. See module docstring
     for the scale shape; the only driver materializations are the
     seed table, and one vocab-sized count table per iteration."""
-    w = words.select(
-        F.col("word").cast("string").alias("word"),
-        F.col("freq").cast("bigint").alias("freq"),
-    ).localCheckpoint(eager=True)
+    w = (
+        words.select(
+            F.col("word").cast("string").alias("word"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+        # drop the empty token a whitespace split of an empty text
+        # yields: it carries nothing segmentable, and Spark's
+        # sequence(1, 0) DESCENDS (it would emit phantom ''-pieces
+        # the pure-Python trainer never sees) — both trainers drop
+        # it, so they stay in lockstep on any input
+        .where(F.length("word") >= 1)
+        .localCheckpoint(eager=True)
+    )
 
     # --- seed: every substring of every word, weighted by word freq,
     # counted at EVERY start position (overlaps included) — one
@@ -272,6 +281,9 @@ def train_unigram_lm_py(word_freq: dict) -> list[tuple]:
     """Pure-Python reference trainer — independent implementation
     (dict loops + the memoized top-down Viterbi). Must reproduce
     train_unigram_lm bit-for-bit; their agreement is the check."""
+    # identical empty-token drop as the distributed trainer (see its
+    # inline comment) — lockstep on any input, not just clean corpora
+    word_freq = {w: f for w, f in word_freq.items() if len(w) >= 1}
     counts: dict[str, int] = {}
     char_set: set[str] = set()
     for word, freq in word_freq.items():

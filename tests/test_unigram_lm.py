@@ -213,3 +213,18 @@ def test_prune_eval_matches_replay_and_is_sound(spark, sf_dir):
         if r["n_words_using"] == 0:
             assert r["loss_micronat"] == 0
     assert any(r["loss_micronat"] > 0 for r in rows)
+
+
+def test_trainers_drop_empty_token_in_lockstep(spark):
+    # a whitespace split of an empty text yields '' — both trainers
+    # must DROP it identically (Spark's sequence(1, 0) descends and
+    # would otherwise emit phantom empty pieces the Python trainer
+    # never sees)
+    wf = {"": 100, "ab": 3, "b": 2}
+    m_py = train_unigram_lm_py(wf)
+    assert all(p != "" for p, *_ in m_py)
+    words = spark.createDataFrame(
+        list(wf.items()), "word string, freq long"
+    )
+    m_spark = train_unigram_lm(words)
+    assert m_spark == m_py
