@@ -2906,10 +2906,18 @@ def doc_unigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             score, "n bigint, oov bigint, sub bigint, wrd bigint"
         )
         .agg(
-            F.sum("n").alias("n_test_tokens"),
-            F.sum("oov").alias("n_oov_tokens"),
-            F.sum("sub").alias("sub_total_micronat"),
-            F.sum("wrd").alias("word_total_micronat"),
+            # coalesce: Spark's sum over ZERO rows is NULL, but the
+            # pure-Python replay returns integer zeros when the md5
+            # test split is empty — a degenerate-corpus NULL-vs-0
+            # hash divergence without it (review-pass catch)
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_test_tokens"),
+            F.coalesce(F.sum("oov"), F.lit(0)).alias("n_oov_tokens"),
+            F.coalesce(F.sum("sub"), F.lit(0)).alias(
+                "sub_total_micronat"
+            ),
+            F.coalesce(F.sum("wrd"), F.lit(0)).alias(
+                "word_total_micronat"
+            ),
         )
     )
     return agg.select(

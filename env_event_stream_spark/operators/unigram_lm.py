@@ -124,18 +124,32 @@ def viterbi_iter(
 def viterbi_rec(
     word: str, costs: dict, max_piece: int = ULM_MAX_PIECE
 ) -> list[str] | None:
-    """ORACLE-side Viterbi: memoized top-down recursion — a
-    deliberately different mechanization of the same contract
-    (min cost, ties -> smallest split start). Fuzz-pinned against
-    viterbi_iter in tests/test_unigram_lm.py."""
+    """ORACLE-side Viterbi: memoized top-down demand-driven
+    evaluation — a deliberately different mechanization of the same
+    contract (min cost, ties -> smallest split start). The recursion
+    is simulated with an explicit work stack so a single
+    1000+-char token (a base64/URL blob in a dirty corpus) cannot
+    blow Python's recursion limit while its twin viterbi_iter
+    handles the same word fine — the two mechanizations must share
+    their DOMAIN, not just their answers (review-pass catch).
+    Fuzz-pinned against viterbi_iter in tests/test_unigram_lm.py,
+    including a long-token case."""
+    n = len(word)
     memo: dict[int, tuple[int, int] | None] = {0: (0, -1)}
-
-    def f(j: int):
+    stack = [n]
+    while stack:
+        j = stack[-1]
         if j in memo:
-            return memo[j]
+            stack.pop()
+            continue
+        lo = max(0, j - max_piece)
+        pending = [i for i in range(lo, j) if i not in memo]
+        if pending:
+            stack.extend(pending)
+            continue
         best = None
-        for i in range(max(0, j - max_piece), j):
-            fi = f(i)
+        for i in range(lo, j):
+            fi = memo[i]
             if fi is None:
                 continue
             c = costs.get(word[i:j])
@@ -145,9 +159,8 @@ def viterbi_rec(
             if best is None or cand < best[0]:
                 best = (cand, i)
         memo[j] = best
-        return best
-
-    if f(len(word)) is None:
+        stack.pop()
+    if memo[n] is None:
         return None
     pieces: list[str] = []
     j = len(word)

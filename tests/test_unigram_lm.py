@@ -228,3 +228,16 @@ def test_trainers_drop_empty_token_in_lockstep(spark):
     )
     m_spark = train_unigram_lm(words)
     assert m_spark == m_py
+
+
+def test_viterbi_rec_survives_long_tokens():
+    # the two mechanizations must share their DOMAIN, not just their
+    # answers: a single 5000-char token (base64/URL blob in a dirty
+    # corpus) must not blow the oracle-side scanner's recursion —
+    # both return the same segmentation
+    word = "abcd" * 1250
+    costs = {c: 5_000_000 for c in "abcd"}
+    costs["abcd"] = 1_000_000
+    a = viterbi_iter(word, costs)
+    b = viterbi_rec(word, costs)
+    assert a == b == ["abcd"] * 1250
