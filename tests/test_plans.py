@@ -428,3 +428,37 @@ def test_kmv_overlap_no_corpus_self_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "evt_kmv_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_priority_sample_is_distributive_topk(spark, sf_dir):
+    """The DLT sample must ride TakeOrderedAndProject (per-partition
+    heaps) — a global Sort here means the 100 TB no-global-sort
+    argument silently regressed — with no Python stage anywhere."""
+    plan = _plan(spark, sf_dir, "evt_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan and "BatchEvalPython" not in plan
+
+
+def test_nested_skip_modes_single_arrow_stage(spark, sf_dir):
+    """All four nested-pattern counts (both policies, untimed + 4h)
+    must run in ONE Arrow stage over the shared user-day sequences:
+    exactly one MapInPandas, no row-Python, no extra exchange beyond
+    the family's single user-day shuffle."""
+    plan = _plan(spark, sf_dir, "evt_cep_skip_modes_nested")
+    # AQE repeats the final subtree in toString — count unique nodes
+    arrow = {l.lstrip(" +-:*") for l in plan.splitlines() if "MapInPandas" in l}
+    assert len(arrow) == 1
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # user-day shuffle (+ AQE read)
+
+
+def test_unigram_encode_vocab_bounded_python(spark, sf_dir):
+    """Viterbi work must touch only the DEDUPLICATED word list (one
+    Arrow stage fed by a distinct), with the per-word symbol counts
+    BROADCAST back onto the (source, word) bag — corpus rows never
+    reach Python and never shuffle for the model join."""
+    plan = _plan(spark, sf_dir, "doc_unigram_lm_encode")
+    arrow = {l.lstrip(" +-:*") for l in plan.splitlines() if "MapInPandas" in l}
+    assert len(arrow) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
