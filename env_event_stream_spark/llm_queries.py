@@ -5259,3 +5259,199 @@ def doc_priority_sample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-rater agreement: the ensemble-curation diagnostic. A corpus
+# pipeline that filters on several cheap raters (rules, learned
+# classifier, composite score — the FineWeb-style ensemble) needs to
+# know WHERE the raters disagree before composing them: high kappa =
+# redundant raters (drop one), low kappa = they see different things
+# (compose or investigate).
+# ---------------------------------------------------------------------------
+
+
+def _rater_agreement_oracle() -> str:
+    """Lazy oracle: the three raters' keep decisions restated in SQL
+    (gopher conjunction, classifier logit sign via the shared
+    weight-literal CTEs, the integer-exact composite-score tier
+    test), one 2x2-cell aggregation, three pair rows."""
+    qc = _qc_score_ctes()
+    pair = """
+    SELECT '{a}' AS rater_a, '{b}' AS rater_b,
+           CAST(n AS BIGINT) AS n,
+           CAST({ag} AS BIGINT) AS n_agree,
+           CAST({pa} AS BIGINT) AS n_keep_a,
+           CAST({pb} AS BIGINT) AS n_keep_b,
+           CAST({ag} * 1000000 // n AS BIGINT) AS agree_ppm,
+           CASE WHEN n * n = {pa} * {pb} + (n - {pa}) * (n - {pb})
+                THEN NULL
+                ELSE floor((n * {ag}
+                            - ({pa} * {pb} + (n - {pa}) * (n - {pb})))
+                           * 1.0
+                           / (n * n
+                              - ({pa} * {pb} + (n - {pa}) * (n - {pb})))
+                           * 1000000 + 0.5) / 1000000
+           END AS kappa
+    FROM cells"""
+    return (
+        "WITH t AS (SELECT doc_id, text, "
+        r"string_split_regex(trim(text), '\s+') AS tk FROM documents),"
+        + qc
+        + r""",
+    g AS (SELECT doc_id,
+                 coalesce(len(tk) BETWEEN 10 AND 100000, false)
+                 AND coalesce(list_sum(list_transform(tk, x -> len(x)))
+                              * 1.0 / nullif(len(tk), 0)
+                              BETWEEN 2 AND 12, false)
+                 AND coalesce(len(regexp_replace(text, '[^A-Za-z]', '',
+                                                 'g'))
+                              * 1.0 / nullif(len(text), 0) >= 0.55,
+                              false)
+                 AND len(list_filter(tk,
+                     x -> list_contains(['the','a','of','and'], x))) > 0
+                   AS keep
+          FROM t),
+    cl AS (SELECT doc_id, z >= 0 AS keep FROM s),
+    qm AS (SELECT doc_id, len(tk) AS n,
+                  len(list_filter(tk,
+                      x -> list_contains(['the','a','of','and'], x)))
+                    AS sw,
+                  length(text) AS c,
+                  length(regexp_replace(text, '[^\w\s]', '', 'g')) AS np,
+                  len(list_distinct(tk)) AS u
+           FROM t),
+    q AS (SELECT doc_id,
+                 ((least(n, 200) * n * c + 100 * (c * sw + n * np + c * u))
+                    * 20000 + 500 * n * c)
+                   // (2 * 500 * n * c) >= 5500 AS keep
+          FROM qm),
+    j AS (SELECT g.keep AS a, cl.keep AS b, q.keep AS c
+          FROM g JOIN cl USING (doc_id) JOIN q USING (doc_id)),
+    cells AS (SELECT count(*) AS n,
+                     sum(CASE WHEN a THEN 1 ELSE 0 END) AS a1,
+                     sum(CASE WHEN b THEN 1 ELSE 0 END) AS b1,
+                     sum(CASE WHEN c THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS ab,
+                     sum(CASE WHEN a = c THEN 1 ELSE 0 END) AS ac,
+                     sum(CASE WHEN b = c THEN 1 ELSE 0 END) AS bc
+              FROM j)
+    """
+        + pair.format(a="rules", b="classifier", ag="ab", pa="a1", pb="b1")
+        + " UNION ALL "
+        + pair.format(a="rules", b="score", ag="ac", pa="a1", pb="c1")
+        + " UNION ALL "
+        + pair.format(a="classifier", b="score", ag="bc", pa="b1", pb="c1")
+    )
+
+
+@query("doc_quality_rater_agreement", _rater_agreement_oracle)
+def doc_quality_rater_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise agreement + Cohen's kappa between the three cheap
+    quality raters (Gopher rules `passes`, the learned classifier's
+    logit sign, composite-score tier != 'low') — the
+    ensemble-curation diagnostic: raw agreement is inflated when both
+    raters mostly say keep, kappa corrects for that chance agreement,
+    so kappa ~ 0 on a high-agreement pair means the raters are
+    USELESS together while kappa ~ 1 means one is redundant. n_keep
+    columns give each rater's base rate.
+
+    Determinism: the 2x2 cells are exact integer counts off one
+    three-way doc_id join of the raters' keep bits (each rater's bit
+    is already cross-engine pinned by its own oracled query); kappa
+    is ONE fixed-order double expression over those integers with the
+    repo's tie-free floor(x*1e6 + 0.5) rounding (the
+    evt_ab_test_conversion chi-square precedent), NULL when chance
+    agreement is total (pe = 1, kappa undefined). assert_true bounds
+    n so the bigint cell products stay loud. Plan/scale: three scans
+    (each rater recomputes its features — the cost of running the
+    ensemble), keep-bit rows joined on doc_id, one
+    map-side-combinable global agg; the 3 pair rows explode from the
+    single agg row — no second pass. Reference analog: none; §2.11
+    curation extension."""
+    rules = doc_gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("a")
+    )
+    clf = _qc_score_frame(spark, sf_dir).select(
+        "doc_id", F.col("pred_keep").alias("b")
+    )
+    score = doc_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("tier") != "low").alias("c")
+    )
+    j = rules.join(clf, "doc_id").join(score, "doc_id")
+    one = F.lit(1)
+    zero = F.lit(0)
+    cells = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("a"), one).otherwise(zero)).alias("a1"),
+        F.sum(F.when(F.col("b"), one).otherwise(zero)).alias("b1"),
+        F.sum(F.when(F.col("c"), one).otherwise(zero)).alias("c1"),
+        F.sum(F.when(F.col("a") == F.col("b"), one).otherwise(zero))
+        .alias("ab"),
+        F.sum(F.when(F.col("a") == F.col("c"), one).otherwise(zero))
+        .alias("ac"),
+        F.sum(F.when(F.col("b") == F.col("c"), one).otherwise(zero))
+        .alias("bc"),
+    ).where(
+        F.assert_true(
+            F.col("n") < F.lit(3_000_000_000),
+            F.lit(
+                "doc_quality_rater_agreement: n >= 3e9 — n*n would "
+                "overflow int64 in the kappa cells"
+            ),
+        ).isNull()
+    )
+    pairs = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("rules").alias("rater_a"),
+                    F.lit("classifier").alias("rater_b"),
+                    F.col("n").alias("n"),
+                    F.col("ab").alias("ag"),
+                    F.col("a1").alias("pa"),
+                    F.col("b1").alias("pb"),
+                ),
+                F.struct(
+                    F.lit("rules").alias("rater_a"),
+                    F.lit("score").alias("rater_b"),
+                    F.col("n").alias("n"),
+                    F.col("ac").alias("ag"),
+                    F.col("a1").alias("pa"),
+                    F.col("c1").alias("pb"),
+                ),
+                F.struct(
+                    F.lit("classifier").alias("rater_a"),
+                    F.lit("score").alias("rater_b"),
+                    F.col("n").alias("n"),
+                    F.col("bc").alias("ag"),
+                    F.col("b1").alias("pa"),
+                    F.col("c1").alias("pb"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    pe_num = F.expr("pa * pb + (n - pa) * (n - pb)")
+    return pairs.select(
+        "rater_a",
+        "rater_b",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("ag").cast("bigint").alias("n_agree"),
+        F.col("pa").cast("bigint").alias("n_keep_a"),
+        F.col("pb").cast("bigint").alias("n_keep_b"),
+        F.expr("CAST(ag * 1000000 div n AS BIGINT)").alias("agree_ppm"),
+        F.when(F.expr("n * n") == pe_num, F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(
+                (F.expr("n * ag") - pe_num)
+                * 1.0
+                / (F.expr("n * n") - pe_num)
+                * 1_000_000
+                + 0.5
+            )
+            / 1_000_000
+        )
+        .alias("kappa"),
+    )

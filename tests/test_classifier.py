@@ -64,3 +64,36 @@ def test_surface_features_are_ratio_exact():
     assert fm == (11 / 4) / 10.0
     assert fa == 11 * 1.0 / 14
     assert fs == 1.0
+
+
+def test_rater_agreement_cells_are_consistent(spark, sf_dir):
+    # structural contract: one shared n, agreement bounded by n,
+    # agree_ppm floor-consistent, kappa in [-1, 1] when defined, and
+    # kappa == 1 exactly when the pair agrees everywhere with
+    # non-degenerate chance agreement; the known verdict on this
+    # synthetic corpus — the classifier mirrors the rules it was
+    # trained on — must surface as the rules/classifier pair having
+    # the max agreement of the three
+    from env_event_stream_spark.llm_queries import (
+        doc_quality_rater_agreement,
+    )
+
+    rows = doc_quality_rater_agreement(spark, sf_dir).collect()
+    assert len(rows) == 3
+    ns = {r["n"] for r in rows}
+    assert len(ns) == 1 and ns.pop() > 0
+    by = {(r["rater_a"], r["rater_b"]): r for r in rows}
+    assert set(by) == {
+        ("rules", "classifier"),
+        ("rules", "score"),
+        ("classifier", "score"),
+    }
+    for r in rows:
+        assert 0 <= r["n_agree"] <= r["n"]
+        assert r["agree_ppm"] == r["n_agree"] * 1_000_000 // r["n"]
+        if r["kappa"] is not None:
+            assert -1.0 <= r["kappa"] <= 1.0
+        if r["n_agree"] == r["n"] and r["kappa"] is not None:
+            assert r["kappa"] == 1.0
+    rc = by[("rules", "classifier")]
+    assert rc["n_agree"] == max(r["n_agree"] for r in rows)
