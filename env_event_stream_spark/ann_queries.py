@@ -3223,9 +3223,7 @@ _SEMDECON_ORACLE = f"""
     ev AS (SELECT vec_id, v FROM e WHERE vec_id % 97 = 0),
     tr AS (SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0),
     s AS (SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
-                 list_dot_product(tr.v, ev.v)
-                   / (sqrt(list_dot_product(tr.v, tr.v))
-                      * sqrt(list_dot_product(ev.v, ev.v))) AS csim
+                 {_COSINE_SQL.format(a="tr.v", b="ev.v")} AS csim
           FROM tr CROSS JOIN ev),
     r AS (SELECT train_id, eval_id, round(csim, 6) AS cos,
                  row_number() OVER (PARTITION BY train_id
@@ -3240,9 +3238,11 @@ _SEMDECON_ORACLE = f"""
 
 @query("emb_decontaminate", _SEMDECON_ORACLE)
 def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic decontamination triage: the {_SEMDECON_TOPK} training
-    documents whose embeddings sit closest to ANY held-out eval
-    embedding (the doc_id %% 97 split the n-gram tier uses), each with
+    """Semantic decontamination triage: the 50 (_SEMDECON_TOPK)
+    training documents whose embeddings sit closest to ANY held-out
+    eval embedding (vec_id % 97 = 0 — embeddings align 1:1 with
+    documents, so this is the same % 97 split the n-gram tier takes
+    on doc_id), each with
     its nearest eval item, the cosine, and a conservative
     flagged-at-0.95 verdict — the ranked list a decontamination
     review walks when paraphrased leakage is suspected (n-gram

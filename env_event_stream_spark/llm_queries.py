@@ -5272,10 +5272,12 @@ def doc_priority_sample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rater_agreement_oracle() -> str:
-    """Lazy oracle: the three raters' keep decisions restated in SQL
-    (gopher conjunction, classifier logit sign via the shared
-    weight-literal CTEs, the integer-exact composite-score tier
-    test), one 2x2-cell aggregation, three pair rows."""
+    """Lazy oracle: the three raters' keep decisions via the SHARED
+    CTE fragments (_TOKENS_CTE for tokenization, _QC_LABEL_CTES for
+    the Gopher conjunction — the same text doc_quality_classifier's
+    oracle trains on, so a future rule tweak syncs automatically —
+    and the weight-literal classifier CTEs), one 2x2-cell
+    aggregation, three pair rows."""
     qc = _qc_score_ctes()
     pair = """
     SELECT '{a}' AS rater_a, '{b}' AS rater_b,
@@ -5295,23 +5297,13 @@ def _rater_agreement_oracle() -> str:
            END AS kappa
     FROM cells"""
     return (
-        "WITH t AS (SELECT doc_id, text, "
-        r"string_split_regex(trim(text), '\s+') AS tk FROM documents),"
+        "WITH "
+        + _TOKENS_CTE
+        + ","
         + qc
+        + ","
+        + _QC_LABEL_CTES
         + r""",
-    g AS (SELECT doc_id,
-                 coalesce(len(tk) BETWEEN 10 AND 100000, false)
-                 AND coalesce(list_sum(list_transform(tk, x -> len(x)))
-                              * 1.0 / nullif(len(tk), 0)
-                              BETWEEN 2 AND 12, false)
-                 AND coalesce(len(regexp_replace(text, '[^A-Za-z]', '',
-                                                 'g'))
-                              * 1.0 / nullif(len(text), 0) >= 0.55,
-                              false)
-                 AND len(list_filter(tk,
-                     x -> list_contains(['the','a','of','and'], x))) > 0
-                   AS keep
-          FROM t),
     cl AS (SELECT doc_id, z >= 0 AS keep FROM s),
     qm AS (SELECT doc_id, len(tk) AS n,
                   len(list_filter(tk,
@@ -5326,8 +5318,8 @@ def _rater_agreement_oracle() -> str:
                     * 20000 + 500 * n * c)
                    // (2 * 500 * n * c) >= 5500 AS keep
           FROM qm),
-    j AS (SELECT g.keep AS a, cl.keep AS b, q.keep AS c
-          FROM g JOIN cl USING (doc_id) JOIN q USING (doc_id)),
+    j AS (SELECT lab.y AS a, cl.keep AS b, q.keep AS c
+          FROM lab JOIN cl USING (doc_id) JOIN q USING (doc_id)),
     cells AS (SELECT count(*) AS n,
                      sum(CASE WHEN a THEN 1 ELSE 0 END) AS a1,
                      sum(CASE WHEN b THEN 1 ELSE 0 END) AS b1,
