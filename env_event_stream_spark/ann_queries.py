@@ -3255,8 +3255,10 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale (the decontamination shape, reversed into embedding
     space): the EVAL side is KB-scale and broadcasts; the train
     corpus streams through one scan, per-train max-cosine via the
-    shared knn_exact (k=1) — the 100 TB train side never shuffles for
-    the comparison, and the final ranked report is a distributive
+    shared knn_exact k=1 fast path — a map-side-combinable
+    min(struct) partial aggregate, so the one exchange carries
+    |train| per-partition bests rather than the |train|x|eval|
+    scored expansion — and the final ranked report is a distributive
     top-k (TakeOrderedAndProject) over per-train best rows. Ordering
     rides the 6dp-rounded cosine with train_id tie-break — the
     repo's LIMIT-total-order discipline. Reference analog: none;

@@ -79,7 +79,16 @@ def knn_exact(
     """Brute-force cosine top-k per query. Output:
     (query_id, neighbor_id, rank, sim). Self-matches excluded.
     The corpus side is broadcast when small; for a large corpus use
-    knn_lsh."""
+    knn_lsh.
+
+    k == 1 takes a map-side-combinable groupBy(min(struct)) fast
+    path instead of the row_number window: the window forces an
+    Exchange of the FULL |queries|x|corpus| scored expansion, while
+    the partial aggregate reduces each partition to one best-so-far
+    row per query before anything shuffles — the exchange carries
+    |queries| partials. Same result, same tie-break (sim desc,
+    neighbor_id asc; all-null-sim groups keep the window's
+    nulls-last/neighbor-asc semantics via the is-null struct flag)."""
     # norms are bound per vector BEFORE the join — computing them
     # inside the pair expression would redo two O(dim) folds per pair.
     q = queries.select(
@@ -95,6 +104,26 @@ def knn_exact(
             "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
     )
+    if k == 1:
+        # min over an orderable struct: (sim IS NULL) asc puts real
+        # sims first, -sim asc = sim desc, neighbor_id asc breaks
+        # ties — exactly the window's ordering, but Min supports
+        # partial aggregation so only per-partition bests shuffle.
+        best = scored.groupBy("query_id").agg(
+            F.min(
+                F.struct(
+                    F.col("sim").isNull().alias("sim_is_null"),
+                    (-F.col("sim")).alias("neg_sim"),
+                    F.col("neighbor_id").alias("neighbor_id"),
+                )
+            ).alias("best")
+        )
+        return best.select(
+            "query_id",
+            F.col("best.neighbor_id").alias("neighbor_id"),
+            F.lit(1).cast("bigint").alias("rank"),
+            F.round(-F.col("best.neg_sim"), 6).alias("sim"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

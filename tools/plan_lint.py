@@ -43,7 +43,9 @@ NESTED_LOOP_ALLOWED = {
     "emb_knn_topk": "exact-KNN tier: corpus x 10-query broadcast NL join",
     "emb_decontaminate": "train corpus x broadcast KB-scale eval "
     "matrix (corpus-size-invariant small side) — the decontamination "
-    "shape; train never shuffles",
+    "shape; the k=1 min(struct) partial agg reduces each partition "
+    "to one best row per train doc before the exchange, so the "
+    "shuffle carries |train| partials, not the scored expansion",
     "emb_knn_pandas": "exact-KNN BLAS twin: same documented tier",
     "emb_knn_matryoshka": "exact rescore over prefix dims (eval tier)",
     "emb_knn_binary": "binary-quantized exact sweep (documented tier)",
