@@ -4172,8 +4172,14 @@ def doc_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     map twice on doc_id. Engine-reproducible: re-running on any
     partitioning yields the identical split."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5).select(
-        "id_a", "id_b"
+    # the shingle explode + band join is the expensive leg; it feeds
+    # BOTH the component propagation and the leakage audit, so
+    # materialize the (match-set-sized) pair list once instead of
+    # replaying the CTE per consumer
+    pairs = (
+        D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
     )
     from env_event_stream_spark.operators.graph import connected_components
 
