@@ -5453,3 +5453,133 @@ def doc_quality_rater_agreement(
         )
         .alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted domain mixture — the data-recipe composition of
+# doc_mixture_sample (deterministic per-source hash sampling) and the
+# three-rater quality ensemble (doc_quality_rater_agreement's raters):
+# a doc's sampling weight is its domain target weight scaled by the
+# fraction of raters voting keep, so unanimous-keep docs sample at the
+# full domain rate, split-decision docs at a discount, and
+# unanimous-reject docs are dropped outright.
+# ---------------------------------------------------------------------------
+
+
+def _quality_mixture_oracle() -> str:
+    """Lazy oracle: the three raters' keep bits via the SHARED CTE
+    fragments (same as _rater_agreement_oracle), votes = their sum,
+    then doc_mixture_sample's md5-bucket test against the
+    vote-scaled weight."""
+    qc = _qc_score_ctes()
+    return (
+        "WITH "
+        + _TOKENS_CTE
+        + ","
+        + qc
+        + ","
+        + _QC_LABEL_CTES
+        + r""",
+    cl AS (SELECT doc_id, z >= 0 AS keep FROM s),
+    qm AS (SELECT doc_id, len(tk) AS n,
+                  len(list_filter(tk,
+                      x -> list_contains(['the','a','of','and'], x)))
+                    AS sw,
+                  length(text) AS c,
+                  length(regexp_replace(text, '[^\w\s]', '', 'g')) AS np,
+                  len(list_distinct(tk)) AS u
+           FROM t),
+    q AS (SELECT doc_id,
+                 ((least(n, 200) * n * c + 100 * (c * sw + n * np + c * u))
+                    * 20000 + 500 * n * c)
+                   // (2 * 500 * n * c) >= 5500 AS keep
+          FROM qm),
+    v AS (SELECT doc_id,
+                 (CASE WHEN lab.y THEN 1 ELSE 0 END
+                  + CASE WHEN cl.keep THEN 1 ELSE 0 END
+                  + CASE WHEN q.keep THEN 1 ELSE 0 END) AS votes
+          FROM lab JOIN cl USING (doc_id) JOIN q USING (doc_id)),
+    w AS (SELECT d.source, v.votes,
+                 ((regexp_extract(d.source, '(\d+)', 1)::INT % 4 + 1) * 25
+                  * v.votes) // 3 AS eff,
+                 ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 AS bucket
+          FROM documents d JOIN v ON v.doc_id = d.doc_id)
+    SELECT source, CAST(votes AS BIGINT) AS votes,
+           round(max(eff) / 100.0, 4) AS eff_weight,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN bucket < eff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN bucket < eff THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS kept_rate
+    FROM w GROUP BY source, votes
+    """
+    )
+
+
+@query("doc_quality_mixture", _quality_mixture_oracle)
+def doc_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted domain mixture (the data-recipe composition
+    VERDICT r10 queued): each doc's keep probability is its source's
+    mixture target (doc_mixture_sample's weight) scaled by
+    votes/3, where votes = how many of the three quality raters
+    (Gopher rules, learned classifier, composite score tier) say
+    keep. The same md5(doc_id) bucket test as doc_mixture_sample
+    decides membership — deterministic, row-local, reproducible on
+    any partitioning — so the recipe is an auditable pure function of
+    (doc_id, source, text). Output per (source, votes) stratum:
+    effective weight, stratum size, kept docs, achieved rate — the
+    table a recipe review reads to see how much of each domain the
+    quality discount actually removes (votes=3 rows sample at the
+    full domain rate; votes=0 rows report kept_rate 0.0).
+
+    Plan/scale: the three raters are row-local projections off three
+    scans of the corpus (the cost of running the ensemble, identical
+    to doc_quality_rater_agreement), joined on doc_id; the vote and
+    bucket tests are pure expressions; ONE map-side-combinable
+    groupBy(source, votes) ends the plan — output is
+    |sources| x 4 rows regardless of corpus size. Integer floor
+    division (w100 * votes div 3) keeps the effective threshold
+    engine-exact. Reference analog: none; §2.11 curation extension."""
+    rules = doc_gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("a")
+    )
+    clf = _qc_score_frame(spark, sf_dir).select(
+        "doc_id", F.col("pred_keep").alias("b")
+    )
+    score = doc_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("tier") != "low").alias("c")
+    )
+    one, zero = F.lit(1), F.lit(0)
+    votes = (
+        F.when(F.col("a"), one).otherwise(zero)
+        + F.when(F.col("b"), one).otherwise(zero)
+        + F.when(F.col("c"), one).otherwise(zero)
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w100 = (
+        F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int") % 4 + 1
+    ) * 25
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    rows = (
+        d.join(rules, "doc_id")
+        .join(clf, "doc_id")
+        .join(score, "doc_id")
+        .select(
+            "source",
+            votes.cast("bigint").alias("votes"),
+            w100.alias("w100"),
+            bucket.alias("bucket"),
+        )
+        .withColumn("eff", F.expr("(w100 * votes) div 3").cast("bigint"))
+    )
+    kept = F.sum(F.when(F.col("bucket") < F.col("eff"), 1).otherwise(0))
+    return rows.groupBy("source", "votes").agg(
+        F.round(F.max("eff") / 100.0, 4).alias("eff_weight"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        kept.cast("bigint").alias("n_kept"),
+        F.round(kept * 1.0 / F.count("*"), 4).alias("kept_rate"),
+    )

@@ -97,3 +97,37 @@ def test_rater_agreement_cells_are_consistent(spark, sf_dir):
             assert r["kappa"] == 1.0
     rc = by[("rules", "classifier")]
     assert rc["n_agree"] == max(r["n_agree"] for r in rows)
+
+
+def test_quality_mixture_recipe_invariants(spark, sf_dir):
+    # structural contract: the vote-scaled weight never exceeds the
+    # domain target, votes=0 strata keep nothing, votes=3 strata
+    # sample at exactly the domain rate (eff == w100), the effective
+    # weight is monotone in votes within a source, and the strata of
+    # a source partition its doc_mixture_sample population
+    from env_event_stream_spark.llm_queries import (
+        doc_mixture_sample,
+        doc_quality_mixture,
+    )
+
+    rows = doc_quality_mixture(spark, sf_dir).collect()
+    assert rows
+    mix = {
+        r["source"]: r for r in doc_mixture_sample(spark, sf_dir).collect()
+    }
+    per_source: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["votes"] <= 3
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        target = mix[r["source"]]["target_weight"]
+        assert r["eff_weight"] <= target
+        if r["votes"] == 0:
+            assert r["n_kept"] == 0 and r["kept_rate"] == 0.0
+        if r["votes"] == 3:
+            assert r["eff_weight"] == target
+        per_source.setdefault(r["source"], []).append(r)
+    for source, strata in per_source.items():
+        assert sum(r["n_docs"] for r in strata) == mix[source]["n_docs"]
+        by_votes = sorted(strata, key=lambda r: r["votes"])
+        effs = [r["eff_weight"] for r in by_votes]
+        assert effs == sorted(effs)
