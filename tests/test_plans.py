@@ -462,3 +462,18 @@ def test_unigram_encode_vocab_bounded_python(spark, sf_dir):
     assert len(arrow) == 1
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_decon_k1_reduces_before_exchange(spark, sf_dir):
+    """emb_decontaminate's k=1 reduction must be the map-side-
+    combinable min(struct) aggregate, NOT a row_number window: the
+    window would force the Exchange to carry the full
+    |train|x|eval| scored expansion, the partial aggregate reduces
+    each partition to one best row per train doc first (VERDICT r10
+    finding)."""
+    plan = _plan(spark, sf_dir, "emb_decontaminate")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    # the partial agg must sit BELOW the query_id exchange
+    ex = plan.index("Exchange hashpartitioning(query_id")
+    assert plan.index("partial_min") > ex
