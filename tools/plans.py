@@ -122,6 +122,15 @@ PICKS = [
      "Arrow stage over the DEDUPLICATED word list (O(vocab)); "
      "per-word piece counts broadcast back onto the (source, word) "
      "bag pre-agg — corpus rows never reach Python"),
+    # round-11 families
+    ("emb_decontaminate", "semantic decon k=1: broadcast eval matrix, "
+     "per-train best via partial_min(struct) map-side combine below "
+     "the ONE exchange (no Window, no post-shuffle sort), "
+     "distributive top-50"),
+    ("doc_quality_mixture", "quality-weighted mixture: three row-local "
+     "rater scans joined on doc_id, vote + bucket tests are pure "
+     "expressions, ONE partial-aggregated groupBy(source, votes) ends "
+     "the plan"),
 ]
 
 
