@@ -203,6 +203,8 @@ HEADLINE = [
     "doc_unigram_lm_prune_eval",
     "doc_quality_rater_agreement",
     "emb_decontaminate",
+    # round-11 addition
+    "doc_quality_mixture",
 ]
 
 # Rotating tail (VERDICT r8 task 4): the suite outgrew the driver
