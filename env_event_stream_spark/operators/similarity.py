@@ -105,8 +105,16 @@ def knn_exact(
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
+        # try_divide: a zero-norm vector's cosine is NULL instead of
+        # an ANSI DIVIDE_BY_ZERO throw; NULL sorts LAST under `sim
+        # desc` and last in the k=1 struct's is-null flag, so both
+        # paths agree that a degenerate vector is nobody's neighbor
+        # (the _nearest_cells try_divide precedent).
         .withColumn(
-            "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            "sim",
+            F.try_divide(
+                dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+            ),
         )
     )
     if k == 1:
@@ -114,10 +122,16 @@ def knn_exact(
         # sims first, -sim asc = sim desc, neighbor_id asc breaks
         # ties — exactly the window's ordering, as one partial-
         # aggregable Min (no post-shuffle sort or window recompute).
+        # The NOT-isnan flag keeps degenerate-input parity with the
+        # window AND the SQL oracles: both engines sort NaN (a
+        # zero-norm vector's 0/0 cosine) as the LARGEST double, so
+        # under `sim desc` a NaN row ranks first — negation alone
+        # would flip that (NaN also sorts largest ascending).
         best = scored.groupBy("query_id").agg(
             F.min(
                 F.struct(
                     F.col("sim").isNull().alias("sim_is_null"),
+                    (~F.isnan("sim")).alias("sim_not_nan"),
                     (-F.col("sim")).alias("neg_sim"),
                     F.col("neighbor_id").alias("neighbor_id"),
                 )

@@ -498,3 +498,42 @@ def test_kmeans_elbow_monotone_and_consistent_with_lloyd(spark, sf_dir):
     assert k8.n_nonempty_cells == sum(
         1 for r in lloyd if r.n_points > 0
     )
+
+
+def test_knn_k1_agg_matches_window_on_zero_norm_vector(spark, sf_dir):
+    """Degenerate-input parity: a zero-norm vector's cosine is NULL
+    (try_divide — under ANSI a plain divide would THROW), and NULL
+    sorts LAST in both the windowed path (`sim desc` nulls last) and
+    the k=1 min(struct) fast path (the is-null flag) — a degenerate
+    vector is nobody's nearest neighbor, loudly consistent across
+    paths. Also pins the all-null group: querying FROM the zero
+    vector returns the smallest neighbor_id with a NULL sim in both
+    paths."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dim = len(e.select("embedding").first().embedding)
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * dim)], "vec_id bigint, embedding array<float>"
+    )
+    corpus = e.unionByName(zero)
+    q = e.where(F.col("vec_id") < 5).unionByName(zero)
+    kw = dict(id_col="vec_id", vec_col="embedding")
+    one = {
+        r.query_id: (r.neighbor_id, r.sim)
+        for r in S.knn_exact(q, corpus, k=1, **kw).collect()
+    }
+    win = {
+        r.query_id: (r.neighbor_id, r.sim)
+        for r in S.knn_exact(q, corpus, k=2, **kw).collect()
+        if r.rank == 1
+    }
+    assert one == win
+    min_id = corpus.agg(F.min("vec_id")).first()[0]
+    for qid, (nid, sim) in one.items():
+        if qid == 999999:
+            # all-null sims: tie-break alone decides, sim is NULL
+            assert nid == min_id and sim is None
+        else:
+            # the zero-norm vector never wins a real query
+            assert nid != 999999 and sim is not None
