@@ -113,16 +113,27 @@ class InMemoryDeadLetterQueue:
     def size(self) -> int:
         return len(self._rows)
 
-    def retry_event(self, event_id: str, handler: Callable[[Row], None]) -> bool:
-        """Re-deliver; delete on success, attempts+1 + new error on
-        failure (reference src/deadletter.ts:78-103)."""
+    def retry_event(self, event_id: str, handler: Callable[[Row], Any]) -> bool:
+        """Re-deliver; delete on success, failure increments
+        ``attempts`` and refreshes ``timestamp`` (reference
+        src/deadletter.ts:78-103). The reference's callback contract
+        is boolean: an explicit ``False`` return is a SOFT failure
+        (error text unchanged, src/deadletter.ts:92-96); a raised
+        exception is a HARD failure that also replaces the error
+        message (:97-102). A None-returning handler that doesn't
+        raise counts as success."""
         for i, r in enumerate(self._rows):
             if r["event"].id == event_id:
                 try:
-                    handler(r["event"])
-                except Exception as exc:  # failed again
+                    ok = handler(r["event"])
+                except Exception as exc:  # hard failure: new error
                     r["attempts"] += 1
                     r["error"] = str(exc)
+                    r["timestamp"] = _now()
+                    return False
+                if ok is False:  # soft failure: error unchanged
+                    r["attempts"] += 1
+                    r["timestamp"] = _now()
                     return False
                 del self._rows[i]
                 return True
@@ -202,19 +213,37 @@ class ParquetDeadLetterQueue:
     ) -> DataFrame:
         return _filter_sort_limit(self.to_df(), topic, event_type, limit)
 
-    def retry_event(self, event_id: str, handler: Callable[[Row], None]) -> bool:
+    def retry_event(self, event_id: str, handler: Callable[[Row], Any]) -> bool:
+        """Boolean callback contract as the in-memory twin: ``False``
+        return = soft failure (attempts+1, error text kept), raise =
+        hard failure (attempts+1, error replaced); both refresh the
+        timestamp via the versioned append (reference
+        src/deadletter.ts:78-103)."""
         cur = self.to_df().where(F.col("event.id") == event_id).collect()
         if not cur:
             return False
         entry = cur[0]
         try:
-            handler(entry.event)
+            ok = handler(entry.event)
         except Exception as exc:
             self._append(
                 [
                     (
                         _event_tuple(entry.event),
                         str(exc),
+                        entry.subscription,
+                        _now(),
+                        entry.attempts + 1,
+                    )
+                ]
+            )
+            return False
+        if ok is False:
+            self._append(
+                [
+                    (
+                        _event_tuple(entry.event),
+                        entry.error,
                         entry.subscription,
                         _now(),
                         entry.attempts + 1,

@@ -440,16 +440,28 @@ class EventBroker:
     def retry_dlq_event(self, event_id: str) -> bool:
         """Manual redrive (src/broker.ts:166-183): find the stored
         entry, re-deliver through its subscription's handler; success
-        removes the entry, failure increments attempts."""
+        removes the entry, failure increments attempts. A missing
+        subscription RAISES inside the retry callback — the reference
+        records it as a hard failure (error replaced, attempts+1,
+        src/broker.ts:174-177), not a silent no-op."""
         entries = self.dlq.get_events().where(
             F.col("event.id") == event_id
         ).collect()
         if not entries:
             return False
-        sub = self.subscriptions.get(entries[0].subscription)
-        if sub is None:
-            return False
-        return self.dlq.retry_event(event_id, sub.handler)
+        sub_id = entries[0].subscription
+
+        def _redeliver(event) -> bool:
+            sub = self.subscriptions.get(sub_id)
+            if sub is None:
+                raise RuntimeError(
+                    f"Subscription {sub_id} not found for retry of "
+                    f"event {event_id}"
+                )
+            sub.handler(event)
+            return True
+
+        return self.dlq.retry_event(event_id, _redeliver)
 
     def forget_subject(self, field: str, value) -> dict:
         """Right to erasure (GDPR Art. 17) — the operational primitive

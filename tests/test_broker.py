@@ -339,3 +339,69 @@ def test_forget_subject_erases_all_surfaces(spark, tmp_path):
     assert broker.forget_subject("userId", 7) == {"events": 0, "dlq": 0}
     # untouched subject still replayable
     assert broker.store.get_events("users").count() == 1
+
+
+def test_dlq_soft_and_hard_retry_failures(broker, spark, tmp_path):
+    """deadletter_test.ts "should handle failed retries" (callback
+    returns false -> attempts+1, error text UNCHANGED) and "should
+    handle retry exceptions" (raise -> attempts+1, error REPLACED) —
+    the reference's boolean retry-callback contract, on both DLQ
+    backends (src/deadletter.ts:78-103)."""
+    from env_event_stream_spark.storage.dlq_store import (
+        InMemoryDeadLetterQueue,
+        ParquetDeadLetterQueue,
+    )
+
+    # manufacture a real DLQ entry through the broker, then replay
+    # its event into both backends directly
+    broker.subscribe(
+        "t",
+        lambda e: (_ for _ in ()).throw(RuntimeError("first error")),
+        SubscriptionOptions(name="h1", max_retries=0, retry_delay=0),
+    )
+    broker.publish("t", "x", {})
+    event = broker.dlq.get_events().collect()[0].event
+
+    backends = [
+        InMemoryDeadLetterQueue(spark),
+        ParquetDeadLetterQueue(spark, str(tmp_path / "dlq")),
+    ]
+    for dlq in backends:
+        dlq.add_event(event, "first error", "h1")
+        # soft failure: handler returns False — error text kept
+        assert dlq.retry_event(event.id, lambda e: False) is False
+        entry = dlq.get_events().collect()[0]
+        assert entry.attempts == 2
+        assert entry.error == "first error"
+        # hard failure: handler raises — error text replaced
+        def boom(_):
+            raise RuntimeError("second error")
+
+        assert dlq.retry_event(event.id, boom) is False
+        entry = dlq.get_events().collect()[0]
+        assert entry.attempts == 3
+        assert entry.error == "second error"
+        # success (None-returning handler): entry removed
+        assert dlq.retry_event(event.id, lambda e: None) is True
+        assert dlq.get_events().count() == 0
+
+
+def test_dlq_redrive_missing_subscription_is_hard_failure(broker):
+    """src/broker.ts:174-177: retrying an event whose subscription no
+    longer exists records the failure in the DLQ (error replaced,
+    attempts+1) instead of silently returning False."""
+    broker.subscribe(
+        "t",
+        lambda e: (_ for _ in ()).throw(RuntimeError("down")),
+        SubscriptionOptions(name="gone", max_retries=0, retry_delay=0),
+    )
+    broker.publish("t", "x", {})
+    entry = broker.dlq.get_events().collect()[0]
+    # drop the subscription out from under the entry
+    sid = [s for s, v in broker.subscriptions.items() if v.topic == "t"]
+    for s in sid:
+        del broker.subscriptions[s]
+    assert broker.retry_dlq_event(entry.event.id) is False
+    after = broker.dlq.get_events().collect()[0]
+    assert after.attempts == 2
+    assert "not found" in after.error
