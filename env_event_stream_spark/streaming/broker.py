@@ -131,7 +131,12 @@ class EventBroker:
         registry: SchemaRegistry | None = None,
     ) -> _TopicMeta:
         """Explicit create (auto-create on publish/subscribe mirrors
-        src/broker.ts:94-98)."""
+        src/broker.ts:94-98). Creating an EXISTING topic returns it
+        UNCHANGED (src/broker.ts:32-35) — a second create_topic with
+        different options must not silently reset the registry,
+        retention, or persistence of a live topic."""
+        if name in self.topics:
+            return self.topics[name]
         meta = _TopicMeta(name, persistent, retention_period, max_events, registry)
         self.topics[name] = meta
         return meta

@@ -405,3 +405,14 @@ def test_dlq_redrive_missing_subscription_is_hard_failure(broker):
     after = broker.dlq.get_events().collect()[0]
     assert after.attempts == 2
     assert "not found" in after.error
+
+
+def test_create_topic_is_idempotent_keep_first(broker):
+    """src/broker.ts:32-35: createTopic on an existing name returns
+    the EXISTING topic unchanged — re-creating must not reset a live
+    topic's options (a second create with different retention would
+    otherwise silently drop the schema registry / retention gate)."""
+    first = broker.create_topic("t", max_events=5)
+    again = broker.create_topic("t", max_events=999)
+    assert again is first
+    assert broker.get_topic("t").max_events == 5
