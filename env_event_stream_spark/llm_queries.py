@@ -4175,7 +4175,12 @@ def doc_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle explode + band join is the expensive leg; it feeds
     # BOTH the component propagation and the leakage audit, so
     # materialize the (match-set-sized) pair list once instead of
-    # replaying the CTE per consumer
+    # replaying the CTE per consumer. localCheckpoint blocks are
+    # executor-local (NOT fault-tolerant): an executor loss after
+    # this point fails the job instead of recomputing. Acceptable
+    # here because the pair list is match-set-sized; on a long-lived
+    # 1000-executor run prefer persist(StorageLevel.DISK_ONLY)
+    # (lineage kept, recoverable) or checkpoint() to a reliable dir.
     pairs = (
         D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
         .select("id_a", "id_b")

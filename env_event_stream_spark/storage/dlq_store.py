@@ -79,15 +79,22 @@ class InMemoryDeadLetterQueue:
         self._rows: list[dict[str, Any]] = []
 
     def add_event(self, event: Row, error: str, subscription: str) -> None:
-        self._rows.append(
-            {
-                "event": event,
-                "error": error,
-                "subscription": subscription,
-                "timestamp": _now(),
-                "attempts": 1,
-            }
-        )
+        """Keyed UPSERT, not append: the reference stores entries in a
+        Map keyed by event.id (src/deadletter.ts:14,25-31) — re-adding
+        the same event REPLACES the existing entry (attempts reset to
+        1, fresh error/timestamp)."""
+        fresh = {
+            "event": event,
+            "error": error,
+            "subscription": subscription,
+            "timestamp": _now(),
+            "attempts": 1,
+        }
+        for i, r in enumerate(self._rows):
+            if r["event"].id == event.id:
+                self._rows[i] = fresh
+                return
+        self._rows.append(fresh)
 
     def to_df(self) -> DataFrame:
         rows = [
@@ -192,11 +199,16 @@ class ParquetDeadLetterQueue:
 
     def to_df(self) -> DataFrame:
         """Latest row per event id (append-log → current state).
-        row_number over (id ORDER BY attempts DESC) = the MERGE result."""
+        row_number over (id ORDER BY timestamp DESC) = last-write-wins,
+        i.e. the reference's Map.set / ON CONFLICT upsert
+        (src/deadletter.ts:25-31, :320-327): a fresh add_event after
+        earlier retry failures RESETS the visible entry (attempts=1),
+        exactly as Map.set replaces. attempts DESC is only the
+        tie-break for same-timestamp retry appends."""
         from pyspark.sql import Window as W
 
         w = W.partitionBy("event.id").orderBy(
-            F.col("attempts").desc(), F.col("timestamp").desc()
+            F.col("timestamp").desc(), F.col("attempts").desc()
         )
         return (
             self._raw()

@@ -444,11 +444,25 @@ class EventBroker:
 
     def retry_dlq_event(self, event_id: str) -> bool:
         """Manual redrive (src/broker.ts:166-183): find the stored
-        entry, re-deliver through its subscription's handler; success
-        removes the entry, failure increments attempts. A missing
-        subscription RAISES inside the retry callback — the reference
-        records it as a hard failure (error replaced, attempts+1,
-        src/broker.ts:174-177), not a silent no-op."""
+        entry, re-deliver through the SAME gating as live delivery
+        (the reference routes redrive through subscription.deliver,
+        src/broker.ts:178 → src/subscription.ts:78-107) — a paused or
+        type-filtered subscription is a gated NO-OP that still counts
+        as success (deliver() returns without calling the handler, so
+        the callback resolves true and the entry is removed). A
+        missing topic (src/broker.ts:168-171) or missing subscription
+        (src/broker.ts:173-177) RAISES inside the retry callback — the
+        DLQ records it as a hard failure (error replaced, attempts+1),
+        not a silent no-op.
+
+        Documented divergence (MIGRATION.md): when the handler ITSELF
+        still fails, the reference's deliver() swallows the error,
+        re-adds a FRESH dead letter (attempts reset to 1), and the
+        success branch then deletes that fresh entry by id — a
+        still-failing event silently VANISHES from the reference DLQ.
+        We treat a handler raise during redrive as a recorded hard
+        failure instead (attempts+1, error replaced, entry kept):
+        strictly more conservative, no silent data loss."""
         entries = self.dlq.get_events().where(
             F.col("event.id") == event_id
         ).collect()
@@ -457,12 +471,21 @@ class EventBroker:
         sub_id = entries[0].subscription
 
         def _redeliver(event) -> bool:
+            if event.topic not in self.topics:
+                raise RuntimeError(
+                    f"Topic {event.topic} not found for retry of "
+                    f"event {event_id}"
+                )
             sub = self.subscriptions.get(sub_id)
             if sub is None:
                 raise RuntimeError(
                     f"Subscription {sub_id} not found for retry of "
                     f"event {event_id}"
                 )
+            # deliver()'s gates (src/subscription.ts:79-89): inactive
+            # or type-filtered = no-op, resolves as success.
+            if not sub.active or not sub.matches(event.type):
+                return True
             sub.handler(event)
             return True
 

@@ -407,6 +407,111 @@ def test_dlq_redrive_missing_subscription_is_hard_failure(broker):
     assert "not found" in after.error
 
 
+def test_dlq_redrive_paused_sub_is_gated_noop(broker):
+    """Redrive routes through deliver()'s gates (src/broker.ts:178 →
+    src/subscription.ts:79-81): a PAUSED subscription is a no-op that
+    still resolves as success — the handler is NOT called and the
+    entry is removed (deliver returns, callback resolves true)."""
+    calls = []
+
+    def handler(e):
+        calls.append(e.id)
+        raise RuntimeError("down")
+
+    sid = broker.subscribe(
+        "t", handler, SubscriptionOptions(name="h1", max_retries=0, retry_delay=0)
+    )
+    broker.publish("t", "x", {})
+    entry = broker.dlq.get_events().collect()[0]
+    n_calls = len(calls)
+    broker.pause(sid)
+    assert broker.retry_dlq_event(entry.event.id) is True
+    assert len(calls) == n_calls  # handler never invoked
+    assert broker.dlq.size() == 0  # gated no-op counts as success
+
+
+def test_dlq_redrive_type_filtered_is_gated_noop(broker):
+    """deliver()'s type gate (src/subscription.ts:84-89) also applies
+    on redrive: if the subscription's eventTypes no longer admit the
+    event's type, redrive is a silent success (entry removed, handler
+    not called)."""
+    calls = []
+
+    def handler(e):
+        calls.append(e.id)
+        raise RuntimeError("down")
+
+    sid = broker.subscribe(
+        "t",
+        handler,
+        SubscriptionOptions(
+            name="h1", max_retries=0, retry_delay=0, event_types=["x"]
+        ),
+    )
+    broker.publish("t", "x", {})
+    entry = broker.dlq.get_events().collect()[0]
+    n_calls = len(calls)
+    # narrow the filter out from under the dead letter
+    broker.subscriptions[sid].options.event_types = ["other"]
+    assert broker.retry_dlq_event(entry.event.id) is True
+    assert len(calls) == n_calls
+    assert broker.dlq.size() == 0
+
+
+def test_dlq_redrive_missing_topic_is_hard_failure(broker):
+    """src/broker.ts:168-171: redriving an event whose topic no longer
+    exists hard-fails ('Topic ... not found'), recorded on the entry
+    (attempts+1, error replaced). Orphan the entry by dropping the
+    topic meta directly — the reference's deleteTopic leaves DLQ
+    entries behind (src/broker.ts:55-57), ours purges them, so this
+    is the only way the reference state can arise here."""
+    broker.subscribe(
+        "t",
+        lambda e: (_ for _ in ()).throw(RuntimeError("down")),
+        SubscriptionOptions(name="h1", max_retries=0, retry_delay=0),
+    )
+    broker.publish("t", "x", {})
+    entry = broker.dlq.get_events().collect()[0]
+    del broker.topics["t"]
+    assert broker.retry_dlq_event(entry.event.id) is False
+    after = broker.dlq.get_events().collect()[0]
+    assert after.attempts == 2
+    assert "Topic t not found" in after.error
+
+
+def test_dlq_add_event_is_keyed_upsert(broker, spark, tmp_path):
+    """src/deadletter.ts:14,25-31: entries are a Map keyed by
+    event.id — re-adding the same event REPLACES the entry (attempts
+    reset to 1, fresh error), in both backends."""
+    from env_event_stream_spark.storage.dlq_store import (
+        InMemoryDeadLetterQueue,
+        ParquetDeadLetterQueue,
+    )
+
+    broker.subscribe(
+        "t",
+        lambda e: (_ for _ in ()).throw(RuntimeError("first error")),
+        SubscriptionOptions(name="h1", max_retries=0, retry_delay=0),
+    )
+    broker.publish("t", "x", {})
+    event = broker.dlq.get_events().collect()[0].event
+
+    backends = [
+        InMemoryDeadLetterQueue(spark),
+        ParquetDeadLetterQueue(spark, str(tmp_path / "dlq_upsert")),
+    ]
+    for dlq in backends:
+        dlq.add_event(event, "first error", "h1")
+        # bump attempts so the reset is observable
+        assert dlq.retry_event(event.id, lambda e: False) is False
+        assert dlq.get_events().collect()[0].attempts == 2
+        dlq.add_event(event, "second error", "h1")
+        entries = dlq.get_events().collect()
+        assert len(entries) == 1  # keyed, not appended
+        assert entries[0].attempts == 1  # Map.set resets
+        assert entries[0].error == "second error"
+
+
 def test_create_topic_is_idempotent_keep_first(broker):
     """src/broker.ts:32-35: createTopic on an existing name returns
     the EXISTING topic unchanged — re-creating must not reset a live
