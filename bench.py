@@ -245,13 +245,28 @@ ROTATING = [
     "er_threshold_sensitivity",
 ]
 
-# Two-pass timing (VERDICT r8 task 2): the run-to-run jitter band
-# (157→168→179 s for identical code) exceeds a round's real delta, so
-# the slowest queries get a SECOND timed run in-session; BENCH_FULL
-# records both ("queries" = first, "steady" = second). The headline
-# metric stays the FIRST-pass total — steady numbers are for judge
-# per-query deltas, not the suite total.
+# Two-pass timing (VERDICT r8 task 2, widened by VERDICT r11 task 1):
+# the run-to-run jitter band (157→168→179 s for identical code; r11's
+# core_sec rose 152→170 with ZERO plan changes) exceeds a round's real
+# delta, so the WHOLE non-rotating core gets a SECOND timed pass and
+# `core_sec` is the SUM OF PER-QUERY MIN-OF-PASSES — a loaded-machine
+# blip in either pass can't masquerade as a regression. BENCH_FULL
+# records both passes ("queries" = first, "core_pass2" = second), the
+# measured per-run noise spread ("noise"), and the old first-pass-only
+# core sum ("core_sec_p1") so r≤11 deltas stay comparable. "steady"
+# stays populated (= pass-2 times of the slowest core queries) for
+# continuity of the judge's per-query delta key. `value` remains the
+# first-pass total.
 TWO_PASS_COUNT = 10
+
+# Wall-clock guard for the second pass: the driver runs bench under a
+# timeout; if the machine is loaded enough that pass 1 + pass 2 would
+# overrun, STOP starting new pass-2 queries past this many seconds of
+# total bench wall time and say so loudly in the JSON
+# ("pass2_skipped") — a partially-doubled core still yields a valid
+# min-of-passes core_sec (missing pass-2 = first-pass time), while an
+# overrun would lose the whole round's bench.
+PASS2_WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_PASS2_BUDGET", 540))
 
 
 def main() -> None:
@@ -298,19 +313,63 @@ def main() -> None:
         spark.catalog.clearCache()
         return took
 
+    bench_t0 = time.time()
     timings: dict[str, float | None] = {}
     for name in HEADLINE:
         if name not in qs or name in skip_rotating:
             continue
         timings[name] = time_query(name)
 
-    # second pass over the slowest queries of THIS run (jitter
-    # separation — see TWO_PASS_COUNT comment)
-    slowest = sorted(
-        ((k, v) for k, v in timings.items() if v is not None),
+    # SECOND pass over the whole non-rotating core (VERDICT r11 task 1)
+    # — min-of-passes is the regression-detection metric; see
+    # TWO_PASS_COUNT comment. Slowest-first so the guard, if it fires,
+    # drops the cheap tail (where a double pass matters least).
+    rotating_set = set(ROTATING)
+    core_names = sorted(
+        (
+            (k, v)
+            for k, v in timings.items()
+            if v is not None and k not in rotating_set
+        ),
         key=lambda kv: -kv[1],
-    )[:TWO_PASS_COUNT]
-    steady = {name: time_query(name) for name, _ in slowest}
+    )
+    core_pass2: dict[str, float | None] = {}
+    pass2_skipped: list[str] = []
+    for name, _ in core_names:
+        if time.time() - bench_t0 > PASS2_WALL_BUDGET:
+            pass2_skipped = [n for n, _ in core_names if n not in core_pass2]
+            print(
+                f"bench: pass-2 wall budget ({PASS2_WALL_BUDGET}s) hit; "
+                f"{len(pass2_skipped)} core queries single-passed",
+                file=sys.stderr,
+            )
+            break
+        core_pass2[name] = time_query(name)
+
+    # "steady" key continuity: pass-2 times of the slowest core queries
+    steady = {
+        name: core_pass2[name]
+        for name, _ in core_names[:TWO_PASS_COUNT]
+        if name in core_pass2
+    }
+
+    # measured run-to-run spread (the noise floor the judge asked to
+    # see): relative |p1-p2| / min(p1,p2) per double-passed query
+    spreads = sorted(
+        abs(p1 - p2) / max(min(p1, p2), 1e-9)
+        for name, p1 in core_names
+        if (p2 := core_pass2.get(name)) is not None
+    )
+    noise = (
+        {
+            "n": len(spreads),
+            "median_rel_spread": round(spreads[len(spreads) // 2], 4),
+            "p90_rel_spread": round(spreads[int(len(spreads) * 0.9)], 4),
+            "max_rel_spread": round(spreads[-1], 4),
+        }
+        if spreads
+        else {}
+    )
 
     # skipped rotating queries keep their most recent recorded result
     # in BENCH_FULL (flagged, NOT in the total) so every headline
@@ -322,11 +381,14 @@ def main() -> None:
     try:
         with open(os.path.join(here, "BENCH_FULL.json")) as f:
             prev = json.load(f)
-        for name in skip_rotating:
-            if name in prev.get("queries", {}):
-                carried[name] = prev["queries"][name]
-            elif name in prev.get("carried", {}):
-                carried[name] = prev["carried"][name]
+        # never carry a timing measured at a different scale (a local
+        # sf0.001 smoke run must not pollute the driver's sf0.1 carry)
+        if prev.get("sf") == sf:
+            for name in skip_rotating:
+                if name in prev.get("queries", {}):
+                    carried[name] = prev["queries"][name]
+                elif name in prev.get("carried", {}):
+                    carried[name] = prev["carried"][name]
     except (OSError, ValueError):
         pass
 
@@ -334,12 +396,22 @@ def main() -> None:
     # cross-round comparable metric: the rotation halves have
     # different costs, so `value` (this run's sum) oscillates with
     # parity; core_sec excludes ALL rotating queries and is the
-    # number to delta round-over-round
-    core_total = round(
+    # number to delta round-over-round. Since r12 it is the sum of
+    # per-query MIN-OF-PASSES (load noise in either pass drops out);
+    # core_sec_p1 is the old first-pass-only sum for r≤11 continuity.
+    core_total_p1 = round(
         sum(
             t
             for k, t in timings.items()
-            if t is not None and k not in set(ROTATING)
+            if t is not None and k not in rotating_set
+        ),
+        3,
+    )
+    core_total = round(
+        sum(
+            min(t, p2) if (p2 := core_pass2.get(k)) is not None else t
+            for k, t in timings.items()
+            if t is not None and k not in rotating_set
         ),
         3,
     )
@@ -352,8 +424,12 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": total,
         "core_sec": core_total,
+        "core_sec_p1": core_total_p1,
         "unit": "sec",
         "queries": timings,
+        "core_pass2": core_pass2,
+        "noise": noise,
+        "pass2_skipped": pass2_skipped,
         "steady": steady,
         "rotation": rotation,
         "carried": carried,
@@ -387,6 +463,8 @@ def main() -> None:
     )
     compact = dict(full)
     compact.pop("carried", None)  # full artifact only — char budget
+    compact.pop("core_pass2", None)  # full artifact only — char budget
+    compact["pass2_skipped"] = len(pass2_skipped)  # count on the line
     for keep in range(len(by_slow), -1, -1):
         qdict = dict(by_slow[:keep])
         compact["queries"] = qdict

@@ -1426,9 +1426,15 @@ def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = D.shingle_table(d, "text", "doc_id", 3).cache()
+    # the signature table feeds SIX consumers (4 band frames + both
+    # sides of the estimate join): materialize it once instead of
+    # replaying the 16-min aggregation per consumer (the
+    # doc_split_leakage_guard precedent — localCheckpoint blocks are
+    # executor-local, acceptable for a per-doc-sized frame; prefer
+    # persist(DISK_ONLY) on a long-lived 1000-executor run)
     sig = D.minhash_signatures(
         d, "text", "doc_id", n=3, k=16, shingles=sh
-    )
+    ).localCheckpoint()
     bands, rows = 4, 4
     frames = []
     for b in range(bands):
@@ -1455,6 +1461,9 @@ def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
         )
         .distinct()
+        # candidate-set-sized; consumed by the estimate join AND the
+        # true-Jaccard legs — materialize the band join once
+        .localCheckpoint()
     )
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
@@ -4337,7 +4346,15 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard approximates, but lossless. The doc-frequency table and
     per-doc rank ride one shingle aggregation + one doc-partitioned
     window; the full inverted candidate count here is the eval-tier
-    baseline being avoided."""
+    baseline being avoided.
+
+    Honest measurement (r12): materializing the shared pref/cand/tp
+    frames dropped the plan from ex=24 to ex=7 and HALVES the
+    jaccard-leg compute (tp used to replay per consumer), but wall
+    time at local[32]/sf0.1 is FLAT (interleaved A/B: old min 4.95 s,
+    new min 5.51 s, alternating wins) — the idle cores were hiding
+    the replay in parallel stages. The win is cluster throughput
+    (total compute), not single-query latency at this scale."""
     d = load_table(spark, sf_dir, "documents")
     # sh feeds dfc, ord, and both sides of the inverted baseline —
     # cache it so the tokenize+explode runs once (PLANLINT caught the
@@ -4353,9 +4370,17 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "doc_id")
         .withColumn("rn", F.row_number().over(w))
     )
-    pref = ordd.where(
-        F.col("rn") <= F.expr("n_sh - ((n_sh + 1) DIV 2) + 1")
-    ).select("doc_id", "sh")
+    # the prefix table self-joins (pa x pb): cache it so the
+    # dfc-join + window computes ONCE instead of replaying per join
+    # side (cache, not localCheckpoint: pref is shingle-scale, and an
+    # EAGER checkpoint would serialize a job that otherwise overlaps
+    # with the rest of the single action — measured 1.25x slower at
+    # sf0.1 when checkpointed)
+    pref = (
+        ordd.where(F.col("rn") <= F.expr("n_sh - ((n_sh + 1) DIV 2) + 1"))
+        .select("doc_id", "sh")
+        .cache()
+    )
     pa = pref.select(F.col("doc_id").alias("ida"), "sh")
     pb = pref.select(F.col("doc_id").alias("idb"), "sh")
     cand = (
@@ -4363,7 +4388,7 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ida") < F.col("idb"))
         .select("ida", "idb")
         .distinct()
-        .cache()  # counted and anti-joined
+        .localCheckpoint()  # candidate-set-sized; counted AND anti-joined
     )
     sa = sh.select(F.col("doc_id").alias("ida"), "sh")
     sb = sh.select(F.col("doc_id").alias("idb"), "sh")
@@ -4373,8 +4398,16 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ida", "idb")
         .distinct()
     )
-    tp = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5).select(
-        F.col("id_a").alias("ida"), F.col("id_b").alias("idb")
+    # share the cached shingle frame with the true-pair leg (it used
+    # to re-derive tokenize+explode from scratch), and materialize
+    # the match-set-sized pair list once: it feeds the miss audit AND
+    # the true-pair count (localCheckpoint is fine here — the pair
+    # list is tiny, so the eager job costs nothing and the lineage
+    # truncation drops both replays)
+    tp = (
+        D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, shingles=sh)
+        .select(F.col("id_a").alias("ida"), F.col("id_b").alias("idb"))
+        .localCheckpoint()
     )
     missed = tp.join(cand, ["ida", "idb"], "left_anti").agg(
         F.count("*").alias("n_missed")

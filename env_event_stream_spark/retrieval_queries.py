@@ -722,8 +722,14 @@ def emb_mmr_diversity_eval(
     floor. Scale: pools are O(queries x 30), the metric joins touch
     nothing corpus-sized."""
     pool, pairs = _mmr_pool_pairs(spark, sf_dir)
-    sel_mmr = _mmr_greedy_df(pool, pairs).select(
-        F.col("query_id").alias("qid"), "vec_id"
+    # the greedy applyInPandas feeds THREE metric legs (one relevance
+    # join + both sides of the pairwise-sim join): materialize its
+    # (queries x 10)-row output once instead of re-running the Python
+    # stage per leg — same treatment as pool/pairs above
+    sel_mmr = (
+        _mmr_greedy_df(pool, pairs)
+        .select(F.col("query_id").alias("qid"), "vec_id")
+        .localCheckpoint(eager=True)
     )
     sel_top = pool.where(F.col("rn") <= _MMR_K).select("qid", "vec_id")
 
