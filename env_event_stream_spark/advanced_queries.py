@@ -1630,8 +1630,16 @@ def evt_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", kmv_hash(key).alias("h")
     ).distinct()
     # 5x128-row sketch feeds the estimator, the union sketch, and
-    # both membership sides — cache so the distinct+top-k runs once
-    sk = kmv_sketch(keyed, ["event_type"]).select("event_type", "h").cache()
+    # both membership sides — materialize so the corpus-wide
+    # distinct+top-k runs exactly once (localCheckpoint, not cache:
+    # concurrent stages racing an unpopulated cache each recompute
+    # the corpus pass; the eager checkpoint of a 640-row frame is
+    # free and guarantees one build)
+    sk = (
+        kmv_sketch(keyed, ["event_type"])
+        .select("event_type", "h")
+        .localCheckpoint(eager=True)
+    )
     est = kmv_estimate(sk, ["event_type"])
 
     types = ev.select("event_type").distinct()
@@ -1678,7 +1686,12 @@ def evt_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("h_k"),
         )
     )
-    # exact intersection (eval tier): distinct (type, user, day) self-join
+    # exact intersection (eval tier): distinct (type, user, day)
+    # self-join. NOT materialized: the two join-side subtrees are
+    # identical, so Spark's ReuseExchange already computes the
+    # distinct once (an eager checkpoint here measured 20% SLOWER at
+    # sf0.1 — pure serialization overhead for a dedup the optimizer
+    # provides for free)
     ud = ev.select(
         "event_type", "user_id", F.col("ts").cast("date").alias("d")
     ).distinct()
@@ -2880,36 +2893,46 @@ def dq_referential_integrity(
     cross-TABLE data-quality rung next to dq_profile (single-table
     stats) and dq_validation_checks (row constraints).
 
-    100 TB shape: each check is one anti-join — BOUNDED dimension
-    sides (nation/region/supplier/part) are pinned broadcast via the
-    per-edge flag in _RI_CHECKS, while fact-scaled "dimensions"
-    (orders on the lineitem edge, customer on the orders edge) take
-    the shuffled left-anti join on the key — a forced broadcast of an
-    orders-sized key set would OOM at 100× even though it is fastest
-    locally (AQE is still free to pick broadcast at tiny SFs); all
-    counts are map-side-combinable; output is |edges| rows. Orphans
-    report as data, not as a failure — the audit's job is to measure
-    the breakage, not to crash on it."""
+    100 TB shape: each check is ONE fact scan — a LEFT join onto the
+    deduped dimension key set followed by a single conditional
+    aggregate yielding all three counts (r12 reshape: the old three
+    legs — total count, anti-join orphan count, null count — scanned
+    the fact 3x per edge; 21 scans across the star became 7, plan
+    ex 21 → 14). BOUNDED dimension sides (nation/region) are pinned
+    broadcast via the per-edge flag in _RI_CHECKS; fact-scaled
+    "dimensions" (orders on the lineitem edge, customer on the orders
+    edge) take the shuffled left join on the key — a forced broadcast
+    of an orders-sized key set would OOM at 100× even though it is
+    fastest locally (AQE is still free to pick broadcast at tiny
+    SFs). The dimension side is DISTINCT'd on the key, so a dim with
+    duplicated PKs cannot silently inflate n_rows (the audit must not
+    assume the integrity it is checking) — and the distinct's hash
+    partitioning is exactly what the join needs, so it costs no extra
+    exchange. All counts are map-side-combinable; output is |edges|
+    rows. Orphans report as data, not as a failure — the audit's job
+    is to measure the breakage, not to crash on it."""
     rows = []
     for name, fact, fk, dim, pk, bcast in _RI_CHECKS:
         f = _t(spark, sf_dir, fact)
-        d = _t(spark, sf_dir, dim).select(F.col(pk).alias("_pk"))
+        d = _t(spark, sf_dir, dim).select(F.col(pk).alias("_pk")).distinct()
         if bcast:
             d = F.broadcast(d)
-        nn = f.where(F.col(fk).isNotNull())
-        orphans = nn.join(d, nn[fk] == F.col("_pk"), "left_anti")
+        j = f.select(F.col(fk).alias("_fk")).join(
+            d, F.col("_fk") == F.col("_pk"), "left"
+        )
         rows.append(
-            f.agg(
+            j.agg(
                 F.lit(name).alias("fk_name"),
                 F.count("*").cast("bigint").alias("n_rows"),
-            ).crossJoin(
-                orphans.agg(
-                    F.count("*").cast("bigint").alias("n_orphans")
-                )
-            ).crossJoin(
-                f.where(F.col(fk).isNull()).agg(
-                    F.count("*").cast("bigint").alias("n_null_fk")
-                )
+                F.count(
+                    F.when(
+                        F.col("_fk").isNotNull() & F.col("_pk").isNull(),
+                        F.lit(1),
+                    )
+                ).cast("bigint").alias("n_orphans"),
+                F.count(F.when(F.col("_fk").isNull(), F.lit(1)))
+                .cast("bigint")
+                .alias("n_null_fk"),
             )
         )
     res = rows[0]
