@@ -266,7 +266,7 @@ TWO_PASS_COUNT = 10
 # ("pass2_skipped") — a partially-doubled core still yields a valid
 # min-of-passes core_sec (missing pass-2 = first-pass time), while an
 # overrun would lose the whole round's bench.
-PASS2_WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_PASS2_BUDGET", 540))
+PASS2_WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_PASS2_BUDGET", 480))
 
 
 def main() -> None:

@@ -51,24 +51,23 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nb_label"))
         )
+        # carry the changed flag THROUGH the checkpoint: the fixpoint
+        # test is then a scan-count over the materialized frame
+        # instead of a second labels-join action per round
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+        )
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("_chg")).limit(1).count()
+        labels = updated.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
