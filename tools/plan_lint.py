@@ -138,7 +138,9 @@ NESTED_LOOP_ALLOWED = {
     "evt_value_drift_ks": "|types|-row totals broadcast",
     "evt_hourly_seasonality": "|types|-row peak/stat join",
     "dq_validation_checks": "per-check 1-row frames crossJoined",
-    "dq_referential_integrity": "per-edge 1-row stat frames crossJoined",
+    "dq_referential_integrity": "one left join + conditional agg per "
+    "FK edge (r12: replaced the 3-scan crossJoin shape; nation/region "
+    "sides broadcast)",
     "evt_transition_eval": "1-row majority-baseline broadcast",
     "evt_retention_count": "1-row cutoff broadcast",
     "doc_lm_heldout_eval": "vocab/model broadcasts",
