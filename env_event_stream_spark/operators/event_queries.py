@@ -77,7 +77,12 @@ def get_events(
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     out = out.orderBy(*order)
-    if limit is not None:
+    # limit <= 0 means NO limit, as in the reference: the in-memory
+    # store's `if (options.limit)` treats 0 as falsy
+    # (src/persistence.ts:63) and the DLQ guard is explicit
+    # `limit > 0` (src/deadletter.ts:66) — a ported caller passing
+    # limit: 0 expects everything, not an empty frame.
+    if limit is not None and limit > 0:
         out = out.limit(limit)
     return out
 
@@ -104,7 +109,8 @@ def get_dlq_events(
     if tiebreak_col:
         order.append(F.col(tiebreak_col).desc())
     out = out.orderBy(*order)
-    if limit is not None:
+    # limit <= 0 = no limit (src/deadletter.ts:66 `limit > 0`)
+    if limit is not None and limit > 0:
         out = out.limit(limit)
     return out
 

@@ -82,7 +82,9 @@ class JdbcEventStore:
         if event_types:
             df = df.where(F.col("type").isin(list(event_types)))
         df = df.orderBy("timestamp")
-        if limit is not None:
+        # limit <= 0 = no limit (the falsy-limit contract every
+        # reference store shares; src/persistence.ts:63)
+        if limit is not None and limit > 0:
             df = df.limit(limit)
         return df
 

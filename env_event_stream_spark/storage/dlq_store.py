@@ -66,7 +66,9 @@ def _filter_sort_limit(
     if event_type is not None:
         df = df.where(F.col("event.type") == event_type)
     df = df.orderBy(F.col("timestamp").desc(), F.col("event.id").desc())
-    if limit is not None:
+    # limit <= 0 = no limit (reference src/deadletter.ts:66 is an
+    # explicit `options.limit > 0` guard)
+    if limit is not None and limit > 0:
         df = df.limit(limit)
     return df
 

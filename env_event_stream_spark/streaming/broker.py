@@ -92,7 +92,7 @@ class _TopicMeta:
 
     name: str
     persistent: bool = True
-    retention_period: float | None = None  # seconds; None = keep forever
+    retention_period: float | None = None  # seconds; None or <= 0 = keep forever (ts:31,40)
     max_events: int | None = None
     registry: SchemaRegistry | None = None
 
@@ -532,10 +532,16 @@ class EventBroker:
     def apply_retention(self, topic: str, *, now: _dt.datetime | None = None) -> int:
         """Time + count retention sweep (reference runs a 60 s timer,
         src/topic.ts:39-42; here it's an explicit job — schedule it
-        externally). Returns rows deleted."""
+        externally). Returns rows deleted.
+
+        ``retention_period=0`` (or negative) means KEEP FOREVER, not
+        "older than now": the reference's own default is
+        ``retentionPeriod: 0`` and BOTH its guards are strictly
+        ``> 0`` (src/topic.ts:31-32,40,157-160) — a port passing the
+        reference's default through must not mass-delete the topic."""
         meta = self._topic(topic)
         deleted = 0
-        if meta.retention_period is not None:
+        if meta.retention_period is not None and meta.retention_period > 0:
             now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
             cutoff = now - _dt.timedelta(seconds=meta.retention_period)
             deleted += self.store.delete_events(topic, cutoff)

@@ -291,6 +291,64 @@ def test_retention_time_and_count(spark):
     assert ids == ["ev-3", "ev-4", "ev-5"]
 
 
+def test_limit_zero_means_no_limit(spark, tmp_path):
+    """The reference's falsy-limit contract: the in-memory store's
+    `if (options.limit)` treats 0 as absent (src/persistence.ts:63)
+    and the DLQ guard is an explicit `limit > 0`
+    (src/deadletter.ts:66) — limit=0 must return EVERYTHING, not an
+    empty frame, on every backend."""
+    from env_event_stream_spark.storage.dlq_store import (
+        InMemoryDeadLetterQueue,
+        ParquetDeadLetterQueue,
+    )
+    from env_event_stream_spark.storage.event_store import (
+        InMemoryEventStore,
+        ParquetEventStore,
+        make_event,
+    )
+
+    mem = InMemoryEventStore(spark)
+    pq = ParquetEventStore(spark, str(tmp_path / "ev"))
+    pq.initialize()
+    events = [make_event("t", "e", event_id=f"ev-{i}") for i in range(4)]
+    for store in (mem, pq):
+        store.save_events(events)
+        assert store.get_events("t", limit=0).count() == 4
+        assert store.get_events("t", limit=2).count() == 2
+
+    for dlq in (
+        InMemoryDeadLetterQueue(spark),
+        ParquetDeadLetterQueue(spark, str(tmp_path / "dlq")),
+    ):
+        for e in events:
+            dlq.add_event(e, "err", "h1")
+        assert dlq.get_events(limit=0).count() == 4
+        assert dlq.get_events(limit=2).count() == 2
+
+
+def test_retention_zero_means_keep_forever(spark):
+    """src/topic.ts:31-32,40,157-160: retentionPeriod 0 is the
+    reference's own DEFAULT and both its guards are strictly > 0 —
+    a port passing {retentionPeriod: 0} through must keep everything,
+    not mass-delete the topic (cutoff would be 'older than now',
+    i.e. ALL events)."""
+    import datetime as dt
+
+    from env_event_stream_spark.storage.event_store import make_event
+
+    broker = EventBroker(spark)
+    broker.create_topic("t", retention_period=0)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(3):
+        broker.store.save_event(
+            make_event("t", "e", timestamp=base + dt.timedelta(minutes=i),
+                       event_id=f"ev-{i}")
+        )
+    deleted = broker.apply_retention("t", now=base + dt.timedelta(days=365))
+    assert deleted == 0
+    assert broker.store.get_events("t").count() == 3
+
+
 def test_forget_subject_erases_all_surfaces(spark, tmp_path):
     """GDPR right-to-erasure sweep: one subject's events disappear
     from every topic, the DLQ, and a snapshot table — other subjects'
