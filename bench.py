@@ -377,9 +377,16 @@ def main() -> None:
     # "it FAILED the last time it actually ran" — preserved, never
     # papered over with an older success (and a legitimate 0.0 timing
     # carries as 0.0, hence the explicit membership checks, not `or`)
+    # the per-sf artifact: the canonical sf0.1 chain lives in
+    # BENCH_FULL.json; any other sf reads/writes a suffixed file so a
+    # local smoke run can never clobber the driver's carry chain
+    canonical_sf = 0.1
+    artifact = (
+        "BENCH_FULL.json" if sf == canonical_sf else f"BENCH_FULL.sf{sf}.json"
+    )
     carried: dict[str, float | None] = {}
     try:
-        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+        with open(os.path.join(here, artifact)) as f:
             prev = json.load(f)
         # never carry a timing measured at a different scale (a local
         # sf0.001 smoke run must not pollute the driver's sf0.1 carry)
@@ -446,15 +453,11 @@ def main() -> None:
     # under budget by including the slowest queries that fit and
     # counting the rest.
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL.json"),
-            "w",
-        ) as f:
+        with open(os.path.join(here, artifact), "w") as f:
             json.dump(full, f)
             f.write("\n")
     except OSError as exc:  # read-only checkout must not kill bench
-        print(f"bench: BENCH_FULL.json not written: {exc}", file=sys.stderr)
+        print(f"bench: {artifact} not written: {exc}", file=sys.stderr)
 
     budget = 1700  # chars; driver tail is ~2000, leave slack
     by_slow = sorted(
@@ -469,7 +472,7 @@ def main() -> None:
         qdict = dict(by_slow[:keep])
         compact["queries"] = qdict
         compact["queries_omitted"] = len(timings) - len(qdict)
-        compact["full"] = "BENCH_FULL.json"
+        compact["full"] = artifact
         line = json.dumps(compact)
         if len(line) <= budget:
             break

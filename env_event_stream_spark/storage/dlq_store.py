@@ -74,29 +74,27 @@ def _filter_sort_limit(
 
 
 class InMemoryDeadLetterQueue:
-    """In-memory backend (reference src/deadletter.ts:13-113)."""
+    """In-memory backend (reference src/deadletter.ts:13-113): a dict
+    keyed by event.id, exactly the reference's ``Map`` (:14) — keyed
+    upsert on add, O(1) retry/remove, insertion order preserved
+    (Python dicts and JS Maps both keep first-insertion position on
+    re-set)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
-        self._rows: list[dict[str, Any]] = []
+        self._entries: dict[str, dict[str, Any]] = {}
 
     def add_event(self, event: Row, error: str, subscription: str) -> None:
-        """Keyed UPSERT, not append: the reference stores entries in a
-        Map keyed by event.id (src/deadletter.ts:14,25-31) — re-adding
-        the same event REPLACES the existing entry (attempts reset to
-        1, fresh error/timestamp)."""
-        fresh = {
+        """Keyed UPSERT, not append (src/deadletter.ts:25-31) —
+        re-adding the same event REPLACES the existing entry
+        (attempts reset to 1, fresh error/timestamp)."""
+        self._entries[event.id] = {
             "event": event,
             "error": error,
             "subscription": subscription,
             "timestamp": _now(),
             "attempts": 1,
         }
-        for i, r in enumerate(self._rows):
-            if r["event"].id == event.id:
-                self._rows[i] = fresh
-                return
-        self._rows.append(fresh)
 
     def to_df(self) -> DataFrame:
         rows = [
@@ -107,7 +105,7 @@ class InMemoryDeadLetterQueue:
                 r["timestamp"],
                 r["attempts"],
             )
-            for r in self._rows
+            for r in self._entries.values()
         ]
         return self.spark.createDataFrame(rows or [], schema=DLQ_SCHEMA)
 
@@ -120,7 +118,7 @@ class InMemoryDeadLetterQueue:
         return _filter_sort_limit(self.to_df(), topic, event_type, limit)
 
     def size(self) -> int:
-        return len(self._rows)
+        return len(self._entries)
 
     def retry_event(self, event_id: str, handler: Callable[[Row], Any]) -> bool:
         """Re-deliver; delete on success, failure increments
@@ -131,33 +129,37 @@ class InMemoryDeadLetterQueue:
         exception is a HARD failure that also replaces the error
         message (:97-102). A None-returning handler that doesn't
         raise counts as success."""
-        for i, r in enumerate(self._rows):
-            if r["event"].id == event_id:
-                try:
-                    ok = handler(r["event"])
-                except Exception as exc:  # hard failure: new error
-                    r["attempts"] += 1
-                    r["error"] = str(exc)
-                    r["timestamp"] = _now()
-                    return False
-                if ok is False:  # soft failure: error unchanged
-                    r["attempts"] += 1
-                    r["timestamp"] = _now()
-                    return False
-                del self._rows[i]
-                return True
-        return False
+        r = self._entries.get(event_id)
+        if r is None:
+            return False
+        try:
+            ok = handler(r["event"])
+        except Exception as exc:  # hard failure: new error
+            r["attempts"] += 1
+            r["error"] = str(exc)
+            r["timestamp"] = _now()
+            return False
+        if ok is False:  # soft failure: error unchanged
+            r["attempts"] += 1
+            r["timestamp"] = _now()
+            return False
+        # delete by id, as the reference does (entries.delete after the
+        # callback) — if the handler re-dead-lettered the event, that
+        # fresh entry is removed too
+        self._entries.pop(event_id, None)
+        return True
 
     def remove_event(self, event_id: str) -> bool:
-        n0 = len(self._rows)
-        self._rows = [r for r in self._rows if r["event"].id != event_id]
-        return len(self._rows) < n0
+        return self._entries.pop(event_id, None) is not None
 
     def delete_topic(self, topic: str) -> int:
         """Drop all dead letters for a topic (broker deleteTopic)."""
-        n0 = len(self._rows)
-        self._rows = [r for r in self._rows if r["event"].topic != topic]
-        return n0 - len(self._rows)
+        doomed = [
+            k for k, r in self._entries.items() if r["event"].topic == topic
+        ]
+        for k in doomed:
+            del self._entries[k]
+        return len(doomed)
 
 
 class ParquetDeadLetterQueue:

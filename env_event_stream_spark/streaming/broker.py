@@ -545,7 +545,11 @@ class EventBroker:
             now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
             cutoff = now - _dt.timedelta(seconds=meta.retention_period)
             deleted += self.store.delete_events(topic, cutoff)
-        if meta.max_events is not None:
+        # same falsy contract as retention_period and the stores'
+        # limit: max_events <= 0 means the count cap is DISABLED
+        # (enforcing a literal 0 would delete everything but the
+        # newest row — the mass-deletion class of bug again)
+        if meta.max_events is not None and meta.max_events > 0:
             deleted += self._enforce_max_events(meta)
         return deleted
 

@@ -138,9 +138,11 @@ NESTED_LOOP_ALLOWED = {
     "evt_value_drift_ks": "|types|-row totals broadcast",
     "evt_hourly_seasonality": "|types|-row peak/stat join",
     "dq_validation_checks": "per-check 1-row frames crossJoined",
-    "dq_referential_integrity": "one left join + conditional agg per "
-    "FK edge (r12: replaced the 3-scan crossJoin shape; nation/region "
-    "sides broadcast)",
+    # dq_referential_integrity was allowlisted here until r12 replaced
+    # its per-edge 1-row crossJoins with one left join + conditional
+    # agg (cart=0 bnlj=0) — the entry is deliberately REMOVED so a
+    # reintroduced cartesian fails the gate instead of hiding behind
+    # a stale justification.
     "evt_transition_eval": "1-row majority-baseline broadcast",
     "evt_retention_count": "1-row cutoff broadcast",
     "doc_lm_heldout_eval": "vocab/model broadcasts",
