@@ -26,21 +26,30 @@ from pyspark.sql import functions as F
 
 __all__ = ["JdbcEventStore", "DDL"]
 
-# reference src/persistence.ts:262-288
+# reference src/persistence.ts:262-288, column-for-column (topic
+# before type, NOT NULL payload, created_at audit column) and the
+# reference's `<table>_<col>_idx` index naming. ONE deliberate
+# divergence: id is TEXT, not the reference default `idType: "uuid"`
+# (src/persistence.ts:251) — the reference's own generateId()
+# produces `<ts36>-<11hex>-<counter>` strings (src/utils.ts:13-40)
+# which are NOT valid UUIDs, so its default-configured Postgres
+# store rejects every id it generates ("invalid input syntax for
+# type uuid"); TEXT is what actually interoperates.
 DDL = """
 CREATE TABLE IF NOT EXISTS events (
   id TEXT PRIMARY KEY,
-  type TEXT NOT NULL,
   topic TEXT NOT NULL,
+  type TEXT NOT NULL,
   timestamp BIGINT NOT NULL,
   schema_version TEXT NOT NULL,
-  payload JSONB,
-  metadata JSONB
+  payload JSONB NOT NULL,
+  metadata JSONB,
+  created_at TIMESTAMP WITH TIME ZONE DEFAULT CURRENT_TIMESTAMP
 );
-CREATE INDEX IF NOT EXISTS idx_events_topic ON events(topic);
-CREATE INDEX IF NOT EXISTS idx_events_timestamp ON events(timestamp);
-CREATE INDEX IF NOT EXISTS idx_events_type ON events(type);
-CREATE INDEX IF NOT EXISTS idx_events_topic_timestamp ON events(topic, timestamp);
+CREATE INDEX IF NOT EXISTS events_topic_idx ON events (topic);
+CREATE INDEX IF NOT EXISTS events_timestamp_idx ON events (timestamp);
+CREATE INDEX IF NOT EXISTS events_type_idx ON events (type);
+CREATE INDEX IF NOT EXISTS events_topic_timestamp_idx ON events (topic, timestamp);
 """
 
 

@@ -80,6 +80,37 @@ def test_python_datasource_roundtrip(spark, tmp_path):
     assert df.where("topic = 'orders'").count() == 2
 
 
+def test_jdbc_ddl_matches_reference_shape():
+    """S10: the Postgres DDL is column-for-column the reference's
+    CREATE TABLE (src/persistence.ts:262-288) — topic before type,
+    NOT NULL payload, created_at audit column, and the
+    `<table>_<col>_idx` index naming. id stays TEXT (documented
+    divergence: the reference default `idType: "uuid"` rejects its
+    own generateId() output, which is not a UUID)."""
+    from env_event_stream_spark.sources.jdbc_store import DDL
+
+    cols = [
+        "id TEXT PRIMARY KEY",
+        "topic TEXT NOT NULL",
+        "type TEXT NOT NULL",
+        "timestamp BIGINT NOT NULL",
+        "schema_version TEXT NOT NULL",
+        "payload JSONB NOT NULL",
+        "metadata JSONB",
+        "created_at TIMESTAMP WITH TIME ZONE DEFAULT CURRENT_TIMESTAMP",
+    ]
+    # reference column ORDER preserved
+    positions = [DDL.index(c) for c in cols]
+    assert positions == sorted(positions)
+    for idx in (
+        "events_topic_idx ON events (topic)",
+        "events_timestamp_idx ON events (timestamp)",
+        "events_type_idx ON events (type)",
+        "events_topic_timestamp_idx ON events (topic, timestamp)",
+    ):
+        assert f"CREATE INDEX IF NOT EXISTS {idx}" in DDL
+
+
 def test_jdbc_store_roundtrip_derby(spark, tmp_path):
     """S7/S8 (reference src/persistence.ts:299-402) against embedded
     Derby: append, filtered ordered limited read-back, and predicate
