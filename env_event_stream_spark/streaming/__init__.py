@@ -12,4 +12,5 @@ from env_event_stream_spark.streaming.broker import (  # noqa: F401
     EventBroker,
     PublishResult,
     SubscriptionOptions,
+    default_broker,
 )

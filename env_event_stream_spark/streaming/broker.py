@@ -47,7 +47,12 @@ from env_event_stream_spark.storage.event_store import (
 
 EventHandler = Callable[[Row], None]
 
-__all__ = ["PublishResult", "SubscriptionOptions", "EventBroker"]
+__all__ = [
+    "PublishResult",
+    "SubscriptionOptions",
+    "EventBroker",
+    "default_broker",
+]
 
 
 @dataclass
@@ -575,3 +580,22 @@ class EventBroker:
             .collect()[0]
         )
         return self.store.delete_events(meta.name, cutoff_row.timestamp)
+
+
+# -- module-level default broker (mod.ts export parity) --------------------
+
+_default_broker: EventBroker | None = None
+
+
+def default_broker(spark: SparkSession) -> EventBroker:
+    """The reference's module-level singleton (src/broker.ts:187:
+    ``export const defaultBroker = new EventBroker()``), lazified:
+    Python can't construct one at import time because a broker needs
+    a SparkSession. The first call creates it (in-memory store + DLQ,
+    exactly the reference's no-arg constructor); every later call
+    returns the SAME instance — per-process, like the reference's
+    module scope — regardless of the session argument."""
+    global _default_broker
+    if _default_broker is None:
+        _default_broker = EventBroker(spark)
+    return _default_broker

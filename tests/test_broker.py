@@ -291,6 +291,26 @@ def test_retention_time_and_count(spark):
     assert ids == ["ev-3", "ev-4", "ev-5"]
 
 
+def test_default_broker_is_a_process_singleton(spark):
+    """mod.ts exports `defaultBroker` (src/broker.ts:187) — a
+    module-level singleton. The Python counterpart is lazy (a broker
+    needs a SparkSession) but identical after first use: same
+    instance on every call, shared topics/state."""
+    import env_event_stream_spark.streaming.broker as B
+    from env_event_stream_spark.streaming import default_broker
+
+    old = B._default_broker
+    B._default_broker = None  # isolate from other tests
+    try:
+        a = default_broker(spark)
+        b = default_broker(spark)
+        assert a is b
+        a.create_topic("singleton-topic")
+        assert "singleton-topic" in default_broker(spark).list_topics()
+    finally:
+        B._default_broker = old
+
+
 def test_limit_zero_means_no_limit(spark, tmp_path):
     """The reference's falsy-limit contract: the in-memory store's
     `if (options.limit)` treats 0 as absent (src/persistence.ts:63)
