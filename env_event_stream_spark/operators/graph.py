@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank_int", "k_core"]
+__all__ = [
+    "connected_components",
+    "pagerank_int",
+    "pagerank_int_weighted",
+    "k_core",
+]
 
 
 def _materialize_static(df: DataFrame, key: str, partition_static: bool) -> DataFrame:
@@ -43,12 +48,26 @@ def _materialize_static(df: DataFrame, key: str, partition_static: bool) -> Data
     Both materialize eagerly so the build never lands on an
     iteration's clock. Results are identical either way (all
     downstream aggregates are key-grouped and order-free) —
-    pytest-pinned."""
+    pytest-pinned. Callers of the persisted path must
+    ``_release_static`` the frame before returning (the final result
+    rides a lineage-truncated checkpoint, so the cache is dead weight
+    once the loop ends — leaking one |E|-row InMemoryRelation per
+    call would evict useful storage on a long-lived driver)."""
     if partition_static:
         out = df.repartition(key).persist()
         out.count()
         return out
     return df.localCheckpoint(eager=True)
+
+
+def _release_static(*frames: DataFrame) -> None:
+    """Unpersist the static frames a loop persisted (no-op for the
+    localCheckpoint path — blocking=False, never fails the result)."""
+    for df in frames:
+        try:
+            df.unpersist()
+        except Exception:  # result is already materialized; best-effort
+            pass
 
 
 def connected_components(
@@ -101,7 +120,9 @@ def connected_components(
         changed = updated.where(F.col("_chg")).limit(1).count()
         labels = updated.select("node", "label")
         if changed == 0:
+            _release_static(e)  # labels is checkpointed; e is done
             return labels.select("node", F.col("label").alias("component"))
+    _release_static(e)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
@@ -176,6 +197,7 @@ def pagerank_int(
             )
             .localCheckpoint(eager=True)
         )
+    _release_static(e, deg)  # ranks is checkpointed; statics are done
     return ranks.select("node", "odeg", F.col("r").alias("rank_units"))
 
 
@@ -251,6 +273,7 @@ def pagerank_int_weighted(
             )
             .localCheckpoint(eager=True)
         )
+    _release_static(e, deg)  # ranks is checkpointed; statics are done
     return ranks.select("node", "wdeg", F.col("r").alias("rank_units"))
 
 

@@ -27,22 +27,34 @@ from pyspark.sql import functions as F
 __all__ = ["JdbcEventStore", "DDL"]
 
 # reference src/persistence.ts:262-288, column-for-column (topic
-# before type, NOT NULL payload, created_at audit column) and the
-# reference's `<table>_<col>_idx` index naming. ONE deliberate
-# divergence: id is TEXT, not the reference default `idType: "uuid"`
+# before type, created_at audit column) and the reference's
+# `<table>_<col>_idx` index naming. TWO deliberate divergences:
+# (1) id is TEXT, not the reference default `idType: "uuid"`
 # (src/persistence.ts:251) — the reference's own generateId()
 # produces `<ts36>-<11hex>-<counter>` strings (src/utils.ts:13-40)
 # which are NOT valid UUIDs, so its default-configured Postgres
 # store rejects every id it generates ("invalid input syntax for
 # type uuid"); TEXT is what actually interoperates.
+# (2) payload is NULLABLE, not the reference's NOT NULL — this
+# engine's event model allows payload-less events (EVENT_SCHEMA
+# payload is nullable, broker.publish(topic, type) works), and a
+# NOT NULL column would reject them at mirror time.
+# The four DROP INDEX lines migrate a database initialized with the
+# pre-r12 `idx_events_*` names — without them IF NOT EXISTS would
+# leave BOTH generations of indexes (double write amplification);
+# they are no-ops on a fresh database.
 DDL = """
+DROP INDEX IF EXISTS idx_events_topic;
+DROP INDEX IF EXISTS idx_events_timestamp;
+DROP INDEX IF EXISTS idx_events_type;
+DROP INDEX IF EXISTS idx_events_topic_timestamp;
 CREATE TABLE IF NOT EXISTS events (
   id TEXT PRIMARY KEY,
   topic TEXT NOT NULL,
   type TEXT NOT NULL,
   timestamp BIGINT NOT NULL,
   schema_version TEXT NOT NULL,
-  payload JSONB NOT NULL,
+  payload JSONB,
   metadata JSONB,
   created_at TIMESTAMP WITH TIME ZONE DEFAULT CURRENT_TIMESTAMP
 );

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import threading
 import time
 import uuid
 from collections.abc import Callable, Sequence
@@ -585,6 +586,18 @@ class EventBroker:
 # -- module-level default broker (mod.ts export parity) --------------------
 
 _default_broker: EventBroker | None = None
+_default_broker_lock = threading.Lock()
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    """True when the session's SparkContext is gone — a broker bound
+    to it can only raise. Internal-API probe, so any failure reads as
+    stopped (recreating on a live session is harmless; returning a
+    dead broker is not)."""
+    try:
+        return spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True
 
 
 def default_broker(spark: SparkSession) -> EventBroker:
@@ -594,8 +607,15 @@ def default_broker(spark: SparkSession) -> EventBroker:
     a SparkSession. The first call creates it (in-memory store + DLQ,
     exactly the reference's no-arg constructor); every later call
     returns the SAME instance — per-process, like the reference's
-    module scope — regardless of the session argument."""
+    module scope. Two departures the JVM lifecycle forces: creation
+    is lock-guarded (a module ``const`` can't race; a lazy factory
+    can), and a singleton bound to a STOPPED session is replaced with
+    one bound to the caller's live session instead of handing back a
+    broker whose every call raises 'SparkContext was shut down'
+    (the in-memory state of the dead instance is unrecoverable
+    either way — its rows lived in that context's process state)."""
     global _default_broker
-    if _default_broker is None:
-        _default_broker = EventBroker(spark)
-    return _default_broker
+    with _default_broker_lock:
+        if _default_broker is None or _session_stopped(_default_broker.spark):
+            _default_broker = EventBroker(spark)
+        return _default_broker

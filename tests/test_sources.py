@@ -83,10 +83,12 @@ def test_python_datasource_roundtrip(spark, tmp_path):
 def test_jdbc_ddl_matches_reference_shape():
     """S10: the Postgres DDL is column-for-column the reference's
     CREATE TABLE (src/persistence.ts:262-288) — topic before type,
-    NOT NULL payload, created_at audit column, and the
-    `<table>_<col>_idx` index naming. id stays TEXT (documented
-    divergence: the reference default `idType: "uuid"` rejects its
-    own generateId() output, which is not a UUID)."""
+    created_at audit column, and the `<table>_<col>_idx` index
+    naming. Two documented divergences: id stays TEXT (the reference
+    default `idType: "uuid"` rejects its own generateId() output,
+    which is not a UUID) and payload stays NULLABLE (this engine
+    supports payload-less events; NOT NULL would reject them at
+    mirror time)."""
     from env_event_stream_spark.sources.jdbc_store import DDL
 
     cols = [
@@ -95,13 +97,17 @@ def test_jdbc_ddl_matches_reference_shape():
         "type TEXT NOT NULL",
         "timestamp BIGINT NOT NULL",
         "schema_version TEXT NOT NULL",
-        "payload JSONB NOT NULL",
+        "payload JSONB",  # nullable (divergence: payload-less events)
         "metadata JSONB",
         "created_at TIMESTAMP WITH TIME ZONE DEFAULT CURRENT_TIMESTAMP",
     ]
     # reference column ORDER preserved
     positions = [DDL.index(c) for c in cols]
     assert positions == sorted(positions)
+    # pre-r12 index names are dropped (migration; no-op when fresh)
+    for legacy in ("idx_events_topic", "idx_events_timestamp",
+                   "idx_events_type", "idx_events_topic_timestamp"):
+        assert f"DROP INDEX IF EXISTS {legacy};" in DDL
     for idx in (
         "events_topic_idx ON events (topic)",
         "events_timestamp_idx ON events (timestamp)",
