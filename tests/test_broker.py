@@ -291,6 +291,46 @@ def test_retention_time_and_count(spark):
     assert ids == ["ev-3", "ev-4", "ev-5"]
 
 
+def test_dlq_get_events_filtering_and_remove(spark, tmp_path):
+    """deadletter_test.ts:82-107 ('should get events with filtering')
+    and :162-186 (remove + removing a non-existent id returns false),
+    on both backends: topic filter, type filter, limit, newest-first
+    order, keyed removal."""
+    import datetime as dt
+
+    from env_event_stream_spark.storage.dlq_store import (
+        InMemoryDeadLetterQueue,
+        ParquetDeadLetterQueue,
+    )
+    from env_event_stream_spark.storage.event_store import make_event
+
+    e1 = make_event("topic-1", "type-1", "{}", None,
+                    timestamp=dt.datetime(2024, 1, 1, 10), event_id="ev-1")
+    e2 = make_event("topic-2", "type-2", "{}", None,
+                    timestamp=dt.datetime(2024, 1, 1, 11), event_id="ev-2")
+    for dlq in (
+        InMemoryDeadLetterQueue(spark),
+        ParquetDeadLetterQueue(spark, str(tmp_path / "dlq_filter")),
+    ):
+        dlq.add_event(e1, "Test error 1", "handler-1")
+        dlq.add_event(e2, "Test error 2", "handler-2")
+        by_topic = dlq.get_events(topic="topic-1").collect()
+        assert [r.event.id for r in by_topic] == ["ev-1"]
+        assert by_topic[0].subscription == "handler-1"
+        by_type = dlq.get_events(event_type="type-2").collect()
+        assert [r.event.id for r in by_type] == ["ev-2"]
+        limited = dlq.get_events(limit=1).collect()
+        assert len(limited) == 1
+        # newest-first: e2 was ADDED second (its DLQ timestamp is
+        # later), so it leads (deadletter.ts:63 sorts on entry ts)
+        assert [r.event.id for r in dlq.get_events().collect()] == [
+            "ev-2", "ev-1",
+        ]
+        assert dlq.remove_event("ev-1") is True
+        assert dlq.get_events().count() == 1
+        assert dlq.remove_event("no-such-id") is False
+
+
 def test_default_broker_is_a_process_singleton(spark):
     """mod.ts exports `defaultBroker` (src/broker.ts:187) — a
     module-level singleton. The Python counterpart is lazy (a broker

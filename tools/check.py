@@ -51,7 +51,7 @@ def counts() -> int:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bad = []
-    for fname in ("COVERAGE.md", "NEXT.md"):
+    for fname in ("COVERAGE.md", "NEXT.md", "README.md"):
         path = os.path.join(here, fname)
         if not os.path.exists(path):
             continue
@@ -65,6 +65,15 @@ def counts() -> int:
             if int(m.group(1)) != len(ORACLES):
                 bad.append(
                     f"{fname}: says '{m.group(0)}', ORACLES has {len(ORACLES)}"
+                )
+        # README's "N queries, N oracle-checked" sat OUTSIDE the gate
+        # and silently drifted 265 -> 276 over three rounds (caught by
+        # hand r12) — cover the phrasing
+        for m in re.finditer(r"(\d+) queries, (\d+) oracle-checked", text):
+            if int(m.group(1)) != len(QUERIES) or int(m.group(2)) != len(ORACLES):
+                bad.append(
+                    f"{fname}: says '{m.group(0)}', catalog has "
+                    f"{len(QUERIES)}/{len(ORACLES)}"
                 )
     # pytest-count claims must match the collected suite (README says
     # "N cases", NEXT.md says "N pytest cases")
