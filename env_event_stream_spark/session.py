@@ -13,7 +13,19 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "extra_conf_pairs"]
+
+
+def extra_conf_pairs(extra: str) -> list:
+    """Parse ``SPARK_GRAFT_EXTRA_CONF`` ("k=v;k=v") into (key, value)
+    pairs. Split out of get_spark so the parsing is unit-testable
+    without building a second SparkSession (getOrCreate() ignores
+    configs once a session exists in-process)."""
+    pairs = []
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        pairs.append((k.strip(), v.strip()))
+    return pairs
 
 
 def get_spark(app_name: str = "env_event_stream_spark") -> SparkSession:
@@ -38,6 +50,14 @@ def get_spark(app_name: str = "env_event_stream_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Invariance-sweep hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overrides
+    # any default above (applied last). This is how the catalog-wide
+    # robustness gates run (non-UTC session timezone, tiny Arrow
+    # batches, AQE off, broadcast disabled) without editing this file.
+    # NOTE: getOrCreate() only honors configs on FIRST creation in a
+    # process — sweeps must run in a fresh interpreter, as check.py does.
+    for k, v in extra_conf_pairs(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")):
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

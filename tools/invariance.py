@@ -1,0 +1,85 @@
+"""Catalog-wide invariance sweeps, reproducibly.
+
+Each preset re-runs the full DuckDB-oracle harness (tools/check.py) in
+a FRESH interpreter under one deliberately hostile configuration. The
+catalog's determinism claims — "identical results on any partition
+count, any ANSI mode, any caller locale, any Arrow batch size, with or
+without broadcast joins" — are only claims until a sweep has run; this
+file is the sweep.
+
+Usage:
+    python tools/invariance.py <preset> [sf_dir] [query ...]
+    python tools/invariance.py --list
+
+Presets:
+    small        local[5], 5 shuffle partitions (partition-count
+                 invariance — the r11 gate, now one command)
+    ansioff      spark.sql.ansi.enabled=false (Spark 4 flips the
+                 default to true; results must not depend on it)
+    tz           process-wide TZ=America/New_York — catches BOTH a
+                 JVM session-timezone dependence that
+                 tables.prepare_session failed to pin AND any
+                 driver-side Python localtime use
+                 (datetime.fromtimestamp et al). DuckDB runs in the
+                 same shifted process, so an oracle with a hidden
+                 locale dependence fails too instead of masking.
+    arrow7       spark.sql.execution.arrow.maxRecordsPerBatch=7 —
+                 every mapInPandas/applyInPandas sees many tiny
+                 batches; an operator that aggregates within a batch
+                 assuming "one batch per partition/group" breaks here
+                 and nowhere else until 100 TB.
+    nobroadcast  spark.sql.autoBroadcastJoinThreshold=-1 — size-based
+                 broadcast off; results must survive every join
+                 degrading to SMJ/BNLJ (explicit F.broadcast() hints
+                 still honored — those are deliberate).
+    nocodegen    spark.sql.codegen.wholeStage=false — interpreted
+                 expression evaluation must agree with codegen.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PRESETS: dict[str, dict[str, str]] = {
+    "small": {"SPARK_GRAFT_CPUS": "5"},
+    "ansioff": {
+        "SPARK_GRAFT_EXTRA_CONF": "spark.sql.ansi.enabled=false",
+    },
+    "tz": {"TZ": "America/New_York"},
+    "arrow7": {
+        "SPARK_GRAFT_EXTRA_CONF": (
+            "spark.sql.execution.arrow.maxRecordsPerBatch=7"
+        ),
+    },
+    "nobroadcast": {
+        "SPARK_GRAFT_EXTRA_CONF": "spark.sql.autoBroadcastJoinThreshold=-1",
+    },
+    "nocodegen": {
+        "SPARK_GRAFT_EXTRA_CONF": "spark.sql.codegen.wholeStage=false",
+    },
+}
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    if not argv or argv[0] in ("--list", "-l", "--help", "-h"):
+        for name, env in PRESETS.items():
+            print(f"{name}: {env}")
+        return 0
+    preset = argv[0]
+    if preset not in PRESETS:
+        print(f"unknown preset {preset!r}; one of {sorted(PRESETS)}")
+        return 2
+    env = dict(os.environ)
+    env.update(PRESETS[preset])
+    cmd = [sys.executable, os.path.join(HERE, "tools", "check.py"), *argv[1:]]
+    print(f"invariance[{preset}] env={PRESETS[preset]} -> {' '.join(cmd)}")
+    return subprocess.run(cmd, cwd=HERE, env=env).returncode
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
