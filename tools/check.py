@@ -12,6 +12,7 @@ Usage: python tools/check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import os
 import sys
@@ -25,18 +26,50 @@ from env_event_stream_spark.session import get_spark
 from env_event_stream_spark.tables import TABLE_NAMES
 
 
-def norm(v):
+def norm(v, local_dt: bool = False):
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
         return round(v, 9)
+    if isinstance(v, _dt.datetime):
+        # Compare INSTANTS, not renderings. PySpark's collect()
+        # returns TimestampType as a naive datetime in the CLIENT
+        # PROCESS's local timezone (fromInternal -> fromtimestamp);
+        # DuckDB's naive TIMESTAMP never shifts. Under the tz
+        # invariance sweep (TZ=America/New_York) the two renderings
+        # of the same instant differ by the UTC offset — a harness
+        # artifact, not a computation divergence (probed 2026-08:
+        # timestamp'12:00' collects as 08:00 naive from Spark, 12:00
+        # from DuckDB). Normalize Spark-side naive datetimes
+        # local->UTC-naive, and any tz-aware datetime ->UTC-naive on
+        # either side. Under TZ=UTC (the driver's environment) this
+        # is a no-op, so the gate still replicates the driver bit
+        # for bit there. Known loss: the local->UTC step is
+        # ambiguous for the one repeated wall-clock hour of a DST
+        # fall-back (collect() already collapsed the two instants).
+        if v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if local_dt:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
     return v
 
 
-def rowset(rows, cols):
+def rowset(rows, cols, local_dt=None):
+    """local_dt: per-column booleans (Spark side) — True for columns
+    whose Spark type is TimestampType (instants, collected in the
+    client's local tz, must be shifted to UTC-naive); False for
+    TIMESTAMP_NTZ (collected as wall-clock naive, must NOT be
+    shifted — found the hard way on o_orderdate) and everything else.
+    DuckDB side passes None (its naive timestamps never shift).
+    Top-level columns only: no catalog query returns timestamps
+    nested inside arrays/structs/maps (verified by a schema scan of
+    all 276 queries, 2026-08)."""
+    if local_dt is None:
+        local_dt = [False] * len(cols)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        [tuple(norm(r[i]) for i in order) for r in rows],
+        [tuple(norm(r[i], local_dt[i]) for i in order) for r in rows],
         key=lambda t: tuple(repr(x) for x in t),
     )
 
@@ -222,7 +255,8 @@ def main() -> int:
             print(f"FAIL {name}: cols spark={sorted(scols)} duckdb={sorted(dcols)}")
             ok = False
         if ok:
-            sset = rowset([tuple(r) for r in srows], scols)
+            instant_col = [t == "timestamp" for _, t in sdf.dtypes]
+            sset = rowset([tuple(r) for r in srows], scols, instant_col)
             dset = rowset(drows, dcols)
             if sset != dset:
                 ok = False
