@@ -17,6 +17,7 @@ are filename-ordered. Here:
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 
@@ -65,7 +66,15 @@ def write_json_event_dir(rows: list[Row], base_path: str) -> int:
     (``<topic>/<epoch_ms>_<id>.json``) — round-trip/compat helper."""
     n = 0
     for r in rows:
-        ms = int(r.timestamp.timestamp() * 1000)
+        # Event timestamps are naive-UTC by contract; naive
+        # datetime.timestamp() would interpret them as PROCESS-LOCAL
+        # time and write epoch-ms values shifted by the UTC offset
+        # into the reference's layout (interop corruption — found by
+        # the TZ=America/New_York invariance run of the test suite).
+        ts = r.timestamp
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ms = int(ts.timestamp() * 1000)
         d = os.path.join(base_path, r.topic)
         os.makedirs(d, exist_ok=True)
         doc = {

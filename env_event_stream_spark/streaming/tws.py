@@ -28,6 +28,7 @@ exercised in-container and remains the default engine path.
 
 from __future__ import annotations
 
+import datetime as _dt
 from typing import TYPE_CHECKING, Any, Iterator
 
 from pyspark.sql import DataFrame
@@ -101,6 +102,11 @@ class SessionMonitorProcessor(StatefulProcessor):
         # single armed timer per key: re-arm on every activity
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)
+        # arm_from is a naive-UTC wall-clock value from the state
+        # store; naive .timestamp() would read it as process-local
+        # time and mis-arm the timer by the UTC offset off-UTC hosts
+        if arm_from.tzinfo is None:
+            arm_from = arm_from.replace(tzinfo=_dt.timezone.utc)
         self.handle.registerTimer(
             int(arm_from.timestamp() * 1000) + self.gap_ms
         )

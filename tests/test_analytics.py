@@ -288,10 +288,18 @@ def test_ks_statistic_matches_scipy_style_reference(spark, sf_dir):
     from env_event_stream_spark.catalog import QUERIES
     import datetime as dt
 
-    cutoff = dt.datetime(2024, 1, 8)
+    # Compare INSTANTS: collect epoch micros, not TimestampType —
+    # collect() renders TimestampType in the CLIENT's local timezone,
+    # which made this reference implementation (and only it, not the
+    # engine) fail under the TZ=America/New_York invariance run.
+    cutoff = int(
+        dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
     rows = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .selectExpr("event_type", "value", "CAST(ts AS TIMESTAMP) AS ts")
+        .selectExpr(
+            "event_type", "value", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts"
+        )
         .collect()
     )
     out = {

@@ -16,10 +16,17 @@ def _rows(spec):
     return [(dt.datetime(2024, 1, d, h), t, float(v)) for (d, h, t, v) in spec]
 
 
+def _utc(d):
+    """collect() renders TimestampType in the process-local tz; key
+    on the UTC instant so the assertions hold off-UTC too (found by
+    the TZ=America/New_York invariance run)."""
+    return d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+
 def _truth(spark, all_rows):
     df = spark.createDataFrame(all_rows, _SCHEMA)
     return {
-        (r.day, r.event_type): (r.n, round(r.sv, 6))
+        (_utc(r.day), r.event_type): (r.n, round(r.sv, 6))
         for r in df.groupBy(
             F.date_trunc("day", "ts").alias("day"), "event_type"
         )
@@ -30,7 +37,7 @@ def _truth(spark, all_rows):
 
 def _view_state(view):
     return {
-        (r.day, r.event_type): (r.n, round(r.sv, 6))
+        (_utc(r.day), r.event_type): (r.n, round(r.sv, 6))
         for r in view.read().collect()
     }
 

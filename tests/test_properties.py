@@ -1177,8 +1177,21 @@ def test_asof_tolerance_matches_merge_asof_semantics(spark, sf_dir):
             views[r.user_id].append(r.ts)
     for v in views.values():
         v.sort()
+    # the raw-parquet ts above is TIMESTAMP_NTZ (wall-clock naive =
+    # UTC), but the query output is TimestampType, which collect()
+    # renders in the PROCESS-LOCAL tz — normalize it back to the UTC
+    # instant so the replay holds off-UTC (tz invariance run)
+    import datetime as _dt
+
+    def _utc(d):
+        return (
+            d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            if d is not None
+            else None
+        )
+
     got = {
-        r.event_id: (r.matched_view_ts, r.gap_s)
+        r.event_id: (_utc(r.matched_view_ts), r.gap_s)
         for r in QUERIES["asof_tolerance_join"](spark, sf_dir).collect()
     }
     n_checked = 0

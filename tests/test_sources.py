@@ -31,7 +31,12 @@ def test_json_event_dir_roundtrip(spark, tmp_path):
     got = {r.id: r for r in df.collect()}
     assert set(got) == {"e1", "e2", "e3"}
     assert got["e1"].topic == "orders"
-    assert got["e1"].timestamp == dt.datetime(2024, 1, 1, 10, 0, 0)
+    # compare the INSTANT: collect() renders TimestampType in the
+    # process-local tz (tz invariance run); the stored value is
+    # 2024-01-01T10:00Z by the naive-UTC event contract
+    assert got["e1"].timestamp.astimezone(dt.timezone.utc).replace(
+        tzinfo=None
+    ) == dt.datetime(2024, 1, 1, 10, 0, 0)
     assert got["e1"].payload == '{"amount": 1}'
     assert got["e1"].metadata == {"src": "t"}
     assert got["e3"].topic == "users"

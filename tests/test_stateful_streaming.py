@@ -1189,7 +1189,11 @@ def test_stream_slo_grid_merges_and_equals_batch(spark, sf_dir, tmp_path):
 
     def write(spec):
         rows = [
-            (1, dt.datetime(2024, 1, 1, h, 0, 0), eid, et, None)
+            # tz-AWARE input: the test asserts a literal UTC hour_idx,
+            # and createDataFrame interprets NAIVE datetimes in the
+            # process-local tz (hour 9 became 14 under the
+            # TZ=America/New_York invariance run)
+            (1, dt.datetime(2024, 1, 1, h, 0, 0, tzinfo=dt.timezone.utc), eid, et, None)
             for (h, eid, et) in spec
         ]
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(

@@ -61,6 +61,15 @@ PRESETS: dict[str, dict[str, str]] = {
     "nocodegen": {
         "SPARK_GRAFT_EXTRA_CONF": "spark.sql.codegen.wholeStage=false",
     },
+    "novecread": {
+        # the row-by-row parquet read path must agree with the
+        # vectorized one — this engine leans on nanosAsLong for the
+        # TIMESTAMP(NANOS) events table, where reader paths have
+        # historically diverged
+        "SPARK_GRAFT_EXTRA_CONF": (
+            "spark.sql.parquet.enableVectorizedReader=false"
+        ),
+    },
 }
 
 
