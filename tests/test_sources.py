@@ -233,3 +233,56 @@ def test_python_datasource_streaming_incremental(spark, tmp_path):
     seen.clear()
     run_once()
     assert seen == ["s3"]
+
+
+def test_write_json_event_dir_epoch_ms_is_utc_everywhere(tmp_path):
+    """The FileEventStore layout stores ABSOLUTE epoch ms
+    (src/persistence.ts:143); the writer must produce the same bytes
+    whatever the host timezone, for naive-UTC (the event contract)
+    and tz-aware inputs alike. Fuzzes the instant over 50 years and
+    three host timezones via tzset (the bug this pins: naive
+    .timestamp() read the contract as process-local time)."""
+    import json
+    import os
+    import time
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    if not hasattr(time, "tzset"):
+        import pytest
+
+        pytest.skip("tzset not available")
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        epoch_s=st.integers(min_value=0, max_value=50 * 365 * 86400),
+        tz_name=st.sampled_from(["UTC", "America/New_York", "Asia/Tokyo"]),
+        aware=st.booleans(),
+    )
+    def run(epoch_s, tz_name, aware):
+        old = os.environ.get("TZ")
+        os.environ["TZ"] = tz_name
+        time.tzset()
+        try:
+            naive_utc = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=epoch_s)
+            ts = (
+                naive_utc.replace(tzinfo=dt.timezone.utc) if aware else naive_utc
+            )
+            row = make_event(
+                "t", "e.one", None, None, timestamp=ts, event_id="x1"
+            )
+            base = tmp_path / f"fuzz_{epoch_s}_{tz_name}_{aware}"
+            write_json_event_dir([row], str(base))
+            expect_ms = epoch_s * 1000
+            path = base / "t" / f"{expect_ms}_x1.json"
+            assert path.exists(), list((base / "t").iterdir())
+            assert json.load(open(path))["timestamp"] == expect_ms
+        finally:
+            if old is None:
+                del os.environ["TZ"]
+            else:
+                os.environ["TZ"] = old
+            time.tzset()
+
+    run()
