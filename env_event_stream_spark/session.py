@@ -20,10 +20,20 @@ def extra_conf_pairs(extra: str) -> list:
     """Parse ``SPARK_GRAFT_EXTRA_CONF`` ("k=v;k=v") into (key, value)
     pairs. Split out of get_spark so the parsing is unit-testable
     without building a second SparkSession (getOrCreate() ignores
-    configs once a session exists in-process)."""
+    configs once a session exists in-process).
+
+    Malformed entries RAISE instead of degrading: Spark accepts
+    unknown conf keys silently, so a typo'd sweep config (colon for
+    '=', comma-separated list) would otherwise run the DEFAULT
+    configuration while the sweep reports green for a gate that
+    never ran."""
     pairs = []
     for kv in filter(None, (s.strip() for s in extra.split(";"))):
-        k, _, v = kv.partition("=")
+        k, eq, v = kv.partition("=")
+        if not eq or not k.strip() or not v.strip():
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entry {kv!r} is not 'key=value'"
+            )
         pairs.append((k.strip(), v.strip()))
     return pairs
 

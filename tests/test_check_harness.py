@@ -12,6 +12,7 @@ subprocess-free way (tzset within the test, restored after).
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import os
 import sys
@@ -27,19 +28,29 @@ sys.path.insert(
 from check import norm, rowset  # noqa: E402
 
 
-@pytest.fixture
-def new_york_tz():
+@contextlib.contextmanager
+def _tz(name):
+    """Set the process timezone for the duration, restoring after —
+    the single save/restore path every TZ-sensitive test here uses."""
     if not hasattr(time, "tzset"):
         pytest.skip("tzset not available")
     old = os.environ.get("TZ")
-    os.environ["TZ"] = "America/New_York"
+    os.environ["TZ"] = name
     time.tzset()
-    yield
-    if old is None:
-        del os.environ["TZ"]
-    else:
-        os.environ["TZ"] = old
-    time.tzset()
+    try:
+        yield
+    finally:
+        if old is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+
+
+@pytest.fixture
+def new_york_tz():
+    with _tz("America/New_York"):
+        yield
 
 
 def test_instant_column_shifts_local_to_utc(new_york_tz):
@@ -75,17 +86,6 @@ def test_rowset_default_no_shift_matches_driver(new_york_tz):
 
 
 def test_utc_environment_shift_is_noop():
-    if not hasattr(time, "tzset"):
-        pytest.skip("tzset not available")
-    old = os.environ.get("TZ")
-    os.environ["TZ"] = "UTC"
-    time.tzset()
-    try:
+    with _tz("UTC"):
         v = dt.datetime(2025, 6, 1, 8, 0)
         assert norm(v, local_dt=True) == v
-    finally:
-        if old is None:
-            del os.environ["TZ"]
-        else:
-            os.environ["TZ"] = old
-        time.tzset()

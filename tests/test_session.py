@@ -32,3 +32,13 @@ def test_extra_conf_pairs_tolerates_blanks_and_whitespace():
 def test_extra_conf_pairs_value_may_contain_equals():
     # JVM-option-style values keep everything after the first '='
     assert extra_conf_pairs("spark.x=-Da=b") == [("spark.x", "-Da=b")]
+
+
+def test_extra_conf_pairs_rejects_malformed_entries():
+    # Spark accepts unknown conf keys silently, so a typo here would
+    # run the DEFAULT config while the sweep reports green — raise
+    import pytest
+
+    for bad in ("spark.sql.ansi.enabled:false", "a=b,c=d;x", "=v", "k="):
+        with pytest.raises(ValueError):
+            extra_conf_pairs(bad)

@@ -47,9 +47,7 @@ def norm(v, local_dt: bool = False):
         # for bit there. Known loss: the local->UTC step is
         # ambiguous for the one repeated wall-clock hour of a DST
         # fall-back (collect() already collapsed the two instants).
-        if v.tzinfo is not None:
-            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        if local_dt:
+        if v.tzinfo is not None or local_dt:
             return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v
     return v

@@ -34,6 +34,17 @@ Presets:
                  still honored — those are deliberate).
     nocodegen    spark.sql.codegen.wholeStage=false — interpreted
                  expression evaluation must agree with codegen.
+    novecread    spark.sql.parquet.enableVectorizedReader=false —
+                 the row-by-row parquet read path must agree with the
+                 vectorized one (the TIMESTAMP(NANOS) events table
+                 rides nanosAsLong, where reader paths have
+                 historically diverged).
+
+Inherited SPARK_GRAFT_EXTRA_CONF and TZ are CLEARED before the
+preset applies (a stale export must not compose into a differently
+labeled gate); SPARK_GRAFT_CPUS passes through — it only sizes
+local parallelism, which the `small` gate itself proves
+result-invariant — and is echoed in the banner when set.
 """
 
 from __future__ import annotations
@@ -84,9 +95,19 @@ def main() -> int:
         print(f"unknown preset {preset!r}; one of {sorted(PRESETS)}")
         return 2
     env = dict(os.environ)
+    for knob in ("SPARK_GRAFT_EXTRA_CONF", "TZ"):
+        if knob not in PRESETS[preset]:
+            env.pop(knob, None)
     env.update(PRESETS[preset])
     cmd = [sys.executable, os.path.join(HERE, "tools", "check.py"), *argv[1:]]
-    print(f"invariance[{preset}] env={PRESETS[preset]} -> {' '.join(cmd)}")
+    inherited = {
+        k: env[k] for k in ("SPARK_GRAFT_CPUS",) if k in env
+    }
+    print(
+        f"invariance[{preset}] env={PRESETS[preset]}"
+        + (f" inherited={inherited}" if inherited else "")
+        + f" -> {' '.join(cmd)}"
+    )
     return subprocess.run(cmd, cwd=HERE, env=env).returncode
 
 
