@@ -53,6 +53,9 @@ EXCHANGE_BUDGET = {
 
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
 def test_reshaped_plans_hold_their_shuffle_budget(spark, sf_dir, name):
+    from conftest import require_default_broadcast
+
+    require_default_broadcast(spark)  # broadcasts become shuffles
     # executedPlan (not sparkPlan): EnsureRequirements INSERTS the
     # Exchange nodes — same counting rule as tools/plan_lint.py
     plan = (
