@@ -11,6 +11,7 @@ from __future__ import annotations
 import pytest
 
 from env_event_stream_spark.catalog import QUERIES
+from conftest import require_default_broadcast
 
 SPOT = [
     "evt_cms_user_freq",
@@ -53,8 +54,6 @@ EXCHANGE_BUDGET = {
 
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
 def test_reshaped_plans_hold_their_shuffle_budget(spark, sf_dir, name):
-    from conftest import require_default_broadcast
-
     require_default_broadcast(spark)  # broadcasts become shuffles
     # executedPlan (not sparkPlan): EnsureRequirements INSERTS the
     # Exchange nodes — same counting rule as tools/plan_lint.py

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from env_event_stream_spark.catalog import QUERIES
+from conftest import require_default_broadcast, require_wholestage_codegen
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -77,8 +78,6 @@ def test_q1_partial_aggregation(spark, sf_dir):
 
 
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
-    from conftest import require_wholestage_codegen
-
     require_wholestage_codegen(spark)
     # executedPlan().toString() marks codegen'd spans with "*(n)"
     plan = _plan(spark, sf_dir, "tpch_q6_forecast")
@@ -224,8 +223,6 @@ def test_bigram_logprob_broadcasts_model(spark, sf_dir):
     unhinted by design (vocabulary-squared at corpus scale) but AQE
     must still broadcast it at this data size — check the FINAL plan
     (the AQE initial plan legitimately shows a sort-merge join)."""
-    from conftest import require_default_broadcast
-
     require_default_broadcast(spark)
     plan = _plan(spark, sf_dir, "doc_bigram_logprob").split(
         "== Initial Plan =="
@@ -284,8 +281,6 @@ def test_knn_pq_rerank_broadcasts_candidates(spark, sf_dir):
     """The refine stage must fetch candidate vectors via BROADCAST of
     the |Q| x r_cand candidate list — never a corpus re-shuffle or a
     cross product beyond the stage-1 broadcast centroid probes."""
-    from conftest import require_default_broadcast
-
     require_default_broadcast(spark)
     plan = _plan(spark, sf_dir, "emb_knn_pq_rerank").split(
         "== Initial Plan =="
@@ -413,8 +408,6 @@ def test_triangles_no_window_no_cartesian(spark, sf_dir):
     """Degree orientation must not reintroduce the global-rank window
     (a single-partition sort over |V|), and closure must stay an
     equi-join."""
-    from conftest import require_default_broadcast
-
     require_default_broadcast(spark)
     plan = _plan(spark, sf_dir, "graph_triangles_copurchase")
     assert "Window" not in plan
@@ -437,8 +430,6 @@ def test_kmv_overlap_no_corpus_self_join(spark, sf_dir):
     """Everything pairwise runs on broadcast sketches; the events
     table itself appears only in sketch-build and the exact-tier
     scans, and the union-sketch join is broadcast."""
-    from conftest import require_default_broadcast
-
     require_default_broadcast(spark)
     plan = _plan(spark, sf_dir, "evt_kmv_overlap")
     assert "CartesianProduct" not in plan
