@@ -26,7 +26,14 @@ def extra_conf_pairs(extra: str) -> list:
     unknown conf keys silently, so a typo'd sweep config (colon for
     '=', comma-separated list) would otherwise run the DEFAULT
     configuration while the sweep reports green for a gate that
-    never ran."""
+    never ran.
+
+    Known format limits (deliberate — the raise above is worth more
+    than generality): values containing ';' cannot be expressed
+    (no escape syntax), and empty values ('k=') are rejected even
+    though a few Spark confs accept empty strings. No invariance
+    preset needs either; a sweep that does should add an escaped
+    separator here rather than weakening the malformed-entry raise."""
     pairs = []
     for kv in filter(None, (s.strip() for s in extra.split(";"))):
         k, eq, v = kv.partition("=")
@@ -47,6 +54,19 @@ def get_spark(app_name: str = "env_event_stream_spark") -> SparkSession:
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else "local[*]"
+    # Driver-sim hook (invariance preset `driversim`): a PLAIN session
+    # with STOCK defaults — ANSI on, 200 shuffle partitions, 10 MB
+    # broadcast threshold, default heap, none of the tuning below and
+    # no EXTRA_CONF — proving every catalog callable self-pins its
+    # required confs via tables.prepare_session regardless of who
+    # built the session (the driver builds its own). Master/appName
+    # only: a masterless local builder cannot start at all.
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
+        spark = (
+            SparkSession.builder.master(master).appName(app_name).getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -104,7 +104,10 @@ class SessionMonitorProcessor(StatefulProcessor):
             self.handle.deleteTimer(t)
         # arm_from is a naive-UTC wall-clock value from the state
         # store; naive .timestamp() would read it as process-local
-        # time and mis-arm the timer by the UTC offset off-UTC hosts
+        # time and mis-arm the timer by the UTC offset off-UTC hosts.
+        # "naive == UTC" itself holds only under session.timeZone=UTC
+        # (Arrow localizes to the SESSION tz) — enforced driver-side
+        # by _require_utc_session in the factory
         if arm_from.tzinfo is None:
             arm_from = arm_from.replace(tzinfo=_dt.timezone.utc)
         self.handle.registerTimer(
@@ -191,6 +194,7 @@ def sessionize_with_timers(
     Unlike ``F.session_window`` (windows.py, emit-on-watermark
     aggregate), this keeps arbitrary per-key state and can emit
     mid-session heartbeats or side outputs — the general form."""
+    _require_utc_session(events)
     gap_ms = _interval_ms(gap)
     stream = events.withWatermark(ts_col, watermark)
     return stream.groupBy(key_col).transformWithStateInPandas(
@@ -219,6 +223,28 @@ def latest_state_with_ttl(
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+def _require_utc_session(df: DataFrame) -> None:
+    """The timer-arm path reads the naive timestamps TWS hands the
+    processor as UTC (SessionMonitorProcessor.handleInputRows) — valid
+    ONLY while spark.sql.session.timeZone is UTC, because the Arrow
+    transfer localizes instants to the SESSION timezone, not the host
+    one. tables.prepare_session pins UTC on the engine's own sessions,
+    but the SPARK_GRAFT_EXTRA_CONF sweep hook (session.py) can
+    override it; mis-armed timers fail SILENTLY (sessions close early/
+    late by the UTC offset), so refuse loudly here instead
+    (ADVICE r12). Driver-side check: processors run on executors
+    where no conf is reachable."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"sessionize_with_timers requires spark.sql.session.timeZone="
+            f"UTC (got {tz!r}): the timer-arm path reads TWS's naive "
+            "session-local timestamps as UTC and would mis-arm by the "
+            "offset. Re-pin the session timezone (tables.prepare_session) "
+            "or derive the offset before arming."
+        )
 
 
 _UNIT_MS = {

@@ -14,18 +14,25 @@ from __future__ import annotations
 
 import contextlib
 import datetime as dt
+import importlib.util
 import os
-import sys
 import time
 
 import pytest
 
-sys.path.insert(
-    0,
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+# importlib on the file path, NOT sys.path mutation: 'check' is a
+# generic name an installed package could claim, and a sys.path
+# insert would shadow it for the REST of the pytest session
+# (ADVICE r12)
+_check_path = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "check.py",
 )
-
-from check import norm, rowset  # noqa: E402
+_spec = importlib.util.spec_from_file_location("_check_under_test", _check_path)
+_check = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_check)
+norm, rowset = _check.norm, _check.rowset
 
 
 @contextlib.contextmanager

@@ -38,6 +38,29 @@ def test_processor_constructs_without_spark():
     assert p.gap_ms == 60_000 and p.value_col == "v"
 
 
+def test_sessionize_refuses_non_utc_session(spark):
+    """The timer-arm path reads TWS's naive timestamps as UTC, which
+    only holds under session.timeZone=UTC (Arrow localizes to the
+    SESSION tz). A sweep overriding the session timezone must get a
+    loud refusal, not silently mis-armed timers (ADVICE r12). Guard
+    runs driver-side BEFORE transformWithStateInPandas, so this
+    needs no protobuf."""
+    from env_event_stream_spark.streaming.tws import _require_utc_session
+
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 1.0)], "key string, ts timestamp, value double"
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="session.timeZone"):
+            sessionize_with_timers(df, "key", "ts")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _require_utc_session(df)  # no raise under the pinned default
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 @needs_tws
 def test_sessionize_with_timers_end_to_end(spark, tmp_path):
     """Timer closes a session once the watermark passes last+gap."""

@@ -46,7 +46,10 @@ def norm(v, local_dt: bool = False):
         # is a no-op, so the gate still replicates the driver bit
         # for bit there. Known loss: the local->UTC step is
         # ambiguous for the one repeated wall-clock hour of a DST
-        # fall-back (collect() already collapsed the two instants).
+        # fall-back (collect() already collapsed the two instants) —
+        # a rare false compare under non-UTC TZ only; if it ever
+        # bites, collect instants as unix_micros on the Spark side
+        # (the test_analytics pattern) instead of normalizing here.
         if v.tzinfo is not None or local_dt:
             return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v

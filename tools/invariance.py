@@ -39,12 +39,28 @@ Presets:
                  vectorized one (the TIMESTAMP(NANOS) events table
                  rides nanosAsLong, where reader paths have
                  historically diverged).
+    composite    ALL seven hostile axes AT ONCE (NY timezone +
+                 local[5]/5 shuffle partitions + ANSI off + Arrow
+                 batch 7 + broadcast threshold -1 + codegen off +
+                 row-by-row parquet reader). Config interactions are
+                 their own failure class; the per-axis sweeps prove
+                 each invariance in isolation, this one pins that
+                 they compose. First run by hand at the r12 close
+                 (NEXT.md); packaged here so it can't rot.
+    driversim    a PLAIN SparkSession with STOCK defaults (ANSI on,
+                 200 shuffle partitions, 10 MB broadcast, default
+                 heap — none of get_spark's tuning): proves every
+                 catalog callable self-pins its required confs via
+                 tables.prepare_session regardless of who built the
+                 session, which is exactly the driver's situation.
+                 First run by hand as a 12-query probe at the r12
+                 close; packaged here catalog-wide.
 
-Inherited SPARK_GRAFT_EXTRA_CONF and TZ are CLEARED before the
-preset applies (a stale export must not compose into a differently
-labeled gate); SPARK_GRAFT_CPUS passes through — it only sizes
-local parallelism, which the `small` gate itself proves
-result-invariant — and is echoed in the banner when set.
+Inherited SPARK_GRAFT_EXTRA_CONF, TZ, SPARK_GRAFT_PLAIN_SESSION are
+CLEARED before the preset applies (a stale export must not compose
+into a differently labeled gate); SPARK_GRAFT_CPUS passes through —
+it only sizes local parallelism, which the `small` gate itself
+proves result-invariant — and is echoed in the banner when set.
 """
 
 from __future__ import annotations
@@ -81,6 +97,23 @@ PRESETS: dict[str, dict[str, str]] = {
             "spark.sql.parquet.enableVectorizedReader=false"
         ),
     },
+    # every hostile axis above AT ONCE — the per-axis sweeps prove
+    # each invariance in isolation; this pins that they compose
+    # (config interactions are their own failure class)
+    "composite": {
+        "TZ": "America/New_York",
+        "SPARK_GRAFT_CPUS": "5",
+        "SPARK_GRAFT_EXTRA_CONF": (
+            "spark.sql.ansi.enabled=false"
+            ";spark.sql.execution.arrow.maxRecordsPerBatch=7"
+            ";spark.sql.autoBroadcastJoinThreshold=-1"
+            ";spark.sql.codegen.wholeStage=false"
+            ";spark.sql.parquet.enableVectorizedReader=false"
+        ),
+    },
+    # stock-defaults session (see module docstring): get_spark builds
+    # a bare master+appName SparkSession, no tuning, no EXTRA_CONF
+    "driversim": {"SPARK_GRAFT_PLAIN_SESSION": "1"},
 }
 
 
@@ -95,13 +128,15 @@ def main() -> int:
         print(f"unknown preset {preset!r}; one of {sorted(PRESETS)}")
         return 2
     env = dict(os.environ)
-    for knob in ("SPARK_GRAFT_EXTRA_CONF", "TZ"):
+    for knob in ("SPARK_GRAFT_EXTRA_CONF", "TZ", "SPARK_GRAFT_PLAIN_SESSION"):
         if knob not in PRESETS[preset]:
             env.pop(knob, None)
     env.update(PRESETS[preset])
     cmd = [sys.executable, os.path.join(HERE, "tools", "check.py"), *argv[1:]]
     inherited = {
-        k: env[k] for k in ("SPARK_GRAFT_CPUS",) if k in env
+        k: env[k]
+        for k in ("SPARK_GRAFT_CPUS",)
+        if k in env and k not in PRESETS[preset]
     }
     print(
         f"invariance[{preset}] env={PRESETS[preset]}"
