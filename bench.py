@@ -268,6 +268,17 @@ TWO_PASS_COUNT = 10
 # overrun would lose the whole round's bench.
 PASS2_WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_PASS2_BUDGET", 480))
 
+# The rotating half's slowest entries get a steady re-time too
+# (VERDICT r12 task 3): rotating queries are single-passed by
+# protocol, so the suite's two slowest first-pass numbers
+# (doc_ppjoin_stats, er_threshold_sensitivity — both rotating) carried
+# full cache-build cost with no jitter control, round after round.
+# Runs AFTER the core pass-2 (core_sec integrity first) under the same
+# wall guard; results land in "steady" (the judge's per-query delta
+# key) and "rotating_pass2", and are EXCLUDED from core_sec — rotation
+# parity would otherwise make the cross-round core number oscillate.
+ROTATING_PASS2_COUNT = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -346,12 +357,36 @@ def main() -> None:
             break
         core_pass2[name] = time_query(name)
 
-    # "steady" key continuity: pass-2 times of the slowest core queries
+    # rotating-half steady re-time (see ROTATING_PASS2_COUNT): the
+    # slowest rotating entries of THIS run's half, re-timed after the
+    # core pass-2, same wall guard
+    rotating_names = sorted(
+        (
+            (k, v)
+            for k, v in timings.items()
+            if v is not None and k in rotating_set
+        ),
+        key=lambda kv: -kv[1],
+    )[:ROTATING_PASS2_COUNT]
+    rotating_pass2: dict[str, float | None] = {}
+    for name, _ in rotating_names:
+        if time.time() - bench_t0 > PASS2_WALL_BUDGET:
+            print(
+                f"bench: pass-2 wall budget ({PASS2_WALL_BUDGET}s) hit; "
+                f"rotating steady pass truncated",
+                file=sys.stderr,
+            )
+            break
+        rotating_pass2[name] = time_query(name)
+
+    # "steady" key continuity: pass-2 times of the slowest core
+    # queries, plus the rotating half's re-timed heaviest
     steady = {
         name: core_pass2[name]
         for name, _ in core_names[:TWO_PASS_COUNT]
         if name in core_pass2
     }
+    steady.update(rotating_pass2)
 
     # measured run-to-run spread (the noise floor the judge asked to
     # see): relative |p1-p2| / min(p1,p2) per double-passed query
@@ -435,6 +470,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "core_pass2": core_pass2,
+        "rotating_pass2": rotating_pass2,
         "noise": noise,
         "pass2_skipped": pass2_skipped,
         "steady": steady,
@@ -467,6 +503,7 @@ def main() -> None:
     compact = dict(full)
     compact.pop("carried", None)  # full artifact only — char budget
     compact.pop("core_pass2", None)  # full artifact only — char budget
+    compact.pop("rotating_pass2", None)  # in "steady"; char budget
     compact["pass2_skipped"] = len(pass2_skipped)  # count on the line
     for keep in range(len(by_slow), -1, -1):
         qdict = dict(by_slow[:keep])

@@ -37,6 +37,100 @@ def test_no_row_python_and_quadratic_is_justified(spark, sf_dir, name):
         assert name in L.NESTED_LOOP_ALLOWED, name
 
 
+def test_global_window_detector_reads_plan_shapes():
+    """count_global_windows parses real executedPlan toString shapes:
+    `Window [exprs], [order]` = global (flagged), `Window [exprs],
+    [part], [order]` = partitioned (not), WindowGroupLimit one group
+    vs two. This detector is what replaced Spark's runtime
+     'No Partition Defined' warning as the accidental-global-window
+    tripwire (get_spark suppresses the log line), so its parsing is
+    load-bearing."""
+    import tools.plan_lint as L
+
+    glob_w = (
+        "+- Window [row_number() windowspecdefinition(v#1L DESC "
+        "NULLS LAST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS rn#2], "
+        "[v#1L DESC NULLS LAST]"
+    )
+    part_w = (
+        "   +- Window [row_number() windowspecdefinition(v#1L, id#0L "
+        "DESC NULLS LAST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS rn#6], [v#1L], "
+        "[id#0L DESC NULLS LAST]"
+    )
+    part_wgl = (
+        "      +- WindowGroupLimit [v#1L], [id#0L DESC NULLS LAST], "
+        "row_number(), 3, Partial"
+    )
+    glob_wgl = (
+        "      +- WindowGroupLimit [id#0L DESC NULLS LAST], "
+        "row_number(), 3, Final"
+    )
+    assert L.count_global_windows(glob_w) == 1
+    assert L.count_global_windows(part_w) == 0
+    assert L.count_global_windows(part_wgl) == 0
+    assert L.count_global_windows(glob_wgl) == 1
+    # partition-only window (no ORDER BY — min-over-user etc.) also
+    # prints two groups but carries no sort directions: NOT global
+    part_only = (
+        "+- Window [min(CASE WHEN (event_type#3 = view) THEN ts#1 "
+        "END) windowspecdefinition(user_id#2L, specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), unboundedfollowing$())) "
+        "AS t1#9], [user_id#2L]"
+    )
+    assert L.count_global_windows(part_only) == 0
+    plan = "\n".join([glob_w, part_w, part_wgl, glob_wgl, "+- Sort [x]"])
+    assert L.count_global_windows(plan) == 2
+    # WindowInPandas follows the Window format (order specs always
+    # print the full 'ASC NULLS FIRST' form in real plans)
+    assert (
+        L.count_global_windows(
+            "+- WindowInPandas [f(x) AS y#3], [o#1 ASC NULLS FIRST]"
+        )
+        == 1
+    )
+    assert (
+        L.count_global_windows(
+            "+- WindowInPandas [f(x) AS y#3], [k#2], [o#1 ASC NULLS FIRST]"
+        )
+        == 0
+    )
+
+
+def test_global_window_detector_on_live_plans(spark):
+    """End-to-end on real plans: a global rank window is counted, the
+    same window partitioned is not."""
+    import tools.plan_lint as L
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    glob = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("v").desc()))
+    ).where(F.col("rn") <= 3)
+    part = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.col("id") % 7).orderBy(F.col("v").desc())
+        ),
+    ).where(F.col("rn") <= 3)
+    gplan = glob._jdf.queryExecution().executedPlan().toString()
+    pplan = part._jdf.queryExecution().executedPlan().toString()
+    assert L.count_global_windows(gplan) >= 1
+    assert L.count_global_windows(pplan) == 0
+
+
+def test_global_window_allowlist_entries_not_stale():
+    """Every GLOBAL_WINDOW_ALLOWED key must be a real catalog query —
+    a renamed/deleted query must not leave a dead justification
+    behind (the dq_referential_integrity lesson from r12)."""
+    import tools.plan_lint as L
+
+    ghosts = [n for n in L.GLOBAL_WINDOW_ALLOWED if n not in QUERIES]
+    assert not ghosts, ghosts
+
+
 # Shuffle budgets for the r12 shared-frame reshapes: each of these
 # queries used to replay an expensive multi-consumer frame per
 # reference (the regression class costs +8..+17 exchanges), and the

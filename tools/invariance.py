@@ -9,7 +9,17 @@ file is the sweep.
 
 Usage:
     python tools/invariance.py <preset> [sf_dir] [query ...]
+    python tools/invariance.py <preset> --pytest [pytest args ...]
     python tools/invariance.py --list
+
+``--pytest`` runs the full behavioral suite instead of the oracle
+catalog under the same preset env (the r12 "gate escalations" —
+pytest at local[5], under TZ=America/New_York, arrow7, … — were
+hand-typed exports; this packages them). Extra args pass through to
+pytest (default: ``tests/ -q``). Plan-shape pins self-skip under the
+configs that invalidate them (conftest.require_default_broadcast and
+the codegen-marker pins), so a sweep reports behavioral failures
+only.
 
 Presets:
     small        local[5], 5 shuffle partitions (partition-count
@@ -132,7 +142,11 @@ def main() -> int:
         if knob not in PRESETS[preset]:
             env.pop(knob, None)
     env.update(PRESETS[preset])
-    cmd = [sys.executable, os.path.join(HERE, "tools", "check.py"), *argv[1:]]
+    if len(argv) > 1 and argv[1] == "--pytest":
+        pytest_args = argv[2:] or ["tests/", "-q"]
+        cmd = [sys.executable, "-m", "pytest", *pytest_args]
+    else:
+        cmd = [sys.executable, os.path.join(HERE, "tools", "check.py"), *argv[1:]]
     inherited = {
         k: env[k]
         for k in ("SPARK_GRAFT_CPUS",)

@@ -178,6 +178,114 @@ ROW_PYTHON_ALLOWED = {
     ),
 }
 
+# (query) -> documented reason an ORDER-BY-only (global, single
+# partition) Window operator is OK. Spark's own runtime warning for
+# this shape is suppressed in get_spark (session.py) because every
+# instance below is deliberate and input-bounded — which makes THIS
+# allowlist the gate that catches an accidental global window (the
+# warning used to be the only tripwire, buried in driver logs).
+# A global window is legitimate ONLY when its input frame is already
+# reduced far below the source tables (a top-k cut, a grouped
+# aggregate, a matched subset) — the reason must say what bounds it.
+GLOBAL_WINDOW_ALLOWED = {
+    # --- rank-emitting top-k: the frame under the window is ALREADY
+    # a k-row cut (top_k/TakeOrderedAndProject or a rank<=k filter
+    # the optimizer pushes as TakeOrderedAndProject below the Window
+    # — plan-verified r13); the window survives because the rank/pos
+    # column is part of the output contract
+    "doc_bm25_topk": "rank over the top-20 cut of the MATCHED subset "
+    "(rare-term df scale, not corpus; TakeOrderedAndProject below "
+    "the Window)",
+    "doc_rrf_hybrid": "three rank legs, each over a top-50/top-10 "
+    "pool cut (pool-bounded whatever the corpus size)",
+    "doc_dsir_sample": "rank over the 50-row Gumbel top-k cut "
+    "(top_k before the window)",
+    "doc_priority_sample_eval": "rank over the K+1-row priority cut "
+    "(the tau readout needs the K+1st row, so a bare limit-K cannot "
+    "replace the rank)",
+    "doc_textrank_keywords": "pos over the top-15 pagerank cut "
+    "(top_k before the window)",
+    "graph_pagerank_custsupp": "pos over the top-20 pagerank cut "
+    "(top_k per-partition heaps first — see the in-code comment)",
+    "graph_pagerank_weighted": "pos over the top-20 pagerank cut "
+    "(same top_k-then-rank shape)",
+    "evt_cms_user_freq": "top-20 readout over the per-user exact "
+    "aggregate (rank<=20 pushes TakeOrderedAndProject below; shared "
+    "with evt_stream_cms_users)",
+    # --- grouped-aggregate / grid inputs: the window input is an
+    # aggregate orders of magnitude below the fact table; the
+    # docstrings carry the at-scale swap where one exists
+    "evt_rfm_segments": "three ntile(4) quartile cuts over the "
+    "per-user aggregate (|users| rows; docstring documents the "
+    "broadcast-cutpoint swap at billion-user scale)",
+    "evt_rolling_dau": "7-day trailing sum over the DAILY rollup "
+    "(|days| rows; events never see a global order)",
+    "evt_user_growth_curve": "cumulative count over the |days| "
+    "calendar grid",
+    "evt_slo_burn_rate": "6h trailing sums over the HOURLY rollup "
+    "(|hours| rows)",
+    "evt_compaction_plan": "running-total bin pack over the |files| "
+    "manifest (metadata scale, not data scale)",
+    "evt_zorder_pruning_eval": "file-order scans over the 128-file "
+    "stats manifest (metadata scale)",
+    "evt_mannwhitney_shift": "rank accumulation over the DISTINCT-"
+    "value aggregate (grouped first; in-code assert_true guards the "
+    "overflow envelope and names block-ranking as the swap past "
+    "2^31 observations)",
+    "emb_ivf_cell_stats": "load-factor readout over the |cells| "
+    "aggregate (8 rows)",
+}
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Split `[a], [b, [c]], [d]` into top-level bracket groups —
+    window plan nodes print as `Window [exprs], [part], [order]`
+    (partitioned) vs `Window [exprs], [order]` (global)."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] | None = None
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and cur is not None:
+                groups.append("".join(cur))
+                cur = None
+                continue
+        if cur is not None:
+            cur.append(ch)
+    return groups
+
+
+_SORT_DIRECTION = __import__("re").compile(r" (ASC|DESC) NULLS (FIRST|LAST)")
+
+
+def count_global_windows(plan: str) -> int:
+    """ORDER-BY-only Window / WindowGroupLimit / WindowInPandas nodes
+    (empty partitionSpec = all rows to ONE partition at execution).
+    Window prints `[exprs], [part], [order]` when fully specified;
+    TWO groups is ambiguous — `[exprs], [order]` (global, flagged) vs
+    `[exprs], [part]` (partition-only, e.g. min-over-user windows,
+    fine) — disambiguated by the sort directions an order spec always
+    carries and a partition spec never does. WindowGroupLimit prints
+    2 groups partitioned vs 1 global (its trailing rank-fn/limit args
+    are unbracketed)."""
+    n = 0
+    for line in plan.splitlines():
+        s = line.lstrip(" :+-*(0123456789)")
+        if s.startswith(("Window ", "WindowInPandas ")):
+            groups = _bracket_groups(s)
+            if len(groups) == 2 and _SORT_DIRECTION.search(groups[-1]):
+                n += 1
+        elif s.startswith("WindowGroupLimit "):
+            if len(_bracket_groups(s)) == 1:
+                n += 1
+    return n
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -185,6 +293,7 @@ def main() -> None:
     rows = []
     bad_python = []
     bad_cartesian = []
+    bad_globalwin = []
     for name in sorted(QUERIES):
         if name in STREAMING:
             continue
@@ -198,7 +307,7 @@ def main() -> None:
             # shuffle budget is about.
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
-            rows.append((name, "ERROR", str(exc)[:80]))
+            rows.append((name, "ERROR", str(exc)[:80], ""))
             continue
         # count only SHUFFLE exchanges: "BroadcastExchange " and
         # "ReusedExchange " both contain the substring "Exchange ",
@@ -212,16 +321,21 @@ def main() -> None:
         n_cart = plan.count("CartesianProduct")
         n_bnlj = plan.count("BroadcastNestedLoopJoin")
         n_pyrow = plan.count("BatchEvalPython")
+        n_gwin = count_global_windows(plan)
         if n_pyrow and name not in ROW_PYTHON_ALLOWED:
             bad_python.append(name)
         if (n_cart or n_bnlj) and name not in NESTED_LOOP_ALLOWED:
             bad_cartesian.append(name)
+        if n_gwin and name not in GLOBAL_WINDOW_ALLOWED:
+            bad_globalwin.append(name)
         rows.append(
             (
                 name,
-                f"ex={n_ex} cart={n_cart} bnlj={n_bnlj} pyrow={n_pyrow}",
+                f"ex={n_ex} cart={n_cart} bnlj={n_bnlj} pyrow={n_pyrow}"
+                f" gwin={n_gwin}",
                 NESTED_LOOP_ALLOWED.get(name, "")
                 or ROW_PYTHON_ALLOWED.get(name, ""),
+                GLOBAL_WINDOW_ALLOWED.get(name, "") if n_gwin else "",
             )
         )
         spark.catalog.clearCache()
@@ -236,23 +350,33 @@ def main() -> None:
             "Counters: `ex` = Exchange (shuffle) operators, `cart` = "
             "CartesianProduct, `bnlj` = BroadcastNestedLoopJoin, `pyrow` "
             "= row-at-a-time Python UDF stages (BatchEvalPython; Arrow "
-            "stages are fine and not counted). Every nonzero cart/bnlj "
-            "must carry an allowlist reason — an empty reason would fail "
-            "tests/test_plan_lint.py.\n\n"
+            "stages are fine and not counted), `gwin` = ORDER-BY-only "
+            "(single-partition) window operators. Every nonzero "
+            "cart/bnlj/gwin must carry an allowlist reason — an empty "
+            "reason fails the gate. Spark's runtime warning for the "
+            "gwin shape is suppressed in get_spark because every "
+            "allowlisted instance is deliberate and input-bounded; "
+            "THIS gate is what catches an accidental global window "
+            "now.\n\n"
             f"- row-Python-UDF queries: **{len(bad_python)}** "
             f"{bad_python}\n"
             f"- unexplained quadratic joins: **{len(bad_cartesian)}** "
-            f"{bad_cartesian}\n\n"
-            "| query | counters | quadratic-join justification |\n"
-            "|---|---|---|\n"
+            f"{bad_cartesian}\n"
+            f"- unexplained global windows: **{len(bad_globalwin)}** "
+            f"{bad_globalwin}\n\n"
+            "| query | counters | quadratic-join justification | "
+            "global-window justification |\n"
+            "|---|---|---|---|\n"
         )
-        for name, counters, why in rows:
-            f.write(f"| {name} | {counters} | {why} |\n")
+        for name, counters, why, gwhy in rows:
+            f.write(f"| {name} | {counters} | {why} | {gwhy} |\n")
     print(
         f"wrote PLANLINT.md: {len(rows)} entries, "
-        f"{len(bad_python)} row-python, {len(bad_cartesian)} unexplained quadratic"
+        f"{len(bad_python)} row-python, "
+        f"{len(bad_cartesian)} unexplained quadratic, "
+        f"{len(bad_globalwin)} unexplained global window"
     )
-    if bad_python or bad_cartesian:
+    if bad_python or bad_cartesian or bad_globalwin:
         sys.exit(1)
 
 
