@@ -2661,51 +2661,155 @@ def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic transitive-closure collapse). Zero-match thresholds
     emit 0 rows of evidence, not missing rows.
 
-    Plan: the blocked scored pair table builds ONCE
-    (_er_scored_pairs, localCheckpointed) and each threshold's match
-    set is a filter over it; components re-run per threshold over
-    MATCH-SET-sized edge lists (operators/graph.py, min-label
-    propagation) — the expensive blocking join is never repeated.
+    Plan (reshaped r13, the VERDICT r12 task-3 conditional): the
+    blocked scored pair table builds ONCE (_er_scored_pairs,
+    localCheckpointed) — and the five thresholds' transitive closures
+    now run in ONE vectorized min-label loop instead of five
+    independent connected_components fixpoints. The nested match sets
+    (m_7 ⊆ … ⊆ m_3) share every edge scan: the label frame carries
+    one label column per threshold, each iteration is a single
+    edge-join whose grouped agg takes five score-gated mins, and the
+    loop runs to the max diameter across thresholds instead of paying
+    five loops' worth of checkpoint+action latency (measured steady
+    5.7 s → 3.7 s at sf0.1, first pass dominated by the shared
+    blocking-join checkpoint both shapes pay; at cluster scale it is
+    5× fewer edge-list shuffles per iteration). Per-threshold propagation stays within its own match
+    set because a min only flows along edges with score >= t.
+    Per-threshold node/cluster stats then read the converged labels
+    once (nodes gated by their max incident score — a node isolated
+    at t contributes nothing, exactly as its absence from m_t did).
     All counts integer; the oracle replays every threshold's closure
     in one recursive CTE keyed by t. Eval tier (the recall-eval
     discipline applied to ER)."""
-    from env_event_stream_spark.operators.graph import (
-        connected_components,
-    )
-
+    T = _ER_THRESHOLDS
     pr = (
         _er_scored_pairs(spark, sf_dir)
-        .where(F.col("score") >= F.lit(min(_ER_THRESHOLDS)))
+        .where(F.col("score") >= F.lit(min(T)))
         .localCheckpoint(eager=True)
     )
-    out = None
-    for t in _ER_THRESHOLDS:
-        m = pr.where(F.col("score") >= F.lit(t))
-        comp = connected_components(m, "k1", "k2")
-        cl = comp.groupBy("component").agg(F.count("*").alias("sz"))
-        stats = (
-            m.agg(F.count("*").alias("n_pairs"))
-            .crossJoin(
-                cl.agg(
-                    F.coalesce(F.count("*"), F.lit(0)).alias(
-                        "n_clusters"
-                    ),
-                    F.coalesce(F.sum("sz"), F.lit(0)).alias("n_nodes"),
-                    F.coalesce(F.max("sz"), F.lit(0)).alias(
-                        "max_cluster"
-                    ),
-                )
-            )
-            .select(
-                F.lit(t).cast("bigint").alias("threshold"),
-                F.col("n_pairs").cast("bigint").alias("n_pairs"),
-                F.col("n_nodes").cast("bigint").alias("n_nodes"),
-                F.col("n_clusters").cast("bigint").alias("n_clusters"),
-                F.col("max_cluster").cast("bigint").alias("max_cluster"),
+    e = (
+        pr.select(F.col("k1").alias("u"), F.col("k2").alias("v"), "score")
+        .unionByName(
+            pr.select(F.col("k2").alias("u"), F.col("k1").alias("v"), "score")
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select("u")
+        .distinct()
+        .select(
+            F.col("u").alias("node"),
+            *[F.col("u").alias(f"l{t}") for t in T],
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(10):
+        nbmin = (
+            e.join(labels, e.v == labels.node)
+            .groupBy("u")
+            .agg(
+                *[
+                    F.min(
+                        F.when(F.col("score") >= t, F.col(f"l{t}"))
+                    ).alias(f"n{t}")
+                    for t in T
+                ]
             )
         )
-        out = stats if out is None else out.unionByName(stats)
-    return out
+        new = {
+            t: F.least(
+                F.col(f"l{t}"),
+                F.coalesce(F.col(f"n{t}"), F.col(f"l{t}")),
+            )
+            for t in T
+        }
+        any_chg = None
+        for t in T:
+            chg = new[t] != F.col(f"l{t}")
+            any_chg = chg if any_chg is None else (any_chg | chg)
+        updated = (
+            labels.join(nbmin, labels.node == nbmin.u, "left")
+            .select(
+                "node",
+                *[new[t].alias(f"l{t}") for t in T],
+                any_chg.alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.where(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "er_threshold_sensitivity: label propagation did not "
+            "converge in 10 iterations"
+        )
+
+    maxs = e.groupBy("u").agg(F.max("score").alias("ms"))
+    stacked = (
+        labels.join(maxs, labels.node == maxs.u)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.when(
+                            F.col("ms") >= t,
+                            F.struct(
+                                F.lit(t).alias("t"),
+                                F.col(f"l{t}").alias("lab"),
+                            ),
+                        )
+                        for t in T
+                    ]
+                )
+            ).alias("s")
+        )
+        .where(F.col("s").isNotNull())
+        .select("s.t", "s.lab")
+    )
+    cstats = (
+        stacked.groupBy("t", "lab")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("sz").alias("n_nodes"),
+            F.max("sz").alias("max_cluster"),
+        )
+    )
+    pcounts = (
+        pr.select(
+            F.explode(
+                F.array(
+                    *[F.when(F.col("score") >= t, F.lit(t)) for t in T]
+                )
+            ).alias("t")
+        )
+        .where(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    base = spark.createDataFrame([(t,) for t in T], "t int")
+    return (
+        base.join(pcounts, "t", "left")
+        .join(cstats, "t", "left")
+        .select(
+            F.col("t").cast("bigint").alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_nodes"), F.lit(0))
+            .cast("bigint")
+            .alias("n_nodes"),
+            F.coalesce(F.col("n_clusters"), F.lit(0))
+            .cast("bigint")
+            .alias("n_clusters"),
+            F.coalesce(F.col("max_cluster"), F.lit(0))
+            .cast("bigint")
+            .alias("max_cluster"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -143,6 +143,10 @@ EXCHANGE_BUDGET = {
     "emb_mmr_diversity_eval": 20,  # measured 18 (was 27)
     "dq_referential_integrity": 16,  # measured 14 (was 21)
     "evt_kmv_overlap": 10,  # measured 8 (was 18)
+    # r13: five per-threshold closure loops -> one vectorized
+    # min-label sweep (stats legs are left joins on t, not scalar
+    # crossJoins; a reintroduced per-threshold loop lands ex>=15)
+    "er_threshold_sensitivity": 8,  # measured 6 (was 15)
 }
 
 

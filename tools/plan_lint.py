@@ -106,8 +106,12 @@ NESTED_LOOP_ALLOWED = {
     "evt_seq_pair_support": "1-row user-day-total scalar crossJoin",
     "evt_markov_stationary": "1-row n/total scalar crossJoins over"
     " the |types|^2 aggregated matrix",
-    "er_threshold_sensitivity": "1-row per-threshold stats scalar"
-    " crossJoins (pair count x cluster stats)",
+    # er_threshold_sensitivity was allowlisted here ("1-row
+    # per-threshold stats scalar crossJoins") until r13 replaced its
+    # five per-threshold closure loops with one vectorized min-label
+    # sweep whose stats legs are left joins on t (cart=0 bnlj=0, ex
+    # 15 -> 6) — entry REMOVED so a reintroduced cartesian fails the
+    # gate instead of hiding behind a stale justification.
     "doc_bm25_topk": "1-row corpus-stats broadcast (documented)",
     "doc_rrf_hybrid": "1-row corpus-stats broadcast (BM25 leg)",
     "doc_minhash_accuracy": "candidate-bounded true-Jaccard eval join",
