@@ -44,6 +44,20 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     # rejects; read as long nanos and convert (exact integer DIV so the
     # µs truncation matches DuckDB's ns→µs conversion).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Quiet the deliberate-global-window warning on EXTERNALLY built
+    # sessions too (the driver builds its own): every catalog callable
+    # routes through here. Once per session — the log4j2 call is a
+    # py4j roundtrip and load_table calls this per table.
+    if not getattr(spark, "_gw_quieted", False):
+        from env_event_stream_spark.session import (
+            _quiet_deliberate_global_windows,
+        )
+
+        _quiet_deliberate_global_windows(spark)
+        try:
+            spark._gw_quieted = True
+        except Exception:  # frozen session wrapper: re-run next call
+            pass
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
