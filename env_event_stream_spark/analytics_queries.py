@@ -2673,8 +2673,9 @@ def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     five loops' worth of checkpoint+action latency (measured steady
     5.7 s → 3.7 s at sf0.1, first pass dominated by the shared
     blocking-join checkpoint both shapes pay; at cluster scale it is
-    5× fewer edge-list shuffles per iteration). Per-threshold propagation stays within its own match
-    set because a min only flows along edges with score >= t.
+    5× fewer edge-list shuffles per iteration). Per-threshold
+    propagation stays within its own match set because a min only
+    flows along edges with score >= t.
     Per-threshold node/cluster stats then read the converged labels
     once (nodes gated by their max incident score — a node isolated
     at t contributes nothing, exactly as its absence from m_t did).

@@ -21,6 +21,7 @@ Usage: python tools/plan_lint.py [sf_dir]   -> writes PLANLINT.md
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -265,7 +266,7 @@ def _bracket_groups(s: str) -> list[str]:
     return groups
 
 
-_SORT_DIRECTION = __import__("re").compile(r" (ASC|DESC) NULLS (FIRST|LAST)")
+_SORT_DIRECTION = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)")
 
 
 def count_global_windows(plan: str) -> int:
