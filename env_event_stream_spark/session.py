@@ -60,7 +60,10 @@ def get_spark(app_name: str = "env_event_stream_spark") -> SparkSession:
     # no EXTRA_CONF — proving every catalog callable self-pins its
     # required confs via tables.prepare_session regardless of who
     # built the session (the driver builds its own). Master/appName
-    # only: a masterless local builder cannot start at all.
+    # only: a masterless local builder cannot start at all. Same
+    # first-creation-only caveat as EXTRA_CONF below: getOrCreate in
+    # a process that already holds a tuned session returns THAT
+    # session — sweeps run in fresh interpreters (invariance.py does).
     if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
         spark = (
             SparkSession.builder.master(master).appName(app_name).getOrCreate()

@@ -213,6 +213,14 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    # A typo'd query name would match NOTHING, run zero comparisons
+    # and still print "all green" — the worst failure mode a
+    # verification tool can have (the extra_conf_pairs lesson).
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"unknown query name(s): {unknown}")
+        return 2
+
     spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
