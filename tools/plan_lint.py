@@ -47,7 +47,6 @@ NESTED_LOOP_ALLOWED = {
     "shape; the k=1 min(struct) partial agg reduces each partition "
     "to one best row per train doc before the exchange, so the "
     "shuffle carries |train| partials, not the scored expansion",
-    "emb_knn_pandas": "exact-KNN BLAS twin: same documented tier",
     "emb_knn_matryoshka": "exact rescore over prefix dims (eval tier)",
     "emb_knn_binary": "binary-quantized exact sweep (documented tier)",
     "emb_binary_recall_eval": "exact tier inside the recall eval",
@@ -59,20 +58,13 @@ NESTED_LOOP_ALLOWED = {
     "emb_pq_rerank_recall_eval": "exact tier inside the recall eval",
     "emb_residual_recall_eval": "exact tier inside the recall eval",
     "emb_knn_pq_rerank": "exact rerank of ADC top-10 candidates",
-    "emb_cosine_dedup": "LSH-bucketed; 1-row/16-plane broadcast probes",
-    "emb_dup_clusters": "same LSH bucket shape as emb_cosine_dedup",
     "emb_hard_negatives": "anchor-batch broadcast probe (documented)",
-    "emb_mmr_diversify": "probe-query broadcast onto the corpus (kNN tier)",
     "emb_mmr_diversity_eval": "probe broadcast + 1-row metric crossJoins",
     "emb_whiten_labelknn_eval": "50-probe broadcast NL join (exact-KNN"
     " eval tier, corpus scanned once for both rankings)",
     "doc_source_psi": "1-row corpus-totals broadcast for the PSI reference",
-    "doc_classifier_calibration": "weight-vector broadcast (1 row)",
-    "emb_semdedup": "cell-scoped pairs; centroid broadcast probe",
     "emb_centroid_outliers": "8-row centroid broadcast probe",
     "emb_cluster_sample": "8-row centroid broadcast probe",
-    "emb_knn_lsh": "plane-matrix broadcast probe (16 rows)",
-    "emb_knn_lsh_multiprobe": "plane-matrix broadcast probe",
     "emb_knn_ivf": "centroid broadcast probe (8 rows)",
     "emb_knn_ivf_trained": "trained-centroid broadcast probe (10 rows)",
     "emb_knn_pq_adc": "centroid broadcast probe + LUT broadcast",
@@ -81,7 +73,6 @@ NESTED_LOOP_ALLOWED = {
     "emb_knn_opq_adc": "rotation + centroid broadcast probes",
     "emb_knn_pq_persisted": "persisted-index probe (broadcast model)",
     "emb_knn_opq_persisted": "persisted-index probe (broadcast model)",
-    "emb_quantize_binary": "per-dim scale row broadcast (1 row)",
     "emb_quantize_int8": "per-dim scale row broadcast (1 row)",
     "join_range_price_band": "interval dim broadcast NL join (documented)",
     "emb_ivf_cell_stats": "8-row centroid broadcast assignment pass"
@@ -90,9 +81,7 @@ NESTED_LOOP_ALLOWED = {
     " centroid broadcasts in both spaces",
     # round-9 third-session additions (all bounded broadcast scalars)
     "evt_acf_daily": "7-row lag-table broadcast over the calendar grid",
-    "evt_stream_acf": "same 7-row lag-table broadcast (shared readout)",
     "evt_spearman_daily": "1-row calendar-bounds crossJoin",
-    "evt_stream_spearman": "same 1-row calendar-bounds crossJoin",
     "evt_mannwhitney_shift": "1-row n/ties totals crossJoin",
     "doc_pmi_collocations": "1-row n_pairs scalar crossJoin",
     "evt_zorder_pruning_eval": "1-row rpf scalar + 4-probe x 128-file"
@@ -115,33 +104,16 @@ NESTED_LOOP_ALLOWED = {
     # gate instead of hiding behind a stale justification.
     "doc_bm25_topk": "1-row corpus-stats broadcast (documented)",
     "doc_rrf_hybrid": "1-row corpus-stats broadcast (BM25 leg)",
-    "doc_minhash_accuracy": "candidate-bounded true-Jaccard eval join",
     "evt_kmv_overlap": "5x128-row sketch broadcasts; type-pair grid",
     "join_size_cms_estimate": "1-row scalar crossJoin (exact readout)",
     "evt_assoc_rules": "1-row basket-total crossJoin",
     "graph_triangles_copurchase": "1-row stat frames crossJoined",
     "doc_ppjoin_stats": "1-row stat frames crossJoined",
     "doc_split_leakage_guard": "1-row stats x 1-row leaks crossJoin",
-    "evt_exists_probe": "key-list broadcast semi-probe",
-    "topk_orders_global": "scalar threshold broadcast",
-    "evt_mad_outliers": "|types|-row median broadcast",
     "evt_rolling_hll_wau": "calendar-grid broadcast range join",
-    "evt_time_to_convert": "scalar cutoff comparisons",
-    "agg_median_modal": "scalar modal-count broadcast",
-    "doc_vocab_coverage": "vocab-cut scalar broadcast",
     "doc_token_budget_recipe": "per-source scalar grid crossJoin",
     "doc_dsir_sample": "scalar budget crossJoin",
-    "doc_mixture_sample": "mixture-weight grid crossJoin",
-    "doc_pretrain_token_yield": "verdict x removal scalar crossJoin",
     "tpch_q22_dormant_rich": "scalar AVG subquery broadcast",
-    "tpch_q15_top_supplier": "scalar MAX subquery broadcast",
-    "tpch_q17_small_qty_avg": "decorrelated scalar-avg broadcast",
-    "window_cheapest_supplier_per_part": "min-cost scalar broadcast",
-    "tpch_q14_promo_revenue": "single-row conditional-share agg",
-    "tpch_q8_market_share": "single-row share rollup",
-    "tpch_q19_disjunctive": "disjunctive predicates plan as NL over broadcast dims",
-    "evt_value_drift_ks": "|types|-row totals broadcast",
-    "evt_hourly_seasonality": "|types|-row peak/stat join",
     "dq_validation_checks": "per-check 1-row frames crossJoined",
     # dq_referential_integrity was allowlisted here until r12 replaced
     # its per-edge 1-row crossJoins with one left join + conditional
@@ -149,23 +121,10 @@ NESTED_LOOP_ALLOWED = {
     # reintroduced cartesian fails the gate instead of hiding behind
     # a stale justification.
     "evt_transition_eval": "1-row majority-baseline broadcast",
-    "evt_retention_count": "1-row cutoff broadcast",
     "doc_lm_heldout_eval": "vocab/model broadcasts",
     "doc_unigram_logprob": "vocab broadcast",
-    "doc_bigram_logprob": "prefix-vocab broadcast",
     "doc_perplexity_buckets": "LM broadcast + tercile thresholds",
-    "doc_quality_classifier": "weight-vector broadcast (1 row)",
-    "doc_quality_classifier_eval": "weight-vector broadcast + 1-row accuracy agg",
-    "doc_decontaminate": "eval-shingle broadcast probe",
-    "doc_contamination_spans": "eval-shingle broadcast probe",
-    "doc_scrub_contamination": "eval-shingle broadcast probe",
-    "doc_exactsubstr_spans": "seed-gram broadcast probe",
-    "doc_winnow_pairs": "bounded fingerprint-bucket join",
-    "doc_winnow_spans": "bounded fingerprint-bucket join",
-    "evt_user_growth_curve": "calendar-grid broadcast",
     "evt_gap_fill_daily": "calendar-grid broadcast",
-    "evt_power_user_curve": "threshold-grid broadcast",
-    "evt_cms_user_freq": "256-cell sketch broadcast",
     "doc_tfidf_top_terms": "1-row corpus-size (N) broadcast for the IDF term",
     "doc_token_histogram": "1-row corpus-total broadcast for bucket shares",
     "doc_phrase_heavy_hitters": "1-row phi-threshold scalar broadcast",
@@ -299,6 +258,7 @@ def main() -> None:
     bad_python = []
     bad_cartesian = []
     bad_globalwin = []
+    measured: dict[str, tuple[int, int, int]] = {}  # name -> (quad, pyrow, gwin)
     for name in sorted(QUERIES):
         if name in STREAMING:
             continue
@@ -333,6 +293,7 @@ def main() -> None:
             bad_cartesian.append(name)
         if n_gwin and name not in GLOBAL_WINDOW_ALLOWED:
             bad_globalwin.append(name)
+        measured[name] = (n_cart + n_bnlj, n_pyrow, n_gwin)
         rows.append(
             (
                 name,
@@ -344,6 +305,29 @@ def main() -> None:
             )
         )
         spark.catalog.clearCache()
+
+    # STALE-ALLOWLIST gate (r13): an allowlist justification whose
+    # query no longer plans the flagged operator is dead weight AND a
+    # latent hazard — if the query later regresses, the gate stays
+    # silent behind a justification written for a different plan.
+    # r12 removed one such entry by hand (dq_referential_integrity);
+    # a r13 audit found 41 more (past reshapes and literal-inlined
+    # models removed the joins, the entries lingered) — so the check
+    # is now automatic and failing. Streaming entries are exempt
+    # (never linted here).
+    stale = []
+    for allow, idx in (
+        (NESTED_LOOP_ALLOWED, 0),
+        (ROW_PYTHON_ALLOWED, 1),
+        (GLOBAL_WINDOW_ALLOWED, 2),
+    ):
+        for name in allow:
+            if name in STREAMING:
+                stale.append(f"{name} (streaming — never linted)")
+            elif name in measured and measured[name][idx] == 0:
+                stale.append(name)
+            elif name not in measured and name not in QUERIES:
+                stale.append(f"{name} (not a catalog query)")
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "PLANLINT.md"), "w") as f:
@@ -368,7 +352,9 @@ def main() -> None:
             f"- unexplained quadratic joins: **{len(bad_cartesian)}** "
             f"{bad_cartesian}\n"
             f"- unexplained global windows: **{len(bad_globalwin)}** "
-            f"{bad_globalwin}\n\n"
+            f"{bad_globalwin}\n"
+            f"- stale allowlist entries (justification without a "
+            f"measured operator): **{len(stale)}** {stale}\n\n"
             "| query | counters | quadratic-join justification | "
             "global-window justification |\n"
             "|---|---|---|---|\n"
@@ -379,9 +365,10 @@ def main() -> None:
         f"wrote PLANLINT.md: {len(rows)} entries, "
         f"{len(bad_python)} row-python, "
         f"{len(bad_cartesian)} unexplained quadratic, "
-        f"{len(bad_globalwin)} unexplained global window"
+        f"{len(bad_globalwin)} unexplained global window, "
+        f"{len(stale)} stale allowlist"
     )
-    if bad_python or bad_cartesian or bad_globalwin:
+    if bad_python or bad_cartesian or bad_globalwin or stale:
         sys.exit(1)
 
 
