@@ -64,7 +64,16 @@ Presets:
                  tables.prepare_session regardless of who built the
                  session, which is exactly the driver's situation.
                  First run by hand as a 12-query probe at the r12
-                 close; packaged here catalog-wide.
+                 close; packaged here catalog-wide. SCALE SCOPE:
+                 sf0.01 (the driver's own gate scale). At sf0.1 the
+                 stock 1 GB heap OOMs mid-suite (32 concurrent local
+                 tasks x sort buffers in one JVM — measured r13,
+                 java.lang.OutOfMemoryError in the sorter spill
+                 reader, then connection-refused for the rest): an
+                 infrastructure sizing failure, not conf
+                 sensitivity; a real deployment sizes the heap to
+                 the data. Use `composite` for hostile-conf coverage
+                 at sf0.1 — it runs under get_spark's tuned heap.
 
 Inherited SPARK_GRAFT_EXTRA_CONF, TZ, SPARK_GRAFT_PLAIN_SESSION are
 CLEARED before the preset applies (a stale export must not compose
