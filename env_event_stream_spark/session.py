@@ -65,6 +65,17 @@ def get_spark(app_name: str = "env_event_stream_spark") -> SparkSession:
     # a process that already holds a tuned session returns THAT
     # session — sweeps run in fresh interpreters (invariance.py does).
     if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
+        # Loud-failure rule (the extra_conf_pairs lesson): a plain
+        # session IGNORES every tuning knob, so composing it with
+        # EXTRA_CONF would silently run a different config than the
+        # gate label claims. invariance.py clears the knobs before
+        # setting this; a hand-typed export that sets both is a
+        # mislabeled sweep — refuse to run it.
+        if os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").strip():
+            raise ValueError(
+                "SPARK_GRAFT_PLAIN_SESSION ignores SPARK_GRAFT_EXTRA_CONF; "
+                "unset one of them (a plain session takes NO extra conf)"
+            )
         spark = (
             SparkSession.builder.master(master).appName(app_name).getOrCreate()
         )
@@ -108,9 +119,13 @@ def _quiet_deliberate_global_windows(spark: SparkSession) -> None:
     pure noise in driver bench logs, repeated per plan compile. The
     tripwire it provided is NOT lost: plan_lint now FAILS on any
     global window without an allowlist reason, which is a stronger
-    gate than a log line nobody greps. Narrow per-logger suppression
-    (log4j2 Configurator), not a blanket level change: everything
-    else these operators or Spark may warn about stays visible."""
+    gate than a log line nobody greps. Per-logger suppression (log4j2
+    Configurator), not a blanket level change: the trade is scoped to
+    these three exec classes — ALL their future WARNs are silenced
+    (log4j has no per-message filter hook reachable from here), which
+    today means only the partition-warning line, but any warning these
+    three classes grow later is traded away too. Everything OTHER
+    Spark classes warn about stays visible."""
     try:
         jvm = spark.sparkContext._jvm
         level = jvm.org.apache.logging.log4j.Level.ERROR

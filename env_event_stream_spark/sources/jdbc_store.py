@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["JdbcEventStore", "DDL"]
+__all__ = ["JdbcEventStore", "DDL", "DLQ_DDL"]
 
 # reference src/persistence.ts:262-288, column-for-column (topic
 # before type, created_at audit column) and the reference's
@@ -62,6 +62,33 @@ CREATE INDEX IF NOT EXISTS events_topic_idx ON events (topic);
 CREATE INDEX IF NOT EXISTS events_timestamp_idx ON events (timestamp);
 CREATE INDEX IF NOT EXISTS events_type_idx ON events (type);
 CREATE INDEX IF NOT EXISTS events_topic_timestamp_idx ON events (topic, timestamp);
+"""
+
+# reference src/deadletter.ts:285-304 (PostgresDeadLetterQueue
+# initialize), column-for-column including the two audit timestamps
+# and the DEFAULT 1 attempts counter. The reference's dlq_topic_idx /
+# dlq_type_idx are EXPRESSION indexes over JSONB text-path extracts
+# ((event_data->>'topic')) — the dialect feature Derby cannot
+# exercise; tests/test_postgres_live.py applies this DDL to a real
+# PostgreSQL 15 server and pins that the expression indexes build and
+# serve the reference's getEvents predicate shape
+# (src/deadletter.ts:364-381: event_data->>'topic' = $n equality,
+# ORDER BY timestamp DESC, LIMIT $n).
+DLQ_DDL = """
+CREATE TABLE IF NOT EXISTS events_dlq (
+  event_id TEXT PRIMARY KEY,
+  event_data JSONB NOT NULL,
+  error TEXT NOT NULL,
+  subscription TEXT NOT NULL,
+  timestamp BIGINT NOT NULL,
+  attempts INTEGER NOT NULL DEFAULT 1,
+  created_at TIMESTAMP WITH TIME ZONE DEFAULT CURRENT_TIMESTAMP,
+  last_updated TIMESTAMP WITH TIME ZONE DEFAULT CURRENT_TIMESTAMP
+);
+CREATE INDEX IF NOT EXISTS dlq_topic_idx ON events_dlq ((event_data->>'topic'));
+CREATE INDEX IF NOT EXISTS dlq_type_idx ON events_dlq ((event_data->>'type'));
+CREATE INDEX IF NOT EXISTS dlq_timestamp_idx ON events_dlq (timestamp);
+CREATE INDEX IF NOT EXISTS dlq_subscription_idx ON events_dlq (subscription);
 """
 
 

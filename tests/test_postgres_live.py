@@ -1,0 +1,338 @@
+"""Live-PostgreSQL dialect integration (VERDICT r13 task 1).
+
+The JDBC store is exercised against embedded Derby elsewhere
+(tests/test_sources.py); what Derby CANNOT exercise is the Postgres
+dialect the reference's PostgresEventStore / PostgresDeadLetterQueue
+actually emit (src/persistence.ts:240-425, src/deadletter.ts:261-511):
+JSONB columns and ``->>`` path predicates, EXPRESSION indexes over
+JSONB extracts, ``type = ANY($n::text[])`` array binding, and the
+idType/UUID interaction. This module boots a REAL PostgreSQL 15
+server (the sandbox ships server binaries; the route that remains
+blocked is Spark-side connectivity — no Postgres JDBC jar on disk, no
+network egress to Maven, no psycopg2, and installs are out of scope —
+so the harness drives the server through ``psql`` subprocesses, which
+is exactly enough to pin every dialect behavior the store's SQL
+strings rely on).
+
+Server lifecycle: postgres refuses to run as root, so the fixture
+initdbs a throwaway cluster in a /tmp scratch dir chowned to the
+``postgres`` system user and runs it via ``runuser``, UNIX-socket
+only (``listen_addresses=''``) — no TCP port is opened, parallel test
+runs cannot collide (the socket lives in the per-run scratch dir).
+
+Two live-confirmed REFERENCE BUGS are pinned here (both reproduce
+verbatim on PostgreSQL 15.18):
+
+- the default ``idType: "uuid"`` store rejects every id the
+  reference's own generateId() emits (src/utils.ts:13-40 produces
+  ``<base36 ts>-<11 hex>-<6 digits>``, not a UUID) — the documented
+  reason our DDL diverges to TEXT (sources/jdbc_store.py);
+- deleteEvents' ``DELETE ... RETURNING COUNT(*)``
+  (src/persistence.ts:404-416) is rejected by Postgres ("aggregate
+  functions are not allowed in RETURNING", SQLSTATE 42803), so the
+  reference's retention path THROWS on every delete; our
+  executeUpdate-rowcount delete is the working shape.
+"""
+
+from __future__ import annotations
+
+import os
+import pwd
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+PG_CTL = shutil.which("pg_ctl") or "/usr/local/bin/pg_ctl"
+INITDB = shutil.which("initdb") or "/usr/local/bin/initdb"
+PSQL = shutil.which("psql")
+PORT = "54333"  # names the socket file only; listen_addresses=''
+
+
+def _pg_available() -> str | None:
+    if os.environ.get("SPARK_GRAFT_SKIP_PG_LIVE"):
+        return "SPARK_GRAFT_SKIP_PG_LIVE set"
+    for b in (PG_CTL, INITDB, PSQL, shutil.which("runuser")):
+        if not b or not os.path.exists(b):
+            return f"missing binary: {b}"
+    if os.geteuid() != 0:
+        return "needs root (to chown the scratch dir to postgres)"
+    try:
+        pwd.getpwnam("postgres")
+    except KeyError:
+        return "no postgres system user"
+    return None
+
+_skip = _pg_available()
+pytestmark = pytest.mark.skipif(
+    _skip is not None, reason=f"live Postgres unavailable: {_skip}"
+)
+
+
+class LivePg:
+    def __init__(self, sockdir: str):
+        self.sockdir = sockdir
+
+    def sql(self, text: str, *, tuples: bool = True) -> str:
+        """Run statements via psql simple-query protocol; returns
+        stdout (rows as unaligned tuples-only when ``tuples``).
+        Raises CalledProcessError with stderr attached on any error
+        (ON_ERROR_STOP)."""
+        args = [PSQL, "-h", self.sockdir, "-p", PORT, "-U", "postgres",
+                "-d", "postgres", "-X", "-A", "-v", "ON_ERROR_STOP=1"]
+        if tuples:
+            args.append("-t")
+        args += ["-c", text]
+        out = subprocess.run(
+            args, capture_output=True, text=True, timeout=60
+        )
+        if out.returncode != 0:
+            raise subprocess.CalledProcessError(
+                out.returncode, args, out.stdout, out.stderr
+            )
+        return out.stdout.strip()
+
+    def sql_error(self, text: str) -> str:
+        """Run a statement EXPECTED to fail; returns the server error
+        text (asserts it did fail)."""
+        try:
+            self.sql(text)
+        except subprocess.CalledProcessError as e:
+            return e.stderr
+        raise AssertionError(f"statement unexpectedly succeeded: {text}")
+
+
+@pytest.fixture(scope="module")
+def pg():
+    scratch = tempfile.mkdtemp(prefix="pg_live_")
+    pw = pwd.getpwnam("postgres")
+    os.chown(scratch, pw.pw_uid, pw.pw_gid)
+    data = os.path.join(scratch, "data")
+
+    def as_pg(*cmd: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            ["runuser", "-u", "postgres", "--", *cmd],
+            capture_output=True, text=True, timeout=120,
+        )
+
+    try:
+        r = as_pg(INITDB, "-D", data, "-A", "trust", "-U", "postgres",
+                  "--no-sync")
+        assert r.returncode == 0, f"initdb failed: {r.stderr}"
+        r = as_pg(
+            PG_CTL, "-D", data,
+            "-o", f"-k {scratch} -p {PORT} -c listen_addresses=''",
+            "-l", os.path.join(scratch, "log"), "-w", "start",
+        )
+        assert r.returncode == 0, f"pg_ctl start failed: {r.stderr}"
+        live = LivePg(scratch)
+        # baseline schema so each test stands alone (the DDL test
+        # re-applies both to pin idempotency)
+        from env_event_stream_spark.sources.jdbc_store import DDL, DLQ_DDL
+
+        live.sql(DDL)
+        live.sql(DLQ_DDL)
+        yield live
+    finally:
+        as_pg(PG_CTL, "-D", data, "-m", "immediate", "stop")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# a reference-format event id (functions/ids.py F1 contract:
+# <base36 ts>-<11 hex>-<6 digits>) — what generateId() actually emits
+REF_FORMAT_ID = "meitxo2h-a7f3b2c19d4-000001"
+
+
+def test_events_ddl_applies_live_and_is_idempotent(pg):
+    from env_event_stream_spark.sources.jdbc_store import DDL
+
+    pg.sql(DDL)
+    pg.sql(DDL)  # IF NOT EXISTS / DROP IF EXISTS make re-runs no-ops
+    cols = pg.sql(
+        "SELECT column_name || ':' || data_type FROM "
+        "information_schema.columns WHERE table_name='events' "
+        "ORDER BY ordinal_position"
+    ).splitlines()
+    assert cols == [
+        "id:text", "topic:text", "type:text", "timestamp:bigint",
+        "schema_version:text", "payload:jsonb", "metadata:jsonb",
+        "created_at:timestamp with time zone",
+    ]
+    idx = set(pg.sql(
+        "SELECT indexname FROM pg_indexes WHERE tablename='events'"
+    ).splitlines())
+    # the reference's `<table>_<col>_idx` names (persistence.ts:286-291)
+    assert {"events_topic_idx", "events_timestamp_idx",
+            "events_type_idx", "events_topic_timestamp_idx"} <= idx
+
+
+def test_reference_default_uuid_idtype_rejects_its_own_ids(pg):
+    # reference bug, live-pinned: the default-configured store
+    # (idType "uuid", persistence.ts:251,270) cannot insert an id its
+    # own generateId() produced — TEXT (our divergence) is what works
+    pg.sql(
+        "CREATE TABLE ref_uuid_events (id UUID PRIMARY KEY, "
+        "topic TEXT NOT NULL, type TEXT NOT NULL, timestamp BIGINT "
+        "NOT NULL, schema_version TEXT NOT NULL, payload JSONB NOT "
+        "NULL, metadata JSONB)"
+    )
+    err = pg.sql_error(
+        "INSERT INTO ref_uuid_events VALUES "
+        f"('{REF_FORMAT_ID}','t','x',1,'1.0','{{}}',NULL)"
+    )
+    assert "invalid input syntax for type uuid" in err
+    pg.sql(
+        "INSERT INTO events (id, topic, type, timestamp, "
+        "schema_version, payload) VALUES "
+        f"('{REF_FORMAT_ID}','t','x',1,'1.0','{{}}')"
+    )
+    assert pg.sql(
+        f"SELECT count(*) FROM events WHERE id='{REF_FORMAT_ID}'"
+    ) == "1"
+
+
+def test_delete_returning_count_star_is_invalid_postgres(pg):
+    # reference bug, live-pinned: deleteEvents' SQL
+    # (persistence.ts:408-412) throws on PostgreSQL 15 — retention
+    # via the reference Postgres store cannot ever have worked
+    pg.sql("CREATE TABLE del_probe (topic TEXT, timestamp BIGINT)")
+    pg.sql("INSERT INTO del_probe VALUES ('a',1),('a',2),('b',3)")
+    err = pg.sql_error(
+        "DELETE FROM del_probe WHERE topic = 'a' AND timestamp < 2 "
+        "RETURNING COUNT(*)"
+    )
+    assert "aggregate functions are not allowed in RETURNING" in err
+    # the working shape (what JdbcEventStore.delete_events does via
+    # executeUpdate, expressed in SQL as a counting CTE)
+    n = pg.sql(
+        "WITH del AS (DELETE FROM del_probe WHERE topic='a' AND "
+        "timestamp < 2 RETURNING 1) SELECT count(*) FROM del"
+    )
+    assert n == "1"
+    assert pg.sql("SELECT count(*) FROM del_probe") == "2"
+
+
+def test_any_text_array_binding_matches_reference_query(pg):
+    # the exact getEvents shape (persistence.ts:327-380): $1 topic,
+    # ts-range, type = ANY($4::text[]), ORDER BY timestamp ASC,
+    # LIMIT — bound through PREPARE/EXECUTE so the ::text[] cast and
+    # array binding run the reference's parameterized path
+    pg.sql("TRUNCATE events")
+    rows = [
+        ("e1", "orders", "created", 10), ("e2", "orders", "paid", 20),
+        ("e3", "orders", "created", 30), ("e4", "orders", "shipped", 40),
+        ("e5", "other", "created", 25),
+    ]
+    pg.sql("INSERT INTO events (id, topic, type, timestamp, "
+           "schema_version, payload) VALUES " + ",".join(
+               f"('{i}','{t}','{y}',{ts},'1.0','{{}}')"
+               for i, t, y, ts in rows))
+    # prepared statements are per-session and every psql -c is a new
+    # session — PREPARE and its EXECUTEs ride one call, separated by
+    # a sentinel row so the three result sets split apart
+    prepare = (
+        "PREPARE getev(text, bigint, bigint, text[], int) AS "
+        "SELECT id FROM events WHERE topic = $1 AND timestamp >= $2 "
+        "AND timestamp <= $3 AND type = ANY($4::text[]) "
+        "ORDER BY timestamp ASC LIMIT $5; "
+    )
+    out = pg.sql(
+        prepare
+        + "EXECUTE getev('orders', 10, 40, ARRAY['created','shipped'], 10); "
+        + "SELECT '--'; "
+        + "EXECUTE getev('orders', 10, 40, ARRAY['created','shipped'], 2); "
+        + "SELECT '--'; "
+        + "EXECUTE getev('orders', 0, 99, ARRAY[]::text[], 10)"
+    ).splitlines()
+    assert out[0] == "PREPARE"  # psql echoes the utility command tag
+    i, j = out.index("--"), len(out) - 1 - out[::-1].index("--")
+    assert out[1:i] == ["e1", "e3", "e4"]
+    # LIMIT binds as a parameter too
+    assert out[i + 1 : j] == ["e1", "e3"]
+    # an EMPTY array matches nothing — why the reference guards the
+    # clause behind eventTypes?.length (persistence.ts:363) and why
+    # our get_events only adds the filter `if event_types`
+    assert out[j + 1 :] == []
+
+
+def test_dlq_jsonb_path_predicates_and_expression_indexes(pg):
+    from env_event_stream_spark.sources.jdbc_store import DLQ_DDL
+
+    pg.sql(DLQ_DDL)
+    pg.sql(DLQ_DDL)  # idempotent
+    idx = set(pg.sql(
+        "SELECT indexname FROM pg_indexes WHERE tablename='events_dlq'"
+    ).splitlines())
+    assert {"dlq_topic_idx", "dlq_type_idx", "dlq_timestamp_idx",
+            "dlq_subscription_idx"} <= idx
+    pg.sql("""
+        INSERT INTO events_dlq (event_id, event_data, error,
+                                subscription, timestamp) VALUES
+        ('d1', '{"topic":"orders","type":"created","n":3}', 'boom', 's1', 100),
+        ('d2', '{"topic":"orders","type":"paid"}',          'boom', 's1', 200),
+        ('d3', '{"topic":"other","type":"created"}',        'boom', 's2', 300)
+    """)
+    # the reference getEvents predicates (deadletter.ts:364-381):
+    # ->> text-path equality, newest-first, LIMIT
+    got = pg.sql(
+        "SELECT event_id FROM events_dlq "
+        "WHERE event_data->>'topic' = 'orders' "
+        "ORDER BY timestamp DESC LIMIT 2"
+    ).splitlines()
+    assert got == ["d2", "d1"]
+    got = pg.sql(
+        "SELECT event_id FROM events_dlq "
+        "WHERE event_data->>'topic' = 'orders' "
+        "AND event_data->>'type' = 'created'"
+    ).splitlines()
+    assert got == ["d1"]
+    # dialect pin: ->> extracts TEXT (castable), -> stays jsonb — the
+    # distinction our Spark-side get_json_object emulation mirrors
+    assert pg.sql(
+        "SELECT pg_typeof(event_data->>'n') || '/' || "
+        "pg_typeof(event_data->'n') FROM events_dlq WHERE event_id='d1'"
+    ) == "text/jsonb"
+    assert pg.sql(
+        "SELECT (event_data->>'n')::int + 1 FROM events_dlq "
+        "WHERE event_id='d1'"
+    ) == "4"
+    # the expression index actually serves the reference's predicate
+    pg.sql("ANALYZE events_dlq", tuples=False)
+    plan = pg.sql(
+        "SET enable_seqscan = off; EXPLAIN SELECT event_id FROM "
+        "events_dlq WHERE event_data->>'topic' = 'orders'"
+    )
+    assert "dlq_topic_idx" in plan
+
+
+def test_dlq_upsert_on_conflict_increments_attempts(pg):
+    # addEvent's uuid-mode upsert (deadletter.ts:320-334): second
+    # failure of the same event updates error + bumps attempts
+    upsert = (
+        "INSERT INTO events_dlq (event_id, event_data, error, "
+        "subscription, timestamp, attempts) VALUES "
+        "('u1', '{{\"topic\":\"t\"}}', '{err}', 's1', {ts}, 1) "
+        "ON CONFLICT (event_id) DO UPDATE SET attempts = "
+        "events_dlq.attempts + 1, error = '{err}', "
+        "last_updated = CURRENT_TIMESTAMP"
+    )
+    pg.sql(upsert.format(err="first", ts=1))
+    pg.sql(upsert.format(err="second", ts=2))
+    assert pg.sql(
+        "SELECT attempts || ':' || error FROM events_dlq "
+        "WHERE event_id='u1'"
+    ) == "2:second"
+
+
+def test_events_composite_index_serves_reference_scan_shape(pg):
+    # the topic+timestamp composite index (persistence.ts:291) is the
+    # one the getEvents WHERE topic=$1 AND timestamp>=$2 shape needs;
+    # pin that the planner can use it for exactly that query
+    pg.sql("ANALYZE events", tuples=False)
+    plan = pg.sql(
+        "SET enable_seqscan = off; EXPLAIN SELECT id FROM events "
+        "WHERE topic = 'orders' AND timestamp >= 10 AND timestamp <= 40 "
+        "ORDER BY timestamp ASC"
+    )
+    assert "events_topic_timestamp_idx" in plan

@@ -10,6 +10,8 @@ themselves run check.py in a fresh interpreter.
 
 from __future__ import annotations
 
+import pytest
+
 from env_event_stream_spark.session import extra_conf_pairs
 
 
@@ -97,3 +99,17 @@ def test_invariance_composite_covers_every_sql_axis():
     assert comp["TZ"] == "America/New_York"
     assert comp["SPARK_GRAFT_CPUS"] == "5"
     assert inv.PRESETS["driversim"] == {"SPARK_GRAFT_PLAIN_SESSION": "1"}
+
+
+def test_plain_session_refuses_extra_conf(monkeypatch):
+    # A plain session ignores every tuning knob, so composing it with
+    # EXTRA_CONF would run a config the gate label doesn't claim —
+    # get_spark refuses loudly instead (the extra_conf_pairs lesson).
+    from env_event_stream_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAIN_SESSION", "1")
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONF", "spark.sql.ansi.enabled=false"
+    )
+    with pytest.raises(ValueError, match="PLAIN_SESSION ignores"):
+        get_spark("refused")
