@@ -336,3 +336,61 @@ def test_events_composite_index_serves_reference_scan_shape(pg):
         "ORDER BY timestamp ASC"
     )
     assert "events_topic_timestamp_idx" in plan
+
+
+def test_dlq_retry_event_sql_flow(pg):
+    # retryEvent's three SQL branches (deadletter.ts:415-480), run
+    # verbatim against live PG: lookup, failure UPDATE (attempts+1 +
+    # error replaced + timestamp moved), success DELETE (then the
+    # lookup returns nothing = the reference's `return false` path)
+    pg.sql(
+        "INSERT INTO events_dlq (event_id, event_data, error, "
+        "subscription, timestamp, attempts) VALUES "
+        "('r1', '{\"topic\":\"t\",\"type\":\"x\"}', 'boom', 's1', 100, 1)"
+    )
+    found = pg.sql(
+        "SELECT event_data->>'topic' || '/' || subscription || '/' || "
+        "attempts FROM events_dlq WHERE event_id='r1'"
+    )
+    assert found == "t/s1/1"
+    # callback threw: error replaced, attempts+1, timestamp updated
+    pg.sql(
+        "UPDATE events_dlq SET attempts = attempts + 1, "
+        "error = 'retry failed', timestamp = 200, "
+        "last_updated = CURRENT_TIMESTAMP WHERE event_id = 'r1'"
+    )
+    assert pg.sql(
+        "SELECT attempts || ':' || error || ':' || timestamp "
+        "FROM events_dlq WHERE event_id='r1'"
+    ) == "2:retry failed:200"
+    # success: the DELETE, after which lookup is empty (false path)
+    pg.sql("DELETE FROM events_dlq WHERE event_id = 'r1'")
+    assert pg.sql(
+        "SELECT count(*) FROM events_dlq WHERE event_id='r1'"
+    ) == "0"
+
+
+def test_dlq_nonuuid_idtype_freezes_attempts_at_zero(pg):
+    # reference quirk, live-pinned: addEvent keys the attempts
+    # SEMANTICS off options.idType (deadletter.ts:320-334) — with
+    # idType != "uuid" it inserts attempts=0 and the upsert sets
+    # attempts = attempts (a no-op), so the counter NEVER moves.
+    # The DLQ's event_id column is TEXT regardless (deadletter.ts:287)
+    # — idType has nothing to do with this table — so a text-id
+    # deployment silently loses retry accounting. Our DLQ backends
+    # track attempts unconditionally (storage/dlq_store.py).
+    upsert = (
+        "INSERT INTO events_dlq (event_id, event_data, error, "
+        "subscription, timestamp, attempts) VALUES "
+        "('z1', '{{\"topic\":\"t\"}}', '{err}', 's1', {ts}, 0) "
+        "ON CONFLICT (event_id) DO UPDATE SET attempts = "
+        "events_dlq.attempts, error = '{err}', "
+        "last_updated = CURRENT_TIMESTAMP"
+    )
+    pg.sql(upsert.format(err="first", ts=1))
+    pg.sql(upsert.format(err="second", ts=2))
+    pg.sql(upsert.format(err="third", ts=3))
+    assert pg.sql(
+        "SELECT attempts || ':' || error FROM events_dlq "
+        "WHERE event_id='z1'"
+    ) == "0:third"
