@@ -385,10 +385,13 @@ def main() -> None:
     # overwriting it — mirroring the min-of-passes treatment core_sec
     # uses — so a flaky second run never drops a judge delta
     # datapoint that the first pass already measured.
+    # .get covers BOTH loss modes: a re-time that ran and failed
+    # (None) and one the wall budget skipped (absent) — either way
+    # the valid pass-1 number stands in
     steady = {
-        name: (core_pass2[name] if core_pass2[name] is not None else p1)
+        name: (core_pass2.get(name) if core_pass2.get(name) is not None
+               else p1)
         for name, p1 in core_names[:TWO_PASS_COUNT]
-        if name in core_pass2
     }
     pass1_rotating = dict(rotating_names)
     for name, t2 in rotating_pass2.items():

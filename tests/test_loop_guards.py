@@ -20,9 +20,14 @@ without choosing a documented side of the line:
 
 The AST walk flags every range-for containing a top-level ``break``
 in non-test package source; each must carry an ``else`` whose body
-raises, or appear in ANYTIME_CONVERGENCE_BREAKS. A new unlisted break
-fails this test with instructions, exactly like plan_lint's
-allowlists.
+raises, or appear in ANYTIME_CONVERGENCE_BREAKS. A SECOND walk covers
+the other guarded shape the first cannot see (r14 review catch):
+loops that ``return`` on convergence — the statements AFTER such a
+loop are only reachable via cap-exhaustion, so one of them must be a
+``raise`` (connected_components / k_core), or the site must be
+allowlisted as a search loop whose exhaustion is a valid not-found
+outcome. A new unlisted site fails this test with instructions,
+exactly like plan_lint's allowlists.
 """
 
 from __future__ import annotations
@@ -54,6 +59,16 @@ ANYTIME_CONVERGENCE_BREAKS = {
     # Spark path and its pure-Python oracle stop at the same rank).
     ("operators/bpe.py", "learn_merges"),
     ("operators/bpe.py", "learn_merges_py"),
+}
+
+# (module-relative path, enclosing function) -> why a range-for that
+# RETURNS mid-loop needs no post-loop raise: exhausting the range is
+# a legitimate outcome, not a missed fixpoint.
+SEARCH_LOOP_RETURNS = {
+    # substring-set probe: scans b left-to-right, returns the first
+    # hit; falling through means "this length has no common
+    # substring", and the caller's contract is an explicit None.
+    ("operators/suffix.py", "probe"),
 }
 
 
@@ -95,6 +110,44 @@ def _has_toplevel_break(loop: ast.For) -> bool:
 
 def _orelse_raises(loop: ast.For) -> bool:
     return any(isinstance(s, ast.Raise) for s in loop.orelse)
+
+
+def _has_toplevel_return(loop: ast.For) -> bool:
+    """Return directly in this loop's body (not in a nested loop or
+    nested function)."""
+
+    class Finder(ast.NodeVisitor):
+        found = False
+
+        def visit_Return(self, node):  # noqa: N802
+            self.found = True
+
+        def visit_For(self, node):  # noqa: N802
+            pass
+
+        def visit_While(self, node):  # noqa: N802
+            pass
+
+        def visit_FunctionDef(self, node):  # noqa: N802
+            pass
+
+    f = Finder()
+    for stmt in loop.body:
+        f.visit(stmt)
+    return f.found
+
+
+def _raise_follows(tree: ast.AST, loop: ast.For) -> bool:
+    """True if a top-level ``raise`` statement follows the loop in
+    its enclosing statement list (the only path reachable when a
+    return-on-convergence loop exhausts its cap)."""
+    for node in ast.walk(tree):
+        for field in ("body", "orelse", "finalbody"):
+            stmts = getattr(node, field, None)
+            if isinstance(stmts, list) and loop in stmts:
+                after = stmts[stmts.index(loop) + 1 :]
+                return any(isinstance(s, ast.Raise) for s in after)
+    return False
 
 
 def _enclosing_function(tree: ast.AST, loop: ast.For) -> str:
@@ -150,6 +203,36 @@ def test_every_convergence_break_is_guarded_or_anytime():
     )
 
 
+def test_every_convergence_return_has_postloop_raise_or_is_search():
+    violations = []
+    seen_allowed = set()
+    for rel, path in _package_sources():
+        with open(path, encoding="utf-8") as fh:
+            tree = ast.parse(fh.read(), filename=path)
+        for loop in _range_for_nodes(tree):
+            if not _has_toplevel_return(loop):
+                continue
+            fn = _enclosing_function(tree, loop)
+            if (rel, fn) in SEARCH_LOOP_RETURNS:
+                seen_allowed.add((rel, fn))
+                continue
+            if not _raise_follows(tree, loop):
+                violations.append(f"{rel}:{loop.lineno} in {fn}()")
+    assert not violations, (
+        "range-loop returns on convergence but nothing raises after "
+        "the loop (cap exhaustion would fall through silently): "
+        + "; ".join(violations)
+        + " — add a post-loop raise (fixpoint loop) or, ONLY if "
+        "range exhaustion is a valid not-found outcome, allowlist it "
+        "in SEARCH_LOOP_RETURNS with the rationale"
+    )
+    stale = SEARCH_LOOP_RETURNS - seen_allowed
+    assert not stale, (
+        f"stale SEARCH_LOOP_RETURNS entries (site moved or renamed — "
+        f"keep the allowlist honest): {sorted(stale)}"
+    )
+
+
 def test_er_threshold_sensitivity_raises_on_long_chain(spark, monkeypatch):
     """The vectorized min-label loop caps at 10 iterations; a match
     graph whose diameter exceeds that MUST raise (parity with
@@ -188,7 +271,8 @@ def test_er_threshold_sensitivity_converges_on_short_chain(spark, monkeypatch):
     monkeypatch.setattr(aq, "_er_scored_pairs", chain_pairs)
     out = aq.er_threshold_sensitivity(spark, "/nonexistent").collect()
     assert len(out) == len(aq._ER_THRESHOLDS)
-    # one 4-node component at every threshold (all edges score 10)
+    # one 4-node component at every threshold (all edges score 10);
+    # hard indexing so a schema rename fails loudly, never vacuously
     for row in out:
-        d = row.asDict()
-        assert d.get("n_clusters", 1) == 1
+        assert row["n_clusters"] == 1
+        assert row["n_nodes"] == 4

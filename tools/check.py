@@ -124,7 +124,10 @@ def counts() -> int:
         n_tests = None
     if n_tests is not None:
         for fname, pat in (
-            ("NEXT.md", r"(\d+)\s*\n?pytest cases"),
+            # \s+ (not \n?) so a doc line-wrap between any of the
+            # three tokens can't silently disable the gate (r14
+            # review catch: "NNN pytest\ncases" matched nothing)
+            ("NEXT.md", r"(\d+)\s+pytest\s+cases"),
             ("README.md", r"(\d+) cases"),
         ):
             path = os.path.join(here, fname)
