@@ -128,7 +128,7 @@ def counts() -> int:
             # three tokens can't silently disable the gate (r14
             # review catch: "NNN pytest\ncases" matched nothing)
             ("NEXT.md", r"(\d+)\s+pytest\s+cases"),
-            ("README.md", r"(\d+) cases"),
+            ("README.md", r"(\d+)\s+cases"),
         ):
             path = os.path.join(here, fname)
             if not os.path.exists(path):
@@ -147,7 +147,7 @@ def counts() -> int:
     try:
         import bench as _bench
 
-        for m in re.finditer(r"(\d+)\s+headline queries", open(
+        for m in re.finditer(r"(\d+)\s+headline\s+queries", open(
             os.path.join(here, "NEXT.md")
         ).read()):
             if int(m.group(1)) != len(_bench.HEADLINE):
