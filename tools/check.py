@@ -4,8 +4,7 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB at the given scale factor, then compares:
 - row count
 - column names (sorted, as the driver sorts before hashing)
-- exact multiset of values (plus a float max-abs-diff report so
-  near-misses are visible before they become hash mismatches)
+- exact multiset of values
 
 Usage: python tools/check.py [sf_dir] [query ...]
 """
@@ -68,7 +67,11 @@ def rowset(rows, cols, local_dt=None):
     all 276 queries, 2026-08)."""
     if local_dt is None:
         local_dt = [False] * len(cols)
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort by lowercased name (exact name as tie-break) so the column
+    # alignment matches the case-INSENSITIVE tolerance of the name
+    # gate below — a Spark 'Band' vs DuckDB 'band' must land in the
+    # same position, not permute the value tuples (r14 review catch)
+    order = sorted(range(len(cols)), key=lambda i: (cols[i].lower(), cols[i]))
     return sorted(
         [tuple(norm(r[i], local_dt[i]) for i in order) for r in rows],
         key=lambda t: tuple(repr(x) for x in t),
@@ -90,12 +93,14 @@ def counts() -> int:
         if not os.path.exists(path):
             continue
         text = open(path).read()
-        for m in re.finditer(r"(\d+)\s+catalog queries", text):
+        for m in re.finditer(r"(\d+)\s+catalog\s+queries", text):
             if int(m.group(1)) != len(QUERIES):
                 bad.append(
                     f"{fname}: says '{m.group(0)}', catalog has {len(QUERIES)}"
                 )
-        for m in re.finditer(r"(\d+)\s+(?:with full SQL oracles|DuckDB-oracled)", text):
+        for m in re.finditer(
+            r"(\d+)\s+(?:with\s+full\s+SQL\s+oracles|DuckDB-oracled)", text
+        ):
             if int(m.group(1)) != len(ORACLES):
                 bad.append(
                     f"{fname}: says '{m.group(0)}', ORACLES has {len(ORACLES)}"
@@ -103,7 +108,9 @@ def counts() -> int:
         # README's "N queries, N oracle-checked" sat OUTSIDE the gate
         # and silently drifted 265 -> 276 over three rounds (caught by
         # hand r12) — cover the phrasing
-        for m in re.finditer(r"(\d+) queries, (\d+) oracle-checked", text):
+        for m in re.finditer(
+            r"(\d+)\s+queries,\s+(\d+)\s+oracle-checked", text
+        ):
             if int(m.group(1)) != len(QUERIES) or int(m.group(2)) != len(ORACLES):
                 bad.append(
                     f"{fname}: says '{m.group(0)}', catalog has "
@@ -122,6 +129,13 @@ def counts() -> int:
         n_tests = int(mm.group(1)) if mm else None
     except Exception:
         n_tests = None
+    if n_tests is None:
+        # a gate that cannot run must read as drift, never as green —
+        # same rule the bench-headline gate below already follows
+        bad.append(
+            "pytest-count gate could not run (collection failed or "
+            "timed out) — the 'N pytest cases' doc claims are UNCHECKED"
+        )
     if n_tests is not None:
         for fname, pat in (
             # \s+ (not \n?) so a doc line-wrap between any of the

@@ -258,6 +258,7 @@ def main() -> None:
     bad_python = []
     bad_cartesian = []
     bad_globalwin = []
+    plan_errors = []
     measured: dict[str, tuple[int, int, int]] = {}  # name -> (quad, pyrow, gwin)
     for name in sorted(QUERIES):
         if name in STREAMING:
@@ -272,7 +273,13 @@ def main() -> None:
             # shuffle budget is about.
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
-            rows.append((name, "ERROR", str(exc)[:80], ""))
+            # sanitize for the markdown table (Py4J messages are
+            # multi-line and may contain '|') and RECORD the failure —
+            # plan_errors fails the gate below: a query that cannot
+            # even plan must never read as a green audit
+            msg = str(exc)[:80].replace("|", "\\|").replace("\n", " ")
+            rows.append((name, "ERROR", msg, ""))
+            plan_errors.append(name)
             continue
         # count only SHUFFLE exchanges: "BroadcastExchange " and
         # "ReusedExchange " both contain the substring "Exchange ",
@@ -368,7 +375,10 @@ def main() -> None:
         f"{len(bad_globalwin)} unexplained global window, "
         f"{len(stale)} stale allowlist"
     )
-    if bad_python or bad_cartesian or bad_globalwin or stale:
+    if plan_errors:
+        print(f"plan lint: {len(plan_errors)} queries failed to PLAN: "
+              f"{plan_errors}", file=sys.stderr)
+    if bad_python or bad_cartesian or bad_globalwin or stale or plan_errors:
         sys.exit(1)
 
 

@@ -39,8 +39,12 @@ DOMAINS = {
     "suppkey": ("supplier", "s_suppkey"),
     "eventid": ("events", "event_id"),
     "userid": ("events", "user_id"),
+    # vec_id IS a doc_id (retrieval_queries joins `vec_id AS doc_id`
+    # to the documents table), so embeddings ride the docid domain —
+    # a separate vecid domain had its own stride (embeddings max+1 =
+    # 2000 vs documents' 5000) and broke the FK across copies,
+    # skewing every documents-to-embeddings probe (r14 review catch)
     "docid": ("documents", "doc_id"),
-    "vecid": ("embeddings", "vec_id"),
 }
 
 # table -> {column: domain}; tables absent here (nation, region) are
@@ -48,7 +52,7 @@ DOMAINS = {
 TABLE_KEYS = {
     "events": {"event_id": "eventid", "user_id": "userid"},
     "documents": {"doc_id": "docid"},
-    "embeddings": {"vec_id": "vecid"},
+    "embeddings": {"vec_id": "docid"},
     "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
     "lineitem": {
         "l_orderkey": "orderkey",
