@@ -269,32 +269,24 @@ def _oracle_sample_matrix(sample_cap: int = 4096):
 def _ivf_cents_cached(
     sf_dir: str, n_cells: int, n_iter: int, sample_cap: int
 ) -> tuple:
-    import numpy as np
-
-    from env_event_stream_spark.operators.similarity import _spherical_step
+    from env_event_stream_spark.operators.kmeans_oracle import (
+        spherical_kmeans_py,
+    )
 
     X = _oracle_sample_matrix(sample_cap)
-
-    def _unit(vec) -> list[float]:
-        n = float(sum(float(x) * float(x) for x in vec)) ** 0.5 or 1.0
-        return [round(float(x) / n, 9) for x in vec]
-
-    U = np.array([_unit(x) for x in X], dtype=np.float64)
-    cur = [list(u) for u in U[:n_cells]]
-    for _ in range(n_iter):
-        nxt = _spherical_step(U, np.array(cur, dtype=np.float64), _unit)
-        if nxt == cur:
-            break
-        cur = nxt
+    cur = spherical_kmeans_py([list(row) for row in X], n_cells, n_iter)
     return tuple(tuple(float(x) for x in c) for c in cur)
 
 
 def _ivf_cents_for_oracle(
     n_cells: int, n_iter: int, sample_cap: int
 ) -> list[list[float]]:
-    """Oracle-side trained spherical-k-means centroids — the numpy
-    twin of S.train_ivf_centroids' sample path, cached per resolved
-    sf_dir so multiple lazy oracles share one training."""
+    """Oracle-side trained spherical-k-means centroids — since r15 an
+    INDEPENDENT pure-Python trainer (operators/kmeans_oracle, no
+    numpy, no shared core with S.train_ivf_centroids; agreement is
+    bit-for-bit, pinned by tests/test_kmeans_oracle_independence.py),
+    cached per resolved sf_dir so multiple lazy oracles share one
+    training."""
     sf_dir = _oracle_sf_dir()
     return [list(c) for c in _ivf_cents_cached(sf_dir, n_cells, n_iter, sample_cap)]
 
@@ -306,17 +298,20 @@ def _knn_ivf_trained_oracle(
     k: int = 3,
     sample_cap: int = 4096,
 ) -> str:
-    """Lazy oracle for emb_knn_ivf_trained: re-runs the SAME
-    deterministic spherical k-means as S.train_ivf_centroids'
-    sample_cap path, but with pyarrow + numpy only (no Spark), then
-    inlines the resulting centroids as DOUBLE[] literals into the
-    probe SQL (_knn_ivf_oracle's machinery). Determinism contract:
-    both paths take the sample_cap lowest-id vectors in vec_id order,
-    cast float32→float64 (exact), round each centroid component to
-    9dp per iteration, and stop at a rounded fixpoint — so the
-    centroid lists are bit-identical and the probe SQL sees the exact
-    model the Spark query used. Built at oracle_sql() call time
-    against the driver's correctness scale (sf0.01)."""
+    """Lazy oracle for emb_knn_ivf_trained: retrains the spherical
+    k-means with the INDEPENDENT pure-Python trainer
+    (operators/kmeans_oracle.spherical_kmeans_py — pyarrow sample
+    load, no Spark, no numpy, no code shared with
+    S.train_ivf_centroids since r15), then inlines the resulting
+    centroids as DOUBLE[] literals into the probe SQL
+    (_knn_ivf_oracle's machinery). Determinism contract: both paths
+    take the sample_cap lowest-id vectors in vec_id order, cast
+    float32→float64 (exact), round each centroid component to 9dp per
+    iteration, and stop at a rounded fixpoint — agreement is
+    bit-for-bit (tests/test_kmeans_oracle_independence.py), so the
+    probe SQL sees the exact model the Spark query used. Built at
+    oracle_sql() call time against the driver's correctness scale
+    (sf0.01)."""
     cur = _ivf_cents_for_oracle(n_cells, n_iter, sample_cap)
 
     vals = ", ".join(
@@ -1173,22 +1168,28 @@ def emb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_books_cached(
     sf_dir: str, m: int, k: int, n_iter: int, sample_cap: int
 ) -> tuple:
+    from env_event_stream_spark.operators.kmeans_oracle import (
+        pq_kmeans_py,
+    )
+
     X = _oracle_sample_matrix(sample_cap)
     return tuple(
         tuple(tuple(c) for c in book)
-        for book in S._pq_kmeans(X, m, k, n_iter)
+        for book in pq_kmeans_py([list(row) for row in X], m, k, n_iter)
     )
 
 
 def _pq_books_for_oracle(
     m: int = 8, k: int = 16, n_iter: int = 10, sample_cap: int = 4096
 ) -> list[list[list[float]]]:
-    """Rebuild the PQ codebooks with pyarrow + numpy only (no Spark),
-    via the SAME _pq_kmeans core train_pq_codebooks uses — both paths
-    see the identical float64 sample in vec_id order, so the books
-    are bit-identical and can be inlined as oracle literals. Cached
-    per (resolved sf_dir, params): the three PQ lazy oracles share
-    one training."""
+    """Rebuild the PQ codebooks with pyarrow only (no Spark, no
+    numpy) via the INDEPENDENT pure-Python trainer
+    (operators/kmeans_oracle.pq_kmeans_py — no shared core with
+    train_pq_codebooks since r15): both paths see the identical
+    float64 sample in vec_id order and the books agree bit-for-bit
+    (pinned by tests/test_kmeans_oracle_independence.py), so they can
+    be inlined as oracle literals. Cached per (resolved sf_dir,
+    params): the three PQ lazy oracles share one training."""
     sf_dir = _oracle_sf_dir()
     books = _pq_books_cached(sf_dir, m, k, n_iter, sample_cap)
     return [[list(c) for c in book] for book in books]
@@ -1651,8 +1652,14 @@ def _opq_oracle_cached(sf_dir: str) -> tuple:
 def _opq_for_oracle() -> tuple[list, list]:
     """Rebuild (rotation, codebooks) with pyarrow + numpy only via the
     SAME _opq_train core train_opq uses — bit-identical to the Spark
-    model, inlined as oracle literals (the _pq_books_for_oracle
-    pattern)."""
+    model, inlined as oracle literals. DELIBERATE exemption from the
+    r15 independent-trainer rewire (kmeans_oracle): the OPQ rotation
+    hinges on LAPACK's SVD, whose bit pattern no pure-Python twin can
+    reproduce, so an independent trainer could never be parity-pinned
+    here; the inner k-means core it calls (_pq_kmeans) IS
+    independently cross-checked by
+    tests/test_kmeans_oracle_independence.py. Same exemption applies
+    to _whiten_train (LAPACK eigh)."""
     R, books = _opq_oracle_cached(_oracle_sf_dir())
     return (
         [list(row) for row in R],
@@ -2530,24 +2537,29 @@ def emb_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_functools.lru_cache(maxsize=8)
 def _pq_res_books_cached(sf_dir: str) -> tuple:
-    import numpy as np
+    from env_event_stream_spark.operators.kmeans_oracle import (
+        pq_kmeans_py,
+        residual_assign_py,
+    )
 
     X = _oracle_sample_matrix(4096)
     cents = _ivf_cents_for_oracle(10, 10, 4096)
-    R = S.residual_assign(
-        np.asarray(X, dtype=np.float64),
+    R = residual_assign_py(
+        [list(row) for row in X],
         list(enumerate([list(c) for c in cents])),
     )
     return tuple(
         tuple(tuple(c) for c in book)
-        for book in S._pq_kmeans(R, 8, 16, 10)
+        for book in pq_kmeans_py(R, 8, 16, 10)
     )
 
 
 def _pq_res_books_for_oracle() -> list[list[list[float]]]:
-    """Residual codebooks rebuilt with pyarrow+numpy only, via the
-    SAME residual_assign + _pq_kmeans cores the Spark trainer uses —
-    bit-identical, inlineable as literals."""
+    """Residual codebooks rebuilt with pyarrow only, via the
+    INDEPENDENT pure-Python residual_assign_py + pq_kmeans_py twins
+    (operators/kmeans_oracle — no shared core with the Spark trainer
+    since r15); bit-identical (parity-pinned), inlineable as
+    literals."""
     books = _pq_res_books_cached(_oracle_sf_dir())
     return [[list(c) for c in book] for book in books]
 

@@ -856,12 +856,14 @@ def cosine_dedup_pairs(
 
 def _pq_kmeans(X, m: int, k: int, n_iter: int) -> list[list[list[float]]]:
     """Deterministic per-subspace L2 k-means (the PQ codebook
-    trainer), shared verbatim by the Spark path (train_pq_codebooks)
-    and the DuckDB-oracle path (ann_queries builds X from the parquet
-    with pyarrow) so both produce bit-identical codebooks. Seeds are
-    the first ``k`` subvectors in input order; centroid components
-    round to 9dp per iteration with a rounded-fixpoint early stop;
-    empty cells keep their previous centroid. No RNG anywhere."""
+    trainer) — the Spark-path core. Since r15 the DuckDB-oracle path
+    retrains with an INDEPENDENTLY written pure-Python twin
+    (operators/kmeans_oracle.pq_kmeans_py); both produce bit-identical
+    codebooks, pinned by tests/test_kmeans_oracle_independence.py.
+    Seeds are the first ``k`` subvectors in input order; centroid
+    components round to 9dp per iteration with a rounded-fixpoint
+    early stop; empty cells keep their previous centroid. No RNG
+    anywhere."""
     import numpy as np
 
     dim = X.shape[1]
@@ -1655,9 +1657,10 @@ def append_to_ivfpq_index(
 
 def residual_assign(X, centroids: list[tuple[int, list[float]]]):
     """Pure-numpy cosine cell assignment + residual matrix for a
-    sample — the SINGLE implementation shared by the Spark-side
-    residual codebook trainer and the DuckDB-oracle twin, so the
-    trained books are bit-identical. Assignment = first-max cosine
+    sample — the Spark-side residual codebook trainer's core. Since
+    r15 the DuckDB-oracle path uses the INDEPENDENT pure-Python twin
+    (operators/kmeans_oracle.residual_assign_py); the trained books
+    agree bit-for-bit, parity-pinned. Assignment = first-max cosine
     with ascending-cell tie-break (the nearest_cells_arrow rule);
     residual = X - C[assigned]."""
     import numpy as np

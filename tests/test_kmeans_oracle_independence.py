@@ -1,0 +1,179 @@
+"""Bit-for-bit parity between the numpy k-means trainer cores and the
+INDEPENDENT pure-Python oracle twins (operators/kmeans_oracle).
+
+VERDICT r14 task 1: the IVF/PQ/residual-PQ lazy oracles used to
+verify by replaying the identical numpy cores — honest, but a trainer
+bug would replicate into its own oracle. kmeans_oracle is a
+from-scratch stdlib-only reimplementation of the same training
+contracts; ann_queries' oracle builders now train THERE. These tests
+are the agreement pin (the operators/bpe.py learn_merges vs
+learn_merges_py precedent):
+
+- real-data parity on every testdata scale the driver uses
+  (sf0.001 / sf0.01 / sf0.1 samples, loaded with pyarrow exactly as
+  _oracle_sample_matrix does);
+- hypothesis fuzz over float matrices AND integer-valued matrices —
+  integer inputs force EXACT assignment ties, so the first-max /
+  first-min tie-break rules themselves are compared, not just the
+  happy path;
+- an end-to-end pin that the Spark-side trainer
+  (S.train_ivf_centroids sample path, which is what the catalog
+  queries call) matches the pure-Python twin on the test sf_dir.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from env_event_stream_spark.operators import similarity as S
+from env_event_stream_spark.operators.kmeans_oracle import (
+    pq_kmeans_py,
+    residual_assign_py,
+    spherical_kmeans_py,
+)
+
+SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1"]
+
+
+def _sample(sf_dir: str, cap: int = 4096) -> np.ndarray:
+    """The _oracle_sample_matrix contract, inlined: cap lowest-vec_id
+    embeddings as float64 in vec_id order, pyarrow only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    emb = tbl["embedding"].to_pylist()
+    order = np.argsort(ids, kind="stable")[:cap]
+    return np.array([emb[i] for i in order], dtype=np.float64)
+
+
+def _unit(vec) -> list[float]:
+    n = float(sum(float(x) * float(x) for x in vec)) ** 0.5 or 1.0
+    return [round(float(x) / n, 9) for x in vec]
+
+
+def _spherical_np(X: np.ndarray, n_cells: int, n_iter: int):
+    """The numpy spherical-k-means loop exactly as
+    S.train_ivf_centroids' sample path runs it (shared _spherical_step
+    core) — the OLD oracle path, kept here as the comparison arm."""
+    U = np.array([_unit(x) for x in X], dtype=np.float64)
+    cur = [list(u) for u in U[:n_cells]]
+    for _ in range(n_iter):
+        nxt = S._spherical_step(U, np.array(cur, dtype=np.float64), _unit)
+        if nxt == cur:
+            break
+        cur = nxt
+    return cur
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_spherical_parity_on_testdata(sf):
+    X = _sample(sf)
+    Xl = [list(r) for r in X]
+    # the two parameterizations the catalog actually trains with
+    assert _spherical_np(X, 10, 10) == spherical_kmeans_py(Xl, 10, 10)
+    assert _spherical_np(X, 8, 5) == spherical_kmeans_py(Xl, 8, 5)
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_pq_parity_on_testdata(sf):
+    X = _sample(sf)
+    Xl = [list(r) for r in X]
+    assert S._pq_kmeans(X, 8, 16, 10) == pq_kmeans_py(Xl, 8, 16, 10)
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_residual_chain_parity_on_testdata(sf):
+    X = _sample(sf)
+    Xl = [list(r) for r in X]
+    cents = list(enumerate(_spherical_np(X, 10, 10)))
+    Ra = S.residual_assign(X, cents)
+    Rb = residual_assign_py(Xl, cents)
+    assert [list(r) for r in Ra] == Rb  # residual rows exact
+    assert S._pq_kmeans(Ra, 8, 16, 10) == pq_kmeans_py(Rb, 8, 16, 10)
+
+
+def test_spark_trainer_matches_pure_python_twin(spark, sf_dir):
+    """End-to-end: the model the CATALOG queries train (Spark
+    TakeOrdered sample -> numpy loop) equals the pure-Python oracle
+    twin's model on the same parquet."""
+    from env_event_stream_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    spark_cents = S.train_ivf_centroids(
+        e, id_col="vec_id", vec_col="embedding",
+        n_cells=10, n_iter=10, sample_cap=4096,
+    )
+    pure = spherical_kmeans_py([list(r) for r in _sample(sf_dir)], 10, 10)
+    assert [vec for _, vec in spark_cents] == pure
+
+
+# --- fuzz: tie-break and empty-cell rules, not just the happy path --
+
+_float_row = st.lists(
+    st.floats(min_value=-4, max_value=4, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=8, max_size=8,
+)
+# small-integer rows force exact dot/distance ties across rows and
+# duplicated centroids — the argmax/argmin tie-break comparison
+_int_row = st.lists(st.integers(min_value=-2, max_value=2),
+                    min_size=8, max_size=8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_float_row, min_size=4, max_size=24))
+def test_spherical_parity_fuzz_float(rows):
+    X = np.array(rows, dtype=np.float64)
+    assert _spherical_np(X, 3, 6) == spherical_kmeans_py(rows, 3, 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_int_row, min_size=4, max_size=24))
+def test_spherical_parity_fuzz_ties(rows):
+    rows = [[float(x) for x in r] for r in rows]
+    X = np.array(rows, dtype=np.float64)
+    assert _spherical_np(X, 3, 6) == spherical_kmeans_py(rows, 3, 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_float_row, min_size=4, max_size=24))
+def test_pq_parity_fuzz_float(rows):
+    X = np.array(rows, dtype=np.float64)
+    assert S._pq_kmeans(X, 2, 3, 6) == pq_kmeans_py(rows, 2, 3, 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_int_row, min_size=4, max_size=24))
+def test_pq_parity_fuzz_ties(rows):
+    rows = [[float(x) for x in r] for r in rows]
+    X = np.array(rows, dtype=np.float64)
+    assert S._pq_kmeans(X, 2, 3, 6) == pq_kmeans_py(rows, 2, 3, 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_int_row, min_size=4, max_size=16))
+def test_residual_parity_fuzz_ties(rows):
+    rows = [[float(x) for x in r] for r in rows]
+    X = np.array(rows, dtype=np.float64)
+    cents = list(enumerate(_spherical_np(X, 3, 4)))
+    Ra = S.residual_assign(X, cents)
+    assert [list(r) for r in Ra] == residual_assign_py(rows, cents)
+
+
+def test_zero_vector_cell_keeps_previous_centroid():
+    """The sums[c].any() empty-cell rule: a cell assigned ONLY the
+    zero vector (unit-normalizes to all zeros) must keep its previous
+    centroid in both trainers."""
+    rows = [[0.0] * 8, [1.0] + [0.0] * 7, [0.0, 1.0] + [0.0] * 6]
+    X = np.array(rows, dtype=np.float64)
+    assert _spherical_np(X, 2, 4) == spherical_kmeans_py(rows, 2, 4)

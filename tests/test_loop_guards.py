@@ -48,10 +48,15 @@ PKG = os.path.join(
 ANYTIME_CONVERGENCE_BREAKS = {
     # Lloyd's k-means on a bounded driver-side sample: centroids after
     # ANY number of iterations are a valid codebook; the break just
-    # skips no-op iterations. Oracles replay the identical trainer.
-    ("ann_queries.py", "_ivf_cents_cached"),
+    # skips no-op iterations. Since r15 the oracle side retrains with
+    # the INDEPENDENT pure-Python twins in operators/kmeans_oracle —
+    # both trainer pairs share the rounded-fixpoint stop rule, so they
+    # break at the same iteration (bit-for-bit parity pinned by
+    # tests/test_kmeans_oracle_independence.py).
     ("operators/similarity.py", "train_ivf_centroids"),
     ("operators/similarity.py", "_pq_kmeans"),
+    ("operators/kmeans_oracle.py", "spherical_kmeans_py"),
+    ("operators/kmeans_oracle.py", "pq_kmeans_py"),
     # BPE merge learning: k is a TARGET vocab size, not a convergence
     # cap — the break fires only when the corpus has no adjacent pairs
     # left to merge, and "all learnable merges" is the correct output
