@@ -2069,8 +2069,13 @@ _QC_SAMPLE_CAP = 1000
 def _qc_model_cached(sf_dir: str) -> tuple:
     """Oracle-side training: (doc_id, text) sample read with pyarrow
     in doc_id order — strings, so both paths trivially see identical
-    bytes; the shared float64 trainer then makes the weights
-    bit-identical to the Spark path's."""
+    bytes — then trained with the INDEPENDENT pure-Python twin
+    (classifier.train_quality_classifier_py, math.exp +
+    left-to-right folds, no numpy; since r15). Both trainers quantize
+    (w, b) to 9dp per iteration, so the weights are bit-identical to
+    the Spark path's numpy training (parity pinned at every testdata
+    scale in tests/test_classifier.py) and the five classifier-family
+    oracles are backed by an independently written trainer."""
     import os as _os
 
     import pyarrow.parquet as pq
@@ -2085,7 +2090,7 @@ def _qc_model_cached(sf_dir: str) -> tuple:
         zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()),
         key=lambda r: int(r[0]),
     )[:_QC_SAMPLE_CAP]
-    w, b = C.train_quality_classifier(rows)
+    w, b = C.train_quality_classifier_py(rows)
     return tuple(w), b
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "bucket_of",
     "surface_features",
     "train_quality_classifier",
+    "train_quality_classifier_py",
     "quality_logit_column",
 ]
 
@@ -174,9 +175,22 @@ def train_quality_classifier(
     hashed-term-frequency features plus the 4 dense surface slots.
     ``sample`` is (doc_id, text) pairs; rows are sorted by doc_id
     internally so caller order can't perturb the float reduction.
-    Returns (weights[n_buckets + 4], bias), all rounded to 9dp. Pure
+    Returns (weights[n_buckets + 4], bias), rounded to 9dp. Pure
     numpy float64, zero-init, fixed iterations — rerunning on the
-    same sample is bit-identical."""
+    same sample is bit-identical.
+
+    Determinism contract (r15, the k-means discipline from
+    operators/kmeans_oracle): (w, b) are QUANTIZED to 9dp with Python
+    round() after EVERY iteration, not just at ship. Each iteration
+    therefore restarts from a state both this trainer and the
+    INDEPENDENT pure-Python twin (train_quality_classifier_py —
+    math.exp + left-to-right folds, no numpy) reproduce exactly, so
+    accumulation-order divergence (BLAS matvec, SIMD np.exp, pairwise
+    sums) cannot COMPOUND across the 200 iterations — it is absorbed
+    by the rounding each step, and the two trainers agree bit-for-bit
+    (tests/test_classifier.py parity pins). Before r15 the weights
+    carried raw float64 across iterations, which made an independent
+    oracle-side trainer impossible to parity-pin."""
     import numpy as np
 
     rows = sorted(sample, key=lambda r: int(r[0]))
@@ -201,4 +215,78 @@ def train_quality_classifier(
         g = p - y
         w -= lr * (X.T @ g) / n_docs
         b -= lr * float(g.sum()) / n_docs
-    return [round(float(x), 9) for x in w], round(float(b), 9)
+        # per-iteration 9dp quantization — Python round(), NOT
+        # np.round (different half-way semantics), so the pure twin's
+        # rounding is the same function
+        w = np.array([round(float(x), 9) for x in w], dtype=np.float64)
+        b = round(float(b), 9)
+    return [float(x) for x in w], float(b)
+
+
+def train_quality_classifier_py(
+    sample: list[tuple[int, str]],
+    *,
+    n_buckets: int = N_BUCKETS,
+    n_iter: int = 200,
+    lr: float = 1.0,
+) -> tuple[list[float], float]:
+    """INDEPENDENT pure-Python twin of train_quality_classifier (the
+    operators/kmeans_oracle precedent): stdlib math.exp, explicit
+    left-to-right folds, no numpy. The DuckDB-oracle model cache
+    (llm_queries._qc_model_cached) trains HERE, so the five
+    classifier-family catalog hashes are backed by two independently
+    written trainers. Bit-for-bit agreement is achievable because
+    both trainers quantize (w, b) to 9dp after every iteration — the
+    per-step state is identical on both sides and per-step
+    accumulation-order divergence (~1e-15) sits far inside the 1e-9
+    grid. Feature extraction reuses tokenize_py / bucket_of /
+    surface_features / gopher_label — those are the shared FEATURE
+    CONTRACT (replayed digit-by-digit by the SQL oracles), not
+    trainer code."""
+    import math
+
+    rows = sorted(sample, key=lambda r: int(r[0]))
+    n_docs = len(rows)
+    if n_docs == 0:
+        raise ValueError("empty training sample")
+    n_feat = n_buckets + 4
+    X: list[list[float]] = []
+    y: list[float] = []
+    for doc_id, text in rows:
+        feat = [0.0] * n_feat
+        tk = tokenize_py(text)
+        for t in tk:
+            feat[bucket_of(t, n_buckets)] += 1.0
+        n_tk = len(tk)
+        if n_tk:
+            for j in range(n_buckets):
+                feat[j] = feat[j] / n_tk
+        else:  # numpy's 0.0/0 → nan, mirrored
+            for j in range(n_buckets):
+                feat[j] = float("nan")
+        feat[n_buckets:] = [float(s) for s in surface_features(text)]
+        X.append(feat)
+        y.append(1.0 if gopher_label(text) else 0.0)
+    w = [0.0] * n_feat
+    b = 0.0
+    for _ in range(n_iter):
+        g = []
+        for i in range(n_docs):
+            z = 0.0
+            xi = X[i]
+            for j in range(n_feat):
+                z += xi[j] * w[j]
+            z += b
+            p = 1.0 / (1.0 + math.exp(-z))
+            g.append(p - y[i])
+        # op order mirrors the numpy side exactly: (lr · acc) / n_docs
+        for j in range(n_feat):
+            acc = 0.0
+            for i in range(n_docs):
+                acc += X[i][j] * g[i]
+            w[j] = round(w[j] - lr * acc / n_docs, 9)
+        gs = 0.0
+        for gi in g:
+            gs += gi
+        b = round(b - lr * gs / n_docs, 9)
+    return [float(x) for x in w], float(b)

@@ -1,10 +1,20 @@
 """Quality-classifier trainer (operators/classifier.py): determinism
 (the property the literal-inlined oracle depends on), label parity
-with the SQL gopher rules, and separation on a constructed sample."""
+with the SQL gopher rules, separation on a constructed sample, and —
+since r15 — bit-for-bit parity between the numpy trainer and the
+INDEPENDENT pure-Python twin the DuckDB oracles retrain with
+(train_quality_classifier_py; both quantize (w, b) to 9dp per
+iteration, the operators/kmeans_oracle discipline, so
+accumulation-order divergence cannot compound across iterations)."""
 
 from __future__ import annotations
 
+import pytest
+
 from env_event_stream_spark.operators import classifier as C
+
+SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1"]
 
 
 GOOD = (
@@ -19,6 +29,32 @@ def test_trainer_is_deterministic():
     w1, b1 = C.train_quality_classifier(sample)
     w2, b2 = C.train_quality_classifier(list(reversed(sample)))
     assert w1 == w2 and b1 == b2  # bit-identical, caller order ignored
+
+
+@pytest.mark.parametrize("sf", SCALES)
+def test_trainer_parity_with_pure_twin_on_testdata(sf):
+    """The exact sample contract _qc_model_cached uses (pyarrow read,
+    doc_id order, cap 1000): numpy trainer == pure-Python twin,
+    bit for bit, at every testdata scale."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()),
+        key=lambda r: int(r[0]),
+    )[:1000]
+    assert C.train_quality_classifier(rows) == \
+        C.train_quality_classifier_py(rows)
+
+
+def test_trainer_parity_constructed_and_order_invariant():
+    sample = [(i, GOOD if i % 3 else BAD + str(i)) for i in range(60)]
+    a = C.train_quality_classifier(sample)
+    assert a == C.train_quality_classifier_py(sample)
+    # both trainers sort by doc_id internally — caller order ignored
+    assert a == C.train_quality_classifier_py(list(reversed(sample)))
 
 
 def test_gopher_label_python_twin():
