@@ -10,6 +10,7 @@ plan constant-for-constant (hyperplanes, seeds, band layout).
 from __future__ import annotations
 
 import functools as _functools
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -4359,7 +4360,20 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     time at local[32]/sf0.1 is FLAT (interleaved A/B: old min 4.95 s,
     new min 5.51 s, alternating wins) — the idle cores were hiding
     the replay in parallel stages. The win is cluster throughput
-    (total compute), not single-query latency at this scale."""
+    (total compute), not single-query latency at this scale.
+
+    SPARK_GRAFT_PPJOIN_INV=estimate (r16, VERDICT r15 task 2): the
+    inverted-baseline leg is AUDIT-ONLY — the one column whose 16x
+    scale-probe rung OOMed the default 8 GB local JVM (290M-pair
+    distinct; SCALING.md §8). Under the knob, n_cand_inverted is
+    instead SUM over shingles of dfc*(dfc-1)/2 — the EXACT number of
+    (ordered pair, shared shingle) incidences the raw inverted join
+    would emit before distinct, i.e. the true join cost being
+    avoided, and a provable upper bound on the distinct pair count —
+    computed from the already-built df table with one aggregate and
+    no pair materialization. Default stays 'exact' (the DuckDB oracle
+    replays the exact leg); probe runs at hostile rungs set the knob
+    and SCALING.md labels the column estimator-mode."""
     d = load_table(spark, sf_dir, "documents")
     # sh feeds dfc, ord, and both sides of the inverted baseline —
     # cache it so the tokenize+explode runs once (PLANLINT caught the
@@ -4395,14 +4409,31 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # candidate-set-sized; counted AND anti-joined
     )
-    sa = sh.select(F.col("doc_id").alias("ida"), "sh")
-    sb = sh.select(F.col("doc_id").alias("idb"), "sh")
-    inv = (
-        sa.join(sb, "sh")
-        .where(F.col("ida") < F.col("idb"))
-        .select("ida", "idb")
-        .distinct()
-    )
+    if os.environ.get("SPARK_GRAFT_PPJOIN_INV", "exact") == "estimate":
+        # audit-leg estimator: per-shingle C(df,2) incidences — no
+        # pair materialization, fits any heap at any rung
+        n_inv_src = dfc.agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("dfc").cast("bigint")
+                        * (F.col("dfc").cast("bigint") - F.lit(1))
+                    )
+                    / F.lit(2)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("n_cand_inverted")
+        )
+    else:
+        sa = sh.select(F.col("doc_id").alias("ida"), "sh")
+        sb = sh.select(F.col("doc_id").alias("idb"), "sh")
+        n_inv_src = (
+            sa.join(sb, "sh")
+            .where(F.col("ida") < F.col("idb"))
+            .select("ida", "idb")
+            .distinct()
+            .agg(F.count("*").alias("n_cand_inverted"))
+        )
     # share the cached shingle frame with the true-pair leg (it used
     # to re-derive tokenize+explode from scratch), and materialize
     # the match-set-sized pair list once: it feeds the miss audit AND
@@ -4419,7 +4450,7 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tp = tp.agg(F.count("*").alias("n_true_pairs"))
     n_cand = cand.agg(F.count("*").alias("n_cand_prefix"))
-    n_inv = inv.agg(F.count("*").alias("n_cand_inverted"))
+    n_inv = n_inv_src
     return (
         n_tp.crossJoin(n_cand)
         .crossJoin(n_inv)

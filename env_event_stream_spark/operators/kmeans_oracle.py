@@ -29,12 +29,18 @@ Why bit-for-bit agreement is achievable (and where the tripwire is):
 - the only places numpy's accumulation order differs (BLAS dots in
   the spherical assignment, pairwise-summed L2 distances and means in
   PQ) feed either an argmax/argmin — safe unless two DISTINCT
-  centroids land within ~1 ulp of each other (exact-duplicate
-  centroids produce exactly equal scores in both engines and both
-  tie-breaks pick the lowest index) — or a round(·, 9), which absorbs
-  the ulp unless a component sits within ~1e-13 of a grid midpoint.
-  The parity pytest and the full-catalog oracle sweep are the loud
-  tripwires if real data ever hits either window.
+  centroids land within ~1 ulp of each other — or a round(·, 9),
+  which absorbs the ulp unless a component sits within ~1e-13 of a
+  grid midpoint. The parity pytest and the full-catalog oracle sweep
+  are the loud tripwires if real data ever hits either window.
+- exact-DUPLICATE centroids scoring exactly equal in both engines is
+  NOT free: a blocked BLAS gemm (``U @ C.T``) can score two
+  bit-identical centroid columns 1 ulp apart when they straddle a
+  kernel block boundary (r16 fix, found by the fuzz suite's duplicate
+  -seed examples). The numpy side therefore assigns via
+  similarity._cosine_assign — one gemv per centroid, an identical op
+  stream for identical centroids — so both tie-breaks provably pick
+  the lowest index on duplicates.
 
 Cost model: pure Python over the bounded driver-side sample only
 (sample_cap ≤ 4096 rows × 64 dims — the model is O(cap·dim) no matter
@@ -80,6 +86,25 @@ def _dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def _require_finite(X, who: str) -> None:
+    """Loud guard for the documented determinism contract: a NaN score
+    would make the strict ``s > best`` fold keep index 0 forever while
+    numpy's argmax/stable argsort rank NaN as the maximum — a silent
+    parity trap. Unreachable with real embeddings (testdata vectors
+    are finite by construction); asserted so non-finite input fails at
+    the trainer entry instead of as a confusing oracle mismatch."""
+    import math
+
+    for i, row in enumerate(X):
+        for x in row:
+            if not math.isfinite(float(x)):
+                raise ValueError(
+                    f"{who}: non-finite component {x!r} in sample row "
+                    f"{i} — the bit-for-bit parity contract only "
+                    "covers finite inputs"
+                )
+
+
 def spherical_kmeans_py(
     X, n_cells: int, n_iter: int
 ) -> list[list[float]]:
@@ -90,6 +115,7 @@ def spherical_kmeans_py(
     (all-zero sums, mirroring numpy's ``sums[c].any()``) keep their
     previous centroid, rounded-fixpoint early stop. Returns the
     centroid list (cell_id = list index)."""
+    _require_finite(X, "spherical_kmeans_py")
     U = [_unit9(list(row)) for row in X]
     cur = [list(u) for u in U[:n_cells]]
     if not cur:
@@ -129,6 +155,7 @@ def pq_kmeans_py(
     ties, like np.argmin), replace each code with the 9dp-rounded
     mean of its assigned subvectors (empty codes — no assignments —
     keep their previous value), rounded-fixpoint early stop."""
+    _require_finite(X, "pq_kmeans_py")
     rows = [list(map(float, row)) for row in X]
     dim = len(rows[0]) if rows else 0
     if dim % m != 0:
@@ -182,6 +209,8 @@ def residual_assign_py(
     ascending-cell tie-break (zero-norm products score -inf), residual
     = x - centroid[assigned]. Given equal assignments the subtraction
     is exact, so the residual matrix matches bit-for-bit."""
+    _require_finite(X, "residual_assign_py")
+    _require_finite([cv for _, cv in centroids], "residual_assign_py[centroids]")
     cent = sorted(
         (int(cid), [float(x) for x in cv]) for cid, cv in centroids
     )

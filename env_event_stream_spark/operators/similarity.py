@@ -523,6 +523,38 @@ def collect_sample_matrix(corpus, *, id_col: str, vec_col: str, cap: int):
     return np.array([list(r.v) for r in rows], dtype=np.float64)
 
 
+def _cosine_assign(U, C):
+    """Cosine argmax assignment with a DETERMINISTIC PER-CENTROID op
+    stream: one gemv ``U @ C[c]`` per centroid, never a single gemm
+    ``U @ C.T``. A blocked BLAS gemm routes different output columns
+    through different kernel paths (packed main block vs edge
+    remainder), so two BIT-IDENTICAL duplicate centroids can receive
+    scores 1 ulp apart (measured here: 42/400 random shapes when the
+    duplicates straddle a kernel block boundary) — numpy's argmax then
+    picks a later cell while the pure-Python oracle twin's strict
+    first-max tie-break (kmeans_oracle.spherical_kmeans_py) keeps the
+    earlier one, silently breaking the bit-for-bit parity contract
+    whenever the seed sample contains duplicate rows. With one gemv
+    per centroid, identical centroids go through the identical op
+    stream and score exactly equal, so ``np.argmax``'s first-max rule
+    matches the twin's ``s > best`` by construction. gemv-vs-gemm cost
+    is irrelevant at trainer scale (sample_cap ≤ 4096 × n_cells ≤ 64)."""
+    import numpy as np
+
+    if not (np.isfinite(U).all() and np.isfinite(C).all()):
+        raise ValueError(
+            "_cosine_assign: non-finite component in vectors or "
+            "centroids — a NaN score ranks as argmax here but keeps "
+            "index 0 in the pure twin's strict fold, so the parity "
+            "contract only covers finite inputs (kmeans_oracle guards "
+            "its side identically)"
+        )
+    S = np.empty((U.shape[0], C.shape[0]), dtype=np.float64)
+    for c in range(C.shape[0]):
+        S[:, c] = U @ C[c]
+    return np.argmax(S, axis=1)
+
+
 def _spherical_step(U, C, _unit) -> list[list[float]]:
     """One spherical k-means update from unit vectors U given
     centroids C: cosine argmax assignment (first max = lowest cell id,
@@ -530,7 +562,7 @@ def _spherical_step(U, C, _unit) -> list[list[float]]:
     renormalized means; empty cells keep their previous centroid."""
     import numpy as np
 
-    a = np.argmax(U @ C.T, axis=1)
+    a = _cosine_assign(U, C)
     sums = np.zeros(C.shape, dtype=np.float64)
     np.add.at(sums, a, U)
     return [
@@ -618,7 +650,7 @@ def train_ivf_centroids(
                     if not len(pdf):
                         continue
                     U = np.array(pdf["u"].tolist(), dtype=np.float64)
-                    a = np.argmax(U @ C.T, axis=1)
+                    a = _cosine_assign(U, C)
                     np.add.at(sums, a, U)
                     seen = True
                 if seen:

@@ -177,3 +177,68 @@ def test_zero_vector_cell_keeps_previous_centroid():
     rows = [[0.0] * 8, [1.0] + [0.0] * 7, [0.0, 1.0] + [0.0] * 6]
     X = np.array(rows, dtype=np.float64)
     assert _spherical_np(X, 2, 4) == spherical_kmeans_py(rows, 2, 4)
+
+
+# --- r16 regression: blocked-gemm duplicate-centroid ulp divergence -
+
+
+def test_duplicate_centroids_never_win_argmax():
+    """ADVICE r15 (high): `np.argmax(U @ C.T)` — a single blocked
+    gemm — can score two BIT-IDENTICAL centroid columns 1 ulp apart
+    when they straddle a BLAS kernel block boundary, so argmax picks
+    the LATER duplicate while the pure twin's strict first-max fold
+    keeps the earlier one. _cosine_assign fixes this with one gemv per
+    centroid (identical op stream for identical centroids). These six
+    cases are VERIFIED tripwires on this BLAS build: for each, the old
+    `np.argmax(U @ C.T)` path returns the later duplicate ``hi`` for
+    at least one row; the fixed path must NEVER return it (hi's column
+    is bit-identical to lo's, and lo comes first)."""
+    cases = [(0, 42, 8, 5, 0, 4), (0, 42, 8, 11, 2, 10),
+             (0, 42, 24, 11, 2, 10), (1, 42, 31, 15, 2, 14),
+             (2, 42, 12, 5, 2, 4), (2, 42, 16, 11, 0, 10)]
+    old_path_tripped = 0
+    for seed, n, d, k, lo, hi in cases:
+        rng = np.random.default_rng((seed, n, d, k, lo, hi))
+        U = rng.standard_normal((n, d))
+        nrm = np.linalg.norm(U, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        U = U / nrm
+        C = U[:k].copy()
+        C[hi] = C[lo]
+        a = S._cosine_assign(U, C)
+        assert not np.any(a == hi), (seed, n, d, k, lo, hi)
+        if np.any(np.argmax(U @ C.T, axis=1) == hi):
+            old_path_tripped += 1
+    # if BLAS ever changes such that NO case reproduces the gemm
+    # divergence, this test has lost its teeth — fail loud so the
+    # cases get re-hunted rather than silently pinning nothing
+    assert old_path_tripped >= 1, "gemm probe cases no longer diverge"
+
+
+def test_spherical_parity_float_duplicate_seeds():
+    """Deterministic float matrices whose first n_cells rows contain
+    exact duplicates — the construction the r15 fuzz suite used to
+    falsify the gemm path. Both trainers must now agree bit-for-bit."""
+    rng = np.random.default_rng(7)
+    for n, d, k in [(24, 8, 5), (42, 12, 15), (30, 16, 8)]:
+        X = rng.standard_normal((n, d))
+        X[1] = X[0]          # duplicate inside the seed window
+        X[k - 1] = X[2]      # and another straddling pair
+        rows = [list(r) for r in X]
+        assert _spherical_np(X, k, 6) == spherical_kmeans_py(rows, k, 6)
+
+
+def test_non_finite_sample_fails_loud():
+    """ADVICE r15 (low): NaN scores rank as argmax in numpy but keep
+    index 0 in the pure twin's strict fold — both trainer entries must
+    reject non-finite input instead of silently diverging."""
+    rows = [[1.0] * 8, [float("nan")] + [0.0] * 7, [0.5] * 8]
+    X = np.array(rows, dtype=np.float64)
+    with pytest.raises(ValueError, match="finite"):
+        spherical_kmeans_py(rows, 2, 3)
+    with pytest.raises(ValueError, match="finite"):
+        pq_kmeans_py(rows, 2, 2, 3)
+    with pytest.raises(ValueError, match="finite"):
+        residual_assign_py(rows, [(0, [1.0] * 8)])
+    with pytest.raises(ValueError, match="finite"):
+        S._cosine_assign(X, X[:2])
