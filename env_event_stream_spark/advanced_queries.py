@@ -1126,7 +1126,18 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash holds where double PageRank never would, and re-runs
     are bit-identical on any partitioning. Per iteration: one
     node-keyed join + grouped sum (co-partitioned), localCheckpoint
-    lineage truncation; the only driver scalar is the node count."""
+    lineage truncation; the only driver scalar is the node count.
+
+    r16 (guide §2.3 "narrower types"): the loop runs on BIGINT node
+    ids (custkey·2 / suppkey·2+1 — disjoint by parity) instead of the
+    'c:<id>'/'s:<id>' strings, which shrinks every per-iteration
+    exchange and the checkpointed edge frame ~6x and turns the join
+    keys into 8-byte comparisons; the string label is reconstructed
+    AFTER the loop, before the top-k (so the node-asc tie-break still
+    orders on the string exactly as the oracle does). The edge list is
+    distinct by construction (distinct pair set symmetrized over
+    disjoint id spaces), so pagerank_int's defensive dedup — a full
+    |E| exchange — is skipped (guide §2.4)."""
     from env_event_stream_spark.operators.graph import pagerank_int
 
     o = _t(spark, sf_dir, "orders")
@@ -1136,12 +1147,24 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
-    edges = e0.select(c.alias("src"), s.alias("dst")).unionByName(
-        e0.select(s.alias("src"), c.alias("dst"))
+    ei = e0.select(
+        (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+        (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
     )
-    pr = pagerank_int(edges, iterations=_PR_ITERS, unit=_PR_UNIT)
+    edges = ei.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(ei.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    pr = pagerank_int(
+        edges, iterations=_PR_ITERS, unit=_PR_UNIT, distinct_edges=False
+    )
+    pr = pr.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(F.lit("s:")),
+            F.expr("node DIV 2").cast("string"),
+        ).alias("node"),
+        "odeg",
+        "rank_units",
+    )
     # top-20 via TakeOrderedAndProject (per-partition heaps), NOT a
     # row_number over an unpartitioned Window — that would force a
     # single-partition sort over all |V| nodes; pos is then assigned
@@ -3279,16 +3302,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped co-purchase graph every graph query shares. Reference
     analog: none; §2.11 graph extension surface."""
     e = _copurchase_edges(spark, sf_dir)
+    # r16: adj is a NARROW union over the already-checkpointed edge
+    # list — materializing it again bought nothing (guide §2.4); and
+    # the in-loop checkpoints are LAZY (the pagerank_int r13
+    # discipline: a fixed iteration count has no mid-loop action, so
+    # all three iterations pipeline into the caller's single action
+    # instead of paying one synchronous driver barrier per round).
     adj = e.select(
         F.col("x").alias("v"), F.col("y").alias("u")
     ).unionByName(e.select(F.col("y").alias("v"), F.col("x").alias("u")))
-    adj = adj.localCheckpoint(eager=True)
     lbl = (
         adj.select("v").distinct().withColumn("lbl", F.col("v"))
-    ).localCheckpoint(eager=True)
-    wv = Window.partitionBy("v").orderBy(
-        F.col("c").desc(), F.col("lbl").asc()
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(_LPA_ITERS):
         cnt = (
             adj.join(
@@ -3300,11 +3325,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v", "lbl")
             .agg(F.count("*").alias("c"))
         )
+        # argmax by (count desc, label asc) as ONE hash aggregate:
+        # min(struct(-c, lbl)) — replaces the row_number window, which
+        # cost a per-iteration sort on top of the same exchange
+        # (results identical: lexicographic struct-min == the window's
+        # count-desc/label-asc rank-1 row; oracle-pinned)
         lbl = (
-            cnt.withColumn("rn", F.row_number().over(wv))
-            .where(F.col("rn") == 1)
-            .select("v", "lbl")
-            .localCheckpoint(eager=True)
+            cnt.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("m")
+            )
+            .select("v", F.col("m.l").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
     return lbl.groupBy(F.col("lbl").alias("community")).agg(
         F.count("*").cast("bigint").alias("n_members"),
@@ -3481,7 +3515,13 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as CTEs), with assert_true bounding weights at 2^20 so
     rank·w can't wrap. Same per-iteration shape as the unit-edge
     rung: one node-keyed join + grouped sum + localCheckpoint; top-20
-    via TakeOrderedAndProject."""
+    via TakeOrderedAndProject.
+
+    r16 (guide §2.3 "narrower types"): the loop runs on BIGINT node
+    ids (custkey·2 / suppkey·2+1, disjoint by parity) — same rewrite
+    as graph_pagerank_custsupp; the 'c:'/'s:' string label is
+    reconstructed after the loop so the node-asc top-20 tie-break
+    still orders on the string exactly as the oracle does."""
     from env_event_stream_spark.operators.graph import (
         pagerank_int_weighted,
     )
@@ -3494,13 +3534,26 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count("*").alias("w"))
     )
-    c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
-    edges = e0.select(
-        c.alias("src"), s.alias("dst"), "w"
-    ).unionByName(e0.select(s.alias("src"), c.alias("dst"), "w"))
+    ei = e0.select(
+        (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+        (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
+        "w",
+    )
+    edges = ei.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(
+        ei.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
     pr = pagerank_int_weighted(
         edges, iterations=_PRW_ITERS, unit=_PRW_UNIT
+    )
+    pr = pr.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(F.lit("s:")),
+            F.expr("node DIV 2").cast("string"),
+        ).alias("node"),
+        "wdeg",
+        "rank_units",
     )
     order = [F.col("rank_units").desc(), F.col("node").asc()]
     top = top_k(pr, order, 20)

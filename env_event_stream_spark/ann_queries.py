@@ -2869,45 +2869,77 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cent = {cid: vec for cid, (_vid, vec) in enumerate(init)}
 
-    def cent_df(c):
-        return spark.createDataFrame(
-            [(cid, c[cid]) for cid in sorted(c)],
-            "cid int, cv array<bigint>",
-        )
-
     def assign(c):
-        d = q.crossJoin(F.broadcast(cent_df(c)))
-        dist = F.aggregate(
-            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        # r16 (guide §2.4/§3): assignment is ROW-LOCAL — the k
+        # centroids arrive as ONE broadcast row carrying an
+        # array<struct<cid,cv>> and argmin is array_min over
+        # per-centroid distances, so the 8x crossJoin row blowup AND
+        # the full-corpus groupBy(vec_id) exchange the old
+        # min(struct) carried are both gone (at 100 TB that was one
+        # corpus-wide shuffle per Lloyd iteration; now the only
+        # shuffled rows are the k-row partial aggregates). The
+        # centroids ride as DATA, not literals, so the generated code
+        # is identical across iterations and Janino compiles it once
+        # (a literal-array variant measured 2x SLOWER end-to-end:
+        # every iteration recompiled a 512-literal expression).
+        # Tie-break identical: array_min on struct(dist, cid) is the
+        # same lexicographic (dist, cid) order as the old
+        # min(struct(dist, cid, qv)) — cid is unique, so qv never
+        # participated.
+        # RDD-backed one-row frame, NOT a LocalRelation: a local
+        # relation this small gets constant-folded into the join,
+        # turning the centroids back into per-iteration literals and
+        # recompiling the whole-stage codegen every round (measured:
+        # ~6 s of executor time per iteration in compile waits).
+        # ... and eagerly checkpointed so the Python-RDD backing is
+        # computed ONCE into JVM rows (left lazy, every join task
+        # re-evaluates the Python RDD — one Python-worker round trip
+        # per task, measured ~0.65 s each).
+        cdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [([(cid, c[cid]) for cid in sorted(c)],)], 1
+            ),
+            "cents array<struct<cid:int,cv:array<bigint>>>",
+        ).localCheckpoint(eager=True)
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qv"), s["cv"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    s["cid"].alias("cid"),
+                ),
+            )
         )
-        a = d.select("vec_id", "cid", "qv", dist.alias("dist"))
-        best = a.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cid", "qv")).alias("m")
-        )
-        return best.select(
-            "vec_id",
-            F.col("m.cid").alias("cid"),
-            F.col("m.dist").alias("dist"),
-            F.col("m.qv").alias("qv"),
+        return (
+            q.crossJoin(F.broadcast(cdf))
+            .withColumn("b", best)
+            .select(
+                "vec_id",
+                F.col("b.cid").alias("cid"),
+                F.col("b.dist").alias("dist"),
+                "qv",
+            )
         )
 
     for _ in range(_KM_ITERS):
         b = assign(cent)
-        sums = (
-            b.select(
-                "cid", F.posexplode("qv").alias("j", "val")
-            )
-            .groupBy("cid", "j")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
+        # per-dim sums as k partial-aggregated rows (map-side combine;
+        # no posexplode row blowup — guide §2.3 "aggregate before you
+        # shuffle"): same bigint sums over the same values, order-free
+        sums = b.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("qv")[j]).alias(f"s{j}") for j in range(_KM_DIM)],
+        ).collect()
         newc = {}
         for r in sums:
-            vec = newc.setdefault(r.cid, [0] * _KM_DIM)
-            s, n = r.s, r.n
-            vec[r.j] = s // n  # python floor div == the CASE form
+            n = r.n
+            newc[r.cid] = [r[f"s{j}"] // n for j in range(_KM_DIM)]
         for cid in cent:
             if cid not in newc:
                 newc[cid] = cent[cid]  # empty cluster carries over

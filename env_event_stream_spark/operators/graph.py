@@ -136,6 +136,7 @@ def pagerank_int(
     iterations: int = 3,
     unit: int = 10**12,
     partition_static: bool = False,
+    distinct_edges: bool = True,
 ) -> DataFrame:
     """INTEGER-EXACT PageRank (damping 0.85), fixed iteration count.
 
@@ -175,10 +176,19 @@ def pagerank_int(
 
     Returns (node, odeg, rank_units). Dangling nodes are the
     caller's concern — symmetrize the edge list (as the bipartite
-    catalog query does) and there are none."""
+    catalog query does) and there are none.
+
+    ``distinct_edges=False`` skips the defensive dedup when the
+    caller's edge list is distinct BY CONSTRUCTION (e.g. built from a
+    distinct pair set symmetrized over disjoint node id spaces) — the
+    dedup is a full |E| exchange that buys nothing there (guide §2.4:
+    a `distinct` on data that is already unique is an accidental
+    shuffle)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if distinct_edges:
+        e = e.distinct()
     e = _materialize_static(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct(),
+        e,
         "src",  # contributions join on e.src every iteration
         partition_static,
     )
