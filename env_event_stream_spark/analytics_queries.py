@@ -2384,70 +2384,50 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("a"),
         F.lead("event_type").over(w).alias("b"),
     ).where(F.col("b").isNotNull())
-    c = seq.groupBy("a", "b").agg(F.count("*").alias("n"))
-    c = c.localCheckpoint(eager=True)
-    r = c.groupBy("a").agg(F.sum("n").alias("r"))
-    st = (
-        c.select(F.col("a").alias("t"))
-        .unionByName(c.select(F.col("b").alias("t")))
-        .distinct()
-    )
-    nn = st.agg(F.count("*").alias("n"))
-    pi = st.crossJoin(F.broadcast(nn)).select(
-        "t", F.expr(f"CAST({_MS_UNIT} div n AS BIGINT)").alias("pi")
-    )
+    # r16 (guide §1.2 step 1): the corpus contributes exactly ONE
+    # aggregation — the |types|^2 transition-count matrix (~25 rows
+    # here; bounded by event-type cardinality squared). The power
+    # iteration itself is driver-scale linear algebra, so it runs as
+    # exact Python ints over the collected matrix instead of 4
+    # checkpoint-barriered Spark rounds of joins over a ~25-row frame
+    # (was 54 stages of pure orchestration). Model-sized collect —
+    # the kmeans-centroid precedent; every operation below replays
+    # the former Spark loop op-for-op in bigint (div on nonneg ==
+    # //), so the output is bit-identical (oracle-pinned).
+    rows = seq.groupBy("a", "b").agg(F.count("*").alias("n")).collect()
+    cnt = {(row.a, row.b): int(row.n) for row in rows}
+    r = {}
+    n_next: dict = {}
+    for (a, b), n in cnt.items():
+        r[a] = r.get(a, 0) + n
+        n_next[b] = n_next.get(b, 0) + n
+    types = sorted({t for ab in cnt for t in ab})
+    n_all = sum(cnt.values())
+    pi = {t: _MS_UNIT // len(types) for t in types}
     for _ in range(_MS_ITERS):
         prev = pi
-        inc = (
-            c.join(prev.select(F.col("t").alias("a"), "pi"), "a")
-            .join(r, "a")
-            .select(
-                F.col("b").alias("t"),
-                F.expr("(pi * n) div r").alias("share"),
-            )
-            .groupBy("t")
-            .agg(F.sum("share").alias("total"))
+        inc: dict = {}
+        for (a, b), n in cnt.items():
+            inc[b] = inc.get(b, 0) + (prev[a] * n) // r[a]
+        pi = {
+            t: inc.get(t, 0) + (prev[t] if t not in r else 0)
+            for t in types
+        }
+    out = [
+        (
+            t,
+            pi[t],
+            prev[t],
+            abs(pi[t] - prev[t]),
+            (n_next[t] * 1_000_000) // n_all,
         )
-        pi = (
-            st.join(prev, "t")
-            .join(r.select(F.col("a").alias("t"), "r"), "t", "left")
-            .join(inc, "t", "left")
-            .select(
-                "t",
-                (
-                    F.coalesce(F.col("total"), F.lit(0))
-                    + F.when(F.col("r").isNull(), F.col("pi")).otherwise(
-                        F.lit(0)
-                    )
-                )
-                .cast("long")
-                .alias("pi"),
-            )
-        )
-        pi = pi.localCheckpoint(eager=True)
-        last_prev = prev
-    mar = c.groupBy("b").agg(F.sum("n").alias("n_next"))
-    tot = c.agg(F.sum("n").alias("n_all"))
-    return (
-        pi.join(
-            last_prev.select(
-                F.col("t"), F.col("pi").alias("pi_prev")
-            ),
-            "t",
-        )
-        .join(mar.select(F.col("b").alias("t"), "n_next"), "t")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("t").alias("event_type"),
-            F.col("pi").cast("bigint").alias("pi_units"),
-            F.col("pi_prev").cast("bigint").alias("pi_prev_units"),
-            F.abs(F.col("pi") - F.col("pi_prev"))
-            .cast("bigint")
-            .alias("delta_units"),
-            F.expr(
-                "CAST((n_next * 1000000) div n_all AS BIGINT)"
-            ).alias("marginal_ppm"),
-        )
+        for t in types
+        if t in n_next  # inner join on marginal, as before
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, pi_units bigint, pi_prev_units bigint, "
+        "delta_units bigint, marginal_ppm bigint",
     )
 
 
@@ -2688,12 +2668,15 @@ def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") >= F.lit(min(T)))
         .localCheckpoint(eager=True)
     )
-    e = (
-        pr.select(F.col("k1").alias("u"), F.col("k2").alias("v"), "score")
-        .unionByName(
-            pr.select(F.col("k2").alias("u"), F.col("k1").alias("v"), "score")
-        )
-        .localCheckpoint(eager=True)
+    # r16: e is a NARROW union over the checkpointed pair table —
+    # re-materializing it bought nothing; labels and the per-round
+    # frames checkpoint LAZILY so each round's convergence probe is
+    # the round's single job (guide §2.4/§2.6 — same fusion as
+    # connected_components).
+    e = pr.select(
+        F.col("k1").alias("u"), F.col("k2").alias("v"), "score"
+    ).unionByName(
+        pr.select(F.col("k2").alias("u"), F.col("k1").alias("v"), "score")
     )
     labels = (
         e.select("u")
@@ -2702,7 +2685,7 @@ def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("node"),
             *[F.col("u").alias(f"l{t}") for t in T],
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(10):
         nbmin = (
@@ -2735,9 +2718,14 @@ def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[new[t].alias(f"l{t}") for t in T],
                 any_chg.alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = updated.where(F.col("_chg")).limit(1).count()
+        # full count, not limit(1): with a LAZY checkpoint a limit
+        # probe runs incremental partition batches (1, 4, 20, ...)
+        # and rescans everything across several jobs on converged
+        # rounds; one count() is one job and materializes the
+        # checkpoint in the same pass
+        changed = updated.where(F.col("_chg")).count()
         labels = updated.drop("_chg")
         if changed == 0:
             break

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["as_double", "dot", "l2_norm", "cosine"]
+__all__ = ["as_double", "dot", "l2_norm", "cosine", "cosine_with_norms"]
 
 
 def as_double(v: Column) -> Column:
@@ -41,3 +41,16 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def cosine_with_norms(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    """``cosine`` with the two L2 norms PRECOMPUTED as columns (r16,
+    guide §2.3): per pair this folds the arrays once (the dot) instead
+    of three times, and a vector joined against many partners pays its
+    norm once instead of once per partner. BIT-IDENTICAL to
+    ``cosine``: the norm columns must be built with ``l2_norm`` on the
+    same array, so the division sees the same doubles in the same
+    order — only the schedule changes, never a value (oracle-safe)."""
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))

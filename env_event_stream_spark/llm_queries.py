@@ -5105,11 +5105,20 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("a"),
         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("b"),
     )
+    # r16 (guide §2.4): canonicalize (least, greatest) BEFORE the
+    # distinct — the old directed-pair distinct kept (a,b) and (b,a)
+    # as separate rows and then pagerank_int had to re-distinct the
+    # symmetrized 2|E| list (a second full-edge exchange). Canonical
+    # pairs distinct once at |E| rows; the symmetrized union is then
+    # duplicate-free by construction (same edge set, same ranks).
     e0 = (
         p.join(vocab.withColumnRenamed("w", "a"), "a")
         .join(vocab.withColumnRenamed("w", "b"), "b")
         .where(F.col("a") != F.col("b"))
-        .select("a", "b")
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
         .distinct()
     )
     edges = e0.select(
@@ -5117,7 +5126,9 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    pr = pagerank_int(edges, iterations=_TR_ITERS, unit=_TR_UNIT)
+    pr = pagerank_int(
+        edges, iterations=_TR_ITERS, unit=_TR_UNIT, distinct_edges=False
+    )
     order = [F.col("rank_units").desc(), F.col("node").asc()]
     top = top_k(pr, order, _TR_TOPK)
     w = Window.orderBy(*order)

@@ -94,7 +94,7 @@ def connected_components(
     )
     labels = e.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -108,6 +108,11 @@ def connected_components(
         new_label = F.least(
             F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
         )
+        # LAZY checkpoint + the convergence probe as the round's ONE
+        # action (r16, guide §2.4/§2.6): the probe's count
+        # materializes the checkpoint as a side effect, so each round
+        # pays a single job instead of an eager-materialize job PLUS
+        # a probe job. Lineage still truncates identically.
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
@@ -115,9 +120,14 @@ def connected_components(
                 new_label.alias("label"),
                 (new_label != F.col("label")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = updated.where(F.col("_chg")).limit(1).count()
+        # full count, not limit(1): with a LAZY checkpoint a limit
+        # probe runs incremental partition batches (1, 4, 20, ...)
+        # and rescans everything across several jobs on converged
+        # rounds; one count() is one job and materializes the
+        # checkpoint in the same pass
+        changed = updated.where(F.col("_chg")).count()
         labels = updated.select("node", "label")
         if changed == 0:
             _release_static(e)  # labels is checkpointed; e is done

@@ -534,18 +534,29 @@ def _mmr_pool_pairs(spark: SparkSession, sf_dir: str):
     relevance pool with ranks, and the pool x pool pairwise-sim
     table — all vector math Catalyst-side, 6dp tie-free rounded (see
     emb_mmr_diversify's determinism notes)."""
-    from env_event_stream_spark.functions.vectors import cosine
+    from env_event_stream_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
+    )
     from env_event_stream_spark.llm_queries import _SPARK_TRAIN_DIRS
 
     _SPARK_TRAIN_DIRS.add(sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
+    # r16 (guide §2.3): per-vector L2 norms are computed ONCE here —
+    # every downstream cosine is then a single zip_with fold (the dot)
+    # instead of three, with bit-identical doubles (see
+    # cosine_with_norms).
     v = e.select(
         "vec_id", as_double(F.col("embedding")).alias("cv")
-    )
+    ).withColumn("nv", l2_norm(F.col("cv")))
     q = v.where(F.col("vec_id") % _MMR_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("cv").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("cv").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    rel_raw = cosine(F.col("qv"), F.col("cv"))
+    rel_raw = cosine_with_norms(
+        F.col("qv"), F.col("cv"), F.col("nq"), F.col("nv")
+    )
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .withColumn("rel_raw", rel_raw)
@@ -554,13 +565,20 @@ def _mmr_pool_pairs(spark: SparkSession, sf_dir: str):
             "rel", F.floor(F.col("rel_raw") * 1e6 + F.lit(0.5)) / 1e6
         )
     )
+    # r16 (guide §8): the top-30 window shuffles SCALARS only
+    # (qid, vec_id, rel) — the vectors re-attach after the cut via a
+    # corpus join on the pool's ~|Q|*30 survivor ids, so the exchange
+    # never carries the embedding payload.
     w = Window.partitionBy("qid").orderBy(
         F.col("rel").desc(), F.col("vec_id").asc()
     )
-    pool = (
-        scored.withColumn("rn", F.row_number().over(w))
+    pool_ids = (
+        scored.select("qid", "vec_id", "rel")
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _MMR_POOL)
-        .select("qid", "vec_id", "cv", "rel", "rn")
+    )
+    pool = pool_ids.join(v, "vec_id").select(
+        "qid", "vec_id", "cv", "nv", "rel", "rn"
     )
     # materialize ONCE: pool feeds the greedy, the eval's metric
     # joins, and the pairs self-join below — without the checkpoint
@@ -580,7 +598,13 @@ def _mmr_pool_pairs(spark: SparkSession, sf_dir: str):
         (
             F.floor(
                 F.coalesce(
-                    cosine(F.col("p1.cv"), F.col("p2.cv")), F.lit(0.0)
+                    cosine_with_norms(
+                        F.col("p1.cv"),
+                        F.col("p2.cv"),
+                        F.col("p1.nv"),
+                        F.col("p2.nv"),
+                    ),
+                    F.lit(0.0),
                 )
                 * 1e6
                 + F.lit(0.5)
@@ -588,7 +612,7 @@ def _mmr_pool_pairs(spark: SparkSession, sf_dir: str):
             / 1e6
         ).alias("sim"),
     ).localCheckpoint(eager=True)
-    return pool, pairs
+    return pool.drop("nv"), pairs
 
 
 @query("emb_mmr_diversify", _mmr_oracle)

@@ -94,8 +94,11 @@ NESTED_LOOP_ALLOWED = {
     " assignment pass scores all four k values)",
     "doc_priority_sample_eval": "1-row tau/total scalar crossJoins",
     "evt_seq_pair_support": "1-row user-day-total scalar crossJoin",
-    "evt_markov_stationary": "1-row n/total scalar crossJoins over"
-    " the |types|^2 aggregated matrix",
+    # evt_markov_stationary was allowlisted here ("1-row n/total
+    # scalar crossJoins") until r16 moved the power iteration onto
+    # the collected |types|^2 matrix (driver-scale, model-sized
+    # collect) — the plan is now a plain createDataFrame tail with
+    # zero crossJoins; entry REMOVED per the stale-allowlist rule.
     # er_threshold_sensitivity was allowlisted here ("1-row
     # per-threshold stats scalar crossJoins") until r13 replaced its
     # five per-threshold closure loops with one vectorized min-label
