@@ -2052,7 +2052,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= _TRI_MIN_SHARED)
         .select("x", "y")
-        .localCheckpoint()
+        # LAZY checkpoint (r16, guide §2.4/§2.6): still truncates the
+        # logical plan to one RDD node (the 285-exchange expansion
+        # stays dead), but the edge build now pipelines into the
+        # caller's single action instead of a synchronous up-front
+        # job — consumers that race it at worst wait on the cached
+        # block lock. k_core's multi-action loop materializes it on
+        # its first probe, same blocks thereafter.
+        .localCheckpoint(eager=False)
     )
 
 
@@ -2102,7 +2109,10 @@ def graph_triangles_copurchase(
             F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("hi"),
             F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dhi"),
         )
-        .localCheckpoint()  # referenced three times by the wedge join
+        # referenced three times by the wedge join — LAZY: lineage
+        # truncation without a second synchronous job (see
+        # _copurchase_edges)
+        .localCheckpoint(eager=False)
     )
     e1 = oe.select(
         F.col("lo").alias("l1"), F.col("hi").alias("h1"), F.col("dhi").alias("dh1")

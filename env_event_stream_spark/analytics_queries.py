@@ -1259,7 +1259,11 @@ def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         _er_scored_pairs(spark, sf_dir)
         .where(F.col("score") >= _ER_MATCH)
-        .localCheckpoint(eager=True)
+        # LAZY (r16): connected_components' first-round probe
+        # materializes the match set; an eager checkpoint was one
+        # extra synchronous job (compute-once still holds via the
+        # cache block locks).
+        .localCheckpoint(eager=False)
     )
     comp = connected_components(m, "k1", "k2")
     es = (
@@ -2666,7 +2670,8 @@ def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = (
         _er_scored_pairs(spark, sf_dir)
         .where(F.col("score") >= F.lit(min(T)))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy — the loop's first
+        # probe materializes it (see er_customer_entities)
     )
     # r16: e is a NARROW union over the checkpointed pair table —
     # re-materializing it bought nothing; labels and the per-round

@@ -911,7 +911,9 @@ def emb_whiten_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitened components bit-identical cross-engine (rotate_arrow ==
     list_dot_product fold), rankings tie-break on neighbor_id,
     outputs are integer counts + exact /3 ratios."""
-    wf = _whitened_frame(spark, sf_dir).localCheckpoint()
+    wf = _whitened_frame(spark, sf_dir).localCheckpoint(eager=False)
+    # lazy (r16): all four rankings sit in the one final action —
+    # lineage truncation + compute-once hold without an up-front job
     probe = (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
     out = None
     for vc, name in (("ev", "n_match_raw"), ("wv", "n_match_white")):

@@ -1435,7 +1435,8 @@ def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist(DISK_ONLY) on a long-lived 1000-executor run)
     sig = D.minhash_signatures(
         d, "text", "doc_id", n=3, k=16, shingles=sh
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy (r16): one action consumes
+    # every leg — truncation + compute-once need no up-front job
     bands, rows = 4, 4
     frames = []
     for b in range(bands):
@@ -1463,8 +1464,9 @@ def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # candidate-set-sized; consumed by the estimate join AND the
-        # true-Jaccard legs — materialize the band join once
-        .localCheckpoint()
+        # true-Jaccard legs — checkpoint so the band join computes
+        # once (lazy: same reasoning as sig above)
+        .localCheckpoint(eager=False)
     )
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
@@ -4199,7 +4201,11 @@ def doc_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        # LAZY (r16): connected_components' first-round probe
+        # materializes it — an eager checkpoint added a synchronous
+        # job ahead of the loop for nothing; lineage truncation and
+        # compute-once (cache blocks) are identical.
+        .localCheckpoint(eager=False)
     )
     from env_event_stream_spark.operators.graph import connected_components
 
@@ -4225,9 +4231,11 @@ def doc_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         # referenced three times below (policy counts + both pair-
-        # endpoint joins); materialize once so the component
-        # propagation upstream doesn't replay per reference
-        .localCheckpoint()
+        # endpoint joins); the checkpoint stops the component
+        # propagation upstream replaying per reference. LAZY (r16):
+        # the three consumers live in the one final action — cache
+        # block locks give compute-once without a separate job.
+        .localCheckpoint(eager=False)
     )
     aa = asg.select(
         F.col("doc_id").alias("id_a"),
@@ -4407,7 +4415,32 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ida") < F.col("idb"))
         .select("ida", "idb")
         .distinct()
-        .localCheckpoint()  # candidate-set-sized; counted AND anti-joined
+        # candidate-set-sized; counted AND anti-joined. LAZY (r16):
+        # eager checkpoints here serialized two synchronous jobs ahead
+        # of the final action; lazy keeps the lineage truncation and
+        # the one-compute guarantee (cache block locks) while letting
+        # every leg schedule inside the single action (guide §2.6 —
+        # fill the idle cores with the independent legs).
+        .localCheckpoint(eager=False)
+    )
+    # ONE full inverted self-join (r16, guide §2.4 — remove duplicate
+    # work): the true-pair leg (exact Jaccard >= 0.5) and the exact
+    # inverted-baseline audit leg both used to run their own
+    # shingle-table self-join — the two most expensive stages in the
+    # query, computing the SAME pair set. `common` (every distinct
+    # pair sharing >= 1 shingle, with its intersection count) now
+    # feeds both: n_cand_inverted = count(common) — a pair shares a
+    # shingle iff it has a common row — and tp = common joined to the
+    # per-doc sizes with the identical round(|∩|/|∪|, 4) >= 0.5
+    # verification jaccard_pairs applies.
+    sa = sh.select(F.col("doc_id").alias("ida"), "sh")
+    sb = sh.select(F.col("doc_id").alias("idb"), "sh")
+    common = (
+        sa.join(sb, "sh")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("n_common"))
+        .localCheckpoint(eager=False)  # pair-set-sized; two consumers
     )
     if os.environ.get("SPARK_GRAFT_PPJOIN_INV", "exact") == "estimate":
         # audit-leg estimator: per-shingle C(df,2) incidences — no
@@ -4425,36 +4458,41 @@ def doc_ppjoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_cand_inverted")
         )
     else:
-        sa = sh.select(F.col("doc_id").alias("ida"), "sh")
-        sb = sh.select(F.col("doc_id").alias("idb"), "sh")
-        n_inv_src = (
-            sa.join(sb, "sh")
-            .where(F.col("ida") < F.col("idb"))
-            .select("ida", "idb")
-            .distinct()
-            .agg(F.count("*").alias("n_cand_inverted"))
-        )
-    # share the cached shingle frame with the true-pair leg (it used
-    # to re-derive tokenize+explode from scratch), and materialize
-    # the match-set-sized pair list once: it feeds the miss audit AND
-    # the true-pair count (localCheckpoint is fine here — the pair
-    # list is tiny, so the eager job costs nothing and the lineage
-    # truncation drops both replays)
+        n_inv_src = common.agg(F.count("*").alias("n_cand_inverted"))
     tp = (
-        D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, shingles=sh)
-        .select(F.col("id_a").alias("ida"), F.col("id_b").alias("idb"))
-        .localCheckpoint()
+        common.join(
+            sizes.select(F.col("doc_id").alias("ida"), F.col("n_sh").alias("n_a")),
+            "ida",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("idb"), F.col("n_sh").alias("n_b")),
+            "idb",
+        )
+        .where(
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            )
+            >= 0.5
+        )
+        .select("ida", "idb")
     )
-    missed = tp.join(cand, ["ida", "idb"], "left_anti").agg(
-        F.count("*").alias("n_missed")
+    # the true-pair count and the miss audit ride ONE left join (a
+    # flag column instead of a separate left_anti + second tp scan)
+    tpc = tp.join(
+        cand.withColumn("_c", F.lit(1)), ["ida", "idb"], "left"
+    ).agg(
+        F.count("*").alias("n_true_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_missed"),
     )
-    n_tp = tp.agg(F.count("*").alias("n_true_pairs"))
     n_cand = cand.agg(F.count("*").alias("n_cand_prefix"))
     n_inv = n_inv_src
     return (
-        n_tp.crossJoin(n_cand)
+        tpc.crossJoin(n_cand)
         .crossJoin(n_inv)
-        .crossJoin(missed)
         .select(
             F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
             F.col("n_cand_prefix").cast("bigint").alias("n_cand_prefix"),

@@ -52,6 +52,23 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a sub-split scan before a CPU-heavy
+    row-local expansion (tokenize / shingle explode / md5): one small
+    parquet file arrives as ONE partition, which pins the whole map
+    stage to a single core — and every concurrent consumer of a
+    cached frame built from it then serializes behind that one
+    computing task's block lock (measured: 4 parallel 0.8 s stages
+    with zero CPU at sf0.1, all waiting on the same cached shingle
+    partition). On a real multi-file table the condition is false and
+    no exchange is added — the simhash()/winnowing precedent, guide
+    §2.5 "input skew"."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact duplicate group. groupBy-min
     (map-side combinable) rather than dropDuplicates (whose survivor
@@ -81,7 +98,7 @@ def shingle_table(
     ``df_cap`` drops shingles appearing in more than df_cap docs
     (skew guard; cap makes candidate generation near-linear)."""
     sh = (
-        df.withColumn("_tk", tokens(F.col(text_col)))
+        _spread(df).withColumn("_tk", tokens(F.col(text_col)))
         .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("sh"))
     )
     if df_cap is not None:
@@ -254,7 +271,7 @@ def passage_dedup(
         f"i -> array_join(slice(_tk, i * {w} + 1, {w}), ' '))"
     )
     exploded = (
-        df.withColumn("_tk", tokens(F.col(text_col)))
+        _spread(df).withColumn("_tk", tokens(F.col(text_col)))
         .where(F.size("_tk") >= w)
         .select(F.col(id_col), F.explode(passages).alias("_passage"))
     )
@@ -303,7 +320,7 @@ def minhash_signatures(
     sh = (
         shingles
         if shingles is not None
-        else df.withColumn("_tk", tokens(F.col(text_col))).select(
+        else _spread(df).withColumn("_tk", tokens(F.col(text_col))).select(
             F.col(id_col),
             F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("sh"),
         )
@@ -508,16 +525,10 @@ def simhash(
                 sims.append(val)
             yield pd.DataFrame({id_col: ids, "simhash": sims})
 
-    src = df.select(id_col, text_col)
-    # a map-only pass is bounded by input parallelism: a small/
-    # single-file local table would pin the whole signature pass to
-    # one core. If the scan has fewer partitions than the cluster
-    # has slots, spread it first (measured 5.6s -> 2.3s at sf0.1);
-    # on a real multi-file 100 TB table the condition is false and
-    # no shuffle is added.
-    slots = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < slots:
-        src = src.repartition(slots)
+    # a map-only pass is bounded by input parallelism — spread a
+    # sub-split scan first (measured 5.6s -> 2.3s at sf0.1); on a
+    # real multi-file 100 TB table _spread is a no-op.
+    src = _spread(df.select(id_col, text_col))
     return src.mapInPandas(sig, schema=out_schema)
 
 
@@ -615,13 +626,10 @@ def winnow_fingerprint_table(
     import numpy as np
     import pandas as pd
 
-    src = df.select(id_col, text_col)
     # map-only selection pass — same small-input spread as simhash():
     # a single-file local table would pin the whole window-min pass to
     # one core; a real multi-file table skips the repartition.
-    slots = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < slots:
-        src = src.repartition(slots)
+    src = _spread(df.select(id_col, text_col))
 
     out_schema = f"{id_col} bigint, fp bigint, pos bigint"
 

@@ -165,6 +165,15 @@ def test_reshaped_plans_hold_their_shuffle_budget(spark, sf_dir, name):
         plan.count("Exchange ")
         - plan.count("BroadcastExchange ")
         - plan.count("ReusedExchange ")
+        # r16: the dedup family spreads sub-split scans round-robin
+        # before the shingle explode (operators/dedup._spread, a
+        # no-op on real multi-file tables). That exchange carries the
+        # raw pre-explode scan — tiny, deliberate, and replayed
+        # wherever the scan was already replayed — so it is NOT the
+        # regression class this budget guards (an expensive shared
+        # frame re-derived per consumer always reappears as HASH
+        # exchanges of the derived frame). Count only those.
+        - plan.count("Exchange RoundRobinPartitioning")
     )
     assert n_ex <= EXCHANGE_BUDGET[name], (
         f"{name}: {n_ex} shuffle exchanges > budget "

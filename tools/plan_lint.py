@@ -288,10 +288,20 @@ def main() -> None:
         # "ReusedExchange " both contain the substring "Exchange ",
         # which silently inflated the shuffle counter for every
         # broadcast-joining / exchange-reusing query
+        # round-robin spreads are counted SEPARATELY (rr): the dedup
+        # family's _spread round-robins a sub-split scan before the
+        # shingle explode (r16; no-op on real multi-file tables), and
+        # the plan TEXT replays that exchange wherever the scan was
+        # already referenced twice — at runtime cache/ReusedExchange
+        # dedupe it. Folding those into `ex` would make the hash-
+        # shuffle budget unreadable; splitting keeps `ex` = data
+        # shuffles keyed by a column, `rr` = deliberate spreads.
+        n_rr = plan.count("Exchange RoundRobinPartitioning")
         n_ex = (
             plan.count("Exchange ")
             - plan.count("BroadcastExchange ")
             - plan.count("ReusedExchange ")
+            - n_rr
         )
         n_cart = plan.count("CartesianProduct")
         n_bnlj = plan.count("BroadcastNestedLoopJoin")
@@ -308,7 +318,7 @@ def main() -> None:
             (
                 name,
                 f"ex={n_ex} cart={n_cart} bnlj={n_bnlj} pyrow={n_pyrow}"
-                f" gwin={n_gwin}",
+                f" gwin={n_gwin}" + (f" rr={n_rr}" if n_rr else ""),
                 NESTED_LOOP_ALLOWED.get(name, "")
                 or ROW_PYTHON_ALLOWED.get(name, ""),
                 GLOBAL_WINDOW_ALLOWED.get(name, "") if n_gwin else "",
@@ -346,7 +356,9 @@ def main() -> None:
             f"Generated by `python tools/plan_lint.py` at `{sf_dir}` over "
             f"{len(rows)} batch catalog entries (streaming entries are "
             "pinned by the streaming pytest suite instead).\n\n"
-            "Counters: `ex` = Exchange (shuffle) operators, `cart` = "
+            "Counters: `ex` = keyed Exchange (shuffle) operators "
+            "(round-robin spread exchanges are split out as `rr` — "
+            "see tools/plan_lint.py for why), `cart` = "
             "CartesianProduct, `bnlj` = BroadcastNestedLoopJoin, `pyrow` "
             "= row-at-a-time Python UDF stages (BatchEvalPython; Arrow "
             "stages are fine and not counted), `gwin` = ORDER-BY-only "
