@@ -2850,11 +2850,20 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_ivf_spark_cached): the sample path needs the sample to fit the
     driver; THIS is the full-corpus path — per iteration one
     8-row-broadcast assignment pass (zip_with/aggregate, no Python in
-    the row path) + one map-side-combinable (cid, dim) sum; the only
-    driver reads are the 8x64 centroid table per iteration (the
-    centroid-set collect precedent) and assert_true bounds cluster
-    populations at 2^24 so bigint inertia can't wrap silently.
-    Reference analog: none; §2.11 ML-training extension surface."""
+    the row path) + one map-side-combinable (cid, dim) sum. r16
+    second pass: the loop is now FULLY LAZY — centroids stay k-row
+    DataFrames end to end (init = rank over the k-lowest-vec_id cut,
+    update = left join + exact bigint floor division, empty clusters
+    carry over via the join's NULL), the broadcast assignment row is
+    an AGGREGATE of the centroid frame, and no driver action runs
+    until the caller's one — the 3 per-iteration collects, 4
+    python-RDD one-row builds and their eager-checkpoint jobs are all
+    gone. Semantics bit-identical: floor((s - pmod(s, n)) DIV n)
+    replays Python's `//` on any sign, pinned by the pure-Python
+    parity pytest and the chained-CTE oracle. assert_true still
+    bounds cluster populations at 2^24 so bigint inertia can't wrap
+    silently. Reference analog: none; §2.11 ML-training extension
+    surface."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -2864,45 +2873,44 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x.cast("double") * _KM_Q + F.lit(0.5)
             ).cast("long"),
         ).alias("qv"),
-    ).localCheckpoint(eager=True)
-    init = [
-        (int(r.vec_id), list(r.qv))
-        for r in q.orderBy("vec_id").limit(_KM_K).collect()
-    ]
-    cent = {cid: vec for cid, (_vid, vec) in enumerate(init)}
+    ).localCheckpoint(eager=False)
+    # init: cid = rank among the k lowest vec_ids — the same k rows
+    # the old driver-side collect took, as a k-row FRAME (global
+    # window over the limit-k cut only, never the corpus)
+    c = (
+        q.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+    )
 
-    def assign(c):
-        # r16 (guide §2.4/§3): assignment is ROW-LOCAL — the k
-        # centroids arrive as ONE broadcast row carrying an
-        # array<struct<cid,cv>> and argmin is array_min over
-        # per-centroid distances, so the 8x crossJoin row blowup AND
-        # the full-corpus groupBy(vec_id) exchange the old
-        # min(struct) carried are both gone (at 100 TB that was one
-        # corpus-wide shuffle per Lloyd iteration; now the only
-        # shuffled rows are the k-row partial aggregates). The
-        # centroids ride as DATA, not literals, so the generated code
-        # is identical across iterations and Janino compiles it once
-        # (a literal-array variant measured 2x SLOWER end-to-end:
-        # every iteration recompiled a 512-literal expression).
+    def cents_row(cf):
+        # ONE broadcast row carrying array<struct<cid,cv>> sorted by
+        # cid — the same payload the old python-RDD one-row frame
+        # carried, now DERIVED (an aggregate of the k-row centroid
+        # frame): no collect, no per-iteration createDataFrame or
+        # eager-checkpoint job, and still not a LocalRelation, so
+        # Catalyst cannot constant-fold the centroids back into
+        # per-iteration literals (the codegen-recompile pitfall the
+        # RDD backing existed to avoid — measured 2x slower).
+        return cf.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+            ).alias("cents")
+        )
+
+    def assign(cf):
+        # guide §2.4/§3: assignment is ROW-LOCAL — argmin is
+        # array_min over per-centroid distances, so there is no 8x
+        # crossJoin row blowup and no corpus-wide exchange; the only
+        # shuffled rows are the k-row partial aggregates.
         # Tie-break identical: array_min on struct(dist, cid) is the
-        # same lexicographic (dist, cid) order as the old
-        # min(struct(dist, cid, qv)) — cid is unique, so qv never
-        # participated.
-        # RDD-backed one-row frame, NOT a LocalRelation: a local
-        # relation this small gets constant-folded into the join,
-        # turning the centroids back into per-iteration literals and
-        # recompiling the whole-stage codegen every round (measured:
-        # ~6 s of executor time per iteration in compile waits).
-        # ... and eagerly checkpointed so the Python-RDD backing is
-        # computed ONCE into JVM rows (left lazy, every join task
-        # re-evaluates the Python RDD — one Python-worker round trip
-        # per task, measured ~0.65 s each).
-        cdf = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [([(cid, c[cid]) for cid in sorted(c)],)], 1
-            ),
-            "cents array<struct<cid:int,cv:array<bigint>>>",
-        ).localCheckpoint(eager=True)
+        # same lexicographic (dist, cid) order as a min(struct) —
+        # cid is unique, so nothing else participates.
         best = F.array_min(
             F.transform(
                 F.col("cents"),
@@ -2919,7 +2927,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return (
-            q.crossJoin(F.broadcast(cdf))
+            q.crossJoin(F.broadcast(cents_row(cf)))
             .withColumn("b", best)
             .select(
                 "vec_id",
@@ -2930,24 +2938,39 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(_KM_ITERS):
-        b = assign(cent)
+        b = assign(c)
         # per-dim sums as k partial-aggregated rows (map-side combine;
         # no posexplode row blowup — guide §2.3 "aggregate before you
         # shuffle"): same bigint sums over the same values, order-free
         sums = b.groupBy("cid").agg(
             F.count("*").alias("n"),
             *[F.sum(F.col("qv")[j]).alias(f"s{j}") for j in range(_KM_DIM)],
-        ).collect()
-        newc = {}
-        for r in sums:
-            n = r.n
-            newc[r.cid] = [r[f"s{j}"] // n for j in range(_KM_DIM)]
-        for cid in cent:
-            if cid not in newc:
-                newc[cid] = cent[cid]  # empty cluster carries over
-        cent = newc
+        )
+        # exact FLOOR division in bigint — (s - pmod(s, n)) DIV n
+        # equals Python's s // n for any sign of s (pmod >= 0 makes
+        # the numerator an exact multiple, so truncation = floor);
+        # an empty cluster has no sums row and carries its centroid
+        newcv = F.array(
+            *[
+                F.expr(f"(s{j} - pmod(s{j}, n)) DIV n")
+                for j in range(_KM_DIM)
+            ]
+        )
+        c = (
+            c.join(sums, "cid", "left")
+            .select(
+                "cid",
+                F.when(F.col("n").isNull(), F.col("cv"))
+                .otherwise(newcv)
+                .alias("cv"),
+            )
+            # lazy truncation: keeps the per-iteration plan flat and
+            # the frame compute-once (it feeds the next broadcast AND
+            # the next update join) without a synchronous job
+            .localCheckpoint(eager=False)
+        )
 
-    b = assign(cent)
+    b = assign(c)
     stats = b.groupBy("cid").agg(
         F.count("*").alias("n_points"),
         F.sum("dist").alias("inertia"),
@@ -2960,9 +2983,11 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).isNull()
     )
-    chk = spark.createDataFrame(
-        [(cid, sum(cent[cid])) for cid in sorted(cent)],
-        "cid int, c_checksum long",
+    chk = c.select(
+        "cid",
+        F.aggregate(
+            F.col("cv"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("c_checksum"),
     )
     return (
         chk.join(stats, "cid", "left")

@@ -5123,8 +5123,13 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface."""
     from env_event_stream_spark.operators.graph import pagerank_int
     from env_event_stream_spark.operators.relational import top_k
+    from env_event_stream_spark.tables import spread_small_scan
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread the sub-split scan (r16): the tokenize + pair/vocab
+    # explodes are the map-side CPU and a single-file documents scan
+    # pinned them to one core (0.9 s single-task stage measured);
+    # no-op on a real multi-file table
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     tk = tokens(F.col("text"))
     nt = F.size(tk)
     vocab = (

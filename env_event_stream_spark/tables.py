@@ -31,7 +31,24 @@ __all__ = [
     "load_events",
     "register_views",
     "prepare_session",
+    "spread_small_scan",
 ]
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a sub-split scan before CPU-heavy row-local
+    work (stack melts, tokenize/explode, per-row scoring): a small
+    parquet file arrives as one partition (or as few as it has row
+    groups), pinning the whole map stage to that many cores. Only
+    fires when the scan has fewer partitions than the cluster has
+    slots — a real multi-file 100 TB table skips it entirely, so the
+    exchange this adds exists ONLY at sub-split scale where it is
+    trivially cheap (guide §2.5 "input skew"; the dedup-family
+    _spread / simhash precedent)."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
 
 
 def prepare_session(spark: SparkSession) -> SparkSession:
