@@ -3683,16 +3683,25 @@ def doc_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from env_event_stream_spark.operators.suffix import (
-            suffix_automaton_lcs,
+            automaton_lcs_walk,
+            build_suffix_automaton,
         )
 
         for pdf in batches:
             out = []
-            for ia, ib, ta, tb in zip(
-                pdf["id_a"], pdf["id_b"], pdf["ta"], pdf["tb"]
-            ):
-                ln, sa, sb = suffix_automaton_lcs(ta, tb)
-                out.append((int(ia), int(ib), ln, sa, sb))
+            # the pair table is hash-partitioned on id_a, so every
+            # pair sharing an ``a`` lands in this task: build a's
+            # automaton ONCE per group and reuse it across its ~6
+            # partners (guide §4.5 — construction was ~2/3 of the
+            # stage's Python time; the walk + result stream are
+            # bit-identical, this is pure memoization). Grouping
+            # per batch keeps memory at one automaton at a time.
+            for ia, g in pdf.groupby("id_a", sort=False):
+                ta = g["ta"].iat[0]
+                auto = build_suffix_automaton(ta)
+                for ib, tb in zip(g["id_b"], g["tb"]):
+                    ln, sa, sb = automaton_lcs_walk(auto, ta, tb)
+                    out.append((int(ia), int(ib), ln, sa, sb))
             yield pd.DataFrame(
                 out, columns=["id_a", "id_b", "lcs_len", "start_a", "start_b"]
             ).astype("int64")
