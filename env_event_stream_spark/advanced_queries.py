@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from env_event_stream_spark.operators import relational as R
 from env_event_stream_spark.queries import query
-from env_event_stream_spark.tables import load_table
+from env_event_stream_spark.tables import load_table, small_model_frame
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -217,7 +217,8 @@ def join_subscription_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact side). Batch form here; the streaming twin is
     subscribe_streaming's filtered query."""
     ev = _t(spark, sf_dir, "events")
-    subs = spark.createDataFrame(
+    subs = small_model_frame(
+        spark,
         [("alerts", "error"), ("billing", "purchase"), ("growth", "signup")],
         "subscription string, event_type string",
     )

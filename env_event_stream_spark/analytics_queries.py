@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from env_event_stream_spark.queries import query
-from env_event_stream_spark.tables import load_table
+from env_event_stream_spark.tables import load_table, small_model_frame
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1994,7 +1994,8 @@ def evt_zorder_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("zorder").alias("layout"), "*")
         )
     )
-    probes = spark.createDataFrame(
+    probes = small_model_frame(
+        spark,
         [
             (
                 p,
@@ -2428,7 +2429,8 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in types
         if t in n_next  # inner join on marginal, as before
     ]
-    return spark.createDataFrame(
+    return small_model_frame(
+        spark,
         out,
         "event_type string, pi_units bigint, pi_prev_units bigint, "
         "delta_units bigint, marginal_ppm bigint",
@@ -2784,7 +2786,7 @@ def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").alias("n_pairs"))
     )
-    base = spark.createDataFrame([(t,) for t in T], "t int")
+    base = small_model_frame(spark, [(t,) for t in T], "t int")
     return (
         base.join(pcounts, "t", "left")
         .join(cstats, "t", "left")

@@ -31,7 +31,7 @@ from env_event_stream_spark.llm_queries import (
 )
 from env_event_stream_spark.operators import similarity as S
 from env_event_stream_spark.queries import query
-from env_event_stream_spark.tables import load_table
+from env_event_stream_spark.tables import load_table, small_model_frame
 
 _COSINE_SQL = (
     "list_dot_product({a}, {b}) / "
@@ -3237,7 +3237,8 @@ def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     cents = _elbow_cents_cached(sf_dir)
-    cent = spark.createDataFrame(
+    cent = small_model_frame(
+        spark,
         [
             (k, cid, list(vec))
             for k, cl in cents

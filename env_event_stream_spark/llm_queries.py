@@ -27,7 +27,7 @@ from env_event_stream_spark.functions.text import (
 from env_event_stream_spark.operators import dedup as D
 from env_event_stream_spark.operators import similarity as S
 from env_event_stream_spark.queries import query
-from env_event_stream_spark.tables import load_table
+from env_event_stream_spark.tables import load_table, small_model_frame
 
 # Shared oracle CTE fragments -------------------------------------------------
 
@@ -2529,7 +2529,8 @@ def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape and why the oracle trainer is deliberately an independent
     implementation."""
     merges = _bpe_merges_spark_cached(sf_dir)
-    return spark.createDataFrame(
+    return small_model_frame(
+        spark,
         [(r, a, b, a + b, w) for r, a, b, w in merges],
         "rank bigint, left_sym string, right_sym string, "
         "merged string, weight bigint",
@@ -2785,7 +2786,8 @@ def doc_unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none; §2.11 tokenizer-training extension
     (VERDICT r9 task 4)."""
     model = _ulm_spark_cached(sf_dir, "full")
-    return spark.createDataFrame(
+    return small_model_frame(
+        spark,
         list(model),
         "piece string, piece_len bigint, viterbi_count bigint, "
         "prob_ppm bigint, cost_micronat bigint",
@@ -3217,8 +3219,8 @@ def doc_unigram_lm_prune_eval(
             F.sum("loss").alias("loss_micronat"),
         )
     )
-    base = spark.createDataFrame(
-        [(p,) for p in multis], "piece string"
+    base = small_model_frame(
+        spark, [(p,) for p in multis], "piece string"
     )
     return base.join(F.broadcast(agg), "piece", "left").select(
         "piece",

@@ -693,9 +693,15 @@ def _centroid_frame(
     first-n_cells-corpus-vectors stand-in (oracle-replayable, same
     plan). Shared by knn_ivf and knn_ivf_pq."""
     if centroids is not None:
+        from env_event_stream_spark.tables import small_model_frame
+
+        # one-Arrow-batch model frame: the list path parallelized 8
+        # rows into 32 pickled partitions, so every centroid collect
+        # or broadcast build downstream paid 32 no-op Python tasks
+        # (~0.5 s of pure fixed cost per materialization, r16)
         return (
-            corpus.sparkSession.createDataFrame(
-                centroids, "cell_id int, cv array<double>"
+            small_model_frame(
+                corpus.sparkSession, centroids, "cell_id int, cv array<double>"
             )
             .withColumn("cell_id", F.col("cell_id").cast("bigint"))
             .withColumn("cn", l2_norm(F.col("cv")))

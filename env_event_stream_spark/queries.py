@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from env_event_stream_spark.operators import event_queries as EQ
 from env_event_stream_spark.operators import relational as R
-from env_event_stream_spark.tables import load_events, load_table, prepare_session
+from env_event_stream_spark.tables import load_events, load_table, prepare_session, small_model_frame
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -498,7 +498,8 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join against a small band table — broadcast
     nested-loop is the correct plan for tiny interval dims."""
     o = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = small_model_frame(
+        spark,
         [("small", 0.0, 50_000.0), ("medium", 50_000.0, 150_000.0),
          ("large", 150_000.0, 1_000_000_000.0)],
         "band string, lo double, hi double",
