@@ -3064,59 +3064,88 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOUD via assert_true(top_cnt * n_keys < 2^52) on the skew ratio.
     Reference analog: none (src/broker.ts has no relational tier);
     §2.11 ops extension surface, same family as SCALING.md's probes."""
-    frames = []
+    # r16 (guide §2.3 "narrower types"): the stacked per-key count
+    # aggregation now runs per key TYPE — the old form cast every FK
+    # to STRING before the union, so the busiest shuffle of the query
+    # carried a per-row-allocated UTF8 key (~2x the bytes of the
+    # bigint it encodes) and hashed strings instead of longs. Edges
+    # whose key is integral stack into a BIGINT-keyed union, the rest
+    # keep the string union; each group runs the same TWO grouped
+    # aggregations as before (a fully per-edge form was tried and
+    # rejected: 18 tiny exchanges → 37 AQE stages of pure scheduling,
+    # measured 3x slower locally). Keys still AUDIT as strings — the
+    # cast moves to the per-key COUNT table (|distinct keys| rows),
+    # only for the top-key tie-break, computed in the same string
+    # domain as before (bit-identical, including "10" < "9" ties).
+    int_types = {"int", "bigint", "smallint", "tinyint"}
+    groups: dict[str, list] = {"long": [], "string": []}
     for edge, tbl, col in _SKEW_EDGES:
-        frames.append(
-            _t(spark, sf_dir, tbl).select(
+        t = _t(spark, sf_dir, tbl)
+        kind = (
+            "long" if dict(t.dtypes)[col] in int_types else "string"
+        )
+        groups[kind].append(
+            t.select(
                 F.lit(edge).alias("edge"),
-                F.col(col).cast("string").alias("key"),
+                F.col(col).cast(kind).alias("key"),
             )
         )
-    k = frames[0]
-    for fdf in frames[1:]:
-        k = k.unionByName(fdf)
-    c = k.groupBy("edge", "key").agg(F.count("*").alias("cnt"))
-    mx = (
-        c.groupBy("edge")
-        .agg(
-            F.sum("cnt").alias("n_rows"),
-            F.count("*").alias("n_keys"),
-            F.max("cnt").alias("top_cnt"),
+    outs = []
+    for kind, frames in groups.items():
+        if not frames:
+            continue
+        k = frames[0]
+        for fdf in frames[1:]:
+            k = k.unionByName(fdf)
+        c = k.groupBy("edge", "key").agg(F.count("*").alias("cnt"))
+        mx = (
+            c.groupBy("edge")
+            .agg(
+                F.sum("cnt").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("cnt").alias("top_cnt"),
+            )
+            .where(
+                F.assert_true(
+                    F.col("top_cnt") * F.col("n_keys") < F.lit(2**52),
+                    F.lit(
+                        "dq_key_skew: top_cnt * n_keys >= 2^52 — skew_milli "
+                        "would overflow int64; rescale the ratio"
+                    ),
+                ).isNull()
+            )
         )
-        .where(
-            F.assert_true(
-                F.col("top_cnt") * F.col("n_keys") < F.lit(2**52),
-                F.lit(
-                    "dq_key_skew: top_cnt * n_keys >= 2^52 — skew_milli "
-                    "would overflow int64; rescale the ratio"
-                ),
-            ).isNull()
+        h = (
+            c.join(F.broadcast(mx), "edge")
+            .groupBy("edge")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cnt") == F.col("top_cnt"),
+                        F.col("key").cast("string"),
+                    )
+                ).alias("top_key"),
+                F.sum(
+                    F.when(
+                        F.col("cnt")
+                        > F.expr("(100 * n_rows) div n_keys"),
+                        1,
+                    ).otherwise(0)
+                ).alias("hot_keys"),
+                F.sum(
+                    F.when(
+                        F.col("cnt")
+                        > F.expr("(100 * n_rows) div n_keys"),
+                        F.col("cnt"),
+                    ).otherwise(0)
+                ).alias("hot_rows"),
+            )
         )
-    )
-    h = (
-        c.join(F.broadcast(mx), "edge")
-        .groupBy("edge")
-        .agg(
-            F.min(
-                F.when(F.col("cnt") == F.col("top_cnt"), F.col("key"))
-            ).alias("top_key"),
-            F.sum(
-                F.when(
-                    F.col("cnt")
-                    > F.expr("(100 * n_rows) div n_keys"),
-                    1,
-                ).otherwise(0)
-            ).alias("hot_keys"),
-            F.sum(
-                F.when(
-                    F.col("cnt")
-                    > F.expr("(100 * n_rows) div n_keys"),
-                    F.col("cnt"),
-                ).otherwise(0)
-            ).alias("hot_rows"),
-        )
-    )
-    return mx.join(h, "edge").select(
+        outs.append(mx.join(h, "edge"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
         "edge",
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("n_keys").cast("bigint").alias("n_keys"),

@@ -118,6 +118,11 @@ NESTED_LOOP_ALLOWED = {
     "doc_dsir_sample": "scalar budget crossJoin",
     "tpch_q22_dormant_rich": "scalar AVG subquery broadcast",
     "dq_validation_checks": "per-check 1-row frames crossJoined",
+    # r16 typed-key split: the single string edge's group has a
+    # CONSTANT edge literal, so its two stats equi-joins fold to
+    # broadcast loops over the 1-row stats frame x the per-key count
+    # table of ONE edge — |distinct event_type| rows, edge-bounded
+    "dq_key_skew": "1-row stats joins in the single-string-edge group",
     # dq_referential_integrity was allowlisted here until r12 replaced
     # its per-edge 1-row crossJoins with one left join + conditional
     # agg (cart=0 bnlj=0) — the entry is deliberately REMOVED so a
