@@ -3246,17 +3246,60 @@ def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "k int, cid int, cv array<bigint>",
     )
-    d = q.crossJoin(F.broadcast(cent))
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # r16 (guide §2.4, the emb_kmeans_lloyd assign precedent): the
+    # per-(k, vec_id) argmin is ROW-LOCAL — all 30 centroids arrive
+    # as ONE broadcast row (an AGGREGATE of the centroid frame, so
+    # Catalyst cannot constant-fold it into per-plan literals) and
+    # each point emits its 4 (k, best-cell) rows via array ops. The
+    # old form crossJoined the corpus 30x and shuffled a corpus x 4
+    # row table into a groupBy(k, vec_id) min — a full-corpus
+    # exchange that does not survive 100 TB. Tie-break identical:
+    # array_min over struct(dist, cid) is the same lexicographic
+    # (dist, cid) order as min(struct); integer distance sums are
+    # order-free bigint arithmetic.
+    cents_row = cent.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("k"), F.col("cid"), F.col("cv")))
+        ).alias("cents")
     )
-    a = d.select("k", "vec_id", "cid", dist.alias("dist"))
+    ks = sorted({k for k, _ in cents})
+
+    def best_for_k(kk: int):
+        return F.array_min(
+            F.transform(
+                F.filter(F.col("cents"), lambda s: s["k"] == F.lit(kk)),
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qv"), s["cv"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        )
+
     b = (
-        a.groupBy("k", "vec_id")
-        .agg(F.min(F.struct("dist", "cid")).alias("m"))
-        .select("k", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+        q.crossJoin(F.broadcast(cents_row))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(kk).alias("k"), best_for_k(kk).alias("b")
+                        )
+                        for kk in ks
+                    ]
+                )
+            ).alias("kb")
+        )
+        .select(
+            F.col("kb.k").alias("k"),
+            F.col("kb.b.cid").alias("cid"),
+            F.col("kb.b.dist").alias("dist"),
+        )
     )
     st = b.groupBy("k", "cid").agg(
         F.count("*").alias("n"), F.sum("dist").alias("inert")
