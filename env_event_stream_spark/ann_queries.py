@@ -623,7 +623,7 @@ def _whitened_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     mu_t, W_t = _whiten_spark_cached(sf_dir)
     mu, W = list(mu_t), [list(r) for r in W_t]
-    mu_arr = F.array(*[F.lit(float(v)) for v in mu])
+    mu_arr = S._lit_arr(mu)  # one parsed literal (r16)
     base = e.select(
         "vec_id",
         F.col("label").cast("bigint").alias("label"),

@@ -121,7 +121,9 @@ def quality_logit_column(text, weights: list[float], bias: float):
     from env_event_stream_spark.operators.dedup import _hex32_to_long
 
     n_b = N_BUCKETS
-    warr = F.array(*[F.lit(float(x)) for x in weights[:n_b]])
+    from env_event_stream_spark.operators.similarity import _lit_arr
+
+    warr = _lit_arr(weights[:n_b])  # one parsed literal (r16)
     tk = tokens(text)
     n = F.size(tk)
     sw = F.aggregate(

@@ -17,6 +17,7 @@ with the DuckDB oracle.
 from __future__ import annotations
 
 import hashlib
+import math as _math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -165,7 +166,7 @@ def lsh_signature(
     v = as_double(F.col(vec_col))
     bits = []
     for row in planes:
-        plane = F.array(*[F.lit(x) for x in row])
+        plane = _lit_arr(row)  # one parsed literal per plane (r16)
         bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return df.withColumn("lsh_sig", F.concat(*bits))
 
@@ -956,7 +957,20 @@ def train_pq_codebooks(
 
 
 def _lit_arr(vals: list[float]):
-    return F.array(*[F.lit(float(x)) for x in vals])
+    """Literal array<double> as ONE parsed SQL expression. The
+    F.array(*[F.lit(x) ...]) form costs one py4j round trip per
+    element — a m=8 x k=16 x d=8 codebook built ~1,500 Column calls
+    per query, which dominated the ANN family's DataFrame
+    CONSTRUCTION time (measured r16: 2-6 s/query of pure driver
+    Python, zero executor work). repr() doubles round-trip exactly
+    through the SQL parser (both sides are correctly-rounded
+    shortest-decimal binary64), so the literal tree is bit-identical
+    — pinned by tests; non-finite values fall back to the old
+    per-element path (repr('nan') is not SQL)."""
+    vs = [float(x) for x in vals]
+    if all(_math.isfinite(x) for x in vs):
+        return F.expr("array(" + ",".join(f"{x!r}D" for x in vs) + ")")
+    return F.array(*[F.lit(x) for x in vs])
 
 
 def _cc(vals: list[float]) -> float:
@@ -972,7 +986,14 @@ def _lit_book(book: list[list[float]]):
     """One subspace codebook as a literal array<array<double>> — a
     single Catalyst literal node, so the per-subspace objective is ONE
     zip_with/aggregate template instead of k separate fold trees
-    (which made analysis/codegen time explode at k=16, m=8)."""
+    (which made analysis/codegen time explode at k=16, m=8). Built as
+    one parsed expression (the _lit_arr round-trip contract)."""
+    if all(_math.isfinite(float(x)) for c in book for x in c):
+        rows = ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in book
+        )
+        return F.expr(f"array({rows})")
     return F.array(*[_lit_arr(c) for c in book])
 
 
@@ -984,7 +1005,7 @@ def _pq_objs(sub, book: list[list[float]]):
     <s,c> dot is the shared sequential fold."""
     return F.zip_with(
         _lit_book(book),
-        F.array(*[F.lit(_cc(c)) for c in book]),
+        _lit_arr([_cc(c) for c in book]),
         lambda c, cc: -2.0 * dot(sub, c) + cc,
     )
 
