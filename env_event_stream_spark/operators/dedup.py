@@ -356,19 +356,32 @@ def minhash_band_candidates(
         df, text_col, id_col, n
     )
     sig = minhash_signatures(df, text_col, id_col, n=n, k=k, shingles=sh)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
+    # one pass, not a bands-way union: the union form re-evaluates the
+    # signature aggregation once PER BRANCH (4 HashAggregate subtrees
+    # in the plan; only the exchange under them is reused), r16 guide
+    # §2.4 — exploding an array of (band, key) structs emits the
+    # identical (id, band, bk) row set from a single aggregation pass
+    band_keys = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bk"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"h{b * rows + r}") for r in range(rows)],
+                    )
+                ).alias("bk"),
             )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_keys).alias("_bb")
+    ).select(
+        F.col(id_col),
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bk").alias("bk"),
+    )
     # cache: tiny (n_docs × bands rows) but it feeds BOTH sides of the
     # self-join — uncached, the whole shingle→signature pipeline would
     # run once per side.
