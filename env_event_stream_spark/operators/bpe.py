@@ -87,10 +87,16 @@ def learn_merges(
     Adjacent pairs are counted with overlaps (every i, i+1 position —
     the Sennrich/HF counting convention); application is greedy
     left-to-right."""
+    # lazy checkpoints throughout the loop (r16, guide §2.6): each
+    # round's ONE action — the top-pair collect — materializes the
+    # previous round's checkpoint as it scans it, so lineage is still
+    # truncated per round and compute-once still holds, but the k
+    # eager-checkpoint jobs (plus one for the final never-read
+    # checkpoint) disappear: 2k+1 synchronous driver barriers -> k.
     syms = words.select(
         F.col(freq_col).cast("bigint").alias("freq"),
         F.expr(f"filter(split({word_col}, ''), x -> x <> '')").alias("syms"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k + 1):
@@ -116,7 +122,7 @@ def learn_merges(
         a, b, w = top[0]["a"], top[0]["b"], int(top[0]["w"])
         merges.append((rank, a, b, w))
         syms = syms.withColumn("syms", merge_pair(F.col("syms"), a, b))
-        syms = syms.localCheckpoint(eager=True)
+        syms = syms.localCheckpoint(eager=False)
     return merges
 
 
