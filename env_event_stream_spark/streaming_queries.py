@@ -180,7 +180,15 @@ def _run_complete_overwrite(agg: DataFrame, prefix: str) -> str:
     ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
 
     def sink(df: DataFrame, _epoch: int) -> None:
-        df.write.mode("overwrite").parquet(sink_dir)
+        # complete-mode matviews are grid/register-sized BY DESIGN
+        # (O(types×days) counts, O(64) registers — the family's whole
+        # state argument), so the refresh writes one file instead of
+        # one per shuffle partition: fewer write tasks, and the
+        # finalize's read-back scans one footer (r16, guide §6 "small
+        # files hurt twice"; measured ~0.4 s/query at sf0.1). The
+        # update/append sinks keep natural partitioning — their
+        # output scales with keys/stream volume.
+        df.coalesce(1).write.mode("overwrite").parquet(sink_dir)
 
     with _stream_shuffle_parts(agg.sparkSession):
         q = (
