@@ -97,12 +97,15 @@ def knn_exact(
     partial reduction (plan-pinned in tests/test_plans.py)."""
     # norms are bound per vector BEFORE the join — computing them
     # inside the pair expression would redo two O(dim) folds per pair.
+    # (one-parse expression text per r16 construction-cost discipline;
+    # resolved expressions identical to as_double/l2_norm/dot)
+    _vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", l2_norm(F.col("qv")))
+        F.col(id_col).alias("query_id"), F.expr(_vd).alias("qv")
+    ).withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", l2_norm(F.col("cv")))
+        F.col(id_col).alias("neighbor_id"), F.expr(_vd).alias("cv")
+    ).withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -113,9 +116,7 @@ def knn_exact(
         # (the _nearest_cells try_divide precedent).
         .withColumn(
             "sim",
-            F.try_divide(
-                dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
-            ),
+            F.expr(f"try_divide({_dot_sql('qv', 'cv')}, qn * cn)"),
         )
     )
     if k == 1:
@@ -163,6 +164,19 @@ def lsh_signature(
     """Append an LSH bucket signature column: one bit per hyperplane
     (sign of the dot product), concatenated to a string key."""
     planes = planes or hyperplanes()
+    plane_sqls = [_lit_arr_sql(row) for row in planes]
+    if all(ps is not None for ps in plane_sqls):
+        # the whole signature as ONE parsed expression (r16, the
+        # _lit_arr round-trip contract): per plane, CASE over the
+        # identical sequential-fold dot — resolved expression equal
+        # to the Column-built form, ~10 py4j round trips per plane
+        # saved at construction time
+        v_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+        bits_sql = ",".join(
+            f"CASE WHEN {_dot_sql(v_sql, ps)} >= 0 THEN '1' ELSE '0' END"
+            for ps in plane_sqls
+        )
+        return df.withColumn("lsh_sig", F.expr(f"concat({bits_sql})"))
     v = as_double(F.col(vec_col))
     bits = []
     for row in planes:
@@ -193,8 +207,10 @@ def knn_lsh(
         vec_col=vec_col,
         planes=planes,
     ).select(
-        "query_id", as_double(F.col(vec_col)).alias("qv"), "lsh_sig"
-    ).withColumn("qn", l2_norm(F.col("qv")))
+        "query_id",
+        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("qv"),
+        "lsh_sig",
+    ).withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
     c = lsh_signature(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col)
@@ -202,13 +218,15 @@ def knn_lsh(
         vec_col=vec_col,
         planes=planes,
     ).select(
-        "neighbor_id", as_double(F.col(vec_col)).alias("cv"), "lsh_sig"
-    ).withColumn("cn", l2_norm(F.col("cv")))
+        "neighbor_id",
+        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("cv"),
+        "lsh_sig",
+    ).withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
     scored = (
         q.join(c, "lsh_sig")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            "sim", F.expr(f"{_dot_sql('qv', 'cv')} / (qn * cn)")
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -233,25 +251,28 @@ def probe_signatures(n_planes: int, n_flips: int) -> list[list[int]]:
     return out
 
 
-def _flip_bits(sig: Column, positions: list[int], n_planes: int) -> Column:
+def _flip_bits_sql(sig: str, positions: list[int], n_planes: int) -> str:
     """Flip the given 1-based character positions of a '0'/'1'
-    signature string — pure literal-position substring ops."""
+    signature string — pure literal-position substring/CASE/concat
+    ops, emitted as SQL text so the whole probe set is one parse
+    instead of ~40 py4j round trips per probe signature (r16
+    construction-cost discipline; positions are literal ints, so no
+    non-SQL-safe fallback is ever needed)."""
     if not positions:
         return sig
-    parts: list[Column] = []
+    parts: list[str] = []
     prev = 1
     for p in positions:
         if p > prev:
-            parts.append(F.substring(sig, prev, p - prev))
+            parts.append(f"substring({sig}, {prev}, {p - prev})")
         parts.append(
-            F.when(F.substring(sig, p, 1) == "1", F.lit("0")).otherwise(
-                F.lit("1")
-            )
+            f"CASE WHEN substring({sig}, {p}, 1) = '1' "
+            "THEN '0' ELSE '1' END"
         )
         prev = p + 1
     if prev <= n_planes:
-        parts.append(F.substring(sig, prev, n_planes - prev + 1))
-    return F.concat(*parts)
+        parts.append(f"substring({sig}, {prev}, {n_planes - prev + 1})")
+    return "concat(" + ",".join(parts) + ")"
 
 
 def knn_lsh_multiprobe(
@@ -281,21 +302,20 @@ def knn_lsh_multiprobe(
         vec_col=vec_col,
         planes=planes,
     ).select(
-        "query_id", as_double(F.col(vec_col)).alias("qv"), "lsh_sig"
-    ).withColumn("qn", l2_norm(F.col("qv")))
+        "query_id",
+        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("qv"),
+        "lsh_sig",
+    ).withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
+    flips_sql = ",".join(
+        _flip_bits_sql("lsh_sig", pos, n_planes)
+        for pos in probe_signatures(n_planes, n_flips)
+    )
     probes = q.select(
         "query_id",
         "qv",
         "qn",
         F.explode(
-            F.array_distinct(
-                F.array(
-                    *[
-                        _flip_bits(F.col("lsh_sig"), pos, n_planes)
-                        for pos in probe_signatures(n_planes, n_flips)
-                    ]
-                )
-            )
+            F.expr(f"array_distinct(array({flips_sql}))")
         ).alias("lsh_sig"),
     )
     c = lsh_signature(
@@ -303,13 +323,15 @@ def knn_lsh_multiprobe(
         vec_col=vec_col,
         planes=planes,
     ).select(
-        "neighbor_id", as_double(F.col(vec_col)).alias("cv"), "lsh_sig"
-    ).withColumn("cn", l2_norm(F.col("cv")))
+        "neighbor_id",
+        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("cv"),
+        "lsh_sig",
+    ).withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
     scored = (
         probes.join(c, "lsh_sig")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            "sim", F.expr(f"{_dot_sql('qv', 'cv')} / (qn * cn)")
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -399,18 +421,20 @@ def _nearest_cells(
     (cosine argmax, centroid-id tie-break). The centroid table is tiny
     and broadcast; the 'cross join' is really |df| × n_cells broadcast
     lookups — no shuffle of df itself."""
+    # one-parse expression text (r16 construction-cost discipline):
+    # identical resolved expressions to the as_double/l2_norm/dot
+    # Column builders, ~30 fewer py4j round trips per call
     v = df.select(
-        F.col(id_col).alias(id_out), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v")))
+        F.col(id_col).alias(id_out),
+        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("nrm", F.expr(f"sqrt({_dot_sql('v', 'v')})"))
     # try_divide: a zero-norm vector (or centroid) yields NULL, which
     # csim DESC sorts last — the same position the Arrow twin's -inf
     # takes. Under ANSI mode a plain `/` would THROW on the degenerate
     # input instead, silently diverging from the twin.
     scored = v.crossJoin(F.broadcast(centroids)).withColumn(
         "csim",
-        F.try_divide(
-            dot(F.col("v"), F.col("cv")), F.col("nrm") * F.col("cn")
-        ),
+        F.expr(f"try_divide({_dot_sql('v', 'cv')}, nrm * cn)"),
     )
     w = Window.partitionBy(id_out).orderBy(
         F.col("csim").desc(), F.col("cell_id").asc()
@@ -956,6 +980,29 @@ def train_pq_codebooks(
     return _pq_kmeans(X, m, k, n_iter)
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of functions/vectors.dot — the identical sequential
+    fold (zip_with product, double-accumulator aggregate), emitted as
+    text so a whole scoring expression can be ONE F.expr parse instead
+    of ~10 py4j round trips per dot (r16: DataFrame CONSTRUCTION, not
+    execution, dominated the warm ANN walls — 2,146 round trips ≈
+    1.2 s for one ADC query)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _lit_arr_sql(vals: list[float]) -> str | None:
+    """SQL text of a literal array<double>, or None when any value is
+    non-finite (repr('nan') is not SQL — callers fall back to the
+    per-element Column path)."""
+    vs = [float(x) for x in vals]
+    if all(_math.isfinite(x) for x in vs):
+        return "array(" + ",".join(f"{x!r}D" for x in vs) + ")"
+    return None
+
+
 def _lit_arr(vals: list[float]):
     """Literal array<double> as ONE parsed SQL expression. The
     F.array(*[F.lit(x) ...]) form costs one py4j round trip per
@@ -980,6 +1027,15 @@ def _cc(vals: list[float]) -> float:
     for x in vals:
         acc = acc + float(x) * float(x)
     return acc
+
+
+def _lit_book_sql(book: list[list[float]]) -> str | None:
+    """SQL text of a literal array<array<double>> codebook, or None
+    when any value is non-finite (the _lit_arr_sql contract)."""
+    rows = [_lit_arr_sql(c) for c in book]
+    if all(r is not None for r in rows):
+        return "array(" + ",".join(rows) + ")"
+    return None
 
 
 def _lit_book(book: list[list[float]]):
@@ -1166,23 +1222,40 @@ def _adc_topk(
     paths cannot drift."""
     d = len(books[0][0])
 
-    def _sub_dot(i: int):
-        # NB: a default-arg lambda would grow a second parameter,
-        # which PySpark reads as the (element, index) transform form —
-        # close over i via a factory instead
-        return lambda c: dot(F.slice(F.col("v"), i * d + 1, d), c)
+    book_sqls = [_lit_book_sql(book) for book in books]
+    if all(bs is not None for bs in book_sqls):
+        # whole m-subspace LUT as ONE parsed expression (the _lit_arr
+        # round-trip contract): per-subspace transform over the
+        # literal codebook, the same sequential-fold dot — resolved
+        # expression identical to the Column-built form, ~500 fewer
+        # py4j round trips per query
+        lut = F.expr(
+            "array(" + ",".join(
+                f"transform({bs}, c -> "
+                + _dot_sql(f"slice(v, {i * d + 1}, {d})", "c")
+                + ")"
+                for i, bs in enumerate(book_sqls)
+            ) + ")"
+        )
+    else:
 
-    lut = F.array(
-        *[F.transform(_lit_book(book), _sub_dot(i)) for i, book in enumerate(books)]
-    )
+        def _sub_dot(i: int):
+            # NB: a default-arg lambda would grow a second parameter,
+            # which PySpark reads as the (element, index) transform
+            # form — close over i via a factory instead
+            return lambda c: dot(F.slice(F.col("v"), i * d + 1, d), c)
+
+        lut = F.array(
+            *[
+                F.transform(_lit_book(book), _sub_dot(i))
+                for i, book in enumerate(books)
+            ]
+        )
     pcols = ["query_id", "cell_id"] + (["qc"] if with_cell_dot else [])
     probes = probes.select(*pcols, lut.alias("lut"))
-    adc_sum = F.aggregate(
-        F.zip_with(
-            F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    adc_sum = F.expr(
+        "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c)), "
+        "0.0D, (acc, x) -> acc + x)"
     )
     # residual ADC: <q, x> ~= <q, c_cell> + residual LUT sum (qc
     # added FIRST — the oracle spells the same `qc + list_sum` order)
