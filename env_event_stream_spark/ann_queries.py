@@ -2865,13 +2865,15 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently. Reference analog: none; §2.11 ML-training extension
     surface."""
     e = load_table(spark, sf_dir, "embeddings")
+    # expression text throughout the loop (r16 construction-cost
+    # discipline): the Column-builder form cost 12,440 py4j round
+    # trips (~4 s driver-side) to BUILD the 3-iteration plan; each
+    # F.expr parse below resolves to the identical expression
     q = e.select(
         "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * _KM_Q + F.lit(0.5)
-            ).cast("long"),
+        F.expr(
+            "transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {_KM_Q} + 0.5D) AS BIGINT))"
         ).alias("qv"),
     ).localCheckpoint(eager=False)
     # init: cid = rank among the k lowest vec_ids — the same k rows
@@ -2911,20 +2913,11 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Tie-break identical: array_min on struct(dist, cid) is the
         # same lexicographic (dist, cid) order as a min(struct) —
         # cid is unique, so nothing else participates.
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda s: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("qv"), s["cv"], lambda a, b: (a - b) * (a - b)
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    s["cid"].alias("cid"),
-                ),
-            )
+        best = F.expr(
+            "array_min(transform(cents, s -> struct("
+            "aggregate(zip_with(qv, s.cv, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist, "
+            "s.cid AS cid)))"
         )
         return (
             q.crossJoin(F.broadcast(cents_row(cf)))
@@ -2944,17 +2937,18 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle"): same bigint sums over the same values, order-free
         sums = b.groupBy("cid").agg(
             F.count("*").alias("n"),
-            *[F.sum(F.col("qv")[j]).alias(f"s{j}") for j in range(_KM_DIM)],
+            *[F.expr(f"sum(qv[{j}]) AS s{j}") for j in range(_KM_DIM)],
         )
         # exact FLOOR division in bigint — (s - pmod(s, n)) DIV n
         # equals Python's s // n for any sign of s (pmod >= 0 makes
         # the numerator an exact multiple, so truncation = floor);
         # an empty cluster has no sums row and carries its centroid
-        newcv = F.array(
-            *[
-                F.expr(f"(s{j} - pmod(s{j}, n)) DIV n")
-                for j in range(_KM_DIM)
-            ]
+        newcv = F.expr(
+            "array("
+            + ",".join(
+                f"(s{j} - pmod(s{j}, n)) DIV n" for j in range(_KM_DIM)
+            )
+            + ")"
         )
         c = (
             c.join(sums, "cid", "left")
@@ -2985,8 +2979,8 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chk = c.select(
         "cid",
-        F.aggregate(
-            F.col("cv"), F.lit(0).cast("long"), lambda a, x: a + x
+        F.expr(
+            "aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x)"
         ).alias("c_checksum"),
     )
     return (
