@@ -202,35 +202,41 @@ def evt_holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |types| x |days| calendar grid — corpus-size-invariant, the
     same 100 TB shape as the EWMA."""
     d = _daily_counts_by_type(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("day_idx")
     # the contiguity guard is CALENDAR-based, not row-based: lag()
     # alone would splice across a zero-event day (day_idx values are
     # strictly increasing integers, so lag(day_idx,6) == day_idx-6
-    # forces the 7 rows to be 7 CONSECUTIVE days)
-    l = d.select(
+    # forces the 7 rows to be 7 CONSECUTIVE days).
+    # expression text (r16 construction-cost discipline): the lag
+    # select and the two left-associative weighted sums reuse the
+    # ORACLE's own SQL fragments — single-source with the DuckDB side,
+    # identical resolved expressions and float-add order, one parse
+    # per column instead of ~6 py4j round trips per term
+    over = "OVER (PARTITION BY event_type ORDER BY day_idx)"
+    h = len(_HOLT_W)
+    l = d.selectExpr(
         "event_type",
         "day_idx",
         "cnt",
-        F.lag("day_idx", len(_HOLT_W) - 1).over(w).alias("d6"),
-        *[
-            F.lag("cnt", k).over(w).alias(f"c{k}")
-            for k in range(1, len(_HOLT_W))
-        ],
-    ).where(F.col("d6") == F.col("day_idx") - (len(_HOLT_W) - 1))
-    level = F.col("cnt") * F.lit(_HOLT_W[0][0])
-    trend = F.col("cnt") * F.lit(_HOLT_W[0][1])
-    for k in range(1, len(_HOLT_W)):
-        level = level + F.col(f"c{k}") * F.lit(_HOLT_W[k][0])
-        trend = trend + F.col(f"c{k}") * F.lit(_HOLT_W[k][1])
-    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
-    return l.select(
+        f"lag(day_idx, {h - 1}) {over} AS d6",
+        *[f"lag(cnt, {k}) {over} AS c{k}" for k in range(1, h)],
+    ).where(F.col("d6") == F.col("day_idx") - (h - 1))
+    level = " + ".join(
+        f"{'cnt' if k == 0 else f'c{k}'} * CAST({lw!r} AS DOUBLE)"
+        for k, (lw, _) in enumerate(_HOLT_W)
+    )
+    trend = " + ".join(
+        f"{'cnt' if k == 0 else f'c{k}'} * CAST({bw!r} AS DOUBLE)"
+        for k, (_, bw) in enumerate(_HOLT_W)
+    )
+    r4t = lambda s: f"floor(({s}) * 10000 + 0.5D) / 10000"  # noqa: E731
+    return l.selectExpr(
         "event_type",
         "day_idx",
-        F.col("cnt").cast("bigint").alias("n_events"),
-        r4(level).alias("level_7d"),
-        r4(trend).alias("trend_7d"),
-        r4(level + trend).alias("forecast_next"),
-        (trend > 0).alias("trend_up"),
+        "CAST(cnt AS BIGINT) AS n_events",
+        f"{r4t(level)} AS level_7d",
+        f"{r4t(trend)} AS trend_7d",
+        f"{r4t(f'({level}) + ({trend})')} AS forecast_next",
+        f"({trend}) > 0 AS trend_up",
     )
 
 
@@ -405,36 +411,32 @@ def hw_finalize_daily(d: DataFrame) -> DataFrame:
                   "bigint weighted sum would overflow"),
         ).isNull()
     )
-    w = Window.partitionBy("event_type").orderBy("day_idx")
-    l = d.select(
+    # expression text (r16 construction-cost discipline): lags and
+    # the four integer-weighted channels reuse the ORACLE's own
+    # _hw_channel_sql fragments — single-source with the DuckDB side;
+    # the multiply-adds are exact bigint (order-free) and the one
+    # double division is by the same exactly-representable
+    # denominator, so values are identical to the Column-built form
+    over = "OVER (PARTITION BY event_type ORDER BY day_idx)"
+    l = d.selectExpr(
         "event_type",
         "day_idx",
         "cnt",
-        F.lag("day_idx", h - 1).over(w).alias("dlast"),
-        *[F.lag("cnt", k).over(w).alias(f"c{k}") for k in range(1, h)],
+        f"lag(day_idx, {h - 1}) {over} AS dlast",
+        *[f"lag(cnt, {k}) {over} AS c{k}" for k in range(1, h)],
     ).where(F.col("dlast") == F.col("day_idx") - (h - 1))
 
-    def chan(ch: int):
-        den, nums = _HW_W[ch]
-        expr = None
-        for k, n in enumerate(nums):
-            if n == 0:
-                continue
-            term = (F.col("cnt") if k == 0 else F.col(f"c{k}")) * F.lit(n)
-            expr = term if expr is None else expr + term
-        return expr.cast("double") / F.lit(float(den))
-
-    level, trend, seas, snext = chan(0), chan(1), chan(2), chan(3)
-    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
-    return l.select(
+    level, trend, seas, snext = (_hw_channel_sql(c) for c in range(4))
+    r4t = lambda s: f"floor(({s}) * 10000 + 0.5D) / 10000"  # noqa: E731
+    return l.selectExpr(
         "event_type",
         "day_idx",
-        F.col("cnt").cast("bigint").alias("n_events"),
-        r4(level).alias("level_hw"),
-        r4(trend).alias("trend_hw"),
-        r4(seas).alias("seasonal_hw"),
-        r4(level + trend + snext).alias("forecast_next"),
-        (trend > 0).alias("trend_up"),
+        "CAST(cnt AS BIGINT) AS n_events",
+        f"{r4t(level)} AS level_hw",
+        f"{r4t(trend)} AS trend_hw",
+        f"{r4t(seas)} AS seasonal_hw",
+        f"{r4t(f'({level}) + ({trend}) + ({snext})')} AS forecast_next",
+        f"({trend}) > 0 AS trend_up",
     )
 
 
