@@ -70,11 +70,53 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_PARTS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
 
 
+# Checkpoint-file checksums (Spark 4.1 default ON) for the
+# availableNow runs below. Every catalog streaming run checkpoints to
+# a PER-QUERY EPHEMERAL tmpdir that is never restored from — the
+# query's result is the foreachBatch/parquet sink, and a corrupted
+# checkpoint could only fail the same single run that wrote it,
+# loudly. The checksum manager doubles the checkpoint file count
+# (one companion checksum file per file) and parks every state-store
+# commit on a shared checksum pool (thread-dumped: task threads
+# blocked in ChecksumCheckpointFileManager.awaitResult inside
+# HDFSBackedStateStoreProvider.commit) — measured on the
+# stream-stream interval join: min-of-3 5.06 s -> 3.71 s with
+# checksums off, worst observed pass 15.1 -> 7.0 s (guide §1.2: the
+# per-commit barrier scales with stateful-operator x partition x
+# micro-batch count, at ANY scale). A production deployment with
+# long-lived, restorable checkpoints should keep the default:
+# SPARK_GRAFT_CKPT_CHECKSUM=true restores it.
+_CKPT_CHECKSUM = os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false")
+
+# Checkpoint file-manager for the same ephemeral tmpdir checkpoints.
+# The default FileContextBasedCheckpointFileManager resolves every
+# path through AbstractFileSystem's symlink-aware stat, and with no
+# native-hadoop library (this sandbox, and any cluster missing
+# libhadoop) RawLocalFs falls back to SHELLING OUT — one
+# fork+exec of `readlink`/`chmod`/`stat` per checkpoint file op
+# (thread-dumped: task threads inside Shell.runCommand under
+# FileUtil.readLink). Measured on the stream-stream interval join:
+# 1,700-1,950 process forks per run -> ~480 with the
+# FileSystem-API manager, wall faster on every interleaved round
+# (min-of-3 2.96 -> 1.92 s). The FileContext manager's advantage is
+# ATOMIC rename for checkpoints that must survive concurrent writers
+# and restarts; these checkpoints are per-query, single-writer and
+# never restored, so rename atomicity buys nothing here. Durable
+# production checkpoints should restore the default via
+# SPARK_GRAFT_CKPT_FM= (empty = Spark's default manager).
+_CKPT_FM = os.environ.get(
+    "SPARK_GRAFT_CKPT_FM",
+    "org.apache.spark.sql.execution.streaming.checkpointing."
+    "FileSystemBasedCheckpointFileManager",
+)
+
+
 @contextmanager
 def _stream_shuffle_parts(spark: SparkSession):
-    """Scope spark.sql.shuffle.partitions to _STREAM_PARTS for one
-    availableNow run (the conf is read at stream start; restored
-    after termination so batch queries keep the session default).
+    """Scope spark.sql.shuffle.partitions to _STREAM_PARTS (and the
+    ephemeral-checkpoint checksum default, see _CKPT_CHECKSUM) for one
+    availableNow run (the confs are read at stream start; restored
+    after termination so batch queries keep the session defaults).
 
     SERIAL-EXECUTION ASSUMPTION: this mutates session-global conf for
     the duration of the run — a batch query executed CONCURRENTLY on
@@ -85,12 +127,30 @@ def _stream_shuffle_parts(spark: SparkSession):
     arrives, move this override to a per-query cloned session
     (spark.newSession()) instead of the shared conf."""
     key = "spark.sql.shuffle.partitions"
+    ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    fm = "spark.sql.streaming.checkpointFileManagerClass"
     old = spark.conf.get(key)
+    try:
+        old_ck = spark.conf.get(ck)
+    except Exception:  # pre-4.1 Spark: conf absent, nothing to scope
+        old_ck = None
+    old_fm = spark.conf.get(fm, None)
     spark.conf.set(key, _STREAM_PARTS)
+    if old_ck is not None:
+        spark.conf.set(ck, _CKPT_CHECKSUM)
+    if _CKPT_FM:
+        spark.conf.set(fm, _CKPT_FM)
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        if old_ck is not None:
+            spark.conf.set(ck, old_ck)
+        if _CKPT_FM:
+            if old_fm is None:
+                spark.conf.unset(fm)
+            else:
+                spark.conf.set(fm, old_fm)
 
 
 # prefix -> state-operator metrics from the LAST micro-batch of the
