@@ -236,35 +236,57 @@ def _run_complete_overwrite(agg: DataFrame, prefix: str) -> str:
     """Run a complete-mode streaming aggregation to completion
     (availableNow), overwriting a parquet matview each epoch; the
     final epoch is the full answer. Returns the sink dir."""
-    sink_dir = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
-    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    return _run_complete_overwrite_many([(agg, prefix)])[0]
 
-    def sink(df: DataFrame, _epoch: int) -> None:
-        # complete-mode matviews are grid/register-sized BY DESIGN
-        # (O(types×days) counts, O(64) registers — the family's whole
-        # state argument), so the refresh writes one file instead of
-        # one per shuffle partition: fewer write tasks, and the
-        # finalize's read-back scans one footer (r16, guide §6 "small
-        # files hurt twice"; measured ~0.4 s/query at sf0.1). The
-        # update/append sinks keep natural partitioning — their
-        # output scales with keys/stream volume.
-        df.coalesce(1).write.mode("overwrite").parquet(sink_dir)
 
-    with _stream_shuffle_parts(agg.sparkSession):
-        q = (
-            agg.writeStream.foreachBatch(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                f"{prefix}: availableNow stream did not finish in 300s"
+def _run_complete_overwrite_many(
+    aggs: list[tuple[DataFrame, str]],
+) -> list[str]:
+    """Run several INDEPENDENT complete-mode streams to completion,
+    started together and awaited together (guide §2.6 "overlap
+    independent jobs": actions are only sequential because the driver
+    calls them sequentially — two availableNow matview refreshes that
+    never exchange data pay one stream-run wall instead of two when
+    their micro-batches interleave on the scheduler). start() is
+    non-blocking, so no driver threads are needed; all streams begin
+    inside ONE _stream_shuffle_parts scope (the confs are read at
+    stream start). Returns sink dirs in input order."""
+    started: list[tuple[object, str, str]] = []
+
+    def make_sink(sink_dir: str):
+        def sink(df: DataFrame, _epoch: int) -> None:
+            # complete-mode matviews are grid/register-sized BY DESIGN
+            # (O(types×days) counts, O(64) registers — the family's
+            # whole state argument), so the refresh writes one file
+            # instead of one per shuffle partition: fewer write tasks,
+            # and the finalize's read-back scans one footer (r16,
+            # guide §6 "small files hurt twice"; measured ~0.4 s/query
+            # at sf0.1). The update/append sinks keep natural
+            # partitioning — their output scales with keys/stream.
+            df.coalesce(1).write.mode("overwrite").parquet(sink_dir)
+
+        return sink
+
+    with _stream_shuffle_parts(aggs[0][0].sparkSession):
+        for agg, prefix in aggs:
+            sink_dir = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+            ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+            q = (
+                agg.writeStream.foreachBatch(make_sink(sink_dir))
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-        _capture_state_progress(prefix, q)
-    return sink_dir
+            started.append((q, prefix, sink_dir))
+        for q, prefix, _ in started:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    f"{prefix}: availableNow stream did not finish in 300s"
+                )
+            _capture_state_progress(prefix, q)
+    return [sink_dir for _, _, sink_dir in started]
 
 
 @query("evt_live_fold_stream", _FOLD_ORACLE)
@@ -2385,23 +2407,29 @@ def join_stream_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from env_event_stream_spark.tables import load_table
 
     ev = _read_events_stream(spark, sf_dir)
-    ca = spark.read.parquet(
-        _run_complete_overwrite(
-            cms_cells(
-                ev.where(F.col("event_type") == "purchase"),
-                F.col("user_id"),
+    # the two sides are independent matviews that never exchange data
+    # while streaming — start both availableNow runs together and pay
+    # one stream-run wall, not two (guide §2.6; r16)
+    sink_a, sink_b = _run_complete_overwrite_many(
+        [
+            (
+                cms_cells(
+                    ev.where(F.col("event_type") == "purchase"),
+                    F.col("user_id"),
+                ),
+                "cmsa",
             ),
-            "cmsa",
-        )
-    ).withColumnRenamed("cnt", "ca")
-    cb = spark.read.parquet(
-        _run_complete_overwrite(
-            cms_cells(
-                ev.where(F.col("event_type") == "view"), F.col("user_id")
+            (
+                cms_cells(
+                    ev.where(F.col("event_type") == "view"),
+                    F.col("user_id"),
+                ),
+                "cmsb",
             ),
-            "cmsb",
-        )
-    ).withColumnRenamed("cnt", "cb")
+        ]
+    )
+    ca = spark.read.parquet(sink_a).withColumnRenamed("cnt", "ca")
+    cb = spark.read.parquet(sink_b).withColumnRenamed("cnt", "cb")
     from env_event_stream_spark.advanced_queries import (
         _cms_join_size_readout,
     )
