@@ -1710,6 +1710,23 @@ _PIPELINE_TAIL = r"""
     """
 
 
+def _pretrain_frames(spark: SparkSession, sf_dir: str):
+    """ONE cached corpus-wide (doc_id, sh) shingle table serving every
+    3-gram consumer in the pretrain family: the dedup inverted index
+    (full corpus), the decontamination probe's train side (%97 != 0)
+    and its eval side (%97 == 0 — also the scrub counter's shingle
+    set). Explode commutes with the row-local doc_id filter, so the
+    filtered views are row-identical to shingling the filtered corpus
+    — previously this was THREE separate tokenize+explode passes over
+    the documents table (guide §1.1 first-principles: one unavoidable
+    pass, not three; r16)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus_sh = D.shingle_table(d, "text", "doc_id", 3).cache()
+    train_sh = corpus_sh.where(F.col("doc_id") % 97 != 0)
+    eval_sh = corpus_sh.where(F.col("doc_id") % 97 == 0)
+    return d, corpus_sh, train_sh, eval_sh
+
+
 @query("doc_pretrain_pipeline", _pretrain_pipeline_oracle)
 def doc_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end pretraining corpus builder verdict — the
@@ -1720,9 +1737,18 @@ def doc_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage keeps its standalone scale shape (row-local quality,
     inverted-index dedup, broadcast eval probe); the verdict is two
     doc_id-keyed left joins over the corpus."""
+    d, corpus_sh, train_sh, eval_sh = _pretrain_frames(spark, sf_dir)
+    return _pretrain_verdict(d, corpus_sh, train_sh, eval_sh)
+
+
+def _pretrain_verdict(
+    d: DataFrame,
+    corpus_sh: DataFrame,
+    train_sh: DataFrame,
+    eval_sh: DataFrame,
+) -> DataFrame:
     from env_event_stream_spark.operators.graph import connected_components
 
-    d = load_table(spark, sf_dir, "documents")
     tk = tokens(F.col("text"))
     n = F.size(tk)
     passes_quality = (
@@ -1751,14 +1777,21 @@ def doc_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = d.select("doc_id", passes_quality.alias("passes_quality"))
 
-    pairs = D.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    pairs = D.jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, shingles=corpus_sh
+    )
     comp = connected_components(pairs, "id_a", "id_b")
 
     train = d.where(F.col("doc_id") % 97 != 0)
     eval_df = d.where(F.col("doc_id") % 97 == 0)
-    hits = D.contamination_hits(train, eval_df, "text", "doc_id").select(
-        F.col("doc_id").alias("_hit_id")
-    )
+    hits = D.contamination_hits(
+        train,
+        eval_df,
+        "text",
+        "doc_id",
+        train_shingles=train_sh,
+        eval_shingles=eval_sh,
+    ).select(F.col("doc_id").alias("_hit_id"))
 
     v = (
         train.select("doc_id")
@@ -4039,14 +4072,15 @@ def doc_pretrain_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     many training tokens.
 
     Pure composition: the verdict IS doc_pretrain_pipeline's
-    DataFrame (same gates, same scale shapes), joined with the scrub
-    removal counts (broadcast eval shingles, hit docs only) and the
-    per-source rollup. Gates evaluate on the ORIGINAL text; the
-    scrub changes yield, not verdicts."""
-    from env_event_stream_spark.queries import QUERIES as _Q
-
-    d = load_table(spark, sf_dir, "documents")
-    verdict = _Q["doc_pretrain_pipeline"](spark, sf_dir)
+    DataFrame (same gates, same scale shapes, shared source-level via
+    _pretrain_verdict over the SAME cached corpus shingle table — one
+    tokenize+explode pass serves dedup, decontamination AND the scrub
+    set here), joined with the scrub removal counts (broadcast eval
+    shingles, hit docs only) and the per-source rollup. Gates
+    evaluate on the ORIGINAL text; the scrub changes yield, not
+    verdicts."""
+    d, corpus_sh, train_sh, eval_sh = _pretrain_frames(spark, sf_dir)
+    verdict = _pretrain_verdict(d, corpus_sh, train_sh, eval_sh)
 
     tk = tokens(F.col("text"))
     train = d.where(F.col("doc_id") % 97 != 0).select(
@@ -4056,15 +4090,7 @@ def doc_pretrain_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(_ngram_array_3(F.col("tk"))).alias("pos", "shingle"),
     )
-    ev = (
-        d.where(F.col("doc_id") % 97 == 0)
-        .select(
-            F.explode(
-                shingles_from_tokens(tokens(F.col("text")), 3)
-            ).alias("shingle")
-        )
-        .distinct()
-    )
+    ev = eval_sh.select(F.col("sh").alias("shingle")).distinct()
     rm = (
         grams.join(F.broadcast(ev), "shingle")
         .select(

@@ -118,6 +118,8 @@ def contamination_hits(
     n: int = 3,
     min_shared: int = 1,
     df_cap: int | None = None,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing
     word n-grams with a held-out eval/benchmark set.
@@ -128,11 +130,29 @@ def contamination_hits(
     corpus (benchmarks are KBs, corpora are TBs), so its shingle table
     is broadcast — the 100 TB train side is never shuffled, each task
     probes the eval hash map locally. ``df_cap`` guards against
-    stopword-like shingles exploding the probe output."""
-    tr = shingle_table(train, text_col, id_col, n, df_cap=df_cap)
-    ev = shingle_table(eval_df, text_col, id_col, n).select(
-        F.col(id_col).alias("_eval_id"), "sh"
+    stopword-like shingles exploding the probe output.
+    ``train_shingles``/``eval_shingles`` let a caller that already
+    holds (id, sh) tables — e.g. a cached corpus-wide shingle table
+    filtered by split — share the tokenize+explode pass instead of
+    paying a second one (the jaccard_pairs ``shingles`` precedent;
+    explode commutes with a row-local id filter, so a filtered corpus
+    table is row-identical to shingling the filtered corpus)."""
+    if train_shingles is not None and df_cap is not None:
+        raise ValueError(
+            "contamination_hits: df_cap applies only when this function "
+            "builds the train shingle table itself; apply the cap to the "
+            "shared table before passing train_shingles"
+        )
+    tr = (
+        train_shingles
+        if train_shingles is not None
+        else shingle_table(train, text_col, id_col, n, df_cap=df_cap)
     )
+    ev = (
+        eval_shingles
+        if eval_shingles is not None
+        else shingle_table(eval_df, text_col, id_col, n)
+    ).select(F.col(id_col).alias("_eval_id"), "sh")
     return (
         tr.join(F.broadcast(ev), "sh")
         .groupBy(id_col)
