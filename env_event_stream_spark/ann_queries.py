@@ -969,9 +969,13 @@ def emb_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-bit-63 two's-complement pattern."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
+    # signature via the one-parse string form (r16 construction-cost
+    # discipline): same resolved transform/CaseWhen tree, one F.expr
+    # parse instead of ~770 py4j round trips
+    _vd = "transform(embedding, x -> CAST(x AS DOUBLE))"
     return e.select(
         "vec_id",
-        S.binary_signature(v).alias("bsig"),
+        S.binary_signature(_vd).alias("bsig"),
         F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
     )
 

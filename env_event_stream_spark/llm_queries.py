@@ -3518,8 +3518,15 @@ def doc_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-1 window picks the longest (ties: smallest start_a then
     start_b). Shuffles: gram join, (pair,diag) islands, pair top-1 —
     all keyed by pair, which the seed join already bounded."""
-    d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5 input skew): the tokenize + 5-gram posexplode ran
+    # as ONE task per join side (documents.parquet is a single split at
+    # bench scale) — the measured two serial 0.55 s single-task stages.
+    # spread_small_scan round-robins only when the scan is sub-split;
+    # a real multi-file table skips it.
     from env_event_stream_spark.functions.text import _ngram_array
+    from env_event_stream_spark.tables import spread_small_scan
+
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
 
     tk = tokens(F.col("text"))
     g = (

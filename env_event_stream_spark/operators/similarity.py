@@ -794,15 +794,38 @@ def knn_ivf(
     )
 
 
-def binary_signature(vec: "Column", *, bits: int = 64):
+def _bsig_spark_sql(vec_sql: str, bits: int = 64) -> str:
+    """SQL text of ``binary_signature`` over a vector SQL expression —
+    the same unrolled CaseWhen/shiftleft sum, one parse (the _dot_sql
+    pattern)."""
+    terms = " + ".join(
+        f"(CASE WHEN element_at({vec_sql}, {d + 1}) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {d}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for d in range(bits)
+    )
+    return f"CAST(0 AS BIGINT) + {terms}"
+
+
+def binary_signature(vec, *, bits: int = 64):
     """Pack the sign bits of the first ``bits`` vector components
     into ONE bigint (bit d set iff component d > 0) — binary
     quantization, 64x smaller than float64 vectors. shiftleft is an
     unchecked bit op, so bit 63 lands in the sign bit without ANSI
     overflow; comparisons only ever use XOR/bit_count, which are
-    sign-agnostic."""
+    sign-agnostic.
+
+    ``vec`` may be a SQL expression STRING (preferred — the whole
+    64-term sum parses as ONE F.expr; the Column-builder form cost
+    ~0.7-1.3 s of py4j round trips PER CALL, measured r16, which was
+    most of emb_binary_recall_eval's wall) or a Column (compat path,
+    same expression tree built per-term). The parsed CASE WHEN chain
+    resolves to exactly the Column form's CaseWhen/shiftleft tree —
+    value-identical, probe-pinned on random vectors."""
     if bits > 64:
         raise ValueError("binary_signature packs at most 64 bits")
+    if isinstance(vec, str):
+        return F.expr(_bsig_spark_sql(vec, bits))
     sig = F.lit(0).cast("bigint")
     for d in range(bits):
         sig = sig + F.when(
@@ -834,17 +857,25 @@ def knn_binary(
     the FLOPs, and only |Q|×shortlist rows ever reach the float
     rerank. The right tool when queries are few and IVF/LSH recall
     is not acceptable."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("qsig", binary_signature(F.col("qv"), bits=bits)).withColumn(
-        "qn", l2_norm(F.col("qv"))
+    # whole projections as single selectExpr parses (r16 construction-
+    # cost discipline — resolved trees identical to the Column form:
+    # transform/CAST = as_double, sqrt(aggregate(...)) = l2_norm)
+    _vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id", f"{_vd} AS qv"
+    ).selectExpr(
+        "query_id",
+        "qv",
+        f"{_bsig_spark_sql('qv', bits)} AS qsig",
+        f"sqrt({_dot_sql('qv', 'qv')}) AS qn",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("csig", binary_signature(F.col("cv"), bits=bits)).withColumn(
-        "cn", l2_norm(F.col("cv"))
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id", f"{_vd} AS cv"
+    ).selectExpr(
+        "neighbor_id",
+        "cv",
+        f"{_bsig_spark_sql('cv', bits)} AS csig",
+        f"sqrt({_dot_sql('cv', 'cv')}) AS cn",
     )
     hammed = (
         c.crossJoin(F.broadcast(q.select("query_id", "qsig")))
@@ -864,9 +895,7 @@ def knn_binary(
     )
     scored = short.join(
         F.broadcast(q.select("query_id", "qv", "qn")), "query_id"
-    ).withColumn(
-        "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    )
+    ).withColumn("sim", F.expr(f"{_dot_sql('qv', 'cv')} / (qn * cn)"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
