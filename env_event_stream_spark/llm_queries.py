@@ -5030,8 +5030,15 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 via TakeOrderedAndProject — no global sort. Reference
     analog: none; §2.11 text-analysis extension surface."""
     from env_event_stream_spark.operators.relational import top_k
+    from env_event_stream_spark.tables import spread_small_scan
 
-    d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §1.1 first-principles + §2.5): the prefix counts, the
+    # suffix counts and N are exact ROLLUPS of the bigram count table
+    # (c_w1 = Σ c_pair over w1, etc. — integer sums, order-free), so
+    # the corpus is tokenized+exploded ONCE instead of four times
+    # (measured: four sequential single-task stages, ~2.6 s serial at
+    # sf0.1); the scan additionally round-robin-spreads when sub-split.
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     tk = tokens(F.col("text"))
     nt = F.size(tk)
     pairs_arr = F.zip_with(
@@ -5044,10 +5051,17 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    c2 = p.groupBy("bg", "w1", "w2").agg(F.count("*").alias("c_pair"))
-    c1 = p.groupBy("w1").agg(F.count("*").alias("c_w1"))
-    cr = p.groupBy("w2").agg(F.count("*").alias("c_w2"))
-    n = p.agg(F.count("*").alias("n_pairs")).where(
+    # lazy checkpoint: the three rollups + the scored join all sit in
+    # the caller's one action; compute-once holds via the cache block
+    # locks (the _copurchase_edges discipline)
+    c2 = (
+        p.groupBy("bg", "w1", "w2")
+        .agg(F.count("*").alias("c_pair"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c_pair").alias("c_w1"))
+    cr = c2.groupBy("w2").agg(F.sum("c_pair").alias("c_w2"))
+    n = c2.agg(F.sum("c_pair").alias("n_pairs")).where(
         F.assert_true(
             F.col("n_pairs") < F.lit(90_000_000),
             F.lit(
