@@ -1572,8 +1572,22 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = d.select("doc_id", F.explode(pairs_arr).alias("bg")).withColumn(
         "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
     )
-    cnt2 = p.groupBy("bg").agg(F.count("*").alias("c2"))
-    cnt1 = p.groupBy("w1").agg(F.count("*").alias("c1"))
+    # r16 (guide §1.1, the doc_pmi_collocations rollup): the prefix
+    # counts are an exact integer rollup of the bigram counts
+    # (c1 = Σ c2 over w1 — 'w1 w2' keys are collision-free), so the
+    # corpus explode runs twice (counts + the per-doc score join)
+    # instead of three times; cnt2 checkpoints lazily and both its
+    # consumers read the same blocks.
+    cnt2 = (
+        p.groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    cnt1 = (
+        cnt2.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
     return (
         p.join(cnt2, "bg")
         .join(F.broadcast(cnt1), "w1")
