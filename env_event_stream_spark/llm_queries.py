@@ -1909,6 +1909,10 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (doc_id tie-break); the final row_number runs over k rows."""
     from env_event_stream_spark.operators.relational import top_k
 
+    # r16 (guide §1.1): the two unigram models' four aggregates
+    # (per-bucket counts + totals for each class) are exact rollups of
+    # ONE (is-target, bucket) count table, so the corpus tokenizes
+    # twice (model counts + the scoring join) instead of five times.
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
@@ -1916,12 +1920,23 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = tok.withColumn(
         "bucket", D._hex32_to_long(F.md5(F.col("term"))) % 1024
     )
-    tgt = b.where(F.col("source") == "src0")
+    per = (
+        b.groupBy(
+            (F.col("source") == "src0").alias("is_t"), F.col("bucket")
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     raw = b.where(F.col("source") != "src0")
-    ct = tgt.groupBy("bucket").agg(F.count("*").alias("c_t"))
-    nt = tgt.agg(F.count("*").alias("n_t"))
-    cr = raw.groupBy("bucket").agg(F.count("*").alias("c_r"))
-    nr = raw.agg(F.count("*").alias("n_r"))
+    ct = per.where(F.col("is_t")).select("bucket", F.col("c").alias("c_t"))
+    # coalesce: count() over an empty class was 0, sum() is NULL
+    nt = per.where(F.col("is_t")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_t")
+    )
+    cr = per.where(~F.col("is_t")).select("bucket", F.col("c").alias("c_r"))
+    nr = per.where(~F.col("is_t")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_r")
+    )
     scored = (
         raw.join(F.broadcast(ct), "bucket", "left")
         .join(F.broadcast(cr), "bucket")
@@ -3941,8 +3956,9 @@ def doc_scrub_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     small fraction) are tokenized positionally and reassembled — the
     clean 100 TB majority never shuffles. Reassembly is one
     doc_id-keyed agg over kept tokens with an in-group order."""
-    d = load_table(spark, sf_dir, "documents")
     from env_event_stream_spark.functions.text import _ngram_array
+
+    d = load_table(spark, sf_dir, "documents")
 
     is_eval = F.col("doc_id") % 97 == 0
     train = d.where(~is_eval).select(
