@@ -935,8 +935,16 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail with a df_cap the same way the dedup shingle tables do."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    vocab = t.groupBy("term").agg(F.count("*").alias("cnt"))
-    tot = t.agg(F.count("*").alias("n"))
+    # r16 (guide §1.1, the dsir/pmi rollup): the total is an exact
+    # integer rollup of the vocab counts, so the corpus explodes twice
+    # (counts + scoring) instead of three times; the vocab checkpoints
+    # lazily and feeds both the broadcast and the total.
+    vocab = (
+        t.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = vocab.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
     return (
         t.join(F.broadcast(vocab), "term")
         .crossJoin(F.broadcast(tot))
@@ -2377,8 +2385,14 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     as evt_rfm_segments documents)."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    vocab = t.groupBy("term").agg(F.count("*").alias("cnt"))
-    tot = t.agg(F.count("*").alias("n"))
+    # total = rollup of the vocab counts (see doc_unigram_logprob) —
+    # two corpus explodes instead of three
+    vocab = (
+        t.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = vocab.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
     lp = (
         t.join(F.broadcast(vocab), "term")
         .crossJoin(F.broadcast(tot))
@@ -3394,6 +3408,10 @@ def doc_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.where(F.col("bucket") < 80)
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
+        # lazy checkpoint (r16): vocab feeds both the model-size row
+        # and the broadcast join — without it the train-side explode
+        # subtree expands twice in the plan
+        .localCheckpoint(eager=False)
     )
     m = vocab.agg(
         F.sum("cnt").alias("n"), F.count("*").alias("v")
