@@ -2219,11 +2219,15 @@ def evt_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts with one double division chain, identically
     ordered in the oracle."""
     ev = _t(spark, sf_dir, "events")
+    # lazy checkpoint (r16, guide §1.1): the distinct basket-item table
+    # feeds FOUR consumers (basket total, single counts, both sides of
+    # the pair self-join) — without it the corpus-wide distinct
+    # recomputes per reference
     ud = ev.select(
         "user_id",
         F.col("ts").cast("date").alias("d"),
         "event_type",
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nb = (
         ud.select("user_id", "d")
         .distinct()
