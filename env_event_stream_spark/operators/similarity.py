@@ -549,21 +549,24 @@ def collect_sample_matrix(corpus, *, id_col: str, vec_col: str, cap: int):
 
 
 def _cosine_assign(U, C):
-    """Cosine argmax assignment with a DETERMINISTIC PER-CENTROID op
-    stream: one gemv ``U @ C[c]`` per centroid, never a single gemm
-    ``U @ C.T``. A blocked BLAS gemm routes different output columns
-    through different kernel paths (packed main block vs edge
-    remainder), so two BIT-IDENTICAL duplicate centroids can receive
-    scores 1 ulp apart (measured here: 42/400 random shapes when the
-    duplicates straddle a kernel block boundary) — numpy's argmax then
-    picks a later cell while the pure-Python oracle twin's strict
-    first-max tie-break (kmeans_oracle.spherical_kmeans_py) keeps the
-    earlier one, silently breaking the bit-for-bit parity contract
-    whenever the seed sample contains duplicate rows. With one gemv
-    per centroid, identical centroids go through the identical op
-    stream and score exactly equal, so ``np.argmax``'s first-max rule
-    matches the twin's ``s > best`` by construction. gemv-vs-gemm cost
-    is irrelevant at trainer scale (sample_cap ≤ 4096 × n_cells ≤ 64)."""
+    """Cosine argmax assignment whose scores REPLAY the pure twin's
+    sequential fold op for op: per centroid, accumulate
+    ``acc = acc + U[:, j] * C[c, j]`` dimension by dimension (the
+    residual_assign accumulation), never a BLAS gemv/gemm. History of
+    why, in two steps: (1) a single gemm ``U @ C.T`` routes different
+    output columns through different kernel paths, so two
+    BIT-IDENTICAL duplicate centroids could score 1 ulp apart and
+    argmax picked the later one where the twin's strict first-max fold
+    (kmeans_oracle.spherical_kmeans_py) keeps the earlier — the first
+    r16 fix switched to one gemv per centroid; (2) gemv still sums in
+    a vendor-chosen association, so two DIFFERENT centroids whose
+    dots tie in one order but differ by 1 ulp in the other could
+    still flip the argmax (caught by the r16 session-4 fuzz run:
+    scores -0x1.6ce6932b985e7p-4 gemv vs ...e8p-4 sequential made a
+    tie in one engine only). Per-dim accumulation makes every score
+    bit-identical to ``kmeans_oracle._dot`` — ties and near-ties
+    resolve identically by construction. Cost is irrelevant at
+    trainer scale (sample_cap ≤ 4096 × n_cells ≤ 64 × dim ≤ 64)."""
     import numpy as np
 
     if not (np.isfinite(U).all() and np.isfinite(C).all()):
@@ -576,7 +579,10 @@ def _cosine_assign(U, C):
         )
     S = np.empty((U.shape[0], C.shape[0]), dtype=np.float64)
     for c in range(C.shape[0]):
-        S[:, c] = U @ C[c]
+        acc = np.zeros(U.shape[0], dtype=np.float64)
+        for j in range(U.shape[1]):
+            acc = acc + U[:, j] * C[c, j]
+        S[:, c] = acc
     return np.argmax(S, axis=1)
 
 
@@ -971,14 +977,35 @@ def _pq_kmeans(X, m: int, k: int, n_iter: int) -> list[list[list[float]]]:
         cur = [[round(float(x), 9) for x in S[j]] for j in range(k)]
         for _ in range(n_iter):
             C = np.array(cur, dtype=np.float64)
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # distances and sums REPLAY the pure twin's op order
+            # (kmeans_oracle.pq_kmeans_py) exactly — the
+            # _cosine_assign lesson applied to L2: numpy's
+            # ``(...**2).sum(axis=2)`` uses pairwise/unrolled
+            # association for reduction lengths >= 8 (the catalog's
+            # d = 64/8 = 8 exactly), so a near-tie could argmin
+            # differently than the twin's sequential ``t += df*df``;
+            # per-dim accumulation makes every distance
+            # bit-identical. np.add.at is unbuffered and processes
+            # rows in INDEX ORDER — the twin's row-by-row sums.
+            d2 = np.empty((S.shape[0], k), dtype=np.float64)
+            for c in range(k):
+                acc = np.zeros(S.shape[0], dtype=np.float64)
+                for j in range(d):
+                    df = S[:, j] - C[c, j]
+                    acc = acc + df * df
+                d2[:, c] = acc
             a = np.argmin(d2, axis=1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, a, S)
+            counts = np.bincount(a, minlength=k)
             nxt = []
             for c in range(k):
-                mask = a == c
-                if mask.any():
+                if counts[c]:
                     nxt.append(
-                        [round(float(x), 9) for x in S[mask].mean(axis=0)]
+                        [
+                            round(float(x) / int(counts[c]), 9)
+                            for x in sums[c]
+                        ]
                     )
                 else:
                     nxt.append([float(x) for x in cur[c]])

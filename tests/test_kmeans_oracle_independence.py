@@ -248,6 +248,45 @@ def test_gemm_divergence_tripwire():
     )
 
 
+def test_spherical_near_tie_regression():
+    """r16 session-4 fuzz catch: with gemv scoring, row 6's dot
+    against centroid 1 came out 1 ulp HIGHER than the sequential
+    fold's value (-0x1.6ce6932b985e7p-4 vs ...e8p-4), tying it with
+    centroid 2 in the numpy engine only — argmax kept cell 1 while
+    the twin's strict first-max fold moved to cell 2, and the trained
+    centroids diverged. _cosine_assign now accumulates per dimension
+    (bit-identical to kmeans_oracle._dot), so near-ties resolve
+    identically by construction. This is the exact falsifying
+    matrix."""
+    rows = [[0, 0, 0, 0, 1, 0, 0, 0],
+            [0, 2, -1, 1, 2, 0, 0, 2],
+            [0, 0, 0, 1, 1, 2, 2, 2],
+            [0, 0, 0, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 0, 0, 0],
+            [0, 0, -2, 1, -2, 0, 0, 0]]
+    rows = [[float(x) for x in r] for r in rows]
+    X = np.array(rows, dtype=np.float64)
+    assert _spherical_np(X, 3, 6) == spherical_kmeans_py(rows, 3, 6)
+
+
+_int_row16 = st.lists(st.integers(min_value=-2, max_value=2),
+                      min_size=16, max_size=16)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_int_row16, min_size=4, max_size=20))
+def test_pq_parity_fuzz_d8_subspaces(rows):
+    """d = 8 subvectors (the CATALOG shape: dim 64 / m 8) — the width
+    where numpy's reduce switches to its 8-accumulator unrolled
+    association, which the d=4 fuzz above never probes. _pq_kmeans
+    now accumulates distances per dimension and sums rows via
+    np.add.at (index order), so this must agree bit-for-bit."""
+    rows = [[float(x) for x in r] for r in rows]
+    X = np.array(rows, dtype=np.float64)
+    assert S._pq_kmeans(X, 2, 3, 6) == pq_kmeans_py(rows, 2, 3, 6)
+
+
 def test_spherical_parity_float_duplicate_seeds():
     """Deterministic float matrices whose first n_cells rows contain
     exact duplicates — the construction the r15 fuzz suite used to
