@@ -1904,6 +1904,11 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table; the sub-split exchange carries ~the file size.
     from env_event_stream_spark.tables import spread_small_scan
 
+    # KEPT after the r17 order-reversed probe (VERDICT r16 item 1
+    # flagged the driver's +23%): with-spread beat no-spread on every
+    # one of 8 interleaved reps (trimmean 1.60 vs 1.86 s, min 1.44 vs
+    # 1.70) — the r16 driver delta was noise, and the spread is a
+    # no-op on real multi-file tables.
     m = spread_small_scan(li).select(F.expr(stack))
     # EXPLICIT two-phase: first aggregate on (col, value) — map-side
     # combinable, value groups carry their count and (constant)
@@ -3362,9 +3367,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = e.select(
         F.col("x").alias("v"), F.col("y").alias("u")
     ).unionByName(e.select(F.col("y").alias("v"), F.col("x").alias("u")))
+    # EAGER (r17): the r16 lazy conversion was driver-measured slower
+    # (PERF_r16 steady 4.23 -> 5.16 s) and an order-reversed rotating
+    # A/B this round confirmed it on this machine (eager trimmean
+    # 4.39 s / median 4.47 vs lazy 4.78 / 5.03 over 6 interleaved
+    # reps): three fully-lazy iterations stack the per-iteration
+    # join+agg into ONE deep job whose scheduling beats the saved
+    # barrier. The graph loops that KEPT lazy checkpoints (triangles,
+    # link_prediction) have a single consumer action; LPA's loop
+    # re-reads lbl twice per iteration.
     lbl = (
         adj.select("v").distinct().withColumn("lbl", F.col("v"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     for _ in range(_LPA_ITERS):
         cnt = (
             adj.join(
@@ -3389,7 +3403,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("m")
             )
             .select("v", F.col("m.l").alias("lbl"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # see the init comment (r17)
         )
     return lbl.groupBy(F.col("lbl").alias("community")).agg(
         F.count("*").cast("bigint").alias("n_members"),

@@ -5109,7 +5109,13 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1 = c2.groupBy("w1").agg(F.sum("c_pair").alias("c_w1"))
     cr = c2.groupBy("w2").agg(F.sum("c_pair").alias("c_w2"))
-    n = c2.agg(F.sum("c_pair").alias("n_pairs")).where(
+    # coalesce: sum() is NULL on an empty bigram table (empty /
+    # all-single-token corpus) and assert_true(NULL < 9e7) would
+    # throw where the pre-r16 count(*) returned 0 — the same guard
+    # the sibling rollups (unigram_logprob, dsir, perplexity) carry
+    n = c2.agg(
+        F.coalesce(F.sum("c_pair"), F.lit(0)).alias("n_pairs")
+    ).where(
         F.assert_true(
             F.col("n_pairs") < F.lit(90_000_000),
             F.lit(

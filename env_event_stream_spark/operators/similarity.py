@@ -50,6 +50,15 @@ __all__ = [
 ]
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote a column NAME for SQL-string interpolation,
+    escaping embedded backticks (`` ` `` doubles to ```` `` ````, the
+    Spark SQL identifier rule) — so an adversarial column name cannot
+    break the parse or resolve to a different expression (ADVICE r16).
+    """
+    return "`" + name.replace("`", "``") + "`"
+
+
 def hyperplanes(
     n_planes: int = 8, dim: int = 64, *, salt: str = ""
 ) -> list[list[float]]:
@@ -99,7 +108,7 @@ def knn_exact(
     # inside the pair expression would redo two O(dim) folds per pair.
     # (one-parse expression text per r16 construction-cost discipline;
     # resolved expressions identical to as_double/l2_norm/dot)
-    _vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    _vd = f"transform({_bt(vec_col)}, x -> CAST(x AS DOUBLE))"
     q = queries.select(
         F.col(id_col).alias("query_id"), F.expr(_vd).alias("qv")
     ).withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
@@ -171,7 +180,7 @@ def lsh_signature(
         # identical sequential-fold dot — resolved expression equal
         # to the Column-built form, ~10 py4j round trips per plane
         # saved at construction time
-        v_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+        v_sql = f"transform({_bt(vec_col)}, x -> CAST(x AS DOUBLE))"
         bits_sql = ",".join(
             f"CASE WHEN {_dot_sql(v_sql, ps)} >= 0 THEN '1' ELSE '0' END"
             for ps in plane_sqls
@@ -208,7 +217,7 @@ def knn_lsh(
         planes=planes,
     ).select(
         "query_id",
-        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("qv"),
+        F.expr(f"transform({_bt(vec_col)}, x -> CAST(x AS DOUBLE))").alias("qv"),
         "lsh_sig",
     ).withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
     c = lsh_signature(
@@ -219,7 +228,7 @@ def knn_lsh(
         planes=planes,
     ).select(
         "neighbor_id",
-        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("cv"),
+        F.expr(f"transform({_bt(vec_col)}, x -> CAST(x AS DOUBLE))").alias("cv"),
         "lsh_sig",
     ).withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
     scored = (
@@ -303,7 +312,7 @@ def knn_lsh_multiprobe(
         planes=planes,
     ).select(
         "query_id",
-        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("qv"),
+        F.expr(f"transform({_bt(vec_col)}, x -> CAST(x AS DOUBLE))").alias("qv"),
         "lsh_sig",
     ).withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
     flips_sql = ",".join(
@@ -324,7 +333,7 @@ def knn_lsh_multiprobe(
         planes=planes,
     ).select(
         "neighbor_id",
-        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("cv"),
+        F.expr(f"transform({_bt(vec_col)}, x -> CAST(x AS DOUBLE))").alias("cv"),
         "lsh_sig",
     ).withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
     scored = (
@@ -426,7 +435,7 @@ def _nearest_cells(
     # Column builders, ~30 fewer py4j round trips per call
     v = df.select(
         F.col(id_col).alias(id_out),
-        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(f"transform({_bt(vec_col)}, x -> CAST(x AS DOUBLE))").alias("v"),
     ).withColumn("nrm", F.expr(f"sqrt({_dot_sql('v', 'v')})"))
     # try_divide: a zero-norm vector (or centroid) yields NULL, which
     # csim DESC sorts last — the same position the Arrow twin's -inf
@@ -866,9 +875,9 @@ def knn_binary(
     # whole projections as single selectExpr parses (r16 construction-
     # cost discipline — resolved trees identical to the Column form:
     # transform/CAST = as_double, sqrt(aggregate(...)) = l2_norm)
-    _vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    _vd = f"transform({_bt(vec_col)}, x -> CAST(x AS DOUBLE))"
     q = queries.selectExpr(
-        f"`{id_col}` AS query_id", f"{_vd} AS qv"
+        f"{_bt(id_col)} AS query_id", f"{_vd} AS qv"
     ).selectExpr(
         "query_id",
         "qv",
@@ -876,7 +885,7 @@ def knn_binary(
         f"sqrt({_dot_sql('qv', 'qv')}) AS qn",
     )
     c = corpus.selectExpr(
-        f"`{id_col}` AS neighbor_id", f"{_vd} AS cv"
+        f"{_bt(id_col)} AS neighbor_id", f"{_vd} AS cv"
     ).selectExpr(
         "neighbor_id",
         "cv",

@@ -180,3 +180,30 @@ def test_reshaped_plans_hold_their_shuffle_budget(spark, sf_dir, name):
         f"{EXCHANGE_BUDGET[name]} — a shared frame is being replayed "
         f"per consumer again (see the r12 reshape in its docstring)"
     )
+    # r17 (VERDICT r16 item 2): the round-robin discount above must
+    # not become a blind spot — cap rr at the plan-lint budget so an
+    # accidental repartition(n) cannot hide behind the spread
+    # exemption.
+    from tools.plan_lint import RR_BUDGET
+
+    n_rr = plan.count("Exchange RoundRobinPartitioning")
+    assert n_rr <= RR_BUDGET.get(name, 0), (
+        f"{name}: {n_rr} round-robin exchanges > RR_BUDGET "
+        f"{RR_BUDGET.get(name, 0)} — a stray repartition(n) slipped "
+        f"into the plan (only the deliberate sub-split scan spreads "
+        f"are budgeted; see tools/plan_lint.py RR_BUDGET)"
+    )
+
+
+def test_rr_budget_catches_an_injected_stray_repartition(spark, sf_dir):
+    """The gate's teeth (VERDICT r16 item 2 'done' criterion): inject
+    a stray repartition(n) into a budgeted query's frame and assert
+    the rr count now EXCEEDS its RR_BUDGET ceiling — i.e. the gate
+    would fail, where the old unbounded discount stayed silent."""
+    from tools.plan_lint import RR_BUDGET
+
+    name = "dq_profile_lineitem"
+    df = QUERIES[name](spark, sf_dir).repartition(7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_rr = plan.count("Exchange RoundRobinPartitioning")
+    assert n_rr > RR_BUDGET.get(name, 0)

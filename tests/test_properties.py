@@ -1018,6 +1018,22 @@ def test_pmi_collocations_match_counter_reference(spark, sf_dir):
     assert sorted(got) == sorted(want)
 
 
+def test_pmi_collocations_empty_bigram_corpus(spark, tmp_path):
+    """An all-single-token corpus has ZERO bigrams: the n_pairs
+    rollup (F.sum over an empty table) is NULL without the coalesce
+    (ADVICE r16) and assert_true(NULL < 9e7) would throw where the
+    pre-r16 count(*) returned 0. Must yield an empty top-k, no error."""
+    from env_event_stream_spark.catalog import QUERIES
+
+    spark.createDataFrame(
+        [(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["doc_pmi_collocations"](spark, str(tmp_path)).collect()
+    assert out == []
+
+
 def test_textrank_matches_python_pagerank_replay(spark, sf_dir):
     """Full top-30 must equal an independent pure-Python integer
     pagerank over the same vocab-bounded adjacency graph."""

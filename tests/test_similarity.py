@@ -88,6 +88,32 @@ def test_binary_quantized_knn_recall(spark, sf_dir):
         e.unpersist()
 
 
+def test_knn_binary_quotes_hostile_column_names(spark, sf_dir):
+    """The r16 selectExpr rewrite interpolates id_col/vec_col into
+    SQL strings; a column name containing a backtick must neither
+    break the parse nor resolve to a different column (ADVICE r16 —
+    the _bt escaping rule). Results must match the plain-name run."""
+    e = load_table(spark, sf_dir, "embeddings").limit(40).cache()
+    try:
+        q = e.where(F.col("vec_id") < 5)
+        kw = dict(k=_K, shortlist=8)
+        plain = _pairs(
+            S.knn_binary(q, e, id_col="vec_id", vec_col="embedding", **kw)
+        )
+        hq = q.withColumnRenamed("vec_id", "vec`id").withColumnRenamed(
+            "embedding", "emb`arr"
+        )
+        he = e.withColumnRenamed("vec_id", "vec`id").withColumnRenamed(
+            "embedding", "emb`arr"
+        )
+        hostile = _pairs(
+            S.knn_binary(hq, he, id_col="vec`id", vec_col="emb`arr", **kw)
+        )
+        assert hostile == plain
+    finally:
+        e.unpersist()
+
+
 def test_ivf_trained_recall_vs_ground_truth(spark, sf_dir):
     """recall@3 of the trained quantizer >= the untrained
     first-n_cells stand-in, and above an absolute floor — measured

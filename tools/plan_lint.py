@@ -209,6 +209,38 @@ GLOBAL_WINDOW_ALLOWED = {
 }
 
 
+# Per-query ceiling on round-robin (spread) exchanges — VERDICT r16
+# item 2: `rr` was split out of the keyed-shuffle budget because the
+# deliberate sub-split scan spreads (operators/dedup._spread /
+# tables.spread_small_scan — no-ops on real multi-file tables) are not
+# the regression class `ex` guards, but an UNBOUNDED rr counter would
+# let a future accidental `repartition(n)` on a derived frame slip in
+# invisibly. Ceiling = the value measured when the spread was added
+# (+0); any query not listed here must plan ZERO round-robin
+# exchanges. A legitimate new spread must raise its entry here with a
+# why, exactly like the allowlists above.
+RR_BUDGET = {
+    "doc_containment_pairs": 8,
+    "doc_decontaminate": 2,
+    "doc_exactsubstr_spans": 2,
+    "doc_jaccard_pairs": 4,
+    "doc_lcs_pairs": 1,
+    "doc_lcs_scrub": 1,
+    "doc_minhash_accuracy": 8,
+    "doc_minhash_pairs": 6,
+    "doc_minhash_scurve": 6,
+    "doc_passage_dedup": 1,
+    "doc_ppjoin_stats": 4,
+    "doc_pretrain_pipeline": 4,
+    "doc_pretrain_token_yield": 6,
+    "doc_simhash": 1,
+    "doc_simhash_pairs": 2,
+    "doc_winnow_pairs": 4,
+    "doc_winnow_spans": 4,
+    "dq_profile_lineitem": 1,
+}
+
+
 def _bracket_groups(s: str) -> list[str]:
     """Split `[a], [b, [c]], [d]` into top-level bracket groups —
     window plan nodes print as `Window [exprs], [part], [order]`
@@ -266,8 +298,10 @@ def main() -> None:
     bad_python = []
     bad_cartesian = []
     bad_globalwin = []
+    bad_rr = []
     plan_errors = []
-    measured: dict[str, tuple[int, int, int]] = {}  # name -> (quad, pyrow, gwin)
+    # name -> (quad, pyrow, gwin, rr)
+    measured: dict[str, tuple[int, int, int, int]] = {}
     for name in sorted(QUERIES):
         if name in STREAMING:
             continue
@@ -318,7 +352,11 @@ def main() -> None:
             bad_cartesian.append(name)
         if n_gwin and name not in GLOBAL_WINDOW_ALLOWED:
             bad_globalwin.append(name)
-        measured[name] = (n_cart + n_bnlj, n_pyrow, n_gwin)
+        if n_rr > RR_BUDGET.get(name, 0):
+            bad_rr.append(
+                f"{name} (rr={n_rr} > budget {RR_BUDGET.get(name, 0)})"
+            )
+        measured[name] = (n_cart + n_bnlj, n_pyrow, n_gwin, n_rr)
         rows.append(
             (
                 name,
@@ -345,6 +383,7 @@ def main() -> None:
         (NESTED_LOOP_ALLOWED, 0),
         (ROW_PYTHON_ALLOWED, 1),
         (GLOBAL_WINDOW_ALLOWED, 2),
+        (RR_BUDGET, 3),
     ):
         for name in allow:
             if name in STREAMING:
@@ -362,8 +401,9 @@ def main() -> None:
             f"{len(rows)} batch catalog entries (streaming entries are "
             "pinned by the streaming pytest suite instead).\n\n"
             "Counters: `ex` = keyed Exchange (shuffle) operators "
-            "(round-robin spread exchanges are split out as `rr` — "
-            "see tools/plan_lint.py for why), `cart` = "
+            "(round-robin spread exchanges are split out as `rr` and "
+            "capped per-query by RR_BUDGET — see tools/plan_lint.py "
+            "for why), `cart` = "
             "CartesianProduct, `bnlj` = BroadcastNestedLoopJoin, `pyrow` "
             "= row-at-a-time Python UDF stages (BatchEvalPython; Arrow "
             "stages are fine and not counted), `gwin` = ORDER-BY-only "
@@ -380,6 +420,8 @@ def main() -> None:
             f"{bad_cartesian}\n"
             f"- unexplained global windows: **{len(bad_globalwin)}** "
             f"{bad_globalwin}\n"
+            f"- round-robin exchanges over RR_BUDGET: "
+            f"**{len(bad_rr)}** {bad_rr}\n"
             f"- stale allowlist entries (justification without a "
             f"measured operator): **{len(stale)}** {stale}\n\n"
             "| query | counters | quadratic-join justification | "
@@ -393,12 +435,20 @@ def main() -> None:
         f"{len(bad_python)} row-python, "
         f"{len(bad_cartesian)} unexplained quadratic, "
         f"{len(bad_globalwin)} unexplained global window, "
+        f"{len(bad_rr)} over rr budget, "
         f"{len(stale)} stale allowlist"
     )
     if plan_errors:
         print(f"plan lint: {len(plan_errors)} queries failed to PLAN: "
               f"{plan_errors}", file=sys.stderr)
-    if bad_python or bad_cartesian or bad_globalwin or stale or plan_errors:
+    if (
+        bad_python
+        or bad_cartesian
+        or bad_globalwin
+        or bad_rr
+        or stale
+        or plan_errors
+    ):
         sys.exit(1)
 
 
