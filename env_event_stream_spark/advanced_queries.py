@@ -2105,6 +2105,11 @@ def graph_triangles_copurchase(
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
+    # r17 probe, REJECTED: a lazy checkpoint on deg (it is re-derived
+    # 4x: dx/dy/wed/stats) measured a wash-to-worse (median 3.84 vs
+    # 3.67 s over 6 order-rotated reps) — exchange reuse already
+    # dedupes the one real shuffle and the post-shuffle agg replays
+    # are |V|-sized. Left un-checkpointed.
     # orientation by DIRECT (degree, id) tuple comparison — no global
     # row_number (a single-partition sort over |V| nodes would be the
     # one non-scalable stage in the plan); the total order is the

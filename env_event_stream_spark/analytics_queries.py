@@ -2685,45 +2685,40 @@ def er_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pr.select(F.col("k2").alias("u"), F.col("k1").alias("v"), "score")
     )
+    # r17: the per-iteration expression trees parse as SINGLE
+    # selectExpr/F.expr strings (the r16 single-parse discipline —
+    # resolved trees identical, ~25 py4j round trips per iteration
+    # instead of ~90; cProfile put 0.6 s of this loop's construction
+    # in the Column comprehensions)
     labels = (
         e.select("u")
         .distinct()
-        .select(
-            F.col("u").alias("node"),
-            *[F.col("u").alias(f"l{t}") for t in T],
-        )
+        .selectExpr("u AS node", *[f"u AS l{t}" for t in T])
         .localCheckpoint(eager=False)
     )
+    _new_sql = {
+        t: f"least(l{t}, coalesce(n{t}, l{t}))" for t in T
+    }
+    _chg_sql = " OR ".join(f"({_new_sql[t]} != l{t})" for t in T)
     for _ in range(10):
         nbmin = (
             e.join(labels, e.v == labels.node)
             .groupBy("u")
             .agg(
                 *[
-                    F.min(
-                        F.when(F.col("score") >= t, F.col(f"l{t}"))
+                    F.expr(
+                        f"min(CASE WHEN score >= {t} THEN l{t} END)"
                     ).alias(f"n{t}")
                     for t in T
                 ]
             )
         )
-        new = {
-            t: F.least(
-                F.col(f"l{t}"),
-                F.coalesce(F.col(f"n{t}"), F.col(f"l{t}")),
-            )
-            for t in T
-        }
-        any_chg = None
-        for t in T:
-            chg = new[t] != F.col(f"l{t}")
-            any_chg = chg if any_chg is None else (any_chg | chg)
         updated = (
             labels.join(nbmin, labels.node == nbmin.u, "left")
-            .select(
+            .selectExpr(
                 "node",
-                *[new[t].alias(f"l{t}") for t in T],
-                any_chg.alias("_chg"),
+                *[f"{_new_sql[t]} AS l{t}" for t in T],
+                f"({_chg_sql}) AS _chg",
             )
             .localCheckpoint(eager=False)
         )

@@ -94,6 +94,29 @@ def get_spark(app_name: str = "env_event_stream_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Ephemeral-checkpoint filesystem (r17, VERDICT r16 item 5): a
+    # RawLocalFileSystem subclass whose setPermission is a no-op,
+    # registered under the dedicated scheme nochmod:// — without
+    # libhadoop, every permission-carrying file create in a streaming
+    # checkpoint FORKS /bin/chmod (hundreds of fork+exec per
+    # availableNow run, measured). Registering the scheme is inert by
+    # itself; only the streaming helpers' per-query ephemeral
+    # checkpoint dirs opt in (env-fenced there via
+    # SPARK_GRAFT_CKPT_FS), and only when this jar is on the
+    # classpath. Durable deployments never see it: no restorable path
+    # uses the scheme and fs.defaultFS is untouched.
+    _nochmod_jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jars",
+        "spark-graft-nochmodfs.jar",
+    )
+    if os.path.exists(_nochmod_jar):
+        builder = builder.config(
+            "spark.driver.extraClassPath", _nochmod_jar
+        ).config(
+            "spark.hadoop.fs.nochmod.impl",
+            "sparkgraft.NoChmodLocalFileSystem",
+        )
     # Invariance-sweep hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overrides
     # any default above (applied last). This is how the catalog-wide
     # robustness gates run (non-UTC session timezone, tiny Arrow

@@ -110,6 +110,45 @@ _CKPT_FM = os.environ.get(
     "FileSystemBasedCheckpointFileManager",
 )
 
+# Hadoop filesystem SCHEME for the same ephemeral checkpoint dirs
+# (r17, VERDICT r16 item 5 — the fork tail). Default `nochmod`: a
+# RawLocalFileSystem subclass (jvm/src, registered in session.py)
+# whose setPermission is a no-op — without libhadoop every
+# permission-carrying checkpoint file create forks /bin/chmod
+# (measured 661 forks per interval-join run; the subclass drops the
+# fork AND the LocalFileSystem .crc companion writes). Per-query,
+# single-writer, never-restored checkpoint dirs only — the sink
+# parquet output keeps the default filesystem. SPARK_GRAFT_CKPT_FS=
+# (empty) or `file` restores plain local paths for deployments that
+# want posix-faithful checkpoint permissions. If the scheme cannot
+# be loaded (plain/driversim sessions without the jar), the probe
+# below falls back to plain paths — never fails a query over it.
+_CKPT_FS = os.environ.get("SPARK_GRAFT_CKPT_FS", "nochmod")
+_ckpt_fs_ok: bool | None = None
+
+
+def _ckpt_path(spark: SparkSession, local_dir: str) -> str:
+    """Return the path string for an ephemeral local checkpoint or
+    sink tmpdir: `<scheme>://<dir>` when the configured scheme
+    resolves in this session (probed once per process), else the
+    plain path. Sink dirs qualify for the same treatment as the
+    checkpoints: per-query tmpdirs written and read back exclusively
+    through these helpers' Spark jobs, never restored across runs."""
+    global _ckpt_fs_ok
+    if _CKPT_FS in ("", "file", "default"):
+        return local_dir
+    if _ckpt_fs_ok is None:
+        try:
+            jvm = spark._jvm
+            fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+                jvm.java.net.URI.create(f"{_CKPT_FS}:///"),
+                spark._jsc.hadoopConfiguration(),
+            )
+            _ckpt_fs_ok = fs.getScheme() == _CKPT_FS
+        except Exception:  # class not on classpath / scheme unmapped
+            _ckpt_fs_ok = False
+    return f"{_CKPT_FS}://{local_dir}" if _ckpt_fs_ok else local_dir
+
 
 @contextmanager
 def _stream_shuffle_parts(spark: SparkSession):
@@ -196,8 +235,12 @@ def _run_update_to_latest(out: DataFrame, prefix: str) -> str:
     executors write, nothing reaches the driver. Returns the sink dir;
     the caller recovers final state as the latest-epoch row per key
     (_latest_epoch_rows)."""
-    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
-    sink_dir = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+    ckpt = _ckpt_path(
+        out.sparkSession, tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    )
+    sink_dir = _ckpt_path(
+        out.sparkSession, tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+    )
 
     def sink(df: DataFrame, epoch: int) -> None:
         df.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
@@ -269,8 +312,12 @@ def _run_complete_overwrite_many(
 
     with _stream_shuffle_parts(aggs[0][0].sparkSession):
         for agg, prefix in aggs:
-            sink_dir = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
-            ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+            sink_dir = _ckpt_path(
+                agg.sparkSession, tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+            )
+            ckpt = _ckpt_path(
+                agg.sparkSession, tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+            )
             q = (
                 agg.writeStream.foreachBatch(make_sink(sink_dir))
                 .outputMode("complete")
@@ -2109,8 +2156,12 @@ def _run_append(out: DataFrame, prefix: str) -> str:
     """Run an append-mode stream (joins, projections) to completion
     (availableNow) into a parquet sink; executors write, nothing
     reaches the driver."""
-    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
-    sink_dir = tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+    ckpt = _ckpt_path(
+        out.sparkSession, tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    )
+    sink_dir = _ckpt_path(
+        out.sparkSession, tempfile.mkdtemp(prefix=f"{prefix}_sink_")
+    )
     with _stream_shuffle_parts(out.sparkSession):
         q = (
             out.writeStream.format("parquet")
